@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+import graft.operators.TextOps.{fingerprint, tokenize}
+
+/** Near-duplicate detection for training-data curation — the scale path
+  * beyond the reference's keyed exact dedup (A7,
+  * DwsTradeSkuOrderWindow.java:190-223): exact hash dedup, MinHash + LSH
+  * banding, Jaccard verification, and SimHash.
+  *
+  * Design (100 TB): the classic three-stage near-dup pipeline —
+  *   1. per-doc signature (map-side only: tokenize → K minhashes),
+  *   2. LSH banding: docs sharing any band signature land in the same
+  *      shuffle bucket (groupBy band-key) → candidate pairs are generated
+  *      per bucket, never via a global cross join,
+  *   3. exact Jaccard verification restricted to candidates.
+  * MinHash here is min-over-tokens of md5(seed || token) in hex-string
+  * order — a deterministic, engine-portable permutation family (md5 is a
+  * bijection-ish hash; min over its hex encoding is order-isomorphic to
+  * min over the 128-bit integer). Banding is partitioned by source (a
+  * dedup shard); dropping the source key from the band bucket makes it a
+  * global LSH with identical code.
+  */
+object DedupOps extends QueryModule {
+
+  /** Number of minhash permutations and rows per LSH band: 12 hashes in 4
+    * bands of 3 → P(candidate | J) = 1-(1-J^3)^4; J=0.8 → 0.94 recall. */
+  val numHashes = 12
+  val bandSize = 3
+  val numBands: Int = numHashes / bandSize
+  val jaccardThreshold = 0.8
+
+  private def mh(k: Int): Column =
+    min(md5(concat(lit(k.toString), lit("|"), col("tok")))).as(s"mh$k")
+
+  /** Per-doc minhash signature columns mh0..mh{K-1} from distinct tokens. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"), col("source"),
+        explode(array_distinct(tokenize(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(mh(0), (1 until numHashes).map(mh): _*)
+  }
+
+  private def bandCol(b: Int): Column =
+    md5(concat((0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*))
+      .as(s"band$b")
+
+  /** Candidate pairs from LSH banding (distinct over bands, a < b). */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+      .select(col("doc_id") +: col("source") +: (0 until numBands).map(bandCol): _*)
+    val stacked = sig.select(col("doc_id"), col("source"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band_no"), col(s"band$b").as("band_sig"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.band_no"), col("b.band_sig"))
+    val l = stacked.as("l")
+    val r = stacked.as("r")
+    l.join(r,
+        col("l.source") === col("r.source") &&
+        col("l.band_no") === col("r.band_no") &&
+        col("l.band_sig") === col("r.band_sig") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        col("l.source").as("source"))
+      .distinct()
+  }
+
+  /** d2: LSH candidate-pair counts per source (the bucketed shuffle). */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("candidate_ct"))
+
+  /** d3: full near-dup pipeline — candidates verified by exact unigram
+    * Jaccard ≥ 0.8. Output is the verified duplicate pair list. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(array_distinct(tokenize(col("text")))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = candidatePairs(s, dir)
+    val inter = cand
+      .join(toks.as("ta"), col("a_id") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("b_id") === col("tb.doc_id") &&
+        col("ta.tok") === col("tb.tok"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter_ct"))
+    inter
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter_ct").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter_ct"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** d1: exact duplicate groups by normalized fingerprint. */
+  private def exactDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("dup_ct"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("dup_ct") > 1)
+  }
+
+  /** d4: 32-bit SimHash from md5 leading bits — per-bit weighted vote over
+    * distinct tokens, built from codegen'd conv/bit builtins (no UDF).
+    * Grouped into 8-bit bands for hamming-bucket candidate counting. */
+  private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    // token hash: first 8 hex chars of md5 → 32-bit int via conv()
+    val toks = d.select(col("doc_id"),
+        explode(array_distinct(tokenize(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast(LongType))
+    // per-bit votes: +1 if bit set else -1; simhash bit = majority
+    val bitCols = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val sig = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val simhash = (0 until 32).map { b =>
+      when(col(s"v$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // 8-bit bands for hamming-distance bucketing
+    val hbands = (0 until 4).map(i =>
+      shiftright(col("simhash"), i * 8).bitwiseAND(lit(0xffL)).as(s"hband$i"))
+    sig.select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id") +: col("simhash") +: hbands: _*)
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "d1_exact_dup_groups" -> exactDupGroups,
+    "d2_lsh_candidates" -> lshCandidates,
+    "d3_near_dup_pairs" -> nearDupPairs,
+    "d4_simhash" -> simhashBuckets)
+
+  // ---- oracles ----------------------------------------------------------
+
+  private def mhSql(k: Int) = s"min(md5('$k' || '|' || tok)) AS mh$k"
+  private def bandSql(b: Int) = {
+    val parts = (0 until bandSize).map(i => s"mh${b * bandSize + i}")
+    s"md5(${parts.mkString(" || ")}) AS band$b"
+  }
+
+  /** Shared oracle CTEs: distinct tokens → signatures → stacked bands →
+    * candidate pairs (mirrors the Spark plan stage for stage). */
+  private val candidateCte: String = {
+    val mhs = (0 until numHashes).map(mhSql).mkString(",\n        ")
+    val bands = (0 until numBands).map(bandSql).mkString(",\n        ")
+    val bandUnion = (0 until numBands)
+      .map(b => s"SELECT doc_id, source, $b AS band_no, band$b AS band_sig FROM sig")
+      .mkString("\n        UNION ALL ")
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |mhs AS (
+       |  SELECT doc_id, source,
+       |        $mhs
+       |  FROM toks GROUP BY doc_id, source),
+       |sig AS (
+       |  SELECT doc_id, source,
+       |        $bands
+       |  FROM mhs),
+       |stacked AS (
+       |        $bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, l.source AS source
+       |  FROM stacked l JOIN stacked r
+       |    ON l.source = r.source AND l.band_no = r.band_no
+       |   AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  val oracles = Map(
+    "d1_exact_dup_groups" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT fp, count(*) AS dup_ct, min(doc_id) AS keeper_id
+        |FROM f GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "d2_lsh_candidates" ->
+      s"""WITH $candidateCte
+         |SELECT source, count(*) AS candidate_ct FROM cand GROUP BY 1""".stripMargin,
+    "d3_near_dup_pairs" ->
+      s"""WITH $candidateCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |inter AS (
+         |  SELECT a_id, b_id, count(*) AS inter_ct
+         |  FROM cand
+         |  JOIN toks ta ON a_id = ta.doc_id
+         |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |       CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON a_id = sa.doc_id
+         |JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) >= $jaccardThreshold""".stripMargin)
+  // d4_simhash: no SQL oracle (bit-vote aggregation) → driver records the
+  // weaker rows-only check; covered by DedupOpsSpec instead.
+}

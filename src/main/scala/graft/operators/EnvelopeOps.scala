@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+import graft.functions.{Fns, Oracle}
+
+/** The ODS→DWD envelope layer: CDC-envelope construction/parsing, dirty
+  * data side-output, config-driven column pruning, dynamic multi-way
+  * split, and DIM upsert/delete maintenance (SURVEY.md §2.1-2.4, §1.1).
+  *
+  *  - The Maxwell-format envelope {database, table, type, ts,
+  *    data: map, old: map} (BaseSQLApp.java:56-66, FIXTURES.md F1) is
+  *    synthesized from the orders table with to_json, then parsed back
+  *    with from_json — exercising both directions of S1/S3/P1.
+  *  - P1 validity ETL: drop rows failing db/type/data checks
+  *    (DimApp.java:149-185).
+  *  - P2 dirty side-output: malformed JSON → separate route
+  *    (DwdBaseLog.java:88-118); from_json yields null on bad input.
+  *  - P3 map-field projection data['id'] (DwdInteractionCommentInfo.java:25-33).
+  *  - P5 conditional delta (DwdTradeCartAdd.java:32).
+  *  - P9 config-driven column pruning via map_filter
+  *    (TableProcessFunction.deleteNotNeedColumns:97-105).
+  *  - G3 multi-way split: one cached parent → N filtered routes
+  *    (DwdBaseLog.java:192-295); here surfaced as per-route counts.
+  *  - K5 DIM upsert/delete: last CDC op per key decides presence
+  *    (HBaseSinkFunction.java:36-61) — batch twin of Delta MERGE.
+  *
+  * Scale notes: envelope parse + filters are pure map-side work inside
+  * one whole-stage-codegen span (no shuffle until the count aggregation);
+  * the dim-merge twin shuffles once on the entity key. from_json with an
+  * explicit StructType (never schema inference) keeps the scan schema
+  * fixed at 100 TB.
+  */
+object EnvelopeOps extends QueryModule {
+  import Fns._
+
+  /** Maxwell envelope schema — FIXTURES.md F1 / BaseSQLApp.java:56-66. */
+  val odsDbSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),
+    StructField("ts", LongType),
+    StructField("data", MapType(StringType, StringType)),
+    StructField("old", MapType(StringType, StringType))))
+
+  /** Debezium envelope schema — FIXTURES.md F2 / DimApp.java:197-227. */
+  def debeziumSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("before", payload),
+    StructField("after", payload),
+    StructField("ts_ms", LongType)))
+
+  /** Synthesize a Maxwell-envelope JSON string column from orders: status
+    * F→insert, O→update, P→delete, ts = epoch seconds of o_orderdate. */
+  private def orderEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val typ = when(col("o_orderstatus") === "F", "insert")
+      .when(col("o_orderstatus") === "O", "update")
+      .otherwise("delete")
+    o.select(to_json(struct(
+      lit("gmall2024").as("database"),
+      lit("order_info").as("table"),
+      typ.as("type"),
+      unix_timestamp(col("o_orderdate")).as("ts"),
+      map(
+        lit("id"), col("o_orderkey").cast(StringType),
+        lit("total_amount"), col("o_totalprice").cast(StringType),
+        lit("order_status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority")).as("data"),
+      map(lit("order_status"), lit("1001")).as("old"))).as("envelope"))
+  }
+
+  /** S2/P1/P3: parse the envelope stream, apply the DimApp validity ETL,
+    * project map fields, and aggregate per op type. */
+  private def cdcParse(s: SparkSession, dir: String): DataFrame = {
+    val env = orderEnvelopes(s, dir)
+    env.select(from_json(col("envelope"), odsDbSchema).as("e"))
+      .filter(col("e.database") === "gmall2024" &&
+        col("e.type").isin("insert", "update", "delete", "bootstrap-insert") &&
+        col("e.data").isNotNull)
+      .select(col("e.type").as("op_type"),
+        col("e.data")("id").cast(LongType).as("id"),
+        col("e.data")("total_amount").as("total_amount"),
+        curDate(col("e.ts")).as("cur_date"))
+      .groupBy("op_type")
+      .agg(count(lit(1)).as("op_ct"),
+        countDistinct(col("id")).as("id_ct"),
+        sum(money(col("total_amount"))).cast("double").as("amount_sum"),
+        min(col("cur_date")).as("first_date"),
+        max(col("cur_date")).as("last_date"))
+  }
+
+  /** P2: dirty-data side output — rows whose payload fails to parse route
+    * to the dirty stream; both routes counted from one parent (the batch
+    * shape of Flink's side outputs; in streaming this runs as one
+    * foreachBatch writing two sinks). Every 97th envelope is truncated to
+    * simulate producer corruption. */
+  private def dirtySplit(s: SparkSession, dir: String): DataFrame = {
+    // deterministic corruption keyed on the payload, not the row position
+    val corrupted = Tables(s, dir, "orders").select(
+      when(pmod(col("o_orderkey"), lit(97)) === 0,
+        substring(to_json(struct(col("o_orderkey"))), 1, 3))
+        .otherwise(to_json(struct(
+          lit("gmall2024").as("database"), lit("order_info").as("table"),
+          lit("insert").as("type"),
+          unix_timestamp(col("o_orderdate")).as("ts"),
+          map(lit("id"), col("o_orderkey").cast(StringType)).as("data"))))
+        .as("raw"))
+    val parsed = corrupted.select(
+      from_json(col("raw"), odsDbSchema).as("e"), col("raw"))
+    parsed.select(
+        when(col("e.table").isNull, "dirty").otherwise("clean").as("route"))
+      .groupBy("route").agg(count(lit(1)).as("route_ct"))
+  }
+
+  /** P5/P7: conditional delta — the cart-add sku_num delta computation
+    * (insert → full value, else the increment), stamped per day. */
+  private def conditionalDelta(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val sec = nsToSec(col("ts"))
+    e.select(curDate(sec).as("cur_date"), col("event_type"), col("value"))
+      .withColumn("delta",
+        when(col("event_type") === "purchase", money(col("value")))
+          .when(col("event_type") === "click", money(col("value")) * lit(-1))
+          .otherwise(lit(0)))
+      .groupBy("cur_date")
+      .agg(sum(col("delta")).cast("double").as("delta_sum"),
+        count(lit(1)).as("event_ct"))
+  }
+
+  /** P9: config-driven column pruning — keep only the map keys listed in
+    * the sink_columns CSV of the (broadcast) config row. */
+  private def columnPruning(s: SparkSession, dir: String): DataFrame = {
+    val env = orderEnvelopes(s, dir)
+    val keep = Seq("id", "total_amount") // sink_columns CSV for order_info
+    val keepArr = array(keep.map(lit): _*)
+    env.select(from_json(col("envelope"), odsDbSchema).as("e"))
+      .select(map_filter(col("e.data"),
+        (k, _) => array_contains(keepArr, k)).as("pruned"))
+      .select(explode(col("pruned")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("key_ct"))
+  }
+
+  /** G3: multi-way split — route every event exactly once (page/start/
+    * err/display/action analog), count per route from a single pass. */
+  private def multiWaySplit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val route = when(col("event_type") === "view", "page")
+      .when(col("event_type") === "signup", "start")
+      .when(col("event_type") === "error", "err")
+      .when(col("event_type") === "click", "action")
+      .otherwise("display")
+    e.select(route.as("route"), col("value"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("route_ct"), moneySum(col("value")).as("value_sum"))
+  }
+
+  /** K5/A7: DIM maintenance twin — apply the CDC op log in order; the
+    * final op per key decides presence (delete drops the row) and payload
+    * (upsert keeps the last value). lineitem plays the op log on key
+    * l_orderkey ordered by l_linenumber; returnflag R plays delete. */
+  private def dimMergeSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    // the op log can carry duplicate sequence numbers → total order via
+    // payload tie-breakers so "last op" is deterministic on any cluster
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("l_returnflag").desc,
+        col("l_extendedprice").desc, col("l_partkey").desc,
+        col("l_suppkey").desc, col("l_quantity").desc)
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("l_returnflag") =!= "R")
+      .select(col("l_orderkey").as("id"),
+        money(col("l_extendedprice")).cast("double").as("final_price"),
+        col("l_linenumber").as("last_op_seq"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "s2_cdc_parse" -> cdcParse,
+    "p2_dirty_split" -> dirtySplit,
+    "p5_conditional_delta" -> conditionalDelta,
+    "p9_column_pruning" -> columnPruning,
+    "g3_multiway_split" -> multiWaySplit,
+    "k5_dim_merge_snapshot" -> dimMergeSnapshot)
+
+  val oracles = Map(
+    // The oracle states the SEMANTICS of envelope-build → parse → ETL
+    // directly over orders (the JSON round trip must be lossless).
+    "s2_cdc_parse" ->
+      s"""WITH typed AS (
+         |  SELECT CASE WHEN o_orderstatus = 'F' THEN 'insert'
+         |              WHEN o_orderstatus = 'O' THEN 'update'
+         |              ELSE 'delete' END AS op_type,
+         |         o_orderkey AS id,
+         |         ${Oracle.money("o_totalprice")} AS amount,
+         |         strftime(o_orderdate, '%Y-%m-%d') AS cur_date
+         |  FROM orders)
+         |SELECT op_type, count(*) AS op_ct, count(DISTINCT id) AS id_ct,
+         |       CAST(SUM(amount) AS DOUBLE) AS amount_sum,
+         |       min(cur_date) AS first_date, max(cur_date) AS last_date
+         |FROM typed GROUP BY 1""".stripMargin,
+    "p2_dirty_split" ->
+      """SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'dirty' ELSE 'clean' END AS route,
+        |       count(*) AS route_ct
+        |FROM orders GROUP BY 1""".stripMargin,
+    "p5_conditional_delta" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+         |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN ${Oracle.money("\"value\"")}
+         |                     WHEN event_type = 'click' THEN -${Oracle.money("\"value\"")}
+         |                     ELSE 0 END) AS DOUBLE) AS delta_sum,
+         |       count(*) AS event_ct
+         |FROM events GROUP BY 1""".stripMargin,
+    "p9_column_pruning" ->
+      """SELECT k AS "key", count(*) AS key_ct FROM (
+        |  SELECT unnest(['id', 'total_amount']) AS k, o_orderkey FROM orders)
+        |GROUP BY 1""".stripMargin,
+    "g3_multiway_split" ->
+      s"""SELECT CASE event_type WHEN 'view' THEN 'page' WHEN 'signup' THEN 'start'
+         |            WHEN 'error' THEN 'err' WHEN 'click' THEN 'action'
+         |            ELSE 'display' END AS route,
+         |       count(*) AS route_ct,
+         |       ${Oracle.moneySum("\"value\"")} AS value_sum
+         |FROM events GROUP BY 1""".stripMargin,
+    "k5_dim_merge_snapshot" ->
+      """SELECT l_orderkey AS id,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS final_price,
+        |       l_linenumber AS last_op_seq
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY l_orderkey ORDER BY l_linenumber DESC,
+        |         l_returnflag DESC, l_extendedprice DESC, l_partkey DESC,
+        |         l_suppkey DESC, l_quantity DESC) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1 AND l_returnflag <> 'R'""".stripMargin)
+}

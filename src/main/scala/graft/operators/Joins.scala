@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.{Fns, Oracle}
+
+/** Join operators (SURVEY.md §2.5), rebuilt as declarative Spark joins so
+  * Catalyst picks broadcast-hash vs shuffled strategies and AQE re-plans
+  * at runtime.
+  *
+  *  - J1 stream-stream inner equi-join → plain equi-join
+  *    (DwdTradeOrderDetail.java:84-108)
+  *  - J2 left-outer join; Spark emits null-extended rows once, no Flink
+  *    retraction stream (DwdTradeOrderDetail.java:105-108)
+  *  - J3 interval join, event-time range [-30 min, +5 s]
+  *    (DwdTradeOrderPaySucDetail.java:74-100)
+  *  - J4/J5 lookup + async dim enrichment chain → broadcast stream-static
+  *    joins (DwdInteractionCommentInfo.java:42-52,
+  *    DwsTradeSkuOrderWindow.java:480-619, DimAsyncFunction.java:25-92 —
+  *    the whole Redis/HBase async cascade collapses into
+  *    BroadcastHashJoinExec)
+  *  - J6 broadcast-config routing join (DimApp.connect:283-298,
+  *    TableProcessFunction.java:47-72)
+  *  - semi/anti probes (the J6 probe is left-semi + payload)
+  *
+  * Scale notes: only provably bounded dims (region 5, nation 25, the
+  * derived config table) are broadcast unconditionally. supplier/part/
+  * customer grow with the fact tables, so they go through the optimizer's
+  * threshold + AQE instead of a hard-coded hint — at 100 TB those become
+  * shuffled hash joins co-partitioned on the join key, which is the right
+  * plan. The interval join keys on user_id first (equi-prefix), so the
+  * range predicate only scans within a user's hash bucket, never a cross
+  * product.
+  */
+object Joins extends QueryModule {
+  import Fns._
+
+  /** J1: fact-fact inner equi-join + aggregation (order "wide table"). */
+  private def orderWide(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("order_ct"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** J2: left-outer with genuinely unmatched rows (orders with no returned
+    * lines get null-extended once — no retraction to undo downstream). */
+  private def orderReturnsLeft(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val returns = Tables(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(moneySum(col("l_extendedprice")).as("ret_amount"))
+    o.join(returns, o("o_orderkey") === returns("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("l_orderkey").isNotNull, 1L).otherwise(0L)).as("matched_ct"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("unmatched_ct"),
+        sum(money(coalesce(col("ret_amount"), lit(0)))).cast("double")
+          .as("ret_amount_sum"))
+  }
+
+  /** J3: interval join — click within [purchase - 30 min, purchase + 5 s]
+    * for the same user. Timestamps compared at microsecond resolution
+    * (nsToUs) — the semantics DuckDB/most engines give; equi-key user_id
+    * bounds the state exactly like the reference's watermark+range bound.
+    */
+  private def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), nsToUs(col("ts")).as("p_us"),
+        col("event_id").as("p_id"), nsToSec(col("ts")).as("p_sec"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), nsToUs(col("ts")).as("c_us"))
+    p.join(c, p("user_id") === c("c_user") &&
+        c("c_us") >= p("p_us") - lit(1800L * 1000000L) &&
+        c("c_us") <= p("p_us") + lit(5L * 1000000L))
+      .groupBy(curDate(col("p_sec")).as("cur_date"))
+      .agg(count(lit(1)).as("pair_ct"),
+           countDistinct(col("p_id")).as("purchase_ct"))
+  }
+
+  /** J4: dimension lookup join (part plays base_dic; broadcast under the
+    * optimizer threshold — FOR SYSTEM_TIME AS OF proctime ≈ re-read the
+    * static side each micro-batch). */
+  private def partDim(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
+           sum(money(col("l_quantity"))).cast("double").as("qty"))
+  }
+
+  /** J5: the 6-step dim enrichment chain (sku→spu→tm→c3→c2→c1 analog):
+    * lineitem → part + supplier → nation → region, one broadcast hash
+    * join per bounded dim — replacing DimAsyncFunction's Redis/HBase
+    * cascade with zero external state. */
+  private def dimChain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    val su = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("p_type"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
+           count(lit(1)).as("line_ct"))
+  }
+
+  /** J6: broadcast-config routing — records probe a config table by key;
+    * unmatched records are dropped (inner/semi semantics). The config here
+    * is itself derived data (table_process rows ≈ distinct event types
+    * minus 'error', routed to a dwd_* sink). */
+  private def configRoute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val config = e.select(col("event_type")).distinct()
+      .filter(col("event_type") =!= "error")
+      .withColumn("sink_table", concat(lit("dwd_"), col("event_type")))
+    e.join(broadcast(config), Seq("event_type"))
+      .groupBy(col("sink_table"))
+      .agg(count(lit(1)).as("routed_ct"),
+           countDistinct(col("user_id")).as("user_ct"))
+  }
+
+  /** Left-anti: customers that never ordered. */
+  private def custNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cust_ct"))
+  }
+
+  /** Left-semi: parts that were actually sold. */
+  private def partsSold(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val li = Tables(s, dir, "lineitem")
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("part_ct"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "j1_order_wide" -> orderWide,
+    "j2_left_outer_returns" -> orderReturnsLeft,
+    "j3_interval_join" -> intervalJoin,
+    "j4_part_dim_lookup" -> partDim,
+    "j5_dim_chain" -> dimChain,
+    "j6_config_route" -> configRoute,
+    "j7_anti_customers" -> custNoOrders,
+    "j8_semi_parts_sold" -> partsSold)
+
+  val oracles = Map(
+    "j1_order_wide" ->
+      s"""SELECT o_orderpriority,
+         |       CAST(SUM(${Oracle.money("l_extendedprice")} * (1 - ${Oracle.money("l_discount")})) AS DOUBLE) AS revenue,
+         |       count(DISTINCT o_orderkey) AS order_ct,
+         |       count(*) AS line_ct
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin,
+    "j2_left_outer_returns" ->
+      s"""WITH returns AS (
+         |  SELECT l_orderkey, ${Oracle.moneySum("l_extendedprice")} AS ret_amount
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+         |SELECT o_orderstatus,
+         |       CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_ct,
+         |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched_ct,
+         |       CAST(SUM(${Oracle.money("COALESCE(ret_amount, 0)")}) AS DOUBLE) AS ret_amount_sum
+         |FROM orders LEFT JOIN returns ON o_orderkey = l_orderkey
+         |GROUP BY 1""".stripMargin,
+    "j3_interval_join" ->
+      s"""WITH p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id,
+         |             ${Oracle.sec()} AS p_sec
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us
+         |           FROM events WHERE event_type = 'click')
+         |SELECT ${Oracle.fmtDate("p_sec")} AS cur_date,
+         |       count(*) AS pair_ct,
+         |       count(DISTINCT p_id) AS purchase_ct
+         |FROM p JOIN c ON user_id = c_user
+         |  AND c_us >= p_us - 1800000000 AND c_us <= p_us + 5000000
+         |GROUP BY 1""".stripMargin,
+    "j4_part_dim_lookup" ->
+      s"""SELECT p_brand,
+         |       ${Oracle.moneySum("l_extendedprice")} AS revenue,
+         |       CAST(SUM(${Oracle.money("l_quantity")}) AS DOUBLE) AS qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin,
+    "j5_dim_chain" ->
+      s"""SELECT r_name, n_name, p_type,
+         |       ${Oracle.moneySum("l_extendedprice")} AS revenue,
+         |       count(*) AS line_ct
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "j6_config_route" ->
+      """WITH config AS (
+        |  SELECT DISTINCT event_type, 'dwd_' || event_type AS sink_table
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT sink_table, count(*) AS routed_ct,
+        |       count(DISTINCT user_id) AS user_ct
+        |FROM events JOIN config USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    "j7_anti_customers" ->
+      """SELECT c_mktsegment, count(*) AS cust_ct
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "j8_semi_parts_sold" ->
+      """SELECT p_brand, count(*) AS part_ct
+        |FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Multimodal column plumbing: media payloads ride as opaque BINARY
+  * columns with a typed metadata struct, batched through partition-local
+  * decode/feature-extract operators.
+  *
+  * The real decode step (image/audio codecs) is STUBBED — the container
+  * has no media libraries — behind [[MediaCodec.decodeStub]], a
+  * deterministic fake. Everything Spark-side is real and tested: schema,
+  * binary column handling, partition-wise batching (mapPartitions — the
+  * Scala-native shape of mapInPandas: one iterator per partition, so a
+  * codec can amortize per-batch model/codec setup), and the metadata
+  * aggregation pushdown.
+  *
+  * Scale notes: media blobs dominate bytes at 100 TB, so (1) metadata
+  * queries must never deserialize payloads — m1 reads only computed
+  * lengths/struct fields and Parquet column pruning drops the blob pages;
+  * (2) decode runs mapPartitions with no shuffle of raw bytes; any
+  * downstream agg shuffles only extracted features.
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed media row: payload + metadata struct. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
+    n_bytes: Long)
+  case class MediaFeature(doc_id: Long, format: String, feat_dim: Int,
+    checksum: Long)
+
+  object MediaCodec {
+    /** STUB: stands in for a real image/audio decoder (no codec libs in
+      * this container). Deterministic: derives a fixed-length "feature"
+      * from the payload bytes so tests are reproducible. A real deploy
+      * swaps only this function. */
+    def decodeStub(payload: Array[Byte]): MediaFeature = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      MediaFeature(-1, "", 16, sum)
+    }
+  }
+
+  /** Documents → media table: text bytes play the opaque payload. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast(BinaryType).as("media"),
+      concat(lit("fake/"), col("lang")).as("format"),
+      length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"))
+
+  /** Partition-local decode: the mapInPandas-shaped batch operator. */
+  def decodeFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { it =>
+      // per-partition codec setup would happen here (amortized)
+      it.map { row =>
+        val f = MediaCodec.decodeStub(row.media)
+        f.copy(doc_id = row.doc_id, format = row.format)
+      }
+    }
+  }
+
+  /** m1: metadata-only aggregation — must not touch payload bytes (the
+    * blob column is pruned out of the parquet scan). */
+  private def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("media_ct"),
+        sum(col("n_bytes")).as("byte_sum"),
+        max(col("n_bytes")).as("byte_max"))
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "m1_media_meta" -> mediaMeta)
+
+  val oracles = Map(
+    "m1_media_meta" ->
+      """SELECT 'fake/' || lang AS format, count(*) AS media_ct,
+        |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_sum,
+        |       CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_max
+        |FROM documents GROUP BY 1""".stripMargin)
+}

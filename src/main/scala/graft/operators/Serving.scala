@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.{Fns, Oracle}
+
+/** ADS/serving-layer queries (SURVEY.md §2.6 A10, §3.3): the publisher's
+  * three Doris SQL endpoints — /gmv, /province, /ch top-N — re-expressed
+  * over the warehouse tables with day-partition-pruning-shaped filters
+  * (`partition parYYYYMMDD` ≈ a cur_date predicate that Catalyst prunes
+  * when the DWS output is partitionBy("cur_date")).
+  *
+  *  - TradeStatsMapper.java:16-17 (sum(order_amount) for one day)
+  *  - TradeStatsMapper.java:20-22 (group by province_name)
+  *  - TrafficStatsMapper.java:16-18 (order by uv_ct desc limit N)
+  */
+object Serving extends QueryModule {
+  import Fns._
+
+  /** A10a: GMV per day over a pruned date range (the `partition par#{date}`
+    * clause becomes a pushed-down predicate on the partition column). */
+  private def gmvByDay(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    o.select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("cur_date"),
+        col("o_totalprice"))
+      .filter(col("cur_date") >= "1997-01-01" && col("cur_date") <= "1997-12-31")
+      .groupBy("cur_date")
+      .agg(moneySum(col("o_totalprice")).as("gmv"),
+        count(lit(1)).as("order_ct"))
+  }
+
+  /** A10b: order amount by province (nation plays province). */
+  private def amountByProvince(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("province_name"))
+      .agg(moneySum(col("o_totalprice")).as("order_amount"),
+        countDistinct(col("o_orderkey")).as("order_ct"))
+  }
+
+  /** A10c: top-10 channels by UV, deterministic tie-break. */
+  private def topChannels(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    e.groupBy(col("event_type").as("ch"))
+      .agg(countDistinct(col("user_id")).as("uv_ct"),
+        count(lit(1)).as("pv_ct"))
+      .orderBy(col("uv_ct").desc, col("ch"))
+      .limit(10)
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a10_gmv_by_day" -> gmvByDay,
+    "a10_amount_by_province" -> amountByProvince,
+    "a10_top_channels" -> topChannels)
+
+  val oracles = Map(
+    "a10_gmv_by_day" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+         |       ${Oracle.moneySum("o_totalprice")} AS gmv,
+         |       count(*) AS order_ct
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+         |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1997-12-31'
+         |GROUP BY 1""".stripMargin,
+    "a10_amount_by_province" ->
+      s"""SELECT n_name AS province_name,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(DISTINCT o_orderkey) AS order_ct
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin,
+    "a10_top_channels" ->
+      """SELECT event_type AS ch, count(DISTINCT user_id) AS uv_ct,
+        |       count(*) AS pv_ct
+        |FROM events GROUP BY 1
+        |ORDER BY uv_ct DESC, ch LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Text-analysis operators over the documents table: the reference's
+  * keyword pipeline (G2 ik_analyze UDTF + explode,
+  * KeywordUDTF.java:14-21 / KeywordUtil.java:16-34, call site
+  * DwsTrafficSourceKeywordPageViewWindow.java:30,50-52) generalized into
+  * the text toolkit a 100 TB training-data pipeline needs: tokenization,
+  * token statistics, quality scoring, language-ID, and content
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd builtins (split / explode /
+  * higher-order array functions / md5) — no Scala UDFs in these paths, so
+  * the whole map side stays inside WholeStageCodegen and the only shuffle
+  * is the final aggregation.
+  */
+object TextOps extends QueryModule {
+
+  /** G2 tokenizer: the IK segmenter is a jar dependency in the reference
+    * (pom.xml:205-209); the public stand-in is whitespace segmentation.
+    * Returns ARRAY<STRING> — the UDTF's ROW<word STRING> collect. */
+  def tokenize(c: Column): Column = split(c, " ")
+
+  /** Normalized content fingerprint (md5 of lowercased, space-collapsed
+    * text) — the exact-dedup / doc-identity key. */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), " +", " ")))
+
+  // Per-language stopword marker sets for the n-gram-free language-ID
+  // heuristic (a deliberately SQL-expressible scorer so the DuckDB oracle
+  // can state identical semantics).
+  val enStops = Seq("the", "a", "of", "and", "to", "in")
+  val esStops = Seq("el", "la", "de", "y", "que", "los")
+  val frStops = Seq("le", "la", "et", "les", "des", "une")
+
+  private def hits(tokens: Column, stops: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stops.map(x => x: Any): _*)))
+
+  /** G1/G2/A1: tokenize + explode + count — the keyword-frequency query
+    * (top 20, deterministically tie-broken). */
+  private def topTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(explode(tokenize(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("word_ct"))
+      .orderBy(col("word_ct").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Token statistics per document: counts + distinct ratio. */
+  private def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"), tokenize(col("text")).as("toks"), col("n_chars"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+        col("n_chars"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast(DoubleType) / col("n_tokens"))
+  }
+
+  /** Quality scoring: stopword ratio, average token length, length prior —
+    * the length/punct/stopword heuristics of pretraining-data filters,
+    * combined with fixed double arithmetic (identical op order in the
+    * oracle → bit-identical scores). */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val toks = tokenize(col("text"))
+    d.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        hits(col("toks"), enStops).cast(LongType).as("stop_ct"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast(LongType).as("char_sum"))
+      .withColumn("stop_ratio",
+        col("stop_ct").cast(DoubleType) / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        col("char_sum").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score",
+        col("stop_ratio") * lit(0.3) +
+          least(col("n_tokens"), lit(100L)).cast(DoubleType) / lit(100.0) * lit(0.7))
+  }
+
+  /** Language-ID: stopword-marker scoring with a deterministic argmax
+    * (en ≥ es ≥ fr precedence), reported as a (lang, predicted) confusion
+    * aggregate against the labeled lang column. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val toks = tokenize(col("text"))
+    d.select(col("lang"), toks.as("toks"))
+      .select(col("lang"),
+        hits(col("toks"), enStops).as("en_hits"),
+        hits(col("toks"), esStops).as("es_hits"),
+        hits(col("toks"), frStops).as("fr_hits"))
+      .withColumn("predicted",
+        when(col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("doc_ct"))
+  }
+
+  /** Fingerprint rollup per source: exact-duplicate mass per shard. */
+  private def fingerprintStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("doc_ct"),
+        countDistinct(col("fp")).as("distinct_ct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("dup_ct"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t1_top_tokens" -> topTokens,
+    "t2_token_stats" -> tokenStats,
+    "t3_quality_score" -> qualityScore,
+    "t4_lang_id" -> langId,
+    "t5_fingerprint_stats" -> fingerprintStats)
+
+  private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
+
+  val oracles = Map(
+    "t1_top_tokens" ->
+      """SELECT word, count(*) AS word_ct
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY word_ct DESC, word LIMIT 20""".stripMargin,
+    "t2_token_stats" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |       n_chars,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS distinct_ratio
+        |FROM documents""".stripMargin,
+    "t3_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        len(toks) AS n_tokens,
+         |        len(list_filter(toks, x -> x IN (${inList(TextOps.enStops)}))) AS stop_ct,
+         |        CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT) AS char_sum
+         |      FROM t)
+         |SELECT doc_id, n_tokens, stop_ct, char_sum,
+         |       CAST(stop_ct AS DOUBLE) / n_tokens AS stop_ratio,
+         |       CAST(char_sum AS DOUBLE) / n_tokens AS avg_tok_len,
+         |       (CAST(stop_ct AS DOUBLE) / n_tokens) * 0.3 +
+         |         CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.7 AS quality_score
+         |FROM m""".stripMargin,
+    "t4_lang_id" ->
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         |h AS (SELECT lang,
+         |        len(list_filter(toks, x -> x IN (${inList(TextOps.enStops)}))) AS en_hits,
+         |        len(list_filter(toks, x -> x IN (${inList(TextOps.esStops)}))) AS es_hits,
+         |        len(list_filter(toks, x -> x IN (${inList(TextOps.frStops)}))) AS fr_hits
+         |      FROM t)
+         |SELECT lang,
+         |       CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |            WHEN es_hits >= fr_hits THEN 'es'
+         |            ELSE 'fr' END AS predicted,
+         |       count(*) AS doc_ct
+         |FROM h GROUP BY 1, 2""".stripMargin,
+    "t5_fingerprint_stats" ->
+      """WITH f AS (SELECT source,
+        |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS doc_ct,
+        |       count(DISTINCT fp) AS distinct_ct,
+        |       count(*) - count(DISTINCT fp) AS dup_ct
+        |FROM f GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the embeddings table (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k as the exact baseline, plus an IVF-style
+  * partitioned variant as the scale path.
+  *
+  * All arithmetic is done on codegen'd higher-order array builtins
+  * (zip_with + aggregate) after an explicit cast to ARRAY<DOUBLE>, so the
+  * accumulation order is the array order — deterministic on any cluster
+  * and bit-identical to the oracle's list_transform/list_aggregate chain.
+  *
+  * Scale notes: brute force is O(Q×N) — fine for Q small (broadcast the
+  * query set, map-side score, per-query top-k via partial aggregation;
+  * no shuffle of the big side). The IVF variant buckets vectors by
+  * nearest coarse centroid so each query probes one bucket:
+  * the shuffle is on centroid id, bounded by the (small) centroid count;
+  * this is the standard billion-scale layout (IVF/LSH bucket join).
+  */
+object VectorOps extends QueryModule {
+
+  /** Exact dot product of two ARRAY<DOUBLE> columns (order-deterministic
+    * left-to-right accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asD(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** v1: brute-force exact top-5 cosine neighbors for query vectors
+    * (vec_id < 10). The neighbor side keeps its precomputed norm so the
+    * per-pair work is one dot product. */
+  private def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val pairs = broadcast(q).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
+  /** v2: per-label embedding statistics — norms quantized to DECIMAL
+    * before the cross-row sum so the aggregate is order-independent. */
+  private def embedStats(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("label"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm_q", norm(col("emb")).cast(DecimalType(28, 6)))
+    em.groupBy(col("label"))
+      .agg(count(lit(1)).as("vec_ct"),
+        sum(col("nrm_q")).cast(DoubleType).as("norm_sum"),
+        min(col("nrm_q")).cast(DoubleType).as("norm_min"),
+        max(col("nrm_q")).cast(DoubleType).as("norm_max"))
+  }
+
+  /** v3: IVF-bucketed ANN — vectors with vec_id % 50 == 0 act as coarse
+    * centroids; every vector is assigned to its nearest centroid
+    * (deterministic tie-break), and each query searches only its own
+    * bucket. Approximate by construction → verified by the spec against
+    * brute-force recall, not a SQL oracle. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val centroids = em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = em.join(broadcast(centroids))
+      .withColumn("c_cos",
+        dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("crk", row_number().over(assignW))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("c_id").as("q_cid"))
+    val topW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(assigned,
+        col("c_id") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v1_ann_brute_topk" -> annBrute,
+    "v2_embed_stats" -> embedStats,
+    "v3_ann_ivf_topk" -> annIvf)
+
+  /** Oracle twin of [[dot]]: 1-indexed positional product, summed in list
+    * order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+
+  val oracles = Map(
+    "v1_ann_brute_topk" -> {
+      val dotQN = dotSql("q_emb", "n_emb")
+      s"""WITH em AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM em WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q_id, vec_id AS n_id,
+         |         round($dotQN / (q_nrm * nrm), 6) AS cos
+         |  FROM q JOIN (SELECT vec_id, embedding AS n_emb, nrm FROM em) n
+         |    ON vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM pairs)
+         |SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
+    },
+    "v2_embed_stats" -> {
+      val nrm = s"sqrt(${dotSql("embedding", "embedding")})"
+      s"""WITH em AS (
+         |  SELECT label, CAST($nrm AS DECIMAL(28,6)) AS nrm_q FROM embeddings)
+         |SELECT label, count(*) AS vec_ct,
+         |       CAST(SUM(nrm_q) AS DOUBLE) AS norm_sum,
+         |       CAST(MIN(nrm_q) AS DOUBLE) AS norm_min,
+         |       CAST(MAX(nrm_q) AS DOUBLE) AS norm_max
+         |FROM em GROUP BY 1""".stripMargin
+    })
+  // v3_ann_ivf_topk: approximate by design → rows-only check + recall spec.
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+import graft.functions.{Fns, Oracle}
+
+/** DWS-layer windowed aggregations, rebuilt Spark-first.
+  *
+  * Reference operators covered (SURVEY.md §2.6 / §2.8):
+  *  - A1 windowed count per keyword (DwsTrafficSourceKeywordPageViewWindow.java:55-63)
+  *  - A2 incremental reduce + window finisher stamping stt/edt/cur_date
+  *    (DwsTrafficVcChArIsNewPageViewWindow.java:148-172)
+  *  - A3 BigDecimal sums (DwsTradeSkuOrderWindow.java:277-302)
+  *  - A4 reduce + exact distinct order ids (DwsTradeProvinceOrderWindow.java:145-168)
+  *  - A5 global (non-keyed) windowed reduce (DwsTrafficHomeDetailPageViewWindow.java:134-158)
+  *  - W3 10 s tumbling event-time windows, epoch-aligned, left-closed
+  *    (DwsTrafficVcChArIsNewPageViewWindow.java:138-145)
+  *
+  * Scale notes: every query below is a single hash-aggregate over a
+  * parquet scan — one shuffle on the group keys, partial (map-side)
+  * aggregation free from Catalyst. Window starts are computed with
+  * integer math in the projection, so grouping stays inside whole-stage
+  * codegen; amounts are summed as DECIMAL (exact, order-independent —
+  * safe under any partitioning).
+  */
+object WindowAggs extends QueryModule {
+  import Fns._
+
+  /** A1/W3: 10 s tumble × keyword (the props."k" field plays the keyword
+    * extracted by the reference's ik_analyze UDTF pipeline). */
+  private def keywordWindowCount(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val w = windowStartSec(col("ts"), 10L)
+    e.select(
+        stt(w).as("stt"), edt(w, 10L).as("edt"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("keyword"))
+      .groupBy("stt", "edt", "keyword")
+      .agg(count(lit(1)).as("kw_ct"))
+  }
+
+  /** A2/A3: keyed 10 s window with several summed measures + finisher
+    * stamping (pv/uv/dur analog of TrafficPageViewBean). Hourly window to
+    * model the keyed-traffic rollup at a grain with real fan-in. */
+  private def trafficWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val w = windowStartSec(col("ts"), 3600L)
+    e.select(stt(w).as("stt"), edt(w, 3600L).as("edt"),
+        curDate(w).as("cur_date"), col("event_type").as("ch"),
+        col("user_id"), col("value"))
+      .groupBy("stt", "edt", "cur_date", "ch")
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        moneySum(col("value")).as("dur_sum"))
+  }
+
+  /** A5: global (non-keyed) 10 s windowed reduce — Flink needed a
+    * parallelism-1 windowAll barrier; Spark's partial aggregation keeps
+    * this fully parallel. */
+  private def globalWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val w = windowStartSec(col("ts"), 10L)
+    e.select(stt(w).as("stt"), edt(w, 10L).as("edt"), col("user_id"),
+        col("value"))
+      .groupBy("stt", "edt")
+      .agg(count(lit(1)).as("pv_ct"),
+           countDistinct(col("user_id")).as("uv_ct"),
+           moneySum(col("value")).as("value_sum"))
+  }
+
+  /** A4: province order window — per (day, nation): exact distinct order
+    * count + DECIMAL amount (TradeProvinceOrderBean's Set<String> union ≈
+    * countDistinct; the set-union accumulator is unnecessary under Spark's
+    * partial-agg distinct). nation/region are bounded dims → broadcast;
+    * customer scales with the fact side → shuffle hash/SMJ chosen by AQE.
+    */
+  private def provinceOrderWindow(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("cur_date"),
+               col("n_name").as("province_name"))
+      .agg(countDistinct(col("o_orderkey")).as("order_ct"),
+           moneySum(col("o_totalprice")).as("order_amount"))
+  }
+
+  /** A3/P6: TPC-H-Q1-shaped pricing summary — DECIMAL arithmetic chain
+    * (cast → multiply → sum) exactly as DwdTradeOrderDetail.java:40-41
+    * computes split amounts; avg derived from exact sums. */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+            * (lit(1) + money(col("l_tax"))))
+          .cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a1_keyword_window_count" -> keywordWindowCount,
+    "a2_traffic_window" -> trafficWindow,
+    "a5_global_window" -> globalWindow,
+    "a4_province_order_window" -> provinceOrderWindow,
+    "a3_pricing_summary" -> pricingSummary)
+
+  val oracles = Map(
+    "a1_keyword_window_count" ->
+      s"""SELECT ${Oracle.fmtTs(Oracle.wsec(10))} AS stt,
+         |       ${Oracle.fmtTs(Oracle.wsec(10) + " + 10")} AS edt,
+         |       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS keyword,
+         |       count(*) AS kw_ct
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a2_traffic_window" ->
+      s"""SELECT ${Oracle.fmtTs(Oracle.wsec(3600))} AS stt,
+         |       ${Oracle.fmtTs(Oracle.wsec(3600) + " + 3600")} AS edt,
+         |       ${Oracle.fmtDate(Oracle.wsec(3600))} AS cur_date,
+         |       event_type AS ch,
+         |       count(*) AS pv_ct,
+         |       count(DISTINCT user_id) AS uv_ct,
+         |       ${Oracle.moneySum("\"value\"")} AS dur_sum
+         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    "a5_global_window" ->
+      s"""SELECT ${Oracle.fmtTs(Oracle.wsec(10))} AS stt,
+         |       ${Oracle.fmtTs(Oracle.wsec(10) + " + 10")} AS edt,
+         |       count(*) AS pv_ct,
+         |       count(DISTINCT user_id) AS uv_ct,
+         |       ${Oracle.moneySum("\"value\"")} AS value_sum
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "a4_province_order_window" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+         |       n_name AS province_name,
+         |       count(DISTINCT o_orderkey) AS order_ct,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin,
+    "a3_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(${Oracle.money("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |       ${Oracle.moneySum("l_extendedprice")} AS sum_base_price,
+         |       CAST(SUM(${Oracle.money("l_extendedprice")} * (1 - ${Oracle.money("l_discount")})) AS DOUBLE) AS sum_disc_price,
+         |       CAST(SUM(${Oracle.money("l_extendedprice")} * (1 - ${Oracle.money("l_discount")}) * (1 + ${Oracle.money("l_tax")})) AS DOUBLE) AS sum_charge,
+         |       count(*) AS count_order,
+         |       CAST(SUM(${Oracle.money("l_quantity")}) AS DOUBLE) / count(*) AS avg_qty,
+         |       ${Oracle.moneySum("l_extendedprice")} / count(*) AS avg_price
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Fns
+
+/** Structured Streaming rebuilds of the reference's stateful dataflow
+  * programs (SURVEY.md §2.8). These run the SAME logical operators as the
+  * batch twins in [[graft.operators]] — the specs drive them over the
+  * testdata with a memory sink and assert agreement with the batch
+  * results (the W1-W10 fidelity proof).
+  *
+  *  - 10 s tumbling event-time window + watermark
+  *    (TumblingEventTimeWindows, DwsTrafficVcChArIsNewPageViewWindow.java:144-145;
+  *    watermark BaseSQLApp.java:63-65)
+  *  - keyed ValueState daily-first / UV detection via
+  *    flatMapGroupsWithState (DwsTrafficVcChArIsNewPageViewWindow.java:58-106)
+  *  - last-write-wins dedup state (DwsTradeSkuOrderWindow.java:190-223)
+  *
+  * Scale notes: state is keyed by user — partitioned by the shuffle on
+  * groupByKey exactly like Flink's keyBy; watermarks bound both window
+  * state and join state (Spark's only state-bounding mechanism, replacing
+  * Flink's idle-state retention W9).
+  */
+object StatefulStreams {
+  import Fns._
+
+  case class UserEvent(user_id: Long, sec: Long, event_id: Long,
+    event_type: String, value: Double)
+  case class DailyFirst(user_id: Long, cur_date: String)
+  case class LastSeen(user_id: Long, last_sec: Long, last_event_id: Long,
+    last_event_type: String, last_value: Double)
+
+  /** events parquet as a bounded stream (file source; the Kafka source
+    * S1 differs only in format("kafka") + value parsing). */
+  def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema).parquet(dir + "/events.parquet")
+  }
+
+  /** W2/W3/A1: watermarked 10 s tumbling window counts per event_type. */
+  def windowedCounts(s: SparkSession, dir: String): DataFrame =
+    eventStream(s, dir)
+      .withColumn("et", timestamp_seconds(nsToSec(col("ts"))))
+      .withWatermark("et", "3 seconds")
+      .groupBy(window(col("et"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"))
+
+  /** A8 streaming twin: emit (user, date) exactly once per day-first
+    * event, carrying lastVisitDate in GroupState (ValueState + TTL 1 day
+    * ≈ ProcessingTimeTimeout; dates only move forward per the reference's
+    * monotonic watermark W1). */
+  def dailyFirstStream(s: SparkSession, dir: String): Dataset[DailyFirst] = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .select(col("user_id"), nsToSec(col("ts")).as("sec"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(trackDailyFirst)
+  }
+
+  private[streaming] def trackDailyFirst(userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[String]): Iterator[DailyFirst] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    var lastDate = state.getOption.getOrElse("")
+    val out = scala.collection.mutable.ArrayBuffer.empty[DailyFirst]
+    // batch arrival order is not date order → emit per distinct new date
+    val dates = events.map(e =>
+      fmt.format(java.time.Instant.ofEpochSecond(e.sec))).toSeq.distinct.sorted
+    dates.foreach { d =>
+      if (d != lastDate && d > lastDate) { out += DailyFirst(userId, d) }
+      if (d > lastDate) lastDate = d
+    }
+    if (lastDate.nonEmpty) state.update(lastDate)
+    out.iterator
+  }
+
+  /** A7 streaming twin: last-write-wins per user (update mode). */
+  def lastSeenStream(s: SparkSession, dir: String): Dataset[LastSeen] = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .select(col("user_id"), nsToSec(col("ts")).as("sec"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, es: Iterator[UserEvent], st: GroupState[LastSeen]) =>
+          val all = es.toSeq
+          val latest = (st.getOption.map(l => ((l.last_sec, l.last_event_id), l)).toSeq ++
+            all.map(e => ((e.sec, e.event_id),
+              LastSeen(uid, e.sec, e.event_id, e.event_type, e.value))))
+            .maxBy(_._1)._2
+          st.update(latest)
+          latest
+      }
+  }
+}

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir> [--skip-spark]
+
+1. sbt runMain graft.Verify <sfDir> <outDir>   (unless --skip-spark)
+2. For each query parquet in <outDir>, run the matching oracle SQL from
+   oracle_sql.json in DuckDB over the same sf tables and compare:
+   columns sorted by name, rows sorted by all columns, exact values
+   (doubles compared bitwise-exact first, then with 1e-12 rel tolerance
+   reported separately so near-misses are visible).
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def compare(name, spark_df, duck_df):
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"COLS spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS spark={len(a)} duck={len(b)}"
+    issues = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float)
+            bv = bv.astype(float)
+            exact = ((av == bv) | (av.isna() & bv.isna())).all()
+            if not exact:
+                close = all(
+                    (math.isnan(x) and math.isnan(y)) or
+                    (x == y) or
+                    (abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y)))
+                    for x, y in zip(av, bv))
+                if close:
+                    issues.append(f"{c}: FLOAT-NEAR (not bit-exact)")
+                else:
+                    bad = [(x, y) for x, y in zip(av, bv) if x != y and not (
+                        math.isnan(x) and math.isnan(y))][:3]
+                    issues.append(f"{c}: FLOAT-DIFF e.g. {bad}")
+        else:
+            if not (av.astype(object).where(pd.notna(av), None)
+                    .eq(bv.astype(object).where(pd.notna(bv), None)).all()):
+                bad = [(x, y) for x, y in zip(av, bv) if x != y][:3]
+                issues.append(f"{c}: DIFF e.g. {bad} "
+                              f"(dtypes {a[c].dtype}/{b[c].dtype})")
+    return "; ".join(issues) if issues else None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    if "--skip-spark" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+            capture_output=True, text=True, cwd="/root/repo")
+        for line in r.stderr.splitlines():
+            if "[verify]" in line:
+                print("SPARK-FAIL:", line)
+        if r.returncode != 0:
+            print("sbt failed:", r.stdout[-3000:])
+            sys.exit(1)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+
+    results = {}
+    all_queries = sorted(p.name for p in Path(out_dir).iterdir()
+                         if p.is_dir())
+    for name in all_queries:
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"(rows-only) {len(spark_df)} rows"
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {str(e).splitlines()[0][:200]}"
+            continue
+        diff = compare(name, spark_df, duck_df)
+        results[name] = diff or f"OK ({len(spark_df)} rows)"
+
+    missing = set(oracle) - set(all_queries)
+    for m in missing:
+        results[m] = "MISSING spark output"
+    n_ok = sum(1 for v in results.values()
+               if v.startswith("OK") or v.startswith("(rows-only)"))
+    for k in sorted(results):
+        print(f"{'PASS' if results[k].startswith(('OK', '(rows-only)')) else 'FAIL':4} {k}: {results[k]}")
+    print(f"== {n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 2)
+
+
+if __name__ == "__main__":
+    main()
