@@ -19,11 +19,10 @@ object Fns {
 
   /** Exact floor-division of a non-negative LongType column. `c / n` on
     * longs is double division in Spark SQL and loses precision above 2^53
-    * (epoch-nanos ≈ 1.7e18), so subtract the remainder first: the quotient
-    * then fits a double exactly (< 2^53) and the cast back is lossless.
-    */
+    * (epoch-nanos ≈ 1.7e18); the `div` operator (IntegralDivide) stays in
+    * long arithmetic — exact for any magnitude. */
   def divFloor(c: Column, n: Long): Column =
-    ((c - pmod(c, lit(n))) / lit(n)).cast(LongType)
+    call_function("div", c, lit(n)).cast(LongType)
 
   /** Epoch-nanos → epoch-seconds. */
   def nsToSec(ns: Column): Column = divFloor(ns, 1000000000L)

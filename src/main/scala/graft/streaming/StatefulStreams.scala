@@ -36,7 +36,8 @@ object StatefulStreams {
     * S1 differs only in format("kafka") + value parsing). */
   def eventStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema).parquet(dir + "/events.parquet")
+    // glob form: the file-stream source requires a directory/glob basePath
+    s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
   }
 
   /** W2/W3/A1: watermarked 10 s tumbling window counts per event_type. */

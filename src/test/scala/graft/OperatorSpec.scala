@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator invariants on tiny frames (SURVEY.md §5 point 1) — the
+  * DuckDB oracle (driver t2 + tools/verify_local.py) covers value
+  * equality; these specs pin the semantic properties that survive data
+  * changes. */
+class OperatorSpec extends SparkSuite {
+
+  test("entry flagship returns rows with expected shape") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet ==
+      Set("cur_date", "r_name", "n_name", "order_ct", "order_amount"))
+    assert(df.count() > 0)
+  }
+
+  test("every query has a unique name and runs non-empty or empty-by-design") {
+    val names = Seq(operators.WindowAggs, operators.StatefulTwins,
+      operators.Joins, operators.EnvelopeOps, operators.TextOps,
+      operators.DedupOps, operators.VectorOps, operators.Multimodal,
+      operators.Serving).flatMap(_.queries.keys)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    // empty-at-tiny-scale by design: no exact dups / 8-day gaps / orderless customers
+    val mayBeEmpty = Set("d1_exact_dup_groups", "a8_back_visitors",
+      "j7_anti_customers")
+    names.foreach { n =>
+      val c = q(n).count()
+      assert(c >= 0 && (c > 0 || mayBeEmpty(n)), s"$n unexpectedly empty")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"orphan oracles: ${ok -- qk}")
+    val rowsOnly = qk -- ok
+    assert(rowsOnly == Set("d4_simhash", "v3_ann_ivf_topk"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("a7 dedup keeps exactly one row per user") {
+    val df = q("a7_dedup_last")
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("a8 daily uv is bounded by total users and total events") {
+    val users = Tables(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    val uv = q("a8_daily_uv")
+    assert(uv.agg(max(col("uu_ct"))).head.getLong(0) <= users)
+  }
+
+  test("a9 new+old splits every active user-day exactly once") {
+    val e = Tables(spark, sf, "events")
+    val userDays = e.select(col("user_id"),
+      graft.functions.Fns.curDate(graft.functions.Fns.nsToSec(col("ts"))))
+      .distinct().count()
+    val split = q("a9_is_new_fix")
+      .agg(sum(col("new_uv") + col("old_uv"))).head.getLong(0)
+    assert(split == userDays)
+  }
+
+  test("j3 interval join only pairs clicks inside [-30min, +5s]") {
+    import spark.implicits._
+    // synthetic frame: purchase at t=0; clicks at -31min, -30min, 0, +5s, +6s
+    val min30 = 1800L * 1000000000L
+    val rows = Seq(
+      (1L, 0L, "purchase", 100L),
+      (1L, -min30 - 60L * 1000000000L, "click", 101L),
+      (1L, -min30, "click", 102L),
+      (1L, 0L, "click", 103L),
+      (1L, 5L * 1000000000L, "click", 104L),
+      (1L, 6L * 1000000000L, "click", 105L),
+      (2L, 0L, "click", 106L)) // other user — never joined
+      .toDF("user_id", "rel_ts", "event_type", "event_id")
+      .withColumn("ts", col("rel_ts") + lit(1700000000L * 1000000000L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("rel_ts")
+    val dir = java.nio.file.Files.createTempDirectory("j3").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val res = SparkEntry.queries("j3_interval_join")(spark, dir)
+    val pairCt = res.agg(sum(col("pair_ct"))).head.getLong(0)
+    assert(pairCt == 3, s"expected clicks at -30min, 0, +5s only, got $pairCt")
+  }
+
+  test("d3 near-dup jaccard is within (0.8, 1] and pairs are ordered") {
+    val df = q("d3_near_dup_pairs")
+    assert(df.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() == 0)
+    assert(df.filter(col("a_id") >= col("b_id")).count() == 0)
+  }
+
+  test("d2 LSH candidates superset of d3 verified pairs") {
+    val cand = q("d2_lsh_candidates").agg(sum(col("candidate_ct")))
+      .head.getLong(0)
+    assert(q("d3_near_dup_pairs").count() <= cand)
+  }
+
+  test("d4 simhash bands reconstruct the signature") {
+    val df = q("d4_simhash")
+    val bad = df.filter(
+      col("hband0") + col("hband1") * 256 + col("hband2") * 65536 +
+        col("hband3") * 16777216 =!= col("simhash")).count()
+    assert(bad == 0)
+  }
+
+  test("v1 brute-force top-k: 5 ranked neighbors per query, cos in [-1,1]") {
+    val df = q("v1_ann_brute_topk")
+    assert(df.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(df.filter(col("cos") > 1.001 || col("cos") < -1.001).count() == 0)
+    // rank ordering consistent with score ordering
+    assert(df.filter(col("rk") === 1).count() == 10)
+  }
+
+  test("v3 IVF recall@5 vs brute force is sane (> 0.2)") {
+    val brute = q("v1_ann_brute_topk").select("q_id", "n_id")
+    val ivf = q("v3_ann_ivf_topk").select("q_id", "n_id")
+    val hits = brute.intersect(ivf).count()
+    assert(hits >= 10, s"IVF recall too low: $hits/50") // ≥0.2 recall
+  }
+
+  test("multimodal decode stub is deterministic and metadata-only scan prunes payload") {
+    val feats = operators.Multimodal.decodeFeatures(spark, sf)
+    val a = feats.collect().sortBy(_.doc_id)
+    val b = operators.Multimodal.decodeFeatures(spark, sf)
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.feat_dim == 16))
+    // metadata query must not read the media column from parquet
+    val plan = q("m1_media_meta").queryExecution.executedPlan.toString
+    assert(!plan.contains("media,") || !plan.contains("ReadSchema: struct<media"),
+      "m1 scan should prune the payload column")
+  }
+
+  test("tokenize/fingerprint normalize as specified") {
+    import spark.implicits._
+    val df = Seq(("A  b c", 1), ("a b C", 2)).toDF("text", "id")
+    val fps = df.select(operators.TextOps.fingerprint(col("text"))).distinct()
+    assert(fps.count() == 1, "case+whitespace-insensitive fingerprint")
+  }
+}

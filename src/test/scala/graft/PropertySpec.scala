@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties for the shared primitives (SURVEY.md §5 item 3):
+  * window alignment, exact integer division, dedup idempotence. Raw
+  * Gen sampling with fixed seeds (scalatestplus bridge isn't a declared
+  * dependency). */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = Verify.session("local[4]", "4")
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("divFloor equals floor division for any non-negative long (100 cases)") {
+    import spark.implicits._
+    val cases = samples(for {
+      v <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      d <- Gen.oneOf(1000L, 1000000000L, 10000000000L)
+    } yield (v, d), 100)
+    val df = cases.toDF("v", "d")
+    // evaluate all divisors in one pass per distinct d
+    cases.groupBy(_._2).foreach { case (d, vs) =>
+      val got = vs.map(_._1).toDF("v")
+        .select(graft.functions.Fns.divFloor(col("v"), d).as("q"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == vs.map(x => x._1 / d))
+    }
+    assert(df.count() == 100)
+  }
+
+  test("windowStartSec aligns to epoch and contains its timestamp (200 cases)") {
+    import spark.implicits._
+    val ns = samples(Gen.chooseNum(0L, 4102444800L * 1000000000L), 200)
+    val rows = ns.toDF("ts")
+      .select(col("ts"), graft.functions.Fns.windowStartSec(col("ts"), 10L)
+        .as("w"))
+      .collect()
+    rows.foreach { r =>
+      val sec = r.getLong(0) / 1000000000L
+      val w = r.getLong(1)
+      assert(w % 10 == 0 && w <= sec && sec < w + 10, s"ts=${r.getLong(0)}")
+    }
+  }
+
+  test("dedup-last is idempotent on random event logs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(80, for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 50L) // small range → many ties on ts
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (u, t, id))
+    samples(gen, 10).foreach { rows =>
+      val df = rows.toDF("user_id", "ts", "event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val once = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val twice = once.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      assert(once.exceptAll(twice).count() == 0 &&
+        twice.exceptAll(once).count() == 0)
+    }
+  }
+
+  test("minhash jaccard estimate correlates with exact jaccard") {
+    import spark.implicits._
+    // two docs sharing half their tokens → signature agreement ≈ 1/3..2/3
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (20 until 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val mhs = (0 until 12).map(k =>
+      min(md5(concat(lit(k.toString), lit("|"), col("tok")))).as(s"mh$k"))
+    val sig = toks.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString)).toMap
+    val agree = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    // exact J = 20/60 = 1/3; 12 hashes → expect ~4 agreements, allow wide band
+    assert(agree >= 1 && agree <= 8, s"minhash agreement $agree outside band")
+  }
+}
