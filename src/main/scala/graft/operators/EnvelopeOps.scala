@@ -178,7 +178,26 @@ object EnvelopeOps extends QueryModule {
         col("l_linenumber").as("last_op_seq"))
   }
 
+  /** G1: array fan-out — per log event, one row per display element,
+    * copying the enclosing common/page/ts fields (DwdBaseLog.java:229-266).
+    * The displays array is built deterministically from the props payload
+    * (k%3+1 elements, item ids rotating mod 7), then exploded. */
+  private def explodeDisplays(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val displays = transform(
+      sequence(lit(0L), pmod(k, lit(3L))),
+      i => struct(i.as("pos_id"),
+        concat(lit("item_"), pmod(k + i, lit(7L))).as("item")))
+    e.select(col("event_id"), col("event_type"), displays.as("displays"))
+      .select(col("event_type"), explode(col("displays")).as("d"))
+      .groupBy(col("d.item").as("item"))
+      .agg(count(lit(1)).as("display_ct"),
+        countDistinct(col("event_type")).as("type_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
     "p5_conditional_delta" -> conditionalDelta,
@@ -187,6 +206,14 @@ object EnvelopeOps extends QueryModule {
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
   val oracles = Map(
+    "g1_explode_displays" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |d AS (SELECT event_type, k, unnest(range(0, (k % 3) + 1)) AS i FROM ev)
+        |SELECT 'item_' || ((k + i) % 7) AS item, count(*) AS display_ct,
+        |       count(DISTINCT event_type) AS type_ct
+        |FROM d GROUP BY 1""".stripMargin,
     // The oracle states the SEMANTICS of envelope-build → parse → ETL
     // directly over orders (the JSON round trip must be lossless).
     "s2_cdc_parse" ->

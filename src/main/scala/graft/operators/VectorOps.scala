@@ -104,10 +104,31 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
   }
 
+  /** v4: brute-force top-k on the native Catalyst [[graft.plans.CosineSimilarity]]
+    * expression — one fused codegen loop per pair (dot + both norms)
+    * instead of the zip_with/aggregate chain; same accumulation order →
+    * same oracle as v1. */
+  private def annNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSimilarity.cosineSim
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val pairs = broadcast(q).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosineSim(s, col("q_emb"), col("emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "v1_ann_brute_topk" -> annBrute,
     "v2_embed_stats" -> embedStats,
-    "v3_ann_ivf_topk" -> annIvf)
+    "v3_ann_ivf_topk" -> annIvf,
+    "v4_ann_native_topk" -> annNative)
 
   /** Oracle twin of [[dot]]: 1-indexed positional product, summed in list
     * order. */
@@ -117,6 +138,25 @@ object VectorOps extends QueryModule {
 
   val oracles = Map(
     "v1_ann_brute_topk" -> {
+      val dotQN = dotSql("q_emb", "n_emb")
+      s"""WITH em AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM em WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q_id, vec_id AS n_id,
+         |         round($dotQN / (q_nrm * nrm), 6) AS cos
+         |  FROM q JOIN (SELECT vec_id, embedding AS n_emb, nrm FROM em) n
+         |    ON vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM pairs)
+         |SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
+    },
+    "v4_ann_native_topk" -> {
       val dotQN = dotSql("q_emb", "n_emb")
       s"""WITH em AS (
          |  SELECT vec_id, embedding,

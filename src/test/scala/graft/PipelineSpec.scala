@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Pipelines
+
+/** End-to-end streaming pipeline specs: source → transform → multi-sink
+  * parquet with checkpointing, read back and reconciled with the batch
+  * answers (K1/K2/K4/W10 fidelity). */
+class PipelineSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dwd route sinks: one pass writes 5 routed day-partitioned tables") {
+    val out = tmp("dwd_out")
+    val sq = Pipelines.dwdRouteSinks(spark, sf, out, tmp("dwd_ck"))
+    sq.processAllAvailable(); sq.stop()
+    // reconcile with the batch splitter (g3_multiway_split counts)
+    val batchCounts = q("g3_multiway_split")
+      .select(col("route"), col("route_ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Pipelines.routes.values.foreach { route =>
+      val written = spark.read.parquet(s"$out/$route")
+      assert(written.count() == batchCounts(route),
+        s"route $route count mismatch")
+      // day-partitioned layout on disk (Doris par#{date} analog)
+      assert(written.columns.contains("cur_date"))
+      val dirs = new java.io.File(s"$out/$route").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("cur_date=")))
+    }
+  }
+
+  test("dws window sink: closed windows land day-partitioned, idempotent restart") {
+    val out = tmp("dws_out")
+    val ck = tmp("dws_ck")
+    val sq = Pipelines.dwsWindowSink(spark, sf, out, ck)
+    sq.processAllAvailable(); sq.stop()
+    val first = spark.read.parquet(out)
+    val n1 = first.count()
+    assert(n1 > 0)
+    assert(first.columns.toSet ==
+      Set("stt", "edt", "event_type", "pv_ct", "cur_date"))
+    // restart from the same checkpoint: no new data → no duplicate rows
+    val sq2 = Pipelines.dwsWindowSink(spark, sf, out, ck)
+    sq2.processAllAvailable(); sq2.stop()
+    assert(spark.read.parquet(out).count() == n1, "restart must be exactly-once")
+    // serving read prunes on the partition column
+    // partition-column values are directory names → inferred as DATE
+    val day = first.select(col("cur_date").cast("string")).head.getString(0)
+    val pruned = spark.read.parquet(out).filter(col("cur_date") === day)
+    assert(pruned.count() > 0)
+  }
+
+  test("a6 typed aggregator agrees with builtin countDistinct") {
+    val typed = q("a6_typed_aggregator").select("cur_date", "ch", "uu_ct")
+    val builtin = Tables(spark, sf, "events")
+      .select(graft.functions.Fns.curDate(
+          graft.functions.Fns.nsToSec(col("ts"))).as("cur_date"),
+        col("event_type").as("ch"), col("user_id"))
+      .groupBy("cur_date", "ch")
+      .agg(countDistinct(col("user_id")).as("uu_ct"))
+    assert(typed.exceptAll(builtin).count() == 0 &&
+      builtin.exceptAll(typed).count() == 0)
+  }
+
+  test("v4 native cosine expression matches composed builtins bit-for-bit") {
+    val native = q("v4_ann_native_topk")
+    val composed = q("v1_ann_brute_topk")
+    assert(native.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(native).count() == 0)
+  }
+
+  test("native cosine evaluates correctly and joins a codegen span") {
+    import spark.implicits._
+    val got = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
+      .select(graft.plans.CosineSimilarity.cosineSim(spark, col("a"), col("b"))
+        .as("cos")).head.getDouble(0)
+    assert(math.abs(got - 0.8) < 1e-12)
+    // a parquet-backed plan (not constant-foldable) must stay codegen'd
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val df = emb.select(graft.plans.CosineSimilarity
+      .cosineSim(spark, col("e"), col("e")).as("cos"))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("cosinesimilarity")),
+      s"cosine not inside a codegen stage:\n$plan")
+    assert(df.filter(col("cos") < 0.999999 || col("cos") > 1.000001)
+      .count() == 0, "self-cosine must be 1")
+  }
+}
