@@ -6,6 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Verify.session(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/codegen warmup so per-query numbers are steady-state
+    // (otherwise the alphabetically-first query absorbs ~5 s of JIT)
+    spark.read.parquet(s"$sfDir/events.parquet").count()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column

@@ -66,7 +66,7 @@ object StatefulStreams {
         GroupStateTimeout.NoTimeout)(trackDailyFirst)
   }
 
-  private[streaming] def trackDailyFirst(userId: Long,
+  private[graft] def trackDailyFirst(userId: Long,
       events: Iterator[UserEvent],
       state: GroupState[String]): Iterator[DailyFirst] = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
@@ -82,6 +82,28 @@ object StatefulStreams {
     }
     if (lastDate.nonEmpty) state.update(lastDate)
     out.iterator
+  }
+
+  /** J3 streaming form: the canonical watermarked stream-stream interval
+    * join (DwdTradeOrderPaySucDetail.java:74-100 → Spark's stream-stream
+    * join with equi-key + event-time range). Both sides watermarked; the
+    * range bound [-30 min, +5 s] is what lets Spark evict join state —
+    * the replacement for Flink's idle-state retention (W9). */
+  def intervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val src = eventStream(s, dir)
+      .withColumn("et", timestamp_seconds(nsToSec(col("ts"))))
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("et").as("p_et"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_et", "3 seconds")
+    val c = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("et").as("c_et"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_et", "3 seconds")
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_et") >= col("p_et") - expr("INTERVAL 30 MINUTES") &&
+      col("c_et") <= col("p_et") + expr("INTERVAL 5 SECONDS"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
   }
 
   /** A7 streaming twin: last-write-wins per user (update mode). */

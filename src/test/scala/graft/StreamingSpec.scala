@@ -55,6 +55,60 @@ class StreamingSpec extends SparkSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val streamed = runStream(
+      StatefulStreams.intervalJoinStream(spark, sf), "sj_pairs", "append")
+    // batch twin at the same (second) time resolution
+    val e = Tables(spark, sf, "events")
+      .withColumn("sec", graft.functions.Fns.nsToSec(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("sec").as("p_sec"),
+        col("event_id").as("p_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("sec").as("c_sec"),
+        col("event_id").as("c_id"))
+    val batch = p.join(c, col("p_user") === col("c_user") &&
+        col("c_sec") >= col("p_sec") - 1800 &&
+        col("c_sec") <= col("p_sec") + 5)
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
+    // bounded input + final watermark: a tail of pairs near max event time
+    // may be withheld; everything emitted must be correct and near-complete
+    assert(streamed.exceptAll(batch).count() == 0,
+      "stream emitted a pair the batch join does not contain")
+    val missing = batch.exceptAll(streamed).count()
+    assert(missing <= 2, s"stream withheld $missing pairs (expected ≤ tail)")
+  }
+
+  test("daily-first state survives across micro-batches (MemoryStream)") {
+    import spark.implicits._
+    import graft.streaming.StatefulStreams.{DailyFirst, UserEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400L
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val out = source.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        graft.streaming.StatefulStreams.trackDailyFirst _)
+    val sq = out.writeStream.outputMode("append").format("memory")
+      .queryName("xbatch").start()
+    // batch 1: user 1 active on day0 (twice) and day1
+    source.addData(UserEvent(1L, 10L, 1L, "view", 1.0),
+      UserEvent(1L, 20L, 2L, "view", 1.0),
+      UserEvent(1L, day + 5L, 3L, "view", 1.0))
+    sq.processAllAvailable()
+    // batch 2: day1 again (must NOT re-emit) + day2 (must emit)
+    source.addData(UserEvent(1L, day + 50L, 4L, "view", 1.0),
+      UserEvent(1L, 2 * day + 1L, 5L, "view", 1.0))
+    sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("xbatch").as[DailyFirst].collect()
+      .map(_.cur_date).sorted.toSeq
+    assert(got == Seq("1970-01-01", "1970-01-02", "1970-01-03"),
+      s"cross-batch dedup broken: $got")
+  }
+
   test("last-seen state agrees with a7 batch dedup") {
     val streamed = runStream(
       StatefulStreams.lastSeenStream(spark, sf), "last_seen", "update")
