@@ -100,6 +100,33 @@ object DedupOps extends QueryModule {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** d5: word-bigram (2-shingle) Jaccard over the LSH candidates — the
+    * n-gram refinement of d3: shingles catch reorderings that unigram
+    * sets miss. Same candidate generation, different verify lens. */
+  private def shingleJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val toks = tokenize(col("text"))
+    val bigrams = array_distinct(transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val sh = d.select(col("doc_id"), explode(bigrams).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = candidatePairs(s, dir)
+    val inter = cand
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter_ct"))
+    inter
+      .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter_ct").cast(DoubleType) /
+          (col("za.n") + col("zb.n") - col("inter_ct"))).as("shingle_jaccard"))
+      .filter(col("shingle_jaccard") >= 0.35)
+  }
+
   /** d1: exact duplicate groups by normalized fingerprint. */
   private def exactDupGroups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
@@ -139,7 +166,8 @@ object DedupOps extends QueryModule {
     "d1_exact_dup_groups" -> exactDupGroups,
     "d2_lsh_candidates" -> lshCandidates,
     "d3_near_dup_pairs" -> nearDupPairs,
-    "d4_simhash" -> simhashBuckets)
+    "d4_simhash" -> simhashBuckets,
+    "d5_shingle_jaccard" -> shingleJaccard)
 
   // ---- oracles ----------------------------------------------------------
 
@@ -201,7 +229,27 @@ object DedupOps extends QueryModule {
          |FROM inter
          |JOIN sizes sa ON a_id = sa.doc_id
          |JOIN sizes sb ON b_id = sb.doc_id
-         |WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) >= $jaccardThreshold""".stripMargin)
+         |WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) >= $jaccardThreshold""".stripMargin,
+    "d5_shingle_jaccard" ->
+      s"""WITH $candidateCte,
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(string_split(text, ' '))),
+         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS sh
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a_id, b_id, count(*) AS inter_ct
+         |  FROM cand
+         |  JOIN sh sa ON a_id = sa.doc_id
+         |  JOIN sh sb ON b_id = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |       CAST(inter_ct AS DOUBLE) / (za.n + zb.n - inter_ct) AS shingle_jaccard
+         |FROM inter
+         |JOIN sizes za ON a_id = za.doc_id
+         |JOIN sizes zb ON b_id = zb.doc_id
+         |WHERE CAST(inter_ct AS DOUBLE) / (za.n + zb.n - inter_ct) >= 0.35""".stripMargin)
   // d4_simhash: no SQL oracle (bit-vote aggregation) → driver records the
   // weaker rows-only check; covered by DedupOpsSpec instead.
 }

@@ -115,12 +115,27 @@ object TextOps extends QueryModule {
         (count(lit(1)) - countDistinct(col("fp"))).as("dup_ct"))
   }
 
+  /** BPE-ish regex tokenization (word runs + digit runs) — the
+    * pre-tokenizer shape of byte-pair encoders; counted per doc and
+    * contrasted with whitespace segmentation. */
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)").as("bpe"),
+        tokenize(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("bpe")).cast(LongType).as("bpe_ct"),
+        size(col("ws")).cast(LongType).as("ws_ct"),
+        size(array_distinct(col("bpe"))).cast(LongType).as("bpe_distinct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "t1_top_tokens" -> topTokens,
     "t2_token_stats" -> tokenStats,
     "t3_quality_score" -> qualityScore,
     "t4_lang_id" -> langId,
-    "t5_fingerprint_stats" -> fingerprintStats)
+    "t5_fingerprint_stats" -> fingerprintStats,
+    "t6_bpe_tokens" -> bpeTokens)
 
   private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
 
@@ -163,6 +178,12 @@ object TextOps extends QueryModule {
          |            ELSE 'fr' END AS predicted,
          |       count(*) AS doc_ct
          |FROM h GROUP BY 1, 2""".stripMargin,
+    "t6_bpe_tokens" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS bpe_ct,
+        |       len(string_split(text, ' ')) AS ws_ct,
+        |       len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS bpe_distinct
+        |FROM documents""".stripMargin,
     "t5_fingerprint_stats" ->
       """WITH f AS (SELECT source,
         |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp

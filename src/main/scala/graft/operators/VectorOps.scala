@@ -124,11 +124,31 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
   }
 
+  /** v5: embedding-cosine near-duplicate pairs — all same-label pairs
+    * with cosine ≥ 0.3 (labels act as the blocking key, the same role
+    * source plays for text LSH: at 100 TB the blocker would be an LSH /
+    * IVF bucket id; the pair-generation join and verify stay identical).
+    */
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSimilarity.cosineSim
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("emb"))
+    val l = em.select(col("label"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"))
+    val r = em.select(col("label").as("r_label"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"))
+    l.join(r, col("label") === col("r_label") && col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        round(cosineSim(s, col("a_emb"), col("b_emb")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "v1_ann_brute_topk" -> annBrute,
     "v2_embed_stats" -> embedStats,
     "v3_ann_ivf_topk" -> annIvf,
-    "v4_ann_native_topk" -> annNative)
+    "v4_ann_native_topk" -> annNative,
+    "v5_embed_near_dup" -> embedNearDup)
 
   /** Oracle twin of [[dot]]: 1-indexed positional product, summed in list
     * order. */
@@ -174,6 +194,20 @@ object VectorOps extends QueryModule {
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
          |  FROM pairs)
          |SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
+    },
+    "v5_embed_near_dup" -> {
+      val dotAB = dotSql("a_emb", "b_emb")
+      s"""WITH em AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |         round($dotAB / (a.nrm * b.nrm), 6) AS cos
+         |  FROM (SELECT label, vec_id, embedding AS a_emb, nrm FROM em) a
+         |  JOIN (SELECT label, vec_id, embedding AS b_emb, nrm FROM em) b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, a_id, b_id, cos FROM pairs WHERE cos >= 0.3""".stripMargin
     },
     "v2_embed_stats" -> {
       val nrm = s"sqrt(${dotSql("embedding", "embedding")})"

@@ -52,6 +52,27 @@ class PipelineSpec extends SparkSuite {
     assert(pruned.count() > 0)
   }
 
+  test("dim merge sink applies upserts and deletes across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    val ops = source.toDF().toDF("id", "op", "payload", "seq")
+    val store = tmp("dim_store")
+    val sq = Pipelines.dimMergeSink(spark, ops, store, tmp("dim_ck"))
+    source.addData((1L, "upsert", 10.0, 1L), (2L, "upsert", 5.0, 2L))
+    sq.processAllAvailable()
+    assert(Pipelines.dimStore(spark, store).count() == 2)
+    // batch 2: delete key 1, update key 2, insert key 3
+    source.addData((1L, "delete", 0.0, 3L), (2L, "upsert", 6.0, 4L),
+      (3L, "upsert", 7.0, 5L))
+    sq.processAllAvailable(); sq.stop()
+    val state = Pipelines.dimStore(spark, store)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(2L -> 6.0, 3L -> 7.0), s"bad final dim state: $state")
+  }
+
   test("a6 typed aggregator agrees with builtin countDistinct") {
     val typed = q("a6_typed_aggregator").select("cur_date", "ch", "uu_ct")
     val builtin = Tables(spark, sf, "events")
