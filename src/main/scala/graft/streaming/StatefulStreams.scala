@@ -106,6 +106,89 @@ object StatefulStreams {
       .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
   }
 
+  case class TaggedEvent(user_id: Long, sec: Long, event_id: Long,
+    is_new: Int)
+  case class FixedEvent(user_id: Long, event_id: Long, cur_date: String,
+    is_new: Int)
+
+  private def dayOf(sec: Long): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    fmt.format(java.time.Instant.ofEpochSecond(sec))
+  }
+
+  /** A9 streaming twin: the new/old-visitor correction
+    * (DwdBaseLog.fixedNewAndOld:121-188) as keyed state:
+    *  - is_new=1 with empty state → trust it, store the date;
+    *  - is_new=1 with state == same date → still 1 (same-day repeats);
+    *  - is_new=1 with an earlier stored date → rewrite to 0;
+    *  - is_new=0 with empty state → backfill state with "yesterday" so
+    *    the user permanently counts as old. */
+  private[graft] def fixIsNew(userId: Long, events: Iterator[TaggedEvent],
+      state: GroupState[String]): Iterator[FixedEvent] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FixedEvent]
+    events.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+      val day = dayOf(e.sec)
+      val fixed = if (e.is_new == 1) {
+        state.getOption match {
+          case None => state.update(day); 1
+          case Some(d) if d == day => 1
+          case Some(_) => 0
+        }
+      } else {
+        if (!state.exists) state.update(dayOf(e.sec - 86400L))
+        0
+      }
+      out += FixedEvent(userId, e.event_id, day, fixed)
+    }
+    out.iterator
+  }
+
+  /** Driveable wrapper over a typed stream of tagged events. */
+  def isNewFixStream(tagged: Dataset[TaggedEvent]): Dataset[FixedEvent] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fixIsNew)
+  }
+
+  /** J4 streaming form: stream-static lookup join — the static dim side
+    * is re-read (and broadcast) every micro-batch, which IS the
+    * FOR SYSTEM_TIME AS OF proctime semantics of the reference's HBase
+    * lookup join (DwdInteractionCommentInfo.java:42-52). */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val config = graft.Tables(s, dir, "events")
+      .select(col("event_type")).distinct()
+      .withColumn("sink_table", concat(lit("dwd_"), col("event_type")))
+    eventStream(s, dir)
+      .join(broadcast(config), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("sink_table"))
+  }
+
+  /** J2 streaming form: watermarked stream-stream LEFT OUTER join —
+    * Spark emits the null-extended row once, when the watermark proves no
+    * match can still arrive (vs Flink's emit-then-retract, the documented
+    * source of duplicates in DwsTradeSkuOrderWindow.java:46-58; SURVEY
+    * §7.5 risk 4). Purchases left-join clicks by user within
+    * [-30 min, +5 s]. */
+  def leftOuterJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val src = eventStream(s, dir)
+      .withColumn("et", timestamp_seconds(nsToSec(col("ts"))))
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("et").as("p_et"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_et", "3 seconds")
+    val c = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("et").as("c_et"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_et", "3 seconds")
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_et") >= col("p_et") - expr("INTERVAL 30 MINUTES") &&
+        col("c_et") <= col("p_et") + expr("INTERVAL 5 SECONDS"),
+        "left_outer")
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
+  }
+
   /** A7 streaming twin: last-write-wins per user (update mode). */
   def lastSeenStream(s: SparkSession, dir: String): Dataset[LastSeen] = {
     import s.implicits._

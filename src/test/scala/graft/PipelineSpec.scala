@@ -92,6 +92,22 @@ class PipelineSpec extends SparkSuite {
       composed.exceptAll(native).count() == 0)
   }
 
+  test("tokenize Generator (UDTF) agrees with split+explode") {
+    val d = Tables(spark, sf, "documents")
+    val viaGenerator = d.select(col("doc_id"),
+        graft.plans.TokenizeGenerator.tokens(spark, col("text")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    val viaExplode = d.select(col("doc_id"),
+        explode(graft.operators.TextOps.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    assert(viaGenerator.exceptAll(viaExplode).count() == 0 &&
+      viaExplode.exceptAll(viaGenerator).count() == 0)
+    // it plans as a real Generate node (table function), not a projection
+    val p = d.select(graft.plans.TokenizeGenerator.tokens(spark, col("text")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"expected a Generate node:\n$p")
+  }
+
   test("native cosine evaluates correctly and joins a codegen span") {
     import spark.implicits._
     val got = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")

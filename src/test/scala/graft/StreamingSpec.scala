@@ -79,6 +79,33 @@ class StreamingSpec extends SparkSuite {
     assert(missing <= 2, s"stream withheld $missing pairs (expected ≤ tail)")
   }
 
+  test("stream-static enrich joins every routed event (J4 semantics)") {
+    val streamed = runStream(
+      StatefulStreams.streamStaticEnrich(spark, sf), "enrich", "append")
+    val total = Tables(spark, sf, "events").count()
+    assert(streamed.count() == total) // config covers all 5 types
+    assert(streamed.filter(col("sink_table").isNull).count() == 0)
+  }
+
+  test("stream-stream left outer join null-extends unmatched purchases once") {
+    val streamed = runStream(
+      StatefulStreams.leftOuterJoinStream(spark, sf), "loj_pairs", "append")
+    // every emitted purchase id appears with either matches or ONE null row
+    val perPurchase = streamed.groupBy("p_id")
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("nulls"))
+    assert(perPurchase.filter(col("nulls") > 0 && col("rows") > col("nulls"))
+      .count() == 0, "a purchase has both null-extended and matched rows")
+    assert(perPurchase.filter(col("nulls") > 1).count() == 0,
+      "null row emitted more than once (retraction-style duplicate)")
+    // matched pairs agree with the inner stream-stream join
+    val inner = runStream(
+      StatefulStreams.intervalJoinStream(spark, sf), "inner_pairs", "append")
+    val matched = streamed.filter(col("c_id").isNotNull)
+    assert(matched.exceptAll(inner).count() == 0,
+      "left-outer emitted a matched pair the inner join does not have")
+  }
+
   test("daily-first state survives across micro-batches (MemoryStream)") {
     import spark.implicits._
     import graft.streaming.StatefulStreams.{DailyFirst, UserEvent}
@@ -107,6 +134,33 @@ class StreamingSpec extends SparkSuite {
       .map(_.cur_date).sorted.toSeq
     assert(got == Seq("1970-01-01", "1970-01-02", "1970-01-03"),
       s"cross-batch dedup broken: $got")
+  }
+
+  test("is_new fix applies the reference's four state rules across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulStreams.{FixedEvent, TaggedEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400L
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TaggedEvent]
+    val sq = StatefulStreams.isNewFixStream(source.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("isnew_fix").start()
+    // batch 1: A claims new on day0 twice (keep 1,1); B claims old with
+    // no state (backfill yesterday, emit 0)
+    source.addData(
+      TaggedEvent(1L, 10L, 1L, 1), TaggedEvent(1L, 20L, 2L, 1),
+      TaggedEvent(2L, 5 * day + 10L, 3L, 0))
+    sq.processAllAvailable()
+    // batch 2: A claims new on day1 (→0, state says day0); B claims new
+    // on day6 (→0, state backfilled day4)
+    source.addData(
+      TaggedEvent(1L, day + 30L, 4L, 1), TaggedEvent(2L, 6 * day + 1L, 5L, 1))
+    sq.processAllAvailable(); sq.stop()
+    val got = spark.table("isnew_fix").as[FixedEvent].collect()
+      .map(f => f.event_id -> f.is_new).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 0),
+      s"rule application wrong: $got")
   }
 
   test("last-seen state agrees with a7 batch dedup") {
