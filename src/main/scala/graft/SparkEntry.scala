@@ -41,9 +41,8 @@ object SparkEntry {
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (d4_simhash bit votes, v3_ann_ivf approximate search) → driver
-    * records a weaker rows-only check; those are covered by specs. */
+    * the same parquet tables — every query has one (the simhash bit
+    * votes and the IVF probe pipeline are replayed in SQL too). */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 }

@@ -260,7 +260,29 @@ object DedupOps extends QueryModule {
          |FROM inter
          |JOIN sizes za ON a_id = za.doc_id
          |JOIN sizes zb ON b_id = zb.doc_id
-         |WHERE CAST(inter_ct AS DOUBLE) / (za.n + zb.n - inter_ct) >= 0.35""".stripMargin)
-  // d4_simhash: no SQL oracle (bit-vote aggregation) → driver records the
-  // weaker rows-only check; covered by DedupOpsSpec instead.
+         |WHERE CAST(inter_ct AS DOUBLE) / (za.n + zb.n - inter_ct) >= 0.35""".stripMargin,
+    "d4_simhash" -> {
+      // hex→int twin of Spark's conv(substr(md5(tok),1,8),16,10)
+      val hexToInt =
+        """CAST(list_aggregate(list_transform(range(1, 9),
+          |      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+          |           * (CAST(1 AS BIGINT) << (4 * (8 - i)))), 'sum') AS BIGINT)""".stripMargin
+      val votes = (0 until 32).map(b =>
+        s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+        .mkString(",\n        ")
+      val sig = (0 until 32).map(b =>
+        s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      val hbands = (0 until 4).map(i =>
+        s"(simhash >> ${i * 8}) & 255 AS hband$i").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, $hexToInt AS h FROM toks),
+         |votes AS (SELECT doc_id,
+         |        $votes
+         |  FROM h GROUP BY 1),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)
+         |SELECT doc_id, simhash, $hbands FROM sig""".stripMargin
+    })
 }

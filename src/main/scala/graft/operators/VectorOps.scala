@@ -218,6 +218,40 @@ object VectorOps extends QueryModule {
          |       CAST(MIN(nrm_q) AS DOUBLE) AS norm_min,
          |       CAST(MAX(nrm_q) AS DOUBLE) AS norm_max
          |FROM em GROUP BY 1""".stripMargin
+    },
+    // v3 is approximate vs TRUE neighbors but fully deterministic as a
+    // computation — the oracle replays the same assign→probe pipeline.
+    "v3_ann_ivf_topk" -> {
+      val dotCE = dotSql("embedding", "c_emb")
+      val dotQN = dotSql("q_emb", "n_emb")
+      s"""WITH em AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |         FROM em WHERE vec_id % 50 = 0),
+         |assign0 AS (
+         |  SELECT vec_id, embedding, nrm, c_id,
+         |         $dotCE / (nrm * c_nrm) AS c_cos
+         |  FROM em CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, c_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crk
+         |    FROM assign0) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |             c_id AS q_cid
+         |      FROM assigned WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |         round($dotQN / (q_nrm * a.nrm), 6) AS cos
+         |  FROM q JOIN (SELECT vec_id, embedding AS n_emb, nrm, c_id
+         |               FROM assigned) a
+         |    ON a.c_id = q_cid AND a.vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM pairs)
+         |SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
     })
-  // v3_ann_ivf_topk: approximate by design → rows-only check + recall spec.
 }

@@ -34,9 +34,7 @@ class OperatorSpec extends SparkSuite {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"orphan oracles: ${ok -- qk}")
-    val rowsOnly = qk -- ok
-    assert(rowsOnly == Set("d4_simhash", "v3_ann_ivf_topk"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(qk == ok, s"queries without oracle: ${qk -- ok}")
   }
 
   test("a7 dedup keeps exactly one row per user") {
