@@ -42,6 +42,24 @@ object Multimodal extends QueryModule {
       while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
       MediaFeature(-1, "", 16, sum)
     }
+
+    /** STUB resize: a real implementation re-encodes pixels; the stub
+      * truncates/pads the payload to the target byte budget — shape and
+      * determinism are what the pipeline contract needs. */
+    def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, targetBytes)
+
+    /** STUB frame sampling: split the payload into n evenly-spaced
+      * "frames" (a video decoder would seek keyframes; the slicing,
+      * array-of-binary schema, and explode path are the real plumbing). */
+    def frameSampleStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val len = math.max(1, payload.length / n)
+      (0 until n).map { i =>
+        val from = math.min(i * len, payload.length)
+        val until = math.min(from + len, payload.length)
+        java.util.Arrays.copyOfRange(payload, from, until)
+      }
+    }
   }
 
   /** Documents → media table: text bytes play the opaque payload. */
@@ -52,14 +70,37 @@ object Multimodal extends QueryModule {
       concat(lit("fake/"), col("lang")).as("format"),
       length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"))
 
-  /** Partition-local decode: the mapInPandas-shaped batch operator. */
+  /** Partition-local decode: the mapInPandas-shaped batch operator —
+    * rows flow in fixed-size batches (the Arrow record-batch shape), so a
+    * real codec amortizes per-batch setup exactly like a Pandas UDF. */
+  val DECODE_BATCH = 128
+
   def decodeFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { it =>
-      // per-partition codec setup would happen here (amortized)
-      it.map { row =>
-        val f = MediaCodec.decodeStub(row.media)
-        f.copy(doc_id = row.doc_id, format = row.format)
+      // per-partition codec setup would happen here (amortized), then
+      // per-batch invocation over DECODE_BATCH-row slices
+      it.grouped(DECODE_BATCH).flatMap { batch =>
+        batch.map { row =>
+          val f = MediaCodec.decodeStub(row.media)
+          f.copy(doc_id = row.doc_id, format = row.format)
+        }
+      }
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame sampling as a generator-shaped partition operator: one media
+    * row fans out to n frame rows (binary each) — the video analog of G1.
+    */
+  def sampleFrames(s: SparkSession, dir: String, n: Int): Dataset[Frame] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        MediaCodec.frameSampleStub(row.media, n).zipWithIndex.map {
+          case (bytes, i) => Frame(row.doc_id, i, bytes)
+        }
       }
     }
   }

@@ -130,6 +130,19 @@ class OperatorSpec extends SparkSuite {
       "m1 scan should prune the payload column")
   }
 
+  test("frame sampling fans one media row into n binary frames losslessly-prefixed") {
+    val frames = operators.Multimodal.sampleFrames(spark, sf, 4)
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") =!= 4).count() == 0)
+    // frames concatenate back to a prefix of the original payload
+    val doc0 = frames.filter(col("doc_id") === 0)
+      .orderBy("frame_no").collect()
+      .flatMap(_.frame)
+    val orig = operators.Multimodal.mediaTable(spark, sf)
+      .filter(col("doc_id") === 0).head.getAs[Array[Byte]]("media")
+    assert(doc0.sameElements(orig.take(doc0.length)))
+  }
+
   test("tokenize/fingerprint normalize as specified") {
     import spark.implicits._
     val df = Seq(("A  b c", 1), ("a b C", 2)).toDF("text", "id")

@@ -68,6 +68,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("daily-first stream == batch distinct user-days on random ordered logs") {
+    import spark.implicits._
+    import graft.streaming.StatefulStreams.UserEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400L
+    val gen = Gen.listOfN(50, for {
+      u <- Gen.chooseNum(1L, 4L)
+      s <- Gen.chooseNum(0L, 5 * day)
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield UserEvent(u, s, id, "view", 1.0))
+    samples(gen, 4).zipWithIndex.foreach { case (events, i) =>
+      // time-ordered arrival split into 3 micro-batches (the reference's
+      // monotonic-watermark assumption, SURVEY §2.8 W1)
+      val ordered = events.sortBy(e => (e.sec, e.event_id))
+      val chunks = ordered.grouped(math.max(1, ordered.size / 3 + 1)).toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[UserEvent]
+      val sq = source.toDS().groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          graft.streaming.StatefulStreams.trackDailyFirst _)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"prop_df_$i").start()
+      chunks.foreach { c => source.addData(c); sq.processAllAvailable() }
+      sq.stop()
+      val got = spark.table(s"prop_df_$i")
+        .select(col("user_id"), col("cur_date")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = events.map(e => (e.user_id,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(e.sec)))).toSet
+      assert(got == want, s"sample $i: stream/batch user-day sets differ")
+    }
+  }
+
   test("minhash jaccard estimate correlates with exact jaccard") {
     import spark.implicits._
     // two docs sharing half their tokens → signature agreement ≈ 1/3..2/3
