@@ -56,6 +56,38 @@ object WindowAggs extends QueryModule {
         moneySum(col("value")).as("dur_sum"))
   }
 
+  /** A2 full bean shape: TrafficPageViewBean — 4 grouping dimensions
+    * (vc, ch, ar, is_new) × 4 measures (pv/uv/sv/dur), hourly window
+    * with the stt/edt/cur_date finisher
+    * (DwsTrafficVcChArIsNewPageViewWindow.java:148-172). Dimensions are
+    * synthesized deterministically from the event payload: vc = k mod 3,
+    * ch = event_type, ar = user mod 5, is_new from the user's first day;
+    * sv counts session-start events (k mod 7 = 0 plays last_page_id IS
+    * NULL). */
+  private def trafficBeanWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val w = windowStartSec(col("ts"), 3600L)
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val firstDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    e.select(stt(w).as("stt"), edt(w, 3600L).as("edt"),
+        curDate(w).as("cur_date"),
+        concat(lit("v"), pmod(k, lit(3L))).as("vc"),
+        col("event_type").as("ch"),
+        concat(lit("ar"), pmod(col("user_id"), lit(5L))).as("ar"),
+        col("user_id"), col("value"),
+        when(pmod(k, lit(7L)) === 0, 1L).otherwise(0L).as("is_start"),
+        curDate(nsToSec(col("ts"))).as("event_day"))
+      .withColumn("first_day", min(col("event_day")).over(firstDay))
+      .withColumn("is_new",
+        when(col("event_day") === col("first_day"), "1").otherwise("0"))
+      .groupBy("stt", "edt", "cur_date", "vc", "ch", "ar", "is_new")
+      .agg(count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(col("is_start")).as("sv_ct"),
+        moneySum(col("value")).as("dur_sum"))
+  }
+
   /** A5: global (non-keyed) 10 s windowed reduce — Flink needed a
     * parallelism-1 windowAll barrier; Spark's partial aggregation keeps
     * this fully parallel. */
@@ -111,6 +143,7 @@ object WindowAggs extends QueryModule {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "a1_keyword_window_count" -> keywordWindowCount,
     "a2_traffic_window" -> trafficWindow,
+    "a2_traffic_bean_window" -> trafficBeanWindow,
     "a5_global_window" -> globalWindow,
     "a4_province_order_window" -> provinceOrderWindow,
     "a3_pricing_summary" -> pricingSummary)
@@ -131,6 +164,29 @@ object WindowAggs extends QueryModule {
          |       count(DISTINCT user_id) AS uv_ct,
          |       ${Oracle.moneySum("\"value\"")} AS dur_sum
          |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    "a2_traffic_bean_window" ->
+      s"""WITH base AS (
+         |  SELECT ${Oracle.fmtTs(Oracle.wsec(3600))} AS stt,
+         |         ${Oracle.fmtTs(Oracle.wsec(3600) + " + 3600")} AS edt,
+         |         ${Oracle.fmtDate(Oracle.wsec(3600))} AS cur_date,
+         |         'v' || (CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 3) AS vc,
+         |         event_type AS ch,
+         |         'ar' || (user_id % 5) AS ar,
+         |         user_id, "value",
+         |         CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 7 = 0
+         |              THEN 1 ELSE 0 END AS is_start,
+         |         strftime(ts, '%Y-%m-%d') AS event_day
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN event_day = min(event_day) OVER (PARTITION BY user_id)
+         |                 THEN '1' ELSE '0' END AS is_new
+         |  FROM base)
+         |SELECT stt, edt, cur_date, vc, ch, ar, is_new,
+         |       count(*) AS pv_ct,
+         |       count(DISTINCT user_id) AS uv_ct,
+         |       CAST(SUM(is_start) AS BIGINT) AS sv_ct,
+         |       ${Oracle.moneySum("\"value\"")} AS dur_sum
+         |FROM flagged GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
     "a5_global_window" ->
       s"""SELECT ${Oracle.fmtTs(Oracle.wsec(10))} AS stt,
          |       ${Oracle.fmtTs(Oracle.wsec(10) + " + 10")} AS edt,
