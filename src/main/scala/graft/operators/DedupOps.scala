@@ -39,6 +39,8 @@ object DedupOps extends QueryModule {
     * (session, dir) instead of recomputing the minhash scan per query. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+  private val shingleMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   private def mh(k: Int): Column =
     min(md5(concat(lit(k.toString), lit("|"), col("tok")))).as(s"mh$k")
@@ -115,12 +117,17 @@ object DedupOps extends QueryModule {
     * n-gram refinement of d3: shingles catch reorderings that unigram
     * sets miss. Same candidate generation, different verify lens. */
   private def shingleJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val toks = tokenize(col("text"))
-    val bigrams = array_distinct(transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-    val sh = d.select(col("doc_id"), explode(bigrams).as("sh"))
+    // exploded shingle table is scanned 3× (two join sides + sizes) —
+    // materialize once per (session, dir) like the candidate table
+    val sh = shingleMemo.getOrElseUpdate((s, dir), {
+      val toks = tokenize(col("text"))
+      val bigrams = array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(bigrams).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = candidatePairs(s, dir)
     val inter = cand

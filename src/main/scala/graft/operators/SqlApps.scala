@@ -90,8 +90,28 @@ object SqlApps extends QueryModule {
       """)
   }
 
+  /** DwdInteractionCommentInfo (the dict-lookup fact app,
+    * DwdInteractionCommentInfo.java:25-52): row-level detail enriched by
+    * a broadcast dictionary lookup (base_dic → dic_name) — FOR
+    * SYSTEM_TIME AS OF proctime semantics, detail output (no agg). The
+    * dictionary derives from nation (bounded, HBase-dim-shaped). */
+  private def dwdCommentInfo(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, Seq("orders", "customer", "nation"))
+    s.sql("""
+      SELECT CAST(o_orderkey AS STRING) AS id,
+             CAST(o_custkey AS STRING) AS user_id,
+             o_orderstatus AS appraise,
+             n_name AS appraise_name,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS date_id
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      """)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "sql_dwd_order_detail" -> dwdOrderDetail,
+    "sql_dwd_comment_info" -> dwdCommentInfo,
     "sql_province_rollup" -> sqlProvinceRollup)
 
   val oracles = Map(
@@ -113,6 +133,15 @@ object SqlApps extends QueryModule {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "sql_dwd_comment_info" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |       CAST(o_custkey AS VARCHAR) AS user_id,
+        |       o_orderstatus AS appraise,
+        |       n_name AS appraise_name,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS date_id
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "sql_province_rollup" ->
       """WITH detail AS (
         |  SELECT CAST(c_nationkey AS VARCHAR) AS province_id,
