@@ -140,7 +140,42 @@ object WindowAggs extends QueryModule {
       .withColumn("avg_price", col("sum_base_price") / col("count_order"))
   }
 
+  /** W5+ (beyond reference — Flink app used none, SURVEY §2.8 W5):
+    * sliding window 30 s / slide 10 s via the window() builtin — every
+    * event lands in exactly 3 epoch-aligned windows. */
+  private def slidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val et = timestamp_seconds(nsToSec(col("ts")))
+    e.withColumn("et", et)
+      .groupBy(window(col("et"), "30 seconds", "10 seconds"),
+        col("event_type").as("ch"))
+      .agg(count(lit(1)).as("pv_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("ch"), col("pv_ct"))
+  }
+
+  /** W5+ session windows: 30-minute-gap sessions per user via
+    * session_window() — the gap-islands computation as one builtin. */
+  private def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val et = timestamp_seconds(nsToSec(col("ts")))
+    e.withColumn("et", et)
+      .groupBy(session_window(col("et"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("event_ct"),
+        moneySum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("event_ct"), col("value_sum"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "w5_sliding_window" -> slidingWindow,
+    "w5_session_window" -> sessionWindow,
     "a1_keyword_window_count" -> keywordWindowCount,
     "a2_traffic_window" -> trafficWindow,
     "a2_traffic_bean_window" -> trafficBeanWindow,
@@ -149,6 +184,40 @@ object WindowAggs extends QueryModule {
     "a3_pricing_summary" -> pricingSummary)
 
   val oracles = Map(
+    "w5_sliding_window" ->
+      s"""WITH expanded AS (
+         |  SELECT event_type AS ch,
+         |         (${Oracle.sec()} // 10 - unnest(range(0, 3))) * 10 AS ws
+         |  FROM events)
+         |SELECT ${Oracle.fmtTs("ws")} AS stt,
+         |       ${Oracle.fmtTs("ws + 30")} AS edt,
+         |       ch, count(*) AS pv_ct
+         |FROM expanded GROUP BY 1, 2, 3""".stripMargin,
+    "w5_session_window" ->
+      s"""WITH evts AS (
+         |  SELECT user_id, ${Oracle.sec()} AS sec,
+         |         ${Oracle.money("\"value\"")} AS v
+         |  FROM events),
+         |marked AS (
+         |  SELECT user_id, sec, v,
+         |         -- Spark merges TOUCHING session ranges ([t, t+gap) with
+         |         -- next start == end) → a new session needs gap > 1800
+         |         CASE WHEN sec - lag(sec) OVER
+         |             (PARTITION BY user_id ORDER BY sec) > 1800
+         |           OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+         |              IS NULL THEN 1 ELSE 0 END AS is_new
+         |  FROM evts),
+         |sessions AS (
+         |  SELECT user_id, sec, v,
+         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+         |           ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked)
+         |SELECT user_id,
+         |       ${Oracle.fmtTs("MIN(sec)")} AS session_start,
+         |       ${Oracle.fmtTs("MAX(sec) + 1800")} AS session_end,
+         |       count(*) AS event_ct,
+         |       CAST(SUM(v) AS DOUBLE) AS value_sum
+         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "a1_keyword_window_count" ->
       s"""SELECT ${Oracle.fmtTs(Oracle.wsec(10))} AS stt,
          |       ${Oracle.fmtTs(Oracle.wsec(10) + " + 10")} AS edt,
