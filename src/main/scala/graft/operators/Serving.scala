@@ -52,10 +52,39 @@ object Serving extends QueryModule {
       .limit(10)
   }
 
+  /** Beyond-reference (SURVEY §2.6 notes grouping sets absent): ROLLUP
+    * over the region→nation hierarchy — subtotal rows (NULL-filled) per
+    * level, one pass. */
+  private def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("o_totalprice")).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+  }
+
+  /** Beyond-reference: pivot — per-day event counts spread to one column
+    * per channel (explicit value list keeps the schema static). */
+  private def pivotChannels(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    e.select(curDate(nsToSec(col("ts"))).as("cur_date"), col("event_type"))
+      .groupBy("cur_date")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "a10_gmv_by_day" -> gmvByDay,
     "a10_amount_by_province" -> amountByProvince,
-    "a10_top_channels" -> topChannels)
+    "a10_top_channels" -> topChannels,
+    "a11_rollup_revenue" -> rollupRevenue,
+    "a12_pivot_channels" -> pivotChannels)
 
   val oracles = Map(
     "a10_gmv_by_day" ->
@@ -78,5 +107,22 @@ object Serving extends QueryModule {
       """SELECT event_type AS ch, count(DISTINCT user_id) AS uv_ct,
         |       count(*) AS pv_ct
         |FROM events GROUP BY 1
-        |ORDER BY uv_ct DESC, ch LIMIT 10""".stripMargin)
+        |ORDER BY uv_ct DESC, ch LIMIT 10""".stripMargin,
+    "a11_rollup_revenue" ->
+      s"""SELECT r_name, n_name,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(*) AS order_ct
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "a12_pivot_channels" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+        |       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin)
 }
