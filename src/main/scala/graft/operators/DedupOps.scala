@@ -17,10 +17,11 @@ import graft.operators.TextOps.{fingerprint, tokenize}
   *      shuffle bucket (groupBy band-key) → candidate pairs are generated
   *      per bucket, never via a global cross join,
   *   3. exact Jaccard verification restricted to candidates.
-  * MinHash here is min-over-tokens of md5(seed || token) in hex-string
-  * order — a deterministic, engine-portable permutation family (md5 is a
-  * bijection-ish hash; min over its hex encoding is order-isomorphic to
-  * min over the 128-bit integer). Banding is partitioned by source (a
+  * MinHash uses the classic universal-hash permutation family: one base
+  * hash per token (first 8 md5 hex chars as a 32-bit int), then K linear
+  * permutations h_k(x) = (a_k·x + b_k) mod p over a 32-bit prime — one
+  * string hash + K integer ops per token (vs K string hashes), all
+  * engine-portable integer math. Banding is partitioned by source (a
   * dedup shard); dropping the source key from the band bucket makes it a
   * global LSH with identical code.
   */
@@ -42,20 +43,29 @@ object DedupOps extends QueryModule {
   private val shingleMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def mh(k: Int): Column =
-    min(md5(concat(lit(k.toString), lit("|"), col("tok")))).as(s"mh$k")
+  /** Universal-hash constants: p prime < 2^32; a_k·x stays < 2^63. */
+  val P: Long = 4294967291L
+  def aK(k: Int): Long = 1000003L + 2L * k
+  def bK(k: Int): Long = 12345L + 7L * k
 
-  /** Per-doc minhash signature columns mh0..mh{K-1} from distinct tokens. */
+  private def mh(k: Int): Column =
+    min((col("h") * lit(aK(k)) + lit(bK(k))) % lit(P)).as(s"mh$k")
+
+  /** Per-doc minhash signature columns mh0..mh{K-1} from distinct tokens:
+    * one md5 per token, K integer permutations. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     d.select(col("doc_id"), col("source"),
         explode(array_distinct(tokenize(col("text")))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
       .groupBy(col("doc_id"), col("source"))
       .agg(mh(0), (1 until numHashes).map(mh): _*)
   }
 
   private def bandCol(b: Int): Column =
-    md5(concat((0 until bandSize).map(i => col(s"mh${b * bandSize + i}")): _*))
+    md5(concat_ws("|", (0 until bandSize).map(i =>
+      col(s"mh${b * bandSize + i}").cast(StringType)): _*))
       .as(s"band$b")
 
   /** Candidate pairs from LSH banding (distinct over bands, a < b). */
@@ -189,10 +199,18 @@ object DedupOps extends QueryModule {
 
   // ---- oracles ----------------------------------------------------------
 
-  private def mhSql(k: Int) = s"min(md5('$k' || '|' || tok)) AS mh$k"
+  /** Oracle twin of Spark's conv(substr(md5(x),1,8),16,10). */
+  private[operators] def hexToIntSql(x: String): String =
+    s"""CAST(list_aggregate(list_transform(range(1, 9),
+       |      i -> (strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1)
+       |           * (CAST(1 AS BIGINT) << (4 * (8 - i)))), 'sum') AS BIGINT)""".stripMargin
+
+  private def mhSql(k: Int) =
+    s"min((h * ${aK(k)} + ${bK(k)}) % $P) AS mh$k"
   private def bandSql(b: Int) = {
-    val parts = (0 until bandSize).map(i => s"mh${b * bandSize + i}")
-    s"md5(${parts.mkString(" || ")}) AS band$b"
+    val parts = (0 until bandSize)
+      .map(i => s"CAST(mh${b * bandSize + i} AS VARCHAR)")
+    s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
   }
 
   /** Shared oracle CTEs: distinct tokens → signatures → stacked bands →
@@ -206,10 +224,12 @@ object DedupOps extends QueryModule {
     s"""toks AS (
        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, source, ${hexToIntSql("tok")} AS h FROM toks),
        |mhs AS (
        |  SELECT doc_id, source,
        |        $mhs
-       |  FROM toks GROUP BY doc_id, source),
+       |  FROM hashed GROUP BY doc_id, source),
        |sig AS (
        |  SELECT doc_id, source,
        |        $bands
@@ -269,11 +289,7 @@ object DedupOps extends QueryModule {
          |JOIN sizes zb ON b_id = zb.doc_id
          |WHERE CAST(inter_ct AS DOUBLE) / (za.n + zb.n - inter_ct) >= 0.35""".stripMargin,
     "d4_simhash" -> {
-      // hex→int twin of Spark's conv(substr(md5(tok),1,8),16,10)
-      val hexToInt =
-        """CAST(list_aggregate(list_transform(range(1, 9),
-          |      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
-          |           * (CAST(1 AS BIGINT) << (4 * (8 - i)))), 'sum') AS BIGINT)""".stripMargin
+      val hexToInt = hexToIntSql("tok")
       val votes = (0 until 32).map(b =>
         s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
         .mkString(",\n        ")
