@@ -111,12 +111,15 @@ class PropertySpec extends AnyFunSuite {
     val docs = Seq(
       (1L, (0 until 40).map(i => s"tok$i").mkString(" ")),
       (2L, (20 until 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    import graft.operators.DedupOps.{P, aK, bK}
     val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val mhs = (0 until 12).map(k =>
-      min(md5(concat(lit(k.toString), lit("|"), col("tok")))).as(s"mh$k"))
+      min((col("h") * lit(aK(k)) + lit(bK(k))) % lit(P)).as(s"mh$k"))
     val sig = toks.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
-      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getLong)).toMap
     val agree = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
     // exact J = 20/60 = 1/3; 12 hashes → expect ~4 agreements, allow wide band
     assert(agree >= 1 && agree <= 8, s"minhash agreement $agree outside band")
