@@ -40,27 +40,28 @@ object DedupOps extends QueryModule {
     * (session, dir) instead of recomputing the minhash scan per query. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  private val shingleMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
 
   /** Universal-hash constants: p prime < 2^32; a_k·x stays < 2^63. */
   val P: Long = 4294967291L
   def aK(k: Int): Long = 1000003L + 2L * k
   def bK(k: Int): Long = 12345L + 7L * k
 
+  /** mh_k = min over the doc's distinct-token hashes of the k-th linear
+    * permutation — computed as an array traversal (array_min ∘ transform)
+    * instead of explode + min aggregate: no row blowup, no shuffle, the
+    * whole signature stage is one codegen'd map over documents. */
   private def mh(k: Int): Column =
-    min((col("h") * lit(aK(k)) + lit(bK(k))) % lit(P)).as(s"mh$k")
+    array_min(transform(col("hs"),
+      h => (h * lit(aK(k)) + lit(bK(k))) % lit(P))).as(s"mh$k")
 
   /** Per-doc minhash signature columns mh0..mh{K-1} from distinct tokens:
-    * one md5 per token, K integer permutations. */
+    * one md5 per token, K integer permutations, zero shuffles. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     d.select(col("doc_id"), col("source"),
-        explode(array_distinct(tokenize(col("text")))).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(mh(0), (1 until numHashes).map(mh): _*)
+        transform(array_distinct(tokenize(col("text"))),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("hs"))
+      .select(col("doc_id") +: col("source") +: (0 until numHashes).map(mh): _*)
   }
 
   private def bandCol(b: Int): Column =
@@ -100,59 +101,51 @@ object DedupOps extends QueryModule {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("candidate_ct"))
 
+  /** Verify candidate pairs by exact set Jaccard, set-as-array style: each
+    * doc carries its distinct-element array; intersection is a codegen'd
+    * `array_intersect` per pair. Versus the explode + double-equi-join
+    * formulation this removes the |pairs|×|elements/doc| row blowup (378k
+    * pairs × ~54 shingles ≈ 20M-row shuffle at sf0.1) — the only shuffled
+    * relation is the candidate table itself, and the element arrays ride
+    * along two doc_id joins that AQE turns into broadcasts at bench scale
+    * (at 100 TB they are plain shuffle joins on doc_id, still linear). */
+  private def verifyByJaccard(cand: DataFrame, docElems: DataFrame,
+      outCol: String, threshold: Double): DataFrame =
+    cand
+      .join(docElems.as("ea"), col("a_id") === col("ea.doc_id"))
+      .join(docElems.as("eb"), col("b_id") === col("eb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ea.elems"), col("eb.elems")))
+          .as("inter_ct"),
+        size(col("ea.elems")).as("na"), size(col("eb.elems")).as("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter_ct").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter_ct"))).as(outCol))
+      .filter(col(outCol) >= threshold)
+
   /** d3: full near-dup pipeline — candidates verified by exact unigram
     * Jaccard ≥ 0.8. Output is the verified duplicate pair list. */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val toks = d.select(col("doc_id"),
-      explode(array_distinct(tokenize(col("text")))).as("tok"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(s, dir)
-    val inter = cand
-      .join(toks.as("ta"), col("a_id") === col("ta.doc_id"))
-      .join(toks.as("tb"), col("b_id") === col("tb.doc_id") &&
-        col("ta.tok") === col("tb.tok"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter_ct"))
-    inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        (col("inter_ct").cast(DoubleType) /
-          (col("sa.n") + col("sb.n") - col("inter_ct"))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+    val docToks = d.select(col("doc_id"),
+      array_distinct(tokenize(col("text"))).as("elems"))
+    verifyByJaccard(candidatePairs(s, dir), docToks,
+      "jaccard", jaccardThreshold)
   }
 
   /** d5: word-bigram (2-shingle) Jaccard over the LSH candidates — the
     * n-gram refinement of d3: shingles catch reorderings that unigram
     * sets miss. Same candidate generation, different verify lens. */
   private def shingleJaccard(s: SparkSession, dir: String): DataFrame = {
-    // exploded shingle table is scanned 3× (two join sides + sizes) —
-    // materialize once per (session, dir) like the candidate table
-    val sh = shingleMemo.getOrElseUpdate((s, dir), {
-      val toks = tokenize(col("text"))
-      val bigrams = array_distinct(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(bigrams).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(s, dir)
-    val inter = cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
-        col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter_ct"))
-    inter
-      .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        (col("inter_ct").cast(DoubleType) /
-          (col("za.n") + col("zb.n") - col("inter_ct"))).as("shingle_jaccard"))
-      .filter(col("shingle_jaccard") >= 0.35)
+    // bind the token array to a named column first so the element_at
+    // lambda indexes a materialized array instead of re-splitting text
+    val docSh = Tables(s, dir, "documents")
+      .select(col("doc_id"), tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+          element_at(col("tk"), i + 1)))).as("elems"))
+    verifyByJaccard(candidatePairs(s, dir), docSh, "shingle_jaccard", 0.35)
   }
 
   /** d1: exact duplicate groups by normalized fingerprint. */

@@ -195,13 +195,16 @@ object EnvelopeOps extends QueryModule {
     * (k%3+1 elements, item ids rotating mod 7), then exploded. */
   private def explodeDisplays(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events")
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    // bind k to a named column BEFORE the lambda references it — an
+    // expression inlined into a transform() lambda is re-evaluated per
+    // array element, which would re-parse the JSON props k+1 times/row
     val displays = transform(
-      sequence(lit(0L), pmod(k, lit(3L))),
+      sequence(lit(0L), pmod(col("k"), lit(3L))),
       i => struct(i.as("pos_id"),
-        concat(lit("item_"), pmod(k + i, lit(7L))).as("item")))
-    e.select(col("event_id"), col("event_type"), displays.as("displays"))
-      .select(col("event_type"), explode(col("displays")).as("d"))
+        concat(lit("item_"), pmod(col("k") + i, lit(7L))).as("item")))
+    e.select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .select(col("event_type"), explode(displays).as("d"))
       .groupBy(col("d.item").as("item"))
       .agg(count(lit(1)).as("display_ct"),
         countDistinct(col("event_type")).as("type_ct"))
