@@ -124,8 +124,9 @@ object DedupOps extends QueryModule {
       .filter(col(outCol) >= threshold)
 
   /** d3: full near-dup pipeline — candidates verified by exact unigram
-    * Jaccard ≥ 0.8. Output is the verified duplicate pair list. */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    * Jaccard ≥ 0.8. Output is the verified duplicate pair list. Shared
+    * downstream: CurationOps clusters these pairs into components. */
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     val docToks = d.select(col("doc_id"),
       array_distinct(tokenize(col("text"))).as("elems"))
@@ -208,7 +209,7 @@ object DedupOps extends QueryModule {
 
   /** Shared oracle CTEs: distinct tokens → signatures → stacked bands →
     * candidate pairs (mirrors the Spark plan stage for stage). */
-  private val candidateCte: String = {
+  private[operators] val candidateCte: String = {
     val mhs = (0 until numHashes).map(mhSql).mkString(",\n        ")
     val bands = (0 until numBands).map(bandSql).mkString(",\n        ")
     val bandUnion = (0 until numBands)
@@ -236,6 +237,27 @@ object DedupOps extends QueryModule {
        |   AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** candidateCte extended with the exact-unigram-Jaccard verify: `ndp`
+    * is the verified near-dup pair list (a_id, b_id, jaccard) — the
+    * oracle twin of [[nearDupPairs]], shared with CurationOps. */
+  private[operators] val verifiedPairsCte: String =
+    s"""$candidateCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+       |inter AS (
+       |  SELECT a_id, b_id, count(*) AS inter_ct
+       |  FROM cand
+       |  JOIN toks ta ON a_id = ta.doc_id
+       |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
+       |  GROUP BY 1, 2),
+       |ndp AS (
+       |  SELECT a_id, b_id,
+       |         CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id
+       |  WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct)
+       |        >= $jaccardThreshold)""".stripMargin
+
   val oracles = Map(
     "d1_exact_dup_groups" ->
       """WITH f AS (SELECT doc_id,
@@ -247,20 +269,8 @@ object DedupOps extends QueryModule {
       s"""WITH $candidateCte
          |SELECT source, count(*) AS candidate_ct FROM cand GROUP BY 1""".stripMargin,
     "d3_near_dup_pairs" ->
-      s"""WITH $candidateCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
-         |inter AS (
-         |  SELECT a_id, b_id, count(*) AS inter_ct
-         |  FROM cand
-         |  JOIN toks ta ON a_id = ta.doc_id
-         |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         |       CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON a_id = sa.doc_id
-         |JOIN sizes sb ON b_id = sb.doc_id
-         |WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) >= $jaccardThreshold""".stripMargin,
+      s"""WITH $verifiedPairsCte
+         |SELECT a_id, b_id, jaccard FROM ndp""".stripMargin,
     "d5_shingle_jaccard" ->
       s"""WITH $candidateCte,
          |sh AS (

@@ -109,10 +109,101 @@ object SqlApps extends QueryModule {
       """)
   }
 
+  /** DwdTradeRefundPaySucDetail (the 4-way fact join app,
+    * DwdTradeRefundPaySucDetail.java:37-101): three status-filtered fact
+    * views joined on the order key, then enriched by TWO aliased
+    * dictionary lookups — the dic1/dic2 double-alias pattern of
+    * DwdTradeOrderRefund.java:90-93. refund_payment ← returned lineitem
+    * rows; order_info ← finished orders; the dictionary ← region (the
+    * bounded HBase-dim shape); payment/refund type codes derive
+    * deterministically from the fact keys. */
+  private def dwdRefundPayWide(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, Seq("lineitem", "orders", "region"))
+    s.sql("""
+      WITH refund_payment AS (
+        SELECT CAST(l_orderkey AS STRING) || '-' ||
+                 CAST(l_linenumber AS STRING) AS id,
+               l_orderkey AS order_id,
+               CAST(l_partkey AS STRING) AS sku_id,
+               l_suppkey % 5 AS payment_type,
+               l_partkey % 5 AS refund_type,
+               CAST(l_quantity AS STRING) AS refund_num,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS total_amount,
+               date_format(l_shipdate, 'yyyy-MM-dd') AS date_id
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_linestatus = 'F'),
+      order_info AS (
+        SELECT o_orderkey AS id,
+               CAST(o_custkey AS STRING) AS user_id,
+               o_orderpriority AS province_id
+        FROM orders
+        WHERE o_orderstatus = 'F')
+      SELECT rp.id, oi.user_id, CAST(rp.order_id AS STRING) AS order_id,
+             rp.sku_id, oi.province_id,
+             CAST(rp.payment_type AS STRING) AS payment_type_code,
+             dic1.r_name AS payment_type_name,
+             CAST(rp.refund_type AS STRING) AS refund_type_code,
+             dic2.r_name AS refund_type_name,
+             rp.date_id, rp.refund_num, rp.total_amount
+      FROM refund_payment rp
+      JOIN order_info oi ON rp.order_id = oi.id
+      JOIN region dic1 ON rp.payment_type = dic1.r_regionkey
+      JOIN region dic2 ON rp.refund_type = dic2.r_regionkey
+      """)
+  }
+
+  /** DwdTradeCartAdd (DwdTradeCartAdd.java:28-40) as SQL text over a
+    * synthesized topic_db view with MAP-typed data/old columns: the P4
+    * CDC predicate (insert, or update where sku_num grew) and the P5
+    * conditional delta `if(insert, n, n - old_n)`, via map access
+    * data['sku_num'] — the Flink-SQL map-projection idiom end to end. */
+  private def dwdCartAdd(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    import org.apache.spark.sql.functions._
+    // envelope view: F→insert with full sku_num; O→update raising sku_num
+    // by a deterministic delta; P→update lowering it (filtered out)
+    o.select(
+      lit("cart_info").as("table"),
+      when(col("o_orderstatus") === "F", "insert").otherwise("update")
+        .as("type"),
+      map(
+        lit("id"), col("o_orderkey").cast("string"),
+        lit("user_id"), col("o_custkey").cast("string"),
+        lit("sku_num"),
+        when(col("o_orderstatus") === "P",
+          (col("o_orderkey") % 5).cast("string"))
+          .otherwise((col("o_orderkey") % 5 + 3).cast("string")))
+        .as("data"),
+      when(col("o_orderstatus") === "F",
+        map().cast("map<string,string>"))
+        .otherwise(map(lit("sku_num"), (col("o_orderkey") % 5 + 1).cast("string")))
+        .as("old"),
+      unix_timestamp(col("o_orderdate")).as("ts"))
+      .createOrReplaceTempView("topic_db_cart")
+    s.sql("""
+      SELECT data['id'] AS id,
+             data['user_id'] AS user_id,
+             IF(`type` = 'insert',
+                CAST(data['sku_num'] AS INT),
+                CAST(data['sku_num'] AS INT) - CAST(`old`['sku_num'] AS INT))
+               AS sku_num_delta,
+             from_unixtime(ts, 'yyyy-MM-dd') AS cur_date
+      FROM topic_db_cart
+      WHERE `table` = 'cart_info'
+        AND (`type` = 'insert'
+             OR (`type` = 'update' AND `old`['sku_num'] IS NOT NULL
+                 AND CAST(data['sku_num'] AS INT)
+                     > CAST(`old`['sku_num'] AS INT)))
+      """)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "sql_dwd_order_detail" -> dwdOrderDetail,
     "sql_dwd_comment_info" -> dwdCommentInfo,
-    "sql_province_rollup" -> sqlProvinceRollup)
+    "sql_province_rollup" -> sqlProvinceRollup,
+    "sql_dwd_refund_pay_wide" -> dwdRefundPayWide,
+    "sql_dwd_cart_add" -> dwdCartAdd)
 
   val oracles = Map(
     "sql_dwd_order_detail" ->
@@ -142,6 +233,33 @@ object SqlApps extends QueryModule {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "sql_dwd_refund_pay_wide" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+        |       CAST(o_custkey AS VARCHAR) AS user_id,
+        |       CAST(l_orderkey AS VARCHAR) AS order_id,
+        |       CAST(l_partkey AS VARCHAR) AS sku_id,
+        |       o_orderpriority AS province_id,
+        |       CAST(l_suppkey % 5 AS VARCHAR) AS payment_type_code,
+        |       dic1.r_name AS payment_type_name,
+        |       CAST(l_partkey % 5 AS VARCHAR) AS refund_type_code,
+        |       dic2.r_name AS refund_type_name,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS date_id,
+        |       CAST(l_quantity AS VARCHAR) AS refund_num,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN region dic1 ON l_suppkey % 5 = dic1.r_regionkey
+        |JOIN region dic2 ON l_partkey % 5 = dic2.r_regionkey
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'""".stripMargin,
+    "sql_dwd_cart_add" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |       CAST(o_custkey AS VARCHAR) AS user_id,
+        |       CASE WHEN o_orderstatus = 'F'
+        |            THEN CAST(o_orderkey % 5 + 3 AS INT)
+        |            ELSE CAST(2 AS INT) END AS sku_num_delta,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS cur_date
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     "sql_province_rollup" ->
       """WITH detail AS (
         |  SELECT CAST(c_nationkey AS VARCHAR) AS province_id,

@@ -37,7 +37,7 @@ object TextOps extends QueryModule {
   val esStops = Seq("el", "la", "de", "y", "que", "los")
   val frStops = Seq("le", "la", "et", "les", "des", "une")
 
-  private def hits(tokens: Column, stops: Seq[String]): Column =
+  private[operators] def hits(tokens: Column, stops: Seq[String]): Column =
     size(filter(tokens, t => t.isin(stops.map(x => x: Any): _*)))
 
   /** G1/G2/A1: tokenize + explode + count — the keyword-frequency query
