@@ -158,9 +158,48 @@ object Joins extends QueryModule {
     "j5_dim_chain" -> dimChain,
     "j6_config_route" -> configRoute,
     "j7_anti_customers" -> custNoOrders,
-    "j8_semi_parts_sold" -> partsSold)
+    "j8_semi_parts_sold" -> partsSold,
+    "j10_asof_attribution" -> asofAttribution)
+
+  /** J10 (beyond-reference; the canonical as-of join Spark lacks as a
+    * primitive): each purchase event matched to the user's latest view
+    * event at-or-before it. Composed as the single-shuffle union trick:
+    * tag both sides, sort within user by (time, tag), and carry the last
+    * non-null view time forward with an ignoreNulls running window —
+    * exactly the partitioned merge an AsOfJoinExec would run, expressed
+    * with one Exchange(user_id) + one sort, no range cross-product.
+    * Ties (view and purchase at the same microsecond) resolve view-first,
+    * matching ASOF's `<=` bound; DuckDB's native ASOF LEFT JOIN is the
+    * oracle. */
+  private def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val tagged = e.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), nsToUs(col("ts")).as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("v_us",
+        last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("us").as("p_us"), col("v_us"),
+        (col("us") - col("v_us")).as("gap_us"))
+  }
 
   val oracles = Map(
+    "j10_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS p_event_id, p.user_id, p.us AS p_us,
+        |       v.us AS v_us, p.us - v.us AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin,
     "j1_order_wide" ->
       s"""SELECT o_orderpriority,
          |       CAST(SUM(${Oracle.money("l_extendedprice")} * (1 - ${Oracle.money("l_discount")})) AS DOUBLE) AS revenue,

@@ -79,7 +79,20 @@ object Serving extends QueryModule {
       .na.fill(0L)
   }
 
+  /** Beyond-reference: CUBE — all 2^2 grouping sets over
+    * (month, priority) in one pass (rollup covers the hierarchy case;
+    * cube covers independent dimensions). */
+  private def cubeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    o.select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .cube(col("order_month"), col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a13_cube_revenue" -> cubeRevenue,
     "a10_gmv_by_day" -> gmvByDay,
     "a10_amount_by_province" -> amountByProvince,
     "a10_top_channels" -> topChannels,
@@ -87,6 +100,13 @@ object Serving extends QueryModule {
     "a12_pivot_channels" -> pivotChannels)
 
   val oracles = Map(
+    "a13_cube_revenue" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         |       o_orderpriority,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(*) AS order_ct
+         |FROM orders
+         |GROUP BY CUBE (order_month, o_orderpriority)""".stripMargin,
     "a10_gmv_by_day" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
          |       ${Oracle.moneySum("o_totalprice")} AS gmv,

@@ -129,7 +129,29 @@ object TextOps extends QueryModule {
         size(array_distinct(col("bpe"))).cast(LongType).as("bpe_distinct"))
   }
 
+  /** t7: rank-based (discrete) quantiles of document length per source —
+    * the value at ceil(q·n) in sorted order, integer logic only, so both
+    * engines agree bit-exactly (continuous interpolation differs in
+    * float op order across engines). One shuffle on the group key; at
+    * 100 TB the same shape runs as a sort within each source partition. */
+  private def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    def pick(q: Double) = max(when(
+      col("rn") === greatest(ceil(lit(q) * col("n")).cast("long"), lit(1L)),
+      col("n_chars"))).cast(LongType)
+    ranked.groupBy(col("source"))
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+        max(col("n")).as("doc_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t7_length_quantiles" -> lengthQuantiles,
     "t1_top_tokens" -> topTokens,
     "t2_token_stats" -> tokenStats,
     "t3_quality_score" -> qualityScore,
@@ -139,7 +161,24 @@ object TextOps extends QueryModule {
 
   private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
 
+  private def pickSql(q: Double): String =
+    s"max(CASE WHEN rn = greatest(CAST(ceil($q * n) AS BIGINT), 1) " +
+      s"THEN n_chars END)"
+
   val oracles = Map(
+    "t7_length_quantiles" ->
+      s"""WITH r AS (
+         |  SELECT source, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents)
+         |SELECT source,
+         |       ${pickSql(0.5)} AS p50,
+         |       ${pickSql(0.9)} AS p90,
+         |       ${pickSql(0.99)} AS p99,
+         |       max(n) AS doc_ct
+         |FROM r GROUP BY 1""".stripMargin,
     "t1_top_tokens" ->
       """SELECT word, count(*) AS word_ct
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -143,7 +143,51 @@ object VectorOps extends QueryModule {
       .filter(col("cos") >= 0.3)
   }
 
+  /** Sign-LSH (random-hyperplane) parameters: H Rademacher hyperplanes
+    * whose ±1 components derive from a fixed integer recurrence, so the
+    * identical constants are embedded as literals in both the Spark plan
+    * and the oracle SQL. H=8 → 256 buckets over 2000 vectors (~8 per
+    * bucket), the classic cosine-LSH regime. */
+  val numPlanes = 8
+  val embDim = 64
+  def planeSign(p: Int, d: Int): Double =
+    if (((p * 1000003L + d * 7919L) % 97) % 2 == 0) 1.0 else -1.0
+  private[operators] val planes: Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (0 until embDim).map(d => planeSign(p, d)))
+
+  /** v6: sign-LSH bucketed ANN — signature bit p = sign(emb · plane_p);
+    * queries probe only their own bucket. The bucket computation is H
+    * codegen'd dot products per row (map-side, no shuffle); the probe is
+    * a broadcast join on the bucket id — the LSH complement of v3's IVF
+    * layout (SURVEY: "IVF or LSH-bucketed variant as the scale path").
+    * Both engines accumulate the dot left-to-right in doubles, so the
+    * sign — and therefore the bucket — is bit-identical. */
+  private def annSignLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketBits = (0 until numPlanes).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(dot(col("emb"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("bucket", bucketBits)
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(em,
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v6_ann_signlsh_topk" -> annSignLsh,
     "v1_ann_brute_topk" -> annBrute,
     "v2_embed_stats" -> embedStats,
     "v3_ann_ivf_topk" -> annIvf,
@@ -156,7 +200,39 @@ object VectorOps extends QueryModule {
     s"list_aggregate(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
 
+  /** The plane constants as a DuckDB list literal (same values as
+    * [[planes]] — one source of truth via planeSign). */
+  private def planeListSql(p: Int): String =
+    planes(p).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
   val oracles = Map(
+    "v6_ann_signlsh_topk" -> {
+      val bucket = (0 until numPlanes).map { p =>
+        val d = s"list_aggregate(list_transform(range(1, ${embDim + 1}), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * (${planeListSql(p)})[i]), 'sum')"
+        s"(CASE WHEN $d > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val dotQN = dotSql("q_emb", "n_emb")
+      s"""WITH em AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+         |         $bucket AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |             bucket AS q_bucket
+         |      FROM em WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q_id, vec_id AS n_id,
+         |         round($dotQN / (q_nrm * nrm), 6) AS cos
+         |  FROM q JOIN (SELECT vec_id, embedding AS n_emb, nrm, bucket FROM em) n
+         |    ON n.bucket = q_bucket AND vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM pairs)
+         |SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
+    },
     "v1_ann_brute_topk" -> {
       val dotQN = dotSql("q_emb", "n_emb")
       s"""WITH em AS (

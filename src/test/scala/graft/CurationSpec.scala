@@ -75,4 +75,60 @@ class CurationSpec extends SparkSuite {
     val df = q("sql_dwd_cart_add")
     assert(df.filter(col("sku_num_delta") <= 0).count() == 0)
   }
+
+  test("j10 as-of: one row per purchase, match at-or-before, gap >= 0") {
+    val purchases = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val df = q("j10_asof_attribution")
+    assert(df.count() == purchases)
+    assert(df.filter(col("v_us") > col("p_us")).count() == 0)
+    assert(df.filter(col("gap_us") < 0).count() == 0)
+    // the matched view time is the MAX view time <= purchase time:
+    // no other view event sits strictly between v_us and p_us
+    val views = Tables(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"),
+        graft.functions.Fns.nsToUs(col("ts")).as("wus"))
+    val between = df.filter(col("v_us").isNotNull).join(views,
+      col("user_id") === col("vu") &&
+        col("wus") > col("v_us") && col("wus") <= col("p_us"))
+    assert(between.count() == 0)
+  }
+
+  test("a13 cube emits all four grouping sets consistently") {
+    val df = q("a13_cube_revenue").cache()
+    val detail = df.filter(col("order_month").isNotNull &&
+      col("o_orderpriority").isNotNull)
+    val byMonth = df.filter(col("order_month").isNotNull &&
+      col("o_orderpriority").isNull)
+    val byPrio = df.filter(col("order_month").isNull &&
+      col("o_orderpriority").isNotNull)
+    val grand = df.filter(col("order_month").isNull &&
+      col("o_orderpriority").isNull)
+    assert(grand.count() == 1)
+    val total = Tables(spark, sf, "orders").count()
+    assert(grand.head.getAs[Long]("order_ct") == total)
+    assert(byMonth.agg(sum(col("order_ct"))).head.getLong(0) == total)
+    assert(byPrio.agg(sum(col("order_ct"))).head.getLong(0) == total)
+    assert(detail.agg(sum(col("order_ct"))).head.getLong(0) == total)
+  }
+
+  test("v6 sign-LSH candidates share the query's bucket and rank <= 5") {
+    val df = q("v6_ann_signlsh_topk")
+    assert(df.groupBy("q_id").count().filter(col("count") > 5).count() == 0)
+    assert(df.filter(col("cos") < -1.000001 || col("cos") > 1.000001)
+      .count() == 0)
+    assert(df.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
+  }
+
+  test("t7 quantiles are monotone and bounded by the group extremes") {
+    val t = q("t7_length_quantiles")
+    assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
+      .count() == 0)
+    val ext = Tables(spark, sf, "documents").groupBy("source")
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val bad = t.join(ext, "source")
+      .filter(col("p50") < col("mn") || col("p99") > col("mx"))
+    assert(bad.count() == 0)
+  }
 }
