@@ -210,7 +210,34 @@ object EnvelopeOps extends QueryModule {
         countDistinct(col("event_type")).as("type_ct"))
   }
 
+  /** K5 extension — SCD Type-2 dimension history: every CDC op becomes a
+    * closed-or-current version row (valid_from/valid_to from lead() over
+    * the per-key op order, delete ops close the record without a
+    * successor flag). One window shuffle on the entity key — the batch
+    * twin of a Delta MERGE-building history table. Uses the same total
+    * order as k5 (testdata carries duplicate (l_orderkey, l_linenumber)
+    * pairs, so payload columns break ties deterministically). */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    li.withColumn("version", row_number().over(w))
+      .withColumn("next_ln", lead(col("l_linenumber"), 1).over(w))
+      .select(col("l_orderkey").as("id"), col("version"),
+        money(col("l_extendedprice")).cast("double").as("price"),
+        when(col("l_returnflag") === "R", "delete").otherwise("upsert")
+          .as("op"),
+        col("l_linenumber").as("valid_from_seq"),
+        col("next_ln").as("valid_to_seq"),
+        (col("next_ln").isNull && col("l_returnflag") =!= "R")
+          .as("is_current"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "k6_scd2_history" -> scd2History,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -220,6 +247,23 @@ object EnvelopeOps extends QueryModule {
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
   val oracles = Map(
+    "k6_scd2_history" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |         row_number() OVER w AS version,
+        |         lead(l_linenumber) OVER w AS next_ln
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+        |                        l_partkey, l_suppkey, l_quantity))
+        |SELECT l_orderkey AS id, version,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |       CASE WHEN l_returnflag = 'R' THEN 'delete'
+        |            ELSE 'upsert' END AS op,
+        |       l_linenumber AS valid_from_seq,
+        |       next_ln AS valid_to_seq,
+        |       (next_ln IS NULL AND l_returnflag <> 'R') AS is_current
+        |FROM v""".stripMargin,
     "g1_explode_displays" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

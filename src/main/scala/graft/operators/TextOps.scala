@@ -150,7 +150,17 @@ object TextOps extends QueryModule {
         max(col("n")).as("doc_ct"))
   }
 
+  /** G1/G2 variant — posexplode: fan-out WITH the element position (the
+    * ordinality the reference's display fan-out keeps implicitly via
+    * per-element copy; DwdBaseLog.java:229-266). */
+  private def posexplodeTokens(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "g4_posexplode_tokens" -> posexplodeTokens,
     "t7_length_quantiles" -> lengthQuantiles,
     "t1_top_tokens" -> topTokens,
     "t2_token_stats" -> tokenStats,
@@ -166,6 +176,14 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "g4_posexplode_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(x.pos AS INT) AS pos, x.tok AS tok
+        |FROM (SELECT doc_id, unnest(list_transform(
+        |        range(1, len(toks) + 1),
+        |        i -> {'pos': i - 1, 'tok': toks[i]})) AS x
+        |      FROM t)""".stripMargin,
     "t7_length_quantiles" ->
       s"""WITH r AS (
          |  SELECT source, n_chars,

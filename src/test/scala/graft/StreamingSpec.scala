@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("daily-first state is provider-independent (RocksDB == default)") {
+    // at 100 TB keyed state outgrows executor heaps; RocksDB is the
+    // production provider. Same query, same results, state off-heap.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream(
+        StatefulStreams.dailyFirstStream(spark, sf), "daily_first_rdb",
+        "append").select(col("user_id"), col("cur_date"))
+      val batch = Tables(spark, sf, "events").select(col("user_id"),
+          graft.functions.Fns.curDate(graft.functions.Fns.nsToSec(col("ts")))
+            .as("cur_date"))
+        .distinct()
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val streamed = runStream(
       StatefulStreams.intervalJoinStream(spark, sf), "sj_pairs", "append")
