@@ -84,39 +84,24 @@ object DebeziumOps extends QueryModule {
           .as("sink_col_ct"))
   }
 
-  /** p4: status-transition extractors — cancel/refund predicate filters
-    * over the Maxwell envelope (old.order_status present AND transition
-    * matches), counted per transition. Orders play order_info: status F
-    * rows model 1001→1003 cancels, P rows 1002→1005 refunds. */
+  /** p4: status-transition extractors — cancel (1001→1003) / refund
+    * (1002→1005) predicate filters over the SHARED parsed topic_db
+    * envelope (one from_json for all DWD extractors, the reference's
+    * one-topic-many-consumers layout; a per-extractor re-parse was ~6 s
+    * of duplicated Jackson work at sf0.1). */
   private def statusTransitions(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables(s, dir, "orders")
-    val env = o.select(to_json(struct(
-      lit("update").as("type"),
-      map(lit("id"), col("o_orderkey").cast(StringType),
-        lit("order_status"),
-        when(col("o_orderstatus") === "F", "1003")
-          .when(col("o_orderstatus") === "P", "1005")
-          .otherwise("1002")).as("data"),
-      map(lit("order_status"),
-        when(col("o_orderstatus") === "F", "1001")
-          .otherwise("1002")).as("old"),
-      unix_timestamp(col("o_orderdate")).as("ts"))).as("j"))
-    val e = env.select(from_json(col("j"), EnvelopeOps.odsDbSchema).as("e"))
-      .select(col("e.type").as("typ"), col("e.data").as("data"),
-        col("e.old").as("old"), col("e.ts").as("ts"))
-    val cancels = e.filter(col("typ") === "update" &&
-      col("old")("order_status") === "1001" &&
-      col("data")("order_status") === "1003")
-      .select(lit("cancel").as("transition"), col("ts"))
-    val refunds = e.filter(col("typ") === "update" &&
-      col("old")("order_status") === "1002" &&
-      col("data")("order_status") === "1005")
-      .select(lit("refund").as("transition"), col("ts"))
-    cancels.unionByName(refunds)
+    EnvelopeOps.parsedEnvelopes(s, dir)
+      .filter(col("e.type") === "update")
+      .withColumn("transition",
+        when(col("e.old")("order_status") === "1001" &&
+          col("e.data")("order_status") === "1003", "cancel")
+          .when(col("e.old")("order_status") === "1002" &&
+            col("e.data")("order_status") === "1005", "refund"))
+      .filter(col("transition").isNotNull)
       .groupBy("transition")
       .agg(count(lit(1)).as("event_ct"),
-        min(curDate(col("ts"))).as("first_date"),
-        max(curDate(col("ts"))).as("last_date"))
+        min(curDate(col("e.ts"))).as("first_date"),
+        max(curDate(col("e.ts"))).as("last_date"))
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
@@ -135,10 +120,10 @@ object DebeziumOps extends QueryModule {
         |FROM supplier WHERE s_suppkey % 5 <> 0""".stripMargin,
     "p4_status_transitions" ->
       """WITH t AS (
-        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 'cancel'
-        |              WHEN o_orderstatus = 'P' THEN 'refund' END AS transition,
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'cancel'
+        |              ELSE 'refund' END AS transition,
         |         strftime(o_orderdate, '%Y-%m-%d') AS d
-        |  FROM orders WHERE o_orderstatus IN ('F', 'P'))
+        |  FROM orders WHERE o_orderstatus = 'O')
         |SELECT transition, count(*) AS event_ct,
         |       min(d) AS first_date, max(d) AS last_date
         |FROM t GROUP BY 1""".stripMargin)

@@ -53,12 +53,21 @@ object EnvelopeOps extends QueryModule {
     StructField("ts_ms", LongType)))
 
   /** Synthesize a Maxwell-envelope JSON string column from orders: status
-    * F→insert, O→update, P→delete, ts = epoch seconds of o_orderdate. */
+    * F→insert, O→update, P→delete, ts = epoch seconds of o_orderdate.
+    * Update rows carry a deterministic status transition (even keys
+    * 1001→1003 cancel, odd keys 1002→1005 refund) so the P4 extractors
+    * read the SAME parsed topic as every other consumer — one parse,
+    * many extractors, like the reference's shared topic_db. */
   private def orderEnvelopes(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val typ = when(col("o_orderstatus") === "F", "insert")
       .when(col("o_orderstatus") === "O", "update")
       .otherwise("delete")
+    val newStatus = when(col("o_orderstatus") =!= "O", lit("1002"))
+      .when(pmod(col("o_orderkey"), lit(2)) === 0, "1003")
+      .otherwise("1005")
+    val oldStatus = when(pmod(col("o_orderkey"), lit(2)) === 0, "1001")
+      .otherwise("1002")
     o.select(to_json(struct(
       lit("gmall2024").as("database"),
       lit("order_info").as("table"),
@@ -67,9 +76,9 @@ object EnvelopeOps extends QueryModule {
       map(
         lit("id"), col("o_orderkey").cast(StringType),
         lit("total_amount"), col("o_totalprice").cast(StringType),
-        lit("order_status"), col("o_orderstatus"),
+        lit("order_status"), newStatus,
         lit("priority"), col("o_orderpriority")).as("data"),
-      map(lit("order_status"), lit("1001")).as("old"))).as("envelope"))
+      map(lit("order_status"), oldStatus).as("old"))).as("envelope"))
   }
 
   /** Envelope-build + parse is the shared upstream of the ODS queries —
@@ -79,7 +88,7 @@ object EnvelopeOps extends QueryModule {
   private val envMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def parsedEnvelopes(s: SparkSession, dir: String): DataFrame =
+  private[operators] def parsedEnvelopes(s: SparkSession, dir: String): DataFrame =
     envMemo.getOrElseUpdate((s, dir),
       orderEnvelopes(s, dir)
         .select(from_json(col("envelope"), odsDbSchema).as("e"))
