@@ -158,30 +158,77 @@ object DedupOps extends QueryModule {
       .filter(col("dup_ct") > 1)
   }
 
-  /** d4: 32-bit SimHash from md5 leading bits — per-bit weighted vote over
-    * distinct tokens, built from codegen'd conv/bit builtins (no UDF).
-    * Grouped into 8-bit bands for hamming-bucket candidate counting. */
+  /** Per-doc 32-bit SimHash signature, explode-free: bit b of the
+    * signature is the majority vote of the doc's distinct-token hashes
+    * (vote sum > 0 ⟺ set-count·2 > token count), each vote a codegen'd
+    * size∘filter traversal of the hash array — no row blowup, no
+    * 32-column groupBy. Memoized + persisted: d4 projects it, d6
+    * self-joins it (two scans of one 5000-row table instead of two runs
+    * of the signature pipeline). */
+  private val simhashMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def simhashSig(s: SparkSession, dir: String): DataFrame =
+    simhashMemo.getOrElseUpdate((s, dir), {
+      val d = Tables(s, dir, "documents")
+      val withHs = d.select(col("doc_id"),
+        transform(array_distinct(tokenize(col("text"))),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("hs"))
+      val n = size(col("hs"))
+      val simhash = (0 until 32).map { b =>
+        val setct = size(filter(col("hs"),
+          h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+        when(setct * 2 > n, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // documents.parquet is one row group → one input partition; spread
+      // the persisted signatures so the d6 broadcast-probe (≈19M pair
+      // evaluations at sf0.1) parallelizes instead of running one task
+      withHs.select(col("doc_id"), simhash.as("simhash"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** d4: the SimHash signature table with its 8-bit hamming-bucket bands
+    * (the LSH layout for d6's candidate generation). */
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    // token hash: first 8 hex chars of md5 → 32-bit int via conv()
-    val toks = d.select(col("doc_id"),
-        explode(array_distinct(tokenize(col("text")))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
-        .cast(LongType))
-    // per-bit votes: +1 if bit set else -1; simhash bit = majority
-    val bitCols = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val sig = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val simhash = (0 until 32).map { b =>
-      when(col(s"v$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // 8-bit bands for hamming-distance bucketing
     val hbands = (0 until 4).map(i =>
       shiftright(col("simhash"), i * 8).bitwiseAND(lit(0xffL)).as(s"hband$i"))
-    sig.select(col("doc_id"), simhash.as("simhash"))
+    simhashSig(s, dir)
       .select(col("doc_id") +: col("simhash") +: hbands: _*)
+  }
+
+  /** Max Hamming distance (of 32 signature bits) for a d6 near-pair. */
+  val hammingThreshold = 6
+
+  /** d6: SimHash near-pair histogram — pairs sharing any 8-bit signature
+    * band (the standard Hamming-LSH pigeonhole: distance ≤ 6 over 4
+    * bands forces ≥ 1 exact band match... candidates generated per band
+    * bucket, never via a cross join), verified by the native codegen'd
+    * [[graft.plans.HammingDistance]] expression (xor + popcount
+    * intrinsic per pair). */
+  private def simhashNearPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashBuckets(s, dir)
+    val stacked = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band_no"), col(s"hband$i").as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_no"), col("b.bv"))
+    val l = stacked.as("l")
+    val r = stacked.as("r")
+    // hamming filter BEFORE the distinct: the band join emits ~9.5M raw
+    // pairs at sf0.1 (band values are 8-bit, similar docs collide), and
+    // popcount is one codegen'd instruction — so the cut runs map-side
+    // inside the (broadcast) join stage and only true near-pairs reach
+    // the distinct's shuffle
+    l.join(r,
+        col("l.band_no") === col("r.band_no") &&
+        col("l.bv") === col("r.bv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        graft.plans.HammingDistance
+          .hammingDist(s, col("l.simhash"), col("r.simhash")).as("hamming"))
+      .filter(col("hamming") <= hammingThreshold)
+      .distinct()
+      .groupBy("hamming").agg(count(lit(1)).as("pair_ct"))
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
@@ -189,7 +236,8 @@ object DedupOps extends QueryModule {
     "d2_lsh_candidates" -> lshCandidates,
     "d3_near_dup_pairs" -> nearDupPairs,
     "d4_simhash" -> simhashBuckets,
-    "d5_shingle_jaccard" -> shingleJaccard)
+    "d5_shingle_jaccard" -> shingleJaccard,
+    "d6_simhash_near_pairs" -> simhashNearPairs)
 
   // ---- oracles ----------------------------------------------------------
 
@@ -292,23 +340,48 @@ object DedupOps extends QueryModule {
          |JOIN sizes zb ON b_id = zb.doc_id
          |WHERE CAST(inter_ct AS DOUBLE) / (za.n + zb.n - inter_ct) >= 0.35""".stripMargin,
     "d4_simhash" -> {
-      val hexToInt = hexToIntSql("tok")
-      val votes = (0 until 32).map(b =>
-        s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
-        .mkString(",\n        ")
-      val sig = (0 until 32).map(b =>
-        s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" + ")
       val hbands = (0 until 4).map(i =>
         s"(simhash >> ${i * 8}) & 255 AS hband$i").mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |h AS (SELECT doc_id, $hexToInt AS h FROM toks),
-         |votes AS (SELECT doc_id,
-         |        $votes
-         |  FROM h GROUP BY 1),
-         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)
+      s"""WITH $simhashCte
          |SELECT doc_id, simhash, $hbands FROM sig""".stripMargin
+    },
+    "d6_simhash_near_pairs" -> {
+      val stacked = (0 until 4)
+        .map(i => s"SELECT doc_id, simhash, $i AS band_no, " +
+          s"(simhash >> ${i * 8}) & 255 AS bv FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""WITH $simhashCte,
+         |stackedh AS (
+         |        $stacked),
+         |candh AS (
+         |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+         |         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+         |  FROM stackedh l JOIN stackedh r
+         |    ON l.band_no = r.band_no AND l.bv = r.bv
+         |   AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $hammingThreshold)
+         |SELECT hamming, count(*) AS pair_ct
+         |FROM candh GROUP BY 1""".stripMargin
     })
+
+  /** Shared simhash-signature CTE (oracle twin of [[simhashBuckets]]'
+    * vote stage): distinct tokens → 32-bit hash → per-bit majority vote
+    * → packed BIGINT signature. */
+  private lazy val simhashCte: String = {
+    val hexToInt = hexToIntSql("tok")
+    val votes = (0 until 32).map(b =>
+      s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+      .mkString(",\n        ")
+    val sig = (0 until 32).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, $hexToInt AS h FROM toks),
+       |votes AS (SELECT doc_id,
+       |        $votes
+       |  FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
 }

@@ -47,6 +47,84 @@ class PerfSpec extends SparkSuite {
     assert(exchanges >= 2, s"expected two-phase shuffle, got:\n$p")
   }
 
+  test("AQE splits a skewed join at runtime") {
+    // one hot key: ~half the fact rows share user 0; thresholds lowered
+    // so the sf0.001 partition sizes trip the skew detector
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // synthetic hot key: half a 200k-row fact lands on key 0
+      val skewed = spark.range(0, 200000).select(
+        when(pmod(col("id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(1000))).as("uid"),
+        col("id").as("value"))
+      val dim = spark.range(0, 1000).select(col("id").as("uid"),
+        concat(lit("u"), col("id")).as("name"))
+      // aggregate on a DIFFERENT key than the join: OptimizeSkewedJoin
+      // declines to split when the next operator would reuse the join's
+      // partitioning (splitting violates its required distribution)
+      val j = skewed.join(dim, "uid").groupBy("name")
+        .agg(sum(col("value")).as("v"))
+      j.collect() // drive THIS QueryExecution so AQE finalizes it
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE plan not finalized:\n$p")
+      assert(p.contains("isSkew=true") || p.contains("skew=true") ||
+        p.contains("SkewJoin"), s"AQE did not mark the skew join:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime row-group filtering: selective dim filter prunes the fact side") {
+    // Spark's runtime filters (bloom / semi-join) push a dim predicate
+    // into the fact scan when enabled and the dim side is selective
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // default demands a >=10GB probe side; the mechanism, not the
+      // size gate, is under test here
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, sf, "lineitem")
+      val p = Tables(spark, sf, "part").filter(col("p_brand") === "brand1")
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("ct"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+        plan.contains("might_contain") || plan.contains("InSubquery") ||
+        plan.contains("dynamicpruning"),
+        s"no runtime filter injected on the fact side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hamming_dist native expression: codegen matches interpreted") {
+    import graft.plans.HammingDistance.hammingDist
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") * 2654435761L).as("x"),
+      (col("id") * 40503L + 7).as("y"))
+    val got = df.select(col("id"),
+        hammingDist(spark, col("x"), col("y")).as("hd"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 1000L).foreach { i =>
+      val expect = java.lang.Long.bitCount((i * 2654435761L) ^ (i * 40503L + 7))
+      assert(got(i) == expect, s"id=$i")
+    }
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets LOCATION '$wh'")
