@@ -114,13 +114,37 @@ object Multimodal extends QueryModule {
         sum(col("n_bytes")).as("byte_sum"),
         max(col("n_bytes")).as("byte_max"))
 
+  /** m2: frame-sampling statistics — the generator-shaped mapPartitions
+    * fan-out (one media row → 4 binary frames) aggregated per frame slot.
+    * The oracle restates the stub's integer slicing arithmetic over the
+    * byte lengths alone, proving the partition operator's frame geometry
+    * without an engine-side codec. */
+  private def frameStats(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(s, dir, 4).toDF()
+      .select(col("frame_no"),
+        length(col("frame")).cast(LongType).as("fbytes"))
+      .groupBy(col("frame_no"))
+      .agg(count(lit(1)).as("frame_ct"), sum(col("fbytes")).as("byte_sum"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "m1_media_meta" -> mediaMeta)
+    "m1_media_meta" -> mediaMeta,
+    "m2_frame_stats" -> frameStats)
 
   val oracles = Map(
     "m1_media_meta" ->
       """SELECT 'fake/' || lang AS format, count(*) AS media_ct,
         |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_sum,
         |       CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_max
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    // frame i of a payload of L bytes: len = greatest(L // 4, 1),
+    // from = least(i*len, L), until = least(from + len, L)
+    "m2_frame_stats" ->
+      """WITH m AS (SELECT octet_length(CAST(text AS BLOB)) AS L
+        |           FROM documents),
+        |f AS (SELECT L, greatest(L // 4, 1) AS flen FROM m),
+        |fr AS (SELECT unnest(range(0, 4)) AS frame_no, L, flen FROM f)
+        |SELECT CAST(frame_no AS INT) AS frame_no, count(*) AS frame_ct,
+        |       CAST(SUM(least(least(frame_no * flen, L) + flen, L)
+        |                - least(frame_no * flen, L)) AS BIGINT) AS byte_sum
+        |FROM fr GROUP BY 1""".stripMargin)
 }

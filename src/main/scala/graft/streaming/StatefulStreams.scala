@@ -189,6 +189,43 @@ object StatefulStreams {
       .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
   }
 
+  case class AsofMatch(p_event_id: Long, user_id: Long, p_us: Long,
+    v_us: Option[Long], gap_us: Option[Long])
+
+  /** J10 streaming twin — as-of join as keyed state: per user, carry the
+    * latest view timestamp; each purchase emits its at-or-before match.
+    * The micro-batch group iterator is unordered, so the batch's rows are
+    * sorted by (us, tag, event_id) before replay — the same total order
+    * the batch window uses; state carries the last view across batches.
+    * (This is how an as-of join runs when the right side is unbounded:
+    * the window-function formulation needs a bounded sort, the keyed
+    * state formulation needs only the running maximum.) */
+  def asofAttributionStream(s: SparkSession, dir: String)
+      : Dataset[AsofMatch] = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), nsToUs(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+      .as[(Long, Long, Long, Int)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int)],
+            st: GroupState[Long]) =>
+          val out = Seq.newBuilder[AsofMatch]
+          var lastView: Option[Long] = st.getOption
+          rows.toSeq.sortBy(r => (r._2, r._4, r._3)).foreach {
+            case (_, us, eid, tag) =>
+              if (tag == 0) lastView = Some(us)
+              else out += AsofMatch(eid, uid, us, lastView,
+                lastView.map(us - _))
+          }
+          lastView.foreach(st.update)
+          out.result().iterator
+      }
+  }
+
   /** A7 streaming twin: last-write-wins per user (update mode). */
   def lastSeenStream(s: SparkSession, dir: String): Dataset[LastSeen] = {
     import s.implicits._

@@ -80,6 +80,19 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming as-of keyed state matches the batch window as-of (j10)") {
+    val streamed = runStream(
+      StatefulStreams.asofAttributionStream(spark, sf), "asof_stream",
+      "append")
+      .select(col("p_event_id"), col("user_id"), col("p_us"),
+        col("v_us"), col("gap_us"))
+    val batch = q("j10_asof_attribution")
+      .select(col("p_event_id"), col("user_id"), col("p_us"),
+        col("v_us"), col("gap_us"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val streamed = runStream(
       StatefulStreams.intervalJoinStream(spark, sf), "sj_pairs", "append")
