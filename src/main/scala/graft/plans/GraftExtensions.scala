@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point for the graft-native expressions —
+  * the library-deployment route: a cluster adds
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and every session
+  * (including pure SQL ones) sees `cosine_sim` / `hamming_dist` as
+  * catalog functions, no per-session registration call needed.
+  * [[CosineSimilarity.cosineSim]] / [[HammingDistance.hammingDist]] keep
+  * the per-session temp-function route for embedded/batch use; both
+  * resolve to the same Expression classes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two ARRAY<DOUBLE>"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_dist"),
+      info("hamming_dist",
+        "hamming_dist(a, b) - popcount(a XOR b) of two BIGINT signatures"),
+      (children: Seq[Expression]) =>
+        HammingDistance(children(0), children(1))))
+  }
+}

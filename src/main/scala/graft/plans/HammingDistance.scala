@@ -20,6 +20,8 @@ case class HammingDistance(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  // strict BIGINT inputs (ImplicitCastInputTypes is private[sql], so SQL
+  // callers cast narrower integrals explicitly)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {

@@ -125,6 +125,45 @@ class PerfSpec extends SparkSuite {
     }
   }
 
+  test("GraftExtensions injects catalog functions usable from raw SQL") {
+    // force a genuinely NEW session (same context) with the extensions
+    // class applied at construction — so resolution can't fall back to
+    // temp functions registered in the shared suite session. (The
+    // spark.sql.extensions CONF form only applies to a fresh
+    // SparkContext — it's static — hence the builder API here;
+    // deployments set the conf before the first session.)
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(ext => new graft.plans.GraftExtensions().apply(ext))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      assert(s2 ne shared, "builder must construct a fresh session")
+      val r = s2.sql(
+        """SELECT hamming_dist(CAST(5 AS BIGINT), CAST(3 AS BIGINT)) AS hd,
+          |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs"""
+          .stripMargin).head
+      assert(r.getInt(0) == java.lang.Long.bitCount(5L ^ 3L))
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within its rsd bound") {
+    val e = Tables(spark, sf, "events")
+    val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approx = e.select(approx_count_distinct(col("user_id"), 0.02))
+      .head.getLong(0)
+    // HLL++ at rsd=0.02: allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx=$approx exact=$exact")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets LOCATION '$wh'")
