@@ -91,7 +91,26 @@ object Serving extends QueryModule {
         count(lit(1)).as("order_ct"))
   }
 
+  /** Beyond-reference (SURVEY §2.6: set operations absent): INTERSECT /
+    * EXCEPT over yearly customer cohorts — retention and churn sets in
+    * one pass each. Both compile to aggregate/join plans (no dedicated
+    * set operator at runtime), so they scale like any keyed join. */
+  private def cohortSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val y95 = o.filter(expr("year(o_orderdate) = 1995")).select(col("o_custkey"))
+    val y96 = o.filter(expr("year(o_orderdate) = 1996")).select(col("o_custkey"))
+    val retained = y95.intersect(y96).select(lit("retained").as("cohort"),
+      col("o_custkey"))
+    val churned = y95.except(y96).select(lit("churned").as("cohort"),
+      col("o_custkey"))
+    retained.unionByName(churned)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cust_ct"), min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a14_cohort_setops" -> cohortSetOps,
     "a13_cube_revenue" -> cubeRevenue,
     "a10_gmv_by_day" -> gmvByDay,
     "a10_amount_by_province" -> amountByProvince,
@@ -100,6 +119,20 @@ object Serving extends QueryModule {
     "a12_pivot_channels" -> pivotChannels)
 
   val oracles = Map(
+    "a14_cohort_setops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |     y96 AS (SELECT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1996),
+        |     u AS (
+        |  SELECT 'retained' AS cohort, o_custkey
+        |  FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |  UNION ALL
+        |  SELECT 'churned' AS cohort, o_custkey
+        |  FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96))
+        |SELECT cohort, count(*) AS cust_ct, min(o_custkey) AS min_cust,
+        |       max(o_custkey) AS max_cust
+        |FROM u GROUP BY 1""".stripMargin,
     "a13_cube_revenue" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
          |       o_orderpriority,
