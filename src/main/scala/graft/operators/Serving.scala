@@ -109,7 +109,26 @@ object Serving extends QueryModule {
         max(col("o_custkey")).as("max_cust"))
   }
 
+  /** Beyond-reference (SURVEY §2.6: "no ranking window functions in the
+    * reference"): the full ranking-window surface in one pass over a
+    * single shuffle — rank, dense_rank, ntile, lag, percent_rank. Total
+    * order (price desc, key) keeps every function deterministic. */
+  private def rankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a15_rank_suite" -> rankSuite,
     "a14_cohort_setops" -> cohortSetOps,
     "a13_cube_revenue" -> cubeRevenue,
     "a10_gmv_by_day" -> gmvByDay,
@@ -119,6 +138,17 @@ object Serving extends QueryModule {
     "a12_pivot_channels" -> pivotChannels)
 
   val oracles = Map(
+    "a15_rank_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       rank() OVER w AS rk,
+        |       dense_rank() OVER w AS drk,
+        |       ntile(4) OVER w AS quartile,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "a14_cohort_setops" ->
       """WITH y95 AS (SELECT o_custkey FROM orders
         |             WHERE year(o_orderdate) = 1995),
