@@ -12,7 +12,7 @@ import graft.functions.Fns
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(
+  private[graft] val modules: Seq[QueryModule] = Seq(
     WindowAggs, StatefulTwins, Joins, EnvelopeOps, TextOps, DedupOps,
     VectorOps, Multimodal, Serving, TypedAggs, SqlApps, ScalePatterns,
     DebeziumOps, CurationOps)

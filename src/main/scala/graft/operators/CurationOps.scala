@@ -155,6 +155,42 @@ object CurationOps extends QueryModule {
       .filter(col("rk") <= 3)
   }
 
+  /** c4's bounded-memory twin — the two-phase mapPartitions heap: each
+    * partition keeps only its local top-k per group (k·groups rows held,
+    * never a full group), then the tiny union of locals is re-reduced.
+    * This is the shape that survives a pathological group (billions of
+    * rows under one key) where a rank window must sort the whole group;
+    * spec-proven equal to the window form. */
+  private[graft] def topkPerGroupHeap(s: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import s.implicits._
+    val ord = Ordering.by[(String, Long, Long), (Long, Long)] {
+      case (_, docId, nChars) => (-nChars, docId)
+    }
+    def localTopK(it: Iterator[(String, Long, Long)]) = {
+      val best = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Long, Long)]]
+      it.foreach { row =>
+        // max-heap on the INVERSE order: the head is the worst kept row
+        val pq = best.getOrElseUpdate(row._1,
+          scala.collection.mutable.PriorityQueue.empty(ord))
+        pq.enqueue(row)
+        if (pq.size > k) pq.dequeue()
+      }
+      best.valuesIterator.flatMap(_.iterator)
+    }
+    val typed = Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+    val locals = typed.mapPartitions(localTopK)
+    // phase 2: locals are ≤ k·groups·partitions rows — re-reduce once
+    locals.repartition(col("_1"))
+      .mapPartitions(localTopK)
+      .toDF("source", "doc_id", "n_chars")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,

@@ -121,6 +121,15 @@ class CurationSpec extends SparkSuite {
     assert(df.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
   }
 
+  test("c4 heap twin: two-phase mapPartitions top-k equals the window form") {
+    val heap = operators.CurationOps.topkPerGroupHeap(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+    val window = q("c4_topk_per_group")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+    assert(heap.exceptAll(window).count() == 0 &&
+      window.exceptAll(heap).count() == 0)
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))

@@ -16,14 +16,17 @@ class OperatorSpec extends SparkSuite {
   }
 
   test("every query has a unique name and runs non-empty or empty-by-design") {
-    val names = Seq(operators.WindowAggs, operators.StatefulTwins,
-      operators.Joins, operators.EnvelopeOps, operators.TextOps,
-      operators.DedupOps, operators.VectorOps, operators.Multimodal,
-      operators.Serving).flatMap(_.queries.keys)
-    assert(names.distinct.size == names.size, "duplicate query names")
-    // empty-at-tiny-scale by design: no exact dups / 8-day gaps / orderless customers
+    // every registered query, from the same registry the driver uses;
+    // a name collision across modules would silently drop a query in
+    // the flatMap.toMap, so compare against the per-module sum
+    val perModule = SparkEntry.modules.map(_.queries.size).sum
+    assert(SparkEntry.queries.size == perModule,
+      "duplicate query name across modules")
+    val names = SparkEntry.queries.keys.toSeq
+    // empty-at-tiny-scale by design: no exact dups / 8-day gaps /
+    // orderless customers / no sub-threshold simhash pairs at sf0.001
     val mayBeEmpty = Set("d1_exact_dup_groups", "a8_back_visitors",
-      "j7_anti_customers")
+      "j7_anti_customers", "d6_simhash_near_pairs")
     names.foreach { n =>
       val c = q(n).count()
       assert(c >= 0 && (c > 0 || mayBeEmpty(n)), s"$n unexpectedly empty")
