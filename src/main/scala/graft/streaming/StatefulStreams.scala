@@ -51,6 +51,23 @@ object StatefulStreams {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"))
 
+  /** W5+ streaming session windows: 30-minute-gap sessions per user —
+    * the stateful merge (touching sessions coalesce as events arrive)
+    * that the batch w5_session_window computes in one pass; append mode
+    * emits a session only once the watermark passes its close. */
+  def sessionCounts(s: SparkSession, dir: String): DataFrame =
+    eventStream(s, dir)
+      .withColumn("et", timestamp_seconds(nsToSec(col("ts"))))
+      .withWatermark("et", "3 seconds")
+      .groupBy(session_window(col("et"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("event_ct"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("user_id"), col("event_ct"))
+
   /** A8 streaming twin: emit (user, date) exactly once per day-first
     * event, carrying lastVisitDate in GroupState (ValueState + TTL 1 day
     * ≈ ProcessingTimeTimeout; dates only move forward per the reference's

@@ -80,6 +80,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming session windows: closed sessions equal the batch merge") {
+    val streamed = runStream(
+      StatefulStreams.sessionCounts(spark, sf), "session_counts", "append")
+    val e = Tables(spark, sf, "events")
+    val batch = e
+      .withColumn("et", timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts"))))
+      .groupBy(session_window(col("et"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("event_ct"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("user_id"), col("event_ct"))
+    // append emits only sessions CLOSED by the final watermark
+    val wm = e.agg(max(timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts")))) - expr("INTERVAL 3 SECONDS"))
+      .head.getTimestamp(0)
+    val closed = batch.filter(
+      to_timestamp(col("session_end"), "yyyy-MM-dd HH:mm:ss") <= lit(wm))
+    assert(streamed.exceptAll(closed).count() == 0 &&
+      closed.exceptAll(streamed).count() == 0)
+    // nothing beyond the open tail is missing
+    assert(batch.exceptAll(streamed).count() <=
+      batch.filter(to_timestamp(col("session_end"),
+        "yyyy-MM-dd HH:mm:ss") > lit(wm)).count())
+  }
+
   test("streaming as-of keyed state matches the batch window as-of (j10)") {
     val streamed = runStream(
       StatefulStreams.asofAttributionStream(spark, sf), "asof_stream",
