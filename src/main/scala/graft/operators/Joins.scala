@@ -159,7 +159,22 @@ object Joins extends QueryModule {
     "j6_config_route" -> configRoute,
     "j7_anti_customers" -> custNoOrders,
     "j8_semi_parts_sold" -> partsSold,
-    "j10_asof_attribution" -> asofAttribution)
+    "j10_asof_attribution" -> asofAttribution,
+    "j11_struct_dic_lookup" -> structDicLookup)
+
+  /** S4/§1.3 ROW type: the HBase dimension row shape — one column family
+    * packed as a nested struct (`info ROW<dic_name STRING>`,
+    * BaseSQLApp.java:71-78) — accessed through the struct path
+    * `dic.info.dic_name` (DwdTradeOrderRefund.java:80-82) after a
+    * broadcast lookup join. */
+  private def structDicLookup(s: SparkSession, dir: String): DataFrame = {
+    val dic = Tables(s, dir, "region")
+      .select(col("r_regionkey").as("dic_code"),
+        struct(col("r_name").as("dic_name")).as("info"))
+    Tables(s, dir, "nation")
+      .join(broadcast(dic), col("n_regionkey") === col("dic_code"))
+      .select(col("n_name"), col("info.dic_name").as("region_name"))
+  }
 
   /** J10 (beyond-reference; the canonical as-of join Spark lacks as a
     * primitive): each purchase event matched to the user's latest view
@@ -191,6 +206,9 @@ object Joins extends QueryModule {
   }
 
   val oracles = Map(
+    "j11_struct_dic_lookup" ->
+      """SELECT n_name, r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "j10_asof_attribution" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
         |           FROM events WHERE event_type = 'purchase'),
