@@ -195,7 +195,11 @@ object CurationOps extends QueryModule {
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
     "c3_hash_split" -> hashSplit,
-    "c4_topk_per_group" -> topkPerGroup)
+    "c4_topk_per_group" -> topkPerGroup,
+    // the heap twin is oracle-checked against the SAME SQL as c4: two
+    // physically different plans (rank window vs two-phase mapPartitions
+    // heap), one semantic contract
+    "x3_topk_heap" -> ((s, dir) => topkPerGroupHeap(s, dir)))
 
   // ---- oracles ----------------------------------------------------------
 
@@ -263,10 +267,13 @@ object CurationOps extends QueryModule {
          |       count(*) AS doc_ct, sum(n_tokens) AS tok_sum,
          |       count(DISTINCT source) AS source_ct
          |FROM b GROUP BY 1""".stripMargin,
-    "c4_topk_per_group" ->
-      """SELECT source, doc_id, n_chars, rk FROM (
-        |  SELECT source, doc_id, n_chars,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY n_chars DESC, doc_id) AS rk
-        |  FROM documents) WHERE rk <= 3""".stripMargin)
+    "c4_topk_per_group" -> topkSql,
+    "x3_topk_heap" -> topkSql)
+
+  private lazy val topkSql: String =
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents) WHERE rk <= 3""".stripMargin
 }

@@ -55,9 +55,13 @@ object DedupOps extends QueryModule {
       h => (h * lit(aK(k)) + lit(bK(k))) % lit(P))).as(s"mh$k")
 
   /** Per-doc minhash signature columns mh0..mh{K-1} from distinct tokens:
-    * one md5 per token, K integer permutations, zero shuffles. */
+    * one md5 per token, K integer permutations. The scan is one parquet
+    * row group (= one partition), so the md5-heavy map is spread first —
+    * the only shuffle in the stage, of the raw 5000-row table. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
     d.select(col("doc_id"), col("source"),
         transform(array_distinct(tokenize(col("text"))),
           t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("hs"))
