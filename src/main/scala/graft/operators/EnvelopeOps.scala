@@ -245,7 +245,37 @@ object EnvelopeOps extends QueryModule {
           .as("is_current"))
   }
 
+  /** Data-quality audit — the health gate every warehouse layer runs
+    * before publishing: row count, null ratios, key-uniqueness and
+    * referential-orphan counts, in two scans + one anti-join (each
+    * metric a conditional aggregate, no per-metric pass). */
+  private def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val liStats = li.agg(
+      count(lit(1)).as("row_ct"),
+      count(when(col("l_returnflag").isNull, 1)).as("null_returnflag_ct"),
+      countDistinct(col("l_orderkey"), col("l_linenumber"))
+        .as("key_distinct_ct"))
+      .withColumn("dup_key_ct", col("row_ct") - col("key_distinct_ct"))
+      .withColumn("table_name", lit("lineitem"))
+    val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"),
+      "left_anti")
+    val oStats = o.agg(
+      count(lit(1)).as("row_ct"),
+      count(when(col("o_orderpriority").isNull, 1))
+        .as("null_returnflag_ct"),
+      countDistinct(col("o_orderkey")).as("key_distinct_ct"))
+      .withColumn("dup_key_ct", col("row_ct") - col("key_distinct_ct"))
+      .withColumn("table_name", lit("orders"))
+    liStats.unionByName(oStats)
+      .crossJoin(orphans.agg(count(lit(1)).as("orphan_line_ct")))
+      .select(col("table_name"), col("row_ct"), col("null_returnflag_ct"),
+        col("key_distinct_ct"), col("dup_key_ct"), col("orphan_line_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "p14_dq_audit" -> dqAudit,
     "k6_scd2_history" -> scd2History,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
@@ -256,6 +286,34 @@ object EnvelopeOps extends QueryModule {
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
   val oracles = Map(
+    "p14_dq_audit" ->
+      """WITH li AS (
+        |  SELECT count(*) AS row_ct,
+        |         count(CASE WHEN l_returnflag IS NULL THEN 1 END)
+        |           AS null_returnflag_ct,
+        |         count(DISTINCT (l_orderkey, l_linenumber))
+        |           AS key_distinct_ct,
+        |         'lineitem' AS table_name
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT count(*) AS row_ct,
+        |         count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+        |           AS null_returnflag_ct,
+        |         count(DISTINCT o_orderkey) AS key_distinct_ct,
+        |         'orders' AS table_name
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS orphan_line_ct FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |u AS (
+        |  SELECT table_name, row_ct, null_returnflag_ct, key_distinct_ct
+        |  FROM li
+        |  UNION ALL
+        |  SELECT table_name, row_ct, null_returnflag_ct, key_distinct_ct
+        |  FROM o)
+        |SELECT table_name, row_ct, null_returnflag_ct, key_distinct_ct,
+        |       row_ct - key_distinct_ct AS dup_key_ct, orphan_line_ct
+        |FROM u CROSS JOIN orph""".stripMargin,
     "k6_scd2_history" ->
       """WITH v AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
