@@ -264,7 +264,7 @@ object CurationOps extends QueryModule {
          |  FROM documents)
          |SELECT CASE WHEN bucket < 70 THEN 'train'
          |            WHEN bucket < 85 THEN 'val' ELSE 'test' END AS split,
-         |       count(*) AS doc_ct, sum(n_tokens) AS tok_sum,
+         |       count(*) AS doc_ct, CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
          |       count(DISTINCT source) AS source_ct
          |FROM b GROUP BY 1""".stripMargin,
     "c4_topk_per_group" -> topkSql,
