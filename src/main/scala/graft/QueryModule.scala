@@ -16,6 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Drop any memoized/persisted intermediates this module holds. The
+    * bench harness calls this at family boundaries so cached blocks built
+    * by one query family cannot distort the timings of the next; modules
+    * without memos inherit the no-op. Correctness is unaffected — a later
+    * call simply rebuilds the intermediate. */
+  def release(): Unit = ()
 }
 
 /** Parquet table loader for the driver-generated testdata star schema. */

@@ -36,49 +36,84 @@ object CurationOps extends QueryModule {
   val qualityThreshold = 0.35
 
   /** (id, label) per node of the near-dup pair graph: label = min doc_id
-    * of the connected component, computed by min-label propagation to a
-    * fixpoint. Memoized: c1 and c2 both consume it and the loop runs
-    * Spark jobs (sum-convergence check per round — labels only decrease,
-    * so an unchanged sum means a fixpoint). */
+    * of the connected component, computed with the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * (agg + join) shuffles over the edge list, and the round count is
+    * O(log² n) — independent of component diameter, unlike plain
+    * min-label propagation whose O(diameter) driver-synchronized loop is
+    * the latency killer on long chains at 100 TB. Memoized: c1 and c2
+    * both consume it. */
   private val labelMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+
+  /** Observed round count of the last clusterLabels computation (a round
+    * = one large-star + one small-star); spec-asserted O(log² n). */
+  private[graft] var lastRounds: Int = 0
+
+  /** large-star: per node u with m = min(Γ(u) ∪ {u}), connect every
+    * strictly-larger neighbor to m. Output edges all satisfy src > dst. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = und.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+    und.join(mins, col("src") === col("u"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** small-star on a large→small directed edge set: per node u with
+    * smaller neighbors Γ(u) and m = min(Γ(u)), connect u and every
+    * non-min smaller neighbor to m. Keeps src > dst. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("u"), col("m"))
+    val fromNbrs = edges.join(mins, col("src") === col("u"))
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val fromSelf = mins.select(col("u").as("src"), col("m").as("dst"))
+    fromNbrs.union(fromSelf).distinct()
+  }
 
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     labelMemo.getOrElseUpdate((s, dir), {
       val pairs = DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
-      // localCheckpoint (eager) after every round: without it each
-      // iteration's logical plan embeds the whole lineage of all prior
-      // rounds and Catalyst analysis dominates the runtime (47 s → ~4 s
-      // at sf0.1). On a cluster this is `checkpoint` to reliable storage.
-      val edges = pairs
-        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      // localCheckpoint (eager) per round: without it each iteration's
+      // plan embeds the whole lineage of all prior rounds and Catalyst
+      // analysis dominates. On a cluster this is `checkpoint` to
+      // reliable storage.
+      var edges = pairs.filter(col("a_id") =!= col("b_id"))
         .toDF("src", "dst").localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
-      var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L)))
-        .head.getLong(0)
-      var done = false
+      var done = edges.isEmpty
       var iter = 0
-      while (!done && iter < 50) {
-        val prop = edges
-          .join(labels.select(col("id").as("sid"), col("label").as("slabel")),
-            col("src") === col("sid"))
-          .groupBy(col("dst")).agg(min(col("slabel")).as("nlabel"))
-        val next = labels.as("l")
-          .join(prop, col("l.id") === col("dst"), "left")
-          .select(col("l.id").as("id"),
-            least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
-              .as("label"))
-          .localCheckpoint(true)
-        val nextSum = next.agg(coalesce(sum(col("label")), lit(0L)))
-          .head.getLong(0)
-        labels = next
-        done = nextSum == prevSum
-        prevSum = nextSum
+      while (!done && iter < 30) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        // exact fixpoint test: both sets are distinct, so equal counts
+        // plus an equal-count distinct union means set equality
+        val (pc, nc) = (edges.count(), next.count())
+        done = pc == nc && edges.union(next).distinct().count() == nc
+        edges = next
         iter += 1
       }
-      labels
+      lastRounds = iter
+      // at the fixpoint the edge set is a star per component: every
+      // non-min node points at the component min; the min nodes appear
+      // only as dst, and label themselves
+      val roots = edges.select(col("dst").as("id")).distinct()
+        .join(edges.select(col("src")).distinct(),
+          col("id") === col("src"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      edges.select(col("src").as("id"), col("dst").as("label"))
+        .union(roots)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
     })
+
+  override def release(): Unit = {
+    labelMemo.values.foreach(_.unpersist(false))
+    labelMemo.clear()
+  }
 
   /** c1: near-duplicate clusters — connected components of the verified
     * d3 pair graph; cluster id = min member doc_id. */

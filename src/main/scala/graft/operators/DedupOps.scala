@@ -75,8 +75,19 @@ object DedupOps extends QueryModule {
 
   /** Candidate pairs from LSH banding (distinct over bands, a < b). */
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir), candidatePairsUncached(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo.getOrElseUpdate((s, dir), {
+      val df = candidatePairsUncached(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: build cost charged to the first consumer
+      df
+    })
+
+  override def release(): Unit = {
+    memo.values.foreach(_.unpersist(false))
+    memo.clear()
+    simhashMemo.values.foreach(_.unpersist(false))
+    simhashMemo.clear()
+  }
 
   private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
@@ -187,9 +198,11 @@ object DedupOps extends QueryModule {
       // documents.parquet is one row group → one input partition; spread
       // the persisted signatures so the d6 broadcast-probe (≈19M pair
       // evaluations at sf0.1) parallelizes instead of running one task
-      withHs.select(col("doc_id"), simhash.as("simhash"))
+      val df = withHs.select(col("doc_id"), simhash.as("simhash"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: build cost charged to the first consumer
+      df
     })
 
   /** d4: the SimHash signature table with its 8-bit hamming-bucket bands

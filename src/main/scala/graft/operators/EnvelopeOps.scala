@@ -89,10 +89,20 @@ object EnvelopeOps extends QueryModule {
     .empty[(SparkSession, String), DataFrame]
 
   private[operators] def parsedEnvelopes(s: SparkSession, dir: String): DataFrame =
-    envMemo.getOrElseUpdate((s, dir),
-      orderEnvelopes(s, dir)
+    envMemo.getOrElseUpdate((s, dir), {
+      val df = orderEnvelopes(s, dir)
         .select(from_json(col("envelope"), odsDbSchema).as("e"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: the build cost lands in the first consumer's timing, later
+      // consumers measure steady-state reads of the cached table
+      df.count()
+      df
+    })
+
+  override def release(): Unit = {
+    envMemo.values.foreach(_.unpersist(false))
+    envMemo.clear()
+  }
 
   /** S2/P1/P3: parse the envelope stream, apply the DimApp validity ETL,
     * project map fields, and aggregate per op type. */

@@ -19,6 +19,18 @@ class CurationSpec extends SparkSuite {
       "every component has >= 2 members by construction")
   }
 
+  test("c1 large-star/small-star converges in O(log² n) rounds") {
+    operators.CurationOps.release() // force a fresh computation
+    val labels = operators.CurationOps.clusterLabels(spark, sf)
+    val n = labels.count()
+    val rounds = operators.CurationOps.lastRounds
+    val logn = math.max(1.0, math.log(n.toDouble + 1) / math.log(2))
+    // +2: one round to detect the fixpoint, one slack round
+    assert(rounds <= math.ceil(logn * logn).toInt + 2,
+      s"rounds=$rounds for n=$n nodes — not the O(log² n) contract")
+    assert(rounds >= 1 || n == 0)
+  }
+
   test("c1 cluster ids are closed under the pair relation") {
     // both endpoints of every verified pair land in the same cluster
     val labels = operators.CurationOps.clusterLabels(spark, sf)
