@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier,
+  * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  * algorithm", AofA 2007) as a typed `Aggregator` — the 100 TB-scale
+  * sibling of the exact Set accumulator in
+  * [[graft.operators.TypedAggs.DistinctCount]] (the reference's
+  * TradeProvinceOrderBean.java:40-41 acc). A register array is O(m)
+  * per group regardless of cardinality, and merge is a per-register max
+  * — associative, commutative, and therefore partition-order
+  * independent: the estimate is bit-deterministic on any cluster.
+  *
+  * p = 12 → m = 4096 byte registers (4 KB per group buffer),
+  * standard error 1.04/sqrt(m) ≈ 1.6 %.
+  */
+object HllSketch extends Aggregator[Long, Array[Byte], Long] {
+
+  val p = 12
+  val m: Int = 1 << p
+
+  /** splitmix64 finalizer (Steele/Lea/Flood, public domain) — a strong
+    * 64-bit mix so register index and rank are uniform. */
+  private[functions] def hash64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def zero: Array[Byte] = new Array[Byte](m)
+
+  def reduce(b: Array[Byte], a: Long): Array[Byte] = {
+    val h = hash64(a)
+    val idx = (h >>> (64 - p)).toInt
+    // rank = leading-zero count of the remaining 64-p bits, + 1
+    val w = h << p
+    val rho = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w))
+      .min(64 - p) + 1
+    if (rho > (b(idx) & 0xff)) b(idx) = rho.toByte
+    b
+  }
+
+  def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  def finish(b: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = b(i) & 0xff
+      sum += java.lang.Math.scalb(1.0, -r) // 2^-r
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m.toDouble * m.toDouble / sum
+    // small-range (linear counting) correction; the 64-bit hash makes
+    // the classic large-range correction unnecessary
+    val corrected =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+    math.rint(corrected).toLong
+  }
+
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

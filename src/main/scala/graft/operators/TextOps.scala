@@ -25,6 +25,20 @@ object TextOps extends QueryModule {
     * Returns ARRAY<STRING> — the UDTF's ROW<word STRING> collect. */
   def tokenize(c: Column): Column = split(c, " ")
 
+  /** CJK-capable tokenizer — the public-knowledge stand-in for the IK
+    * segmenter over the reference's actual (Chinese) domain
+    * (KeywordUtil.java:16-34): whitespace-split first; an all-ASCII token
+    * passes through, a token containing non-ASCII characters is segmented
+    * into overlapping character bigrams (the classic CJK bigram indexing
+    * unit — no dictionary, deterministic, engine-portable). Everything is
+    * codegen'd builtins (split / transform / substr), so it stays inside
+    * WholeStageCodegen like [[tokenize]]. */
+  def tokenizeMixed(c: Column): Column =
+    flatten(transform(split(c, " "), t =>
+      when(t.rlike("^[\\x00-\\x7F]*$") || length(t) <= 1, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - 1),
+          i => t.substr(i, lit(2))))))
+
   /** Normalized content fingerprint (md5 of lowercased, space-collapsed
     * text) — the exact-dedup / doc-identity key. */
   def fingerprint(c: Column): Column =
@@ -159,7 +173,33 @@ object TextOps extends QueryModule {
         posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
   }
 
+  /** Deterministic CJK phrases appended per doc for the t8 mixed-script
+    * fixture (the testdata documents are ASCII; the reference's domain is
+    * Chinese). One phrase carries an internal space so the whitespace and
+    * bigram stages compose. */
+  val cjkPhrases: Seq[String] = Seq("数据仓库", "实时计算", "流处理",
+    "大数据 分析", "spark引擎")
+
+  /** t8: mixed-script keyword counts — documents augmented with a
+    * deterministic CJK phrase keyed on doc_id, tokenized by
+    * [[tokenizeMixed]] (ASCII tokens whole, CJK tokens as overlapping
+    * character bigrams), top 30 by frequency. */
+  private def cjkTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+    val phrase = element_at(array(cjkPhrases.map(lit): _*),
+      (pmod(col("doc_id"), lit(cjkPhrases.size.toLong)) + 1).cast("int"))
+    d.select(col("doc_id"),
+        explode(tokenizeMixed(concat(col("text"), lit(" "), phrase)))
+          .as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tok_ct"),
+        countDistinct(col("doc_id")).as("doc_ct"))
+      .orderBy(col("tok_ct").desc, col("tok"))
+      .limit(30)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t8_cjk_tokens" -> cjkTokens,
     "g4_posexplode_tokens" -> posexplodeTokens,
     "t7_length_quantiles" -> lengthQuantiles,
     "t1_top_tokens" -> topTokens,
@@ -176,6 +216,25 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t8_cjk_tokens" -> {
+      val phrases = cjkPhrases.map("'" + _ + "'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text || ' ' || ([$phrases])[(doc_id % ${cjkPhrases.size}) + 1]
+         |           AS mixed
+         |  FROM documents WHERE doc_id < 200),
+         |toks AS (
+         |  SELECT doc_id, unnest(flatten(list_transform(
+         |    string_split(mixed, ' '), t ->
+         |      CASE WHEN regexp_matches(t, '^[\\x00-\\x7F]*${"$"}')
+         |                OR length(t) <= 1 THEN [t]
+         |           ELSE list_transform(range(1, length(t)),
+         |                               i -> substr(t, CAST(i AS INT), 2))
+         |      END))) AS tok
+         |  FROM d)
+         |SELECT tok, count(*) AS tok_ct, count(DISTINCT doc_id) AS doc_ct
+         |FROM toks GROUP BY 1 ORDER BY tok_ct DESC, tok LIMIT 30""".stripMargin
+    },
     "g4_posexplode_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 20)

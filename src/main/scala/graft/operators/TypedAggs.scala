@@ -45,12 +45,41 @@ object TypedAggs extends QueryModule {
         count(lit(1)).as("pv_ct"))
   }
 
+  /** a16: daily UV via the [[graft.functions.HllSketch]] HLL aggregator —
+    * the unbounded-cardinality scale path A4/A6 stop short of. The oracle
+    * checks the exact count AND the sketch's error-bound contract: hll_ok
+    * is computed from the (deterministic, partition-order-independent)
+    * estimate in Spark and stated as the constant `true` by the oracle —
+    * an estimate drifting past ±5 % flips the bit and fails the hash
+    * compare. The estimate itself is additionally bounded against exact
+    * and approx_count_distinct in the spec. */
+  private def hllUv(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val hll = udaf(graft.functions.HllSketch)
+    e.select(
+        graft.functions.Fns.curDate(graft.functions.Fns.nsToSec(col("ts")))
+          .as("cur_date"),
+        col("user_id"))
+      .groupBy("cur_date")
+      .agg(countDistinct(col("user_id")).as("exact_uv"),
+        hll(col("user_id")).as("hll_uv"))
+      .select(col("cur_date"), col("exact_uv"),
+        (abs(col("hll_uv") - col("exact_uv")).cast("double") <=
+          col("exact_uv") * lit(0.05)).as("hll_ok"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "a6_typed_aggregator" -> typedAggregator)
+    "a6_typed_aggregator" -> typedAggregator,
+    "a16_hll_uv" -> hllUv)
 
   val oracles = Map(
     "a6_typed_aggregator" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS cur_date, event_type AS ch,
         |       count(DISTINCT user_id) AS uu_ct, count(*) AS pv_ct
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a16_hll_uv" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+        |       count(DISTINCT user_id) AS exact_uv,
+        |       true AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin)
 }

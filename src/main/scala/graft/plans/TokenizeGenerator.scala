@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation. CodegenFallback is standard for Generators (generate()
   * is not whole-stage compiled; the surrounding project/filter still is).
   */
-case class TokenizeGenerator(child: Expression)
+case class TokenizeGenerator(child: Expression, cjk: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType =
@@ -34,19 +34,38 @@ case class TokenizeGenerator(child: Expression)
     if (v == null) Iterator.empty
     else {
       val s = v.asInstanceOf[UTF8String].toString
-      // lazy per-token emission — the TableFunction.collect contract
+      // lazy per-token (and, in cjk mode, per-bigram) emission — the
+      // TableFunction.collect contract; no intermediate array
       new Iterator[InternalRow] {
         private var i = 0
         private val n = s.length
+        private var tok: String = _
+        private var bi = 0 // next bigram start within a CJK token
         private def skipSpaces(): Unit = { while (i < n && s.charAt(i) == ' ') i += 1 }
-        skipSpaces()
-        def hasNext: Boolean = i < n
-        def next(): InternalRow = {
+        private def advance(): Unit = {
+          skipSpaces()
+          if (i >= n) { tok = null; return }
           val start = i
           while (i < n && s.charAt(i) != ' ') i += 1
-          val tok = s.substring(start, i)
-          skipSpaces()
-          InternalRow(UTF8String.fromString(tok))
+          tok = s.substring(start, i)
+          bi = 0
+        }
+        advance()
+        // same contract as TextOps.tokenizeMixed: all-ASCII or length<=1
+        // tokens pass through whole, others emit character bigrams
+        private def whole(t: String): Boolean =
+          !cjk || t.length <= 1 || t.forall(_ < 0x80)
+        def hasNext: Boolean = tok != null
+        def next(): InternalRow = {
+          val out =
+            if (whole(tok)) { val t = tok; advance(); t }
+            else {
+              val b = tok.substring(bi, bi + 2)
+              bi += 1
+              if (bi >= tok.length - 1) advance()
+              b
+            }
+          InternalRow(UTF8String.fromString(out))
         }
       }
     }
@@ -57,13 +76,24 @@ case class TokenizeGenerator(child: Expression)
 }
 
 object TokenizeGenerator {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize_udtf", exprs => TokenizeGenerator(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokenize_cjk_udtf",
+      exprs => TokenizeGenerator(exprs.head, cjk = true), "built-in")
+  }
 
   /** df.select(..., tokenize_udtf(text)) — the LATERAL TABLE call shape. */
   def tokens(spark: SparkSession, textCol: Column): Column = {
     register(spark)
     call_function("tokenize_udtf", textCol)
+  }
+
+  /** The CJK-capable variant — [[graft.operators.TextOps.tokenizeMixed]]
+    * semantics as a lazy Generator. */
+  def cjkTokens(spark: SparkSession, textCol: Column): Column = {
+    register(spark)
+    call_function("tokenize_cjk_udtf", textCol)
   }
 }

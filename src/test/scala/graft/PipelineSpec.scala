@@ -108,6 +108,43 @@ class PipelineSpec extends SparkSuite {
     assert(p.contains("Generate"), s"expected a Generate node:\n$p")
   }
 
+  test("CJK Generator agrees with tokenizeMixed on mixed-script text") {
+    import spark.implicits._
+    val fixtures = Seq("spark 数据仓库 engine", "实时计算", "大数据 分析 fast",
+      "all ascii only", "单", "mix数据ed token", "流处理 流处理 query")
+      .toDF("text")
+    val viaGenerator = fixtures.select(
+        graft.plans.TokenizeGenerator.cjkTokens(spark, col("text")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    val viaExplode = fixtures.select(
+        explode(graft.operators.TextOps.tokenizeMixed(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    assert(viaGenerator.exceptAll(viaExplode).count() == 0 &&
+      viaExplode.exceptAll(viaGenerator).count() == 0)
+    // a CJK run of length n emits n-1 overlapping bigrams
+    val bigrams = fixtures.filter(col("text") === "实时计算")
+      .select(explode(graft.operators.TextOps.tokenizeMixed(col("text"))))
+      .collect().map(_.getString(0))
+    assert(bigrams.toSeq == Seq("实时", "时计", "计算"))
+  }
+
+  test("HLL sketch: within error bound, partition-order independent") {
+    val e = Tables(spark, sf, "events")
+    val hll = udaf(graft.functions.HllSketch)
+    val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
+    val est = e.select(hll(col("user_id"))).head.getLong(0)
+    assert(math.abs(est - exact).toDouble <= 0.05 * exact,
+      s"hll=$est exact=$exact")
+    // register-max merge is associative/commutative: any partitioning
+    // (hence any cluster layout) yields the identical estimate
+    val est7 = e.repartition(7).select(hll(col("user_id"))).head.getLong(0)
+    val est1 = e.coalesce(1).select(hll(col("user_id"))).head.getLong(0)
+    assert(est7 == est && est1 == est)
+    // sanity vs Spark's own HLL++ at default precision
+    val acd = e.select(approx_count_distinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(acd - exact).toDouble <= 0.1 * exact)
+  }
+
   test("native cosine evaluates correctly and joins a codegen span") {
     import spark.implicits._
     val got = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
