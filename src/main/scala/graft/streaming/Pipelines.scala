@@ -62,38 +62,20 @@ object Pipelines {
     * seq LONG — total order of ops). */
   def dimMergeSink(s: SparkSession, ops: DataFrame, storeDir: String,
       checkpoint: String): StreamingQuery = {
+    val sink = new VersionedParquetMergeSink(storeDir, "id", "seq", "op",
+      Seq("payload"))
     ops.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val versions = Option(new java.io.File(storeDir).listFiles())
-          .getOrElse(Array.empty).filter(_.getName.startsWith("v"))
-          .map(_.getName.drop(1).toLong)
-        val prev: Option[DataFrame] = versions.sorted.lastOption
-          .map(v => s.read.parquet(s"$storeDir/v$v"))
-        val incoming = batch.select(col("id"), col("op"), col("payload"),
-          col("seq"))
-        val all = prev match {
-          case Some(p) => p.select(col("id"), lit("upsert").as("op"),
-            col("payload"), col("seq")).unionByName(incoming)
-          case None => incoming
-        }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("seq").desc)
-        val merged = all.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1 && col("op") =!= "delete")
-          .select(col("id"), col("payload"), col("seq"))
-        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-        ()
+        sink.merge(batch, batchId)
       }
       .start()
   }
 
   /** Latest committed version of a [[dimMergeSink]] store. */
-  def dimStore(s: SparkSession, storeDir: String): DataFrame = {
-    val v = new java.io.File(storeDir).listFiles()
-      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
-    s.read.parquet(s"$storeDir/v$v")
-  }
+  def dimStore(s: SparkSession, storeDir: String): DataFrame =
+    new VersionedParquetMergeSink(storeDir, "id", "seq", "op",
+      Seq("payload")).current(s)
 
   /** Watermarked 10 s window counts → day-partitioned parquet (append =
     * only closed windows are ever written, so the table is immutable —

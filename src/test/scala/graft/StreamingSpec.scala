@@ -173,6 +173,30 @@ class StreamingSpec extends SparkSuite {
       "left-outer emitted a matched pair the inner join does not have")
   }
 
+  test("kafka-wire seam: KeywordApp output identical to file-stream path") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables(spark, sf, "events")
+    // serialize every event through the SINK adapter, then feed the
+    // resulting (key BINARY, value BINARY) wire rows — exactly the
+    // format("kafka") schema — through the SOURCE adapter
+    val wire = graft.streaming.KafkaSeam.toKafka(events, col("event_id"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Array[Byte], Array[Byte])]
+    source.addData(wire.toSeq)
+    val kafkaShaped = source.toDF().toDF("key", "value")
+    val viaKafka = runStream(graft.streaming.KeywordApp.transform(spark,
+      graft.streaming.KafkaSeam.fromKafka(kafkaShaped, events.schema)),
+      "kw_kafka", "append")
+    val viaFile = runStream(graft.streaming.KeywordApp.transform(spark,
+      StatefulStreams.eventStream(spark, sf)), "kw_file", "append")
+    assert(viaKafka.count() > 0)
+    assert(viaKafka.exceptAll(viaFile).count() == 0 &&
+      viaFile.exceptAll(viaKafka).count() == 0,
+      "kafka-shaped source path != file-stream path")
+  }
+
   test("daily-first state survives across micro-batches (MemoryStream)") {
     import spark.implicits._
     import graft.streaming.StatefulStreams.{DailyFirst, UserEvent}
