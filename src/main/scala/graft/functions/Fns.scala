@@ -31,6 +31,9 @@ object Fns {
     * comparison must agree with microsecond-truncated semantics). */
   def nsToUs(ns: Column): Column = divFloor(ns, 1000L)
 
+  /** Epoch-nanos → epoch-millis (the reference's log `ts` unit). */
+  def nsToMs(ns: Column): Column = divFloor(ns, 1000000L)
+
   /** Tumbling event-time window start, in epoch seconds, aligned to the
     * epoch — identical semantics to Flink's TumblingEventTimeWindows /
     * Spark's window() (left-closed right-open, epoch-aligned; reference

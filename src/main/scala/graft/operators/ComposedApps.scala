@@ -15,9 +15,31 @@ import graft.functions.Oracle
   * pipeline is spec-verified (no single-result-set SQL shape). */
 object ComposedApps extends QueryModule {
 
+  /** g5: the composed DwdBaseLog output summarized per route — dirty
+    * side-output counts, the keyed is_new state machine (stated as
+    * window functions in the batch twin AND replayed in the oracle SQL),
+    * and the display/action fan-out weights. */
+  private def baselogRoutes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val app = graft.streaming.BaseLogApp
+    val fixed = app.fixBatch(app.parsed(app.logLines(s, dir))).toDF()
+    app.routeNames.map { r =>
+      val df = app.route(fixed, r)
+      if (r == "dirty")
+        df.agg(count(lit(1)).as("row_ct"))
+          .select(lit("dirty").as("route"), col("row_ct"),
+            lit(0L).as("new_ct"))
+      else
+        df.agg(count(lit(1)).as("row_ct"),
+            coalesce(sum(col("is_new")), lit(0)).cast("long").as("new_ct"))
+          .select(lit(r).as("route"), col("row_ct"), col("new_ct"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "a17_sku_order_window" ->
-      ((s, dir) => graft.streaming.SkuOrderApp.batch(s, dir)))
+      ((s, dir) => graft.streaming.SkuOrderApp.batch(s, dir)),
+    "g5_baselog_routes" -> baselogRoutes)
 
   private val wsUs = 7L * 86400L * 1000000L // 7-day tumble in micros
 
@@ -55,5 +77,45 @@ object ComposedApps extends QueryModule {
          |       CAST(a_sum AS DOUBLE) AS activity_reduce_amount,
          |       CAST(c_sum AS DOUBLE) AS coupon_reduce_amount,
          |       CAST(o_sum - a_sum - c_sum AS DOUBLE) AS order_amount
-         |FROM agg JOIN part ON sku_id = p_partkey""".stripMargin)
+         |FROM agg JOIN part ON sku_id = p_partkey""".stripMargin,
+    "g5_baselog_routes" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+         |         epoch_us(ts) // 1000 AS ts_ms
+         |  FROM events),
+         |clean AS (
+         |  SELECT *, CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS claimed,
+         |         'mid_' || CAST(user_id % 40 AS VARCHAR) AS mid,
+         |         strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS day
+         |  FROM ev WHERE event_id % 97 <> 0),
+         |fixed AS (
+         |  SELECT *,
+         |    CASE WHEN claimed = 1 AND first_value(claimed) OVER w = 1
+         |              AND day = first_value(day) OVER w
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM clean
+         |  WINDOW w AS (PARTITION BY mid ORDER BY ts_ms, event_id)),
+         |r AS (
+         |  SELECT 'err' AS route, count(*) AS row_ct,
+         |         CAST(COALESCE(sum(is_new), 0) AS BIGINT) AS new_ct
+         |  FROM fixed WHERE event_type = 'error'
+         |  UNION ALL
+         |  SELECT 'start', count(*), CAST(COALESCE(sum(is_new), 0) AS BIGINT)
+         |  FROM fixed WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT 'page', count(*), CAST(COALESCE(sum(is_new), 0) AS BIGINT)
+         |  FROM fixed WHERE event_type <> 'signup'
+         |  UNION ALL
+         |  SELECT 'display', CAST(COALESCE(sum(k % 3 + 1), 0) AS BIGINT),
+         |         CAST(COALESCE(sum(is_new * (k % 3 + 1)), 0) AS BIGINT)
+         |  FROM fixed WHERE event_type = 'view'
+         |  UNION ALL
+         |  SELECT 'action', CAST(COALESCE(sum(k % 2 + 1), 0) AS BIGINT),
+         |         CAST(COALESCE(sum(is_new * (k % 2 + 1)), 0) AS BIGINT)
+         |  FROM fixed WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT 'dirty', count(*), CAST(0 AS BIGINT)
+         |  FROM ev WHERE event_id % 97 = 0)
+         |SELECT route, row_ct, new_ct FROM r""".stripMargin)
 }
