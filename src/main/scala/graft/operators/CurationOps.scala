@@ -226,7 +226,57 @@ object CurationOps extends QueryModule {
         .orderBy(col("n_chars").desc, col("doc_id"))))
   }
 
+  /** c5: benchmark-contamination check — the decontamination pass every
+    * pretraining pipeline runs before training: flag training docs that
+    * share ≥ 3 distinct word 3-grams with any held-out eval doc
+    * (doc_id ≡ 0 mod 37 plays the benchmark set). Scale shape: shingles
+    * are hashed and joined shingle-to-shingle (a bucketed equi-join,
+    * never doc×doc), then counted per (train, eval) pair — the same
+    * never-all-pairs discipline as the LSH dedup path. */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"), tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+        .as("shingle"))
+    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    val trainSh = sh.filter(!isEval)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val evalSh = sh.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    trainSh.join(evalSh, "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(countDistinct(col("shingle")).as("shared_ct"))
+      .filter(col("shared_ct") >= 3)
+  }
+
+  /** c6: deterministic stratified sampling — per-source keep rates
+    * applied via the same md5 bucket as c3 (leakage-free, re-shard- and
+    * engine-stable; rates derived from the source name so the config
+    * rides the data). The per-source funnel report is the sampling
+    * audit a 100 TB mixture build publishes. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+        .cast(LongType), lit(100L))
+    val ratePct = lit(40) + pmod(length(col("source")), lit(3)) * 30
+    d.select(col("source"), col("doc_id"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tokens"),
+        (bucket < ratePct).as("kept"), ratePct.as("rate_pct"))
+      .groupBy(col("source"))
+      .agg(max(col("rate_pct")).as("rate_pct"),
+        count(lit(1)).as("total_ct"),
+        count(when(col("kept"), 1)).as("sampled_ct"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("sampled_tokens"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "c5_contamination" -> contamination,
+    "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
     "c3_hash_split" -> hashSplit,
@@ -258,6 +308,33 @@ object CurationOps extends QueryModule {
        |           * (CAST(1 AS BIGINT) << (4 * (4 - i)))), 'sum') AS BIGINT)""".stripMargin
 
   val oracles = Map(
+    "c5_contamination" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+        |  FROM tk),
+        |tr AS (SELECT doc_id AS train_id, shingle FROM sh
+        |       WHERE doc_id % 37 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+        |       WHERE doc_id % 37 = 0)
+        |SELECT train_id, eval_id, count(DISTINCT shingle) AS shared_ct
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3""".stripMargin,
+    "c6_stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |         ${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |         40 + (length(source) % 3) * 30 AS rate_pct
+         |  FROM documents)
+         |SELECT source, max(rate_pct) AS rate_pct, count(*) AS total_ct,
+         |       count(CASE WHEN bucket < rate_pct THEN 1 END) AS sampled_ct,
+         |       CAST(COALESCE(sum(CASE WHEN bucket < rate_pct
+         |                               THEN n_tokens ELSE 0 END), 0)
+         |            AS BIGINT) AS sampled_tokens
+         |FROM b GROUP BY 1""".stripMargin,
     "c1_dedup_clusters" ->
       s"""WITH RECURSIVE $labelCte
          |SELECT label AS cluster_id, count(*) AS member_ct,
