@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.QueryModule
 import graft.functions.Oracle
 
@@ -21,19 +21,31 @@ object ComposedApps extends QueryModule {
     * and the display/action fan-out weights. */
   private def baselogRoutes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val app = graft.streaming.BaseLogApp
     val fixed = app.fixBatch(app.parsed(app.logLines(s, dir))).toDF()
-    app.routeNames.map { r =>
-      val df = app.route(fixed, r)
-      if (r == "dirty")
-        df.agg(count(lit(1)).as("row_ct"))
-          .select(lit("dirty").as("route"), col("row_ct"),
-            lit(0L).as("new_ct"))
-      else
-        df.agg(count(lit(1)).as("row_ct"),
-            coalesce(sum(col("is_new")), lit(0)).cast("long").as("new_ct"))
-          .select(lit(r).as("route"), col("row_ct"), col("new_ct"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the fixed records: each record contributes a
+    // (route, weight) list — err copy, start XOR page, display/action
+    // fan-out weights — exploded and aggregated once, instead of
+    // replaying the parse + state-machine lineage per route (6×)
+    def c(route: String, w: Column) =
+      struct(lit(route).as("route"), w.cast(LongType).as("w"))
+    val contribs = array(
+      when(col("dirty"), c("dirty", lit(1L))),
+      when(!col("dirty") && col("has_err"), c("err", lit(1L))),
+      when(!col("dirty") && col("has_start"), c("start", lit(1L))),
+      when(!col("dirty") && !col("has_start"), c("page", lit(1L))),
+      when(!col("dirty") && !col("has_start"),
+        c("display", size(col("displays")))),
+      when(!col("dirty") && !col("has_start"),
+        c("action", size(col("actions")))))
+    fixed
+      .select(col("is_new"),
+        explode(filter(contribs, x => x.isNotNull && x("w") > 0)).as("x"))
+      .groupBy(col("x.route").as("route"))
+      .agg(sum(col("x.w")).as("row_ct"),
+        sum(when(col("x.route") === "dirty", 0L)
+          .otherwise(col("is_new") * col("x.w"))).as("new_ct"))
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](

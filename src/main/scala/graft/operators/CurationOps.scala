@@ -86,15 +86,17 @@ object CurationOps extends QueryModule {
       // reliable storage.
       var edges = pairs.filter(col("a_id") =!= col("b_id"))
         .toDF("src", "dst").localCheckpoint(true)
-      var done = edges.isEmpty
+      var prevCount = edges.count()
+      var done = prevCount == 0
       var iter = 0
       while (!done && iter < 30) {
         val next = smallStar(largeStar(edges)).localCheckpoint(true)
         // exact fixpoint test: both sets are distinct, so equal counts
         // plus an equal-count distinct union means set equality
-        val (pc, nc) = (edges.count(), next.count())
-        done = pc == nc && edges.union(next).distinct().count() == nc
+        val nc = next.count()
+        done = prevCount == nc && edges.union(next).distinct().count() == nc
         edges = next
+        prevCount = nc
         iter += 1
       }
       lastRounds = iter

@@ -158,21 +158,22 @@ object BaseLogApp {
 
   /** Batch twin of the state machine: fixed = claimed ∧ the mid's first
     * record (by ts, event_id) claimed 1 ∧ same day as that first record.
-    * Dirty records are excluded from the ordering, as in the stream. */
+    * Single scan: dirty records parse to mid = "" (no clean record can
+    * have it), so they sit in their own window partition and pass
+    * through untouched — no second scan of the parse lineage. */
   def fixBatch(recs: Dataset[LogRec]): Dataset[LogRec] = {
     import recs.sparkSession.implicits._
     val w = Window.partitionBy(col("mid"))
       .orderBy(col("ts_ms"), col("event_id"))
     val day = date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd")
-    recs.filter(!col("dirty"))
+    recs.toDF()
       .withColumn("first_claim", first(col("is_new")).over(w))
-      .withColumn("first_day",
-        first(day).over(w))
+      .withColumn("first_day", first(day).over(w))
       .withColumn("is_new",
-        when(col("is_new") === 1 && col("first_claim") === 1 &&
-          day === col("first_day"), 1).otherwise(0))
+        when(col("dirty"), col("is_new"))
+          .otherwise(when(col("is_new") === 1 && col("first_claim") === 1 &&
+            day === col("first_day"), 1).otherwise(0)))
       .drop("first_claim", "first_day")
-      .unionByName(recs.filter(col("dirty")).toDF())
       .as[LogRec]
   }
 
