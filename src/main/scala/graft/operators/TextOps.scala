@@ -198,7 +198,52 @@ object TextOps extends QueryModule {
       .limit(30)
   }
 
+  /** t9: winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS local-fingerprint scheme): token hashes → polynomial
+    * rolling hash over k=4-token grams → min of each w=5 window →
+    * distinct mins per doc, rolled up per source as total vs distinct
+    * fingerprint mass (the local-overlap dedup signal whole-doc md5
+    * can't see).
+    *
+    * Shape: ROW-wise, not nested array lambdas — posexplode tokens, one
+    * codegen'd md5 per row, the rolling hash via lead() and the winnow
+    * min via a sliding window frame (two passes over one per-doc
+    * window sort). Nested transform() lambdas here would collapse into
+    * one expression whose every winnow element re-evaluates the k-gram
+    * array and in turn the whole hash array — O(n³) interpreted eval
+    * per doc (measured: one 690 s task at sf0.1 vs ~1 s for this
+    * form). Docs shorter than k+w-1 tokens carry no full window and
+    * are excluded. */
+  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val A = 31L
+    val P = 4294967291L // prime < 2^32: h*31^3 stays < 2^63
+    val d = Tables(s, dir, "documents")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    d.select(col("source"), col("doc_id"),
+        posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h1", lead(col("h"), 1).over(wOrd))
+      .withColumn("h2", lead(col("h"), 2).over(wOrd))
+      .withColumn("h3", lead(col("h"), 3).over(wOrd))
+      .filter(col("h3").isNotNull) // pos now indexes the 4-gram start
+      .withColumn("kh",
+        (col("h") * lit(A * A * A) + col("h1") * lit(A * A) +
+          col("h2") * lit(A) + col("h3")) % lit(P))
+      .withColumn("wmin", min(col("kh")).over(wOrd.rowsBetween(0, 4)))
+      .withColumn("mx", max(col("pos")).over(wDoc))
+      .filter(col("pos") <= col("mx") - 4) // full 5-windows only
+      .select(col("source"), col("doc_id"), col("wmin")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("fp_total"),
+        countDistinct(col("wmin")).as("fp_distinct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t9_winnow_fingerprints" -> winnowFingerprints,
     "t8_cjk_tokens" -> cjkTokens,
     "g4_posexplode_tokens" -> posexplodeTokens,
     "t7_length_quantiles" -> lengthQuantiles,
@@ -216,6 +261,29 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t9_winnow_fingerprints" -> {
+      val hexToInt = DedupOps.hexToIntSql("t")
+      s"""WITH hs AS (
+         |  SELECT source, doc_id,
+         |         list_transform(string_split(text, ' '),
+         |                        t -> $hexToInt) AS hs
+         |  FROM documents),
+         |kg AS (
+         |  SELECT source, doc_id,
+         |         list_transform(range(1, len(hs) - 3 + 1),
+         |           i -> (hs[i] * ${31L * 31 * 31} + hs[i+1] * ${31L * 31} +
+         |                 hs[i+2] * 31 + hs[i+3]) % 4294967291) AS kg
+         |  FROM hs WHERE len(hs) >= 8),
+         |fps AS (
+         |  SELECT source, doc_id,
+         |         list_distinct(list_transform(range(1, len(kg) - 4 + 1),
+         |           j -> list_aggregate(kg[j:j+4], 'min'))) AS fps
+         |  FROM kg)
+         |SELECT source, count(*) AS fp_total,
+         |       count(DISTINCT fp) AS fp_distinct
+         |FROM (SELECT source, unnest(fps) AS fp FROM fps)
+         |GROUP BY 1""".stripMargin
+    },
     "t8_cjk_tokens" -> {
       val phrases = cjkPhrases.map("'" + _ + "'").mkString(", ")
       s"""WITH d AS (

@@ -173,6 +173,30 @@ class StreamingSpec extends SparkSuite {
       "left-outer emitted a matched pair the inner join does not have")
   }
 
+  test("HLL sketch aggregates identically in a streaming window") {
+    val hll = udaf(graft.functions.HllSketch)
+    def agged(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("et", timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts"))))
+      .withWatermark("et", "3 seconds")
+      .groupBy(window(col("et"), "10 minutes"))
+      .agg(hll(col("user_id")).as("uv"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("stt"), col("window.end").as("edt"), col("uv"))
+    val streamed = runStream(
+      agged(StatefulStreams.eventStream(spark, sf)), "hll_win", "append")
+    val e = Tables(spark, sf, "events")
+    val wm = e.agg(max(timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts")))) -
+      expr("INTERVAL 3 SECONDS")).head.getTimestamp(0)
+    val closed = agged(e).filter(col("edt") <= lit(wm))
+    assert(streamed.count() > 0)
+    // register-max merge is deterministic: closed-window estimates are
+    // BIT-equal between the incremental (state-store) and batch paths
+    assert(streamed.exceptAll(closed).count() == 0 &&
+      closed.exceptAll(streamed).count() == 0)
+  }
+
   test("kafka-wire seam: KeywordApp output identical to file-stream path") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
