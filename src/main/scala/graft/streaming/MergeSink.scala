@@ -41,9 +41,15 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
     seqCol: String, opCol: String, payloadCols: Seq[String])
     extends MergeSink {
 
+  /** Only versions whose Hadoop committer wrote the _SUCCESS marker are
+    * visible — a torn write (crash mid-commit) leaves a version dir
+    * without the marker and readers skip it, the minimum crash-safety
+    * slice of the lakehouse commit protocol (full ACID still needs the
+    * real table format — see the class doc). */
   private def versions: Seq[Long] =
     Option(new java.io.File(storeDir).listFiles())
       .getOrElse(Array.empty).toSeq
+      .filter(d => new java.io.File(d, "_SUCCESS").exists())
       .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
 
   def merge(batch: DataFrame, batchId: Long): Unit = {

@@ -40,6 +40,23 @@ object StatefulStreams {
     s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
   }
 
+  /** W4: processing-time tumbling window — the reference's
+    * TumblingProcessingTimeWindows (DwsTradeSkuOrderWindow.java:274).
+    * Spark form: a window over the processing-time stamp (the
+    * per-micro-batch current_timestamp), no watermark (processing time
+    * never arrives late). Results depend on wall-clock arrival —
+    * inherently nondeterministic — so the verified contract is
+    * STRUCTURAL (every row lands in exactly one window, totals are
+    * conserved; StreamingSpec) and the deterministic event-time twin
+    * (W1-W3) stays the oracle-checked path. */
+  def processingTimeCounts(s: SparkSession, dir: String): DataFrame =
+    eventStream(s, dir)
+      .withColumn("pt", current_timestamp())
+      .groupBy(window(col("pt"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("pv_ct"))
+
   /** W2/W3/A1: watermarked 10 s tumbling window counts per event_type. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame =
     eventStream(s, dir)

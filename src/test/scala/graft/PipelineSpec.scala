@@ -71,6 +71,16 @@ class PipelineSpec extends SparkSuite {
       .select(col("id"), col("payload")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(state == Map(2L -> 6.0, 3L -> 7.0), s"bad final dim state: $state")
+
+    // crash-safety slice: a torn version (no _SUCCESS marker) is
+    // invisible to readers — current() keeps serving the last COMMITTED
+    // version
+    val torn = new java.io.File(s"$store/v99")
+    torn.mkdirs()
+    val after = Pipelines.dimStore(spark, store)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == state, "torn version directory must be skipped")
   }
 
   test("a6 typed aggregator agrees with builtin countDistinct") {

@@ -173,6 +173,18 @@ class StreamingSpec extends SparkSuite {
       "left-outer emitted a matched pair the inner join does not have")
   }
 
+  test("W4 processing-time window conserves every row (structural)") {
+    val streamed = runStream(
+      StatefulStreams.processingTimeCounts(spark, sf), "pt_win", "update")
+    // update mode may emit a key several times (counts only grow) —
+    // the latest value per (window, type) is the max
+    val total = streamed.groupBy(col("wstart"), col("event_type"))
+      .agg(max(col("pv_ct")).as("pv_ct"))
+      .agg(sum(col("pv_ct"))).head.getLong(0)
+    assert(total == Tables(spark, sf, "events").count(),
+      "processing-time windows must conserve the input rows")
+  }
+
   test("HLL sketch aggregates identically in a streaming window") {
     val hll = udaf(graft.functions.HllSketch)
     def agged(df: org.apache.spark.sql.DataFrame) = df
