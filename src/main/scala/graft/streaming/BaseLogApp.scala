@@ -223,4 +223,29 @@ object BaseLogApp {
   /** Batch twin of one route over the same synthesized log. */
   def batchRoute(s: SparkSession, dir: String, name: String): DataFrame =
     route(fixBatch(parsed(logLines(s, dir))).toDF(), name)
+
+  /** The DWD→DWS chaining contract (the reference's layered topology:
+    * DwdBaseLog writes topic_dwd_traffic_page, DwsTrafficVcChArIsNew
+    * PageViewWindow.java:48-60 consumes it): the page-route STORE written
+    * by [[run]] is itself a streaming source for the downstream
+    * (ch, is_new) 10 s page-view window — watermarked tumble over the
+    * route's own ts_ms, exactly the A2 bean-window shape. */
+  def pageViewWindow(s: SparkSession, pageDir: String): DataFrame = {
+    val schema = s.read.parquet(pageDir).schema
+    val src = s.readStream.schema(schema)
+      .option("basePath", pageDir).parquet(s"$pageDir/*")
+    pageViewAgg(src)
+  }
+
+  /** Shared downstream aggregation (stream or batch page-route input). */
+  def pageViewAgg(page: DataFrame): DataFrame =
+    page
+      .withColumn("et", timestamp_millis(col("ts_ms")))
+      .withWatermark("et", "3 seconds")
+      .groupBy(window(col("et"), "10 seconds"), col("ch"), col("is_new"))
+      .agg(count(lit(1)).as("pv_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("window.end").as("edt"), col("ch"), col("is_new"),
+        col("pv_ct"))
 }

@@ -56,5 +56,24 @@ class BaseLogAppSpec extends SparkSuite {
     val fixedOnes = page.filter(col("is_new") === 1).count() +
       start.filter(col("is_new") === 1).count()
     assert(fixedOnes < claimedOnes, "is_new fix should demote repeats")
+
+    // DWD→DWS chaining: the page-route store feeds the downstream
+    // windowed DWS app AS A STREAM, reconciled against the batch twin
+    // on closed windows — the reference's layered topic topology
+    val sq2 = BaseLogApp.pageViewWindow(spark, s"$out/page")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pv_win").start()
+    sq2.processAllAvailable()
+    sq2.stop()
+    val streamedWin = spark.table("pv_win")
+    val pageBatch = BaseLogApp.batchRoute(spark, sf, "page")
+    val wm = pageBatch.agg(max(timestamp_millis(col("ts_ms"))) -
+      expr("INTERVAL 3 SECONDS")).head.getTimestamp(0)
+    val closedWin = BaseLogApp.pageViewAgg(pageBatch)
+      .filter(col("edt") <= lit(wm))
+    assert(streamedWin.count() > 0)
+    assert(streamedWin.exceptAll(closedWin).count() == 0 &&
+      closedWin.exceptAll(streamedWin).count() == 0,
+      "chained DWS window != batch twin on closed windows")
   }
 }
