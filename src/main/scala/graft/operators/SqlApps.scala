@@ -198,7 +198,56 @@ object SqlApps extends QueryModule {
       """)
   }
 
+  /** DwdTradeOrderCancelDetail (DwdTradeOrderCancelDetail.java:36-118)
+    * as SQL text: the topic_db envelope view filtered to the 1001→1003
+    * status transition (`old`/`data` map predicates — the P4 idiom),
+    * joined to the order-detail fact on order_id and stamped with the
+    * cancel time — the upsert-kafka output row shape. Uses the same
+    * deterministic transition fixture as s2/p4 (status O, even keys
+    * cancel 1001→1003). */
+  private def dwdOrderCancel(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("order_info_src")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_src")
+    s.sql("""
+      WITH topic_db AS (
+        SELECT 'order_info' AS `table`,
+               CASE WHEN o_orderstatus = 'O' THEN 'update'
+                    ELSE 'insert' END AS `type`,
+               map('id', CAST(o_orderkey AS STRING),
+                   'order_status',
+                   CASE WHEN o_orderkey % 2 = 0 THEN '1003' ELSE '1005' END,
+                   'operate_time',
+                   date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')) AS data,
+               map('order_status',
+                   CASE WHEN o_orderkey % 2 = 0 THEN '1001' ELSE '1002' END)
+                 AS `old`,
+               unix_timestamp(o_orderdate) AS ts
+        FROM order_info_src),
+      order_cancel AS (
+        SELECT data['id'] AS id, data['operate_time'] AS operate_time, ts
+        FROM topic_db
+        WHERE `table` = 'order_info' AND `type` = 'update'
+          AND `old`['order_status'] = '1001'
+          AND data['order_status'] = '1003'),
+      od AS (
+        SELECT CONCAT(CAST(l_orderkey AS STRING), '-',
+                      CAST(l_linenumber AS STRING)) AS id,
+               CAST(l_orderkey AS STRING) AS order_id,
+               CAST(l_partkey AS STRING) AS sku_id,
+               CAST(l_quantity AS STRING) AS sku_num,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS split_original_amount
+        FROM lineitem_src)
+      SELECT od.id, od.order_id, od.sku_id, od.sku_num,
+             od.split_original_amount,
+             substr(oc.operate_time, 1, 10) AS order_cancel_date_id,
+             oc.operate_time, oc.ts
+      FROM od JOIN order_cancel oc ON od.order_id = oc.id
+      """)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "sql_dwd_order_cancel" -> dwdOrderCancel,
     "sql_dwd_order_detail" -> dwdOrderDetail,
     "sql_dwd_comment_info" -> dwdCommentInfo,
     "sql_province_rollup" -> sqlProvinceRollup,
@@ -206,6 +255,19 @@ object SqlApps extends QueryModule {
     "sql_dwd_cart_add" -> dwdCartAdd)
 
   val oracles = Map(
+    "sql_dwd_order_cancel" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |         CAST(l_linenumber AS VARCHAR) AS id,
+        |       CAST(l_orderkey AS VARCHAR) AS order_id,
+        |       CAST(l_partkey AS VARCHAR) AS sku_id,
+        |       CAST(l_quantity AS VARCHAR) AS sku_num,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS split_original_amount,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_cancel_date_id,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS operate_time,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS ts
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0""".stripMargin,
     "sql_dwd_order_detail" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
         |       CAST(l_orderkey AS VARCHAR) AS order_id,

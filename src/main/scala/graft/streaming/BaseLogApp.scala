@@ -167,8 +167,9 @@ object BaseLogApp {
       .orderBy(col("ts_ms"), col("event_id"))
     val day = date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd")
     recs.toDF()
-      .withColumn("first_claim", first(col("is_new")).over(w))
-      .withColumn("first_day", first(day).over(w))
+      // both firsts in ONE projection → one Window node, one pass
+      .select(col("*"), first(col("is_new")).over(w).as("first_claim"),
+        first(day).over(w).as("first_day"))
       .withColumn("is_new",
         when(col("dirty"), col("is_new"))
           .otherwise(when(col("is_new") === 1 && col("first_claim") === 1 &&

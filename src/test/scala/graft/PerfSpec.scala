@@ -154,6 +154,26 @@ class PerfSpec extends SparkSuite {
     }
   }
 
+  test("t9 winnow plan: row-wise, one doc-key exchange, no re-sort") {
+    val plan = q("t9_winnow_fingerprints").queryExecution.executedPlan
+      .toString
+    // the rolling hash and winnow windows share one (doc_id) partitioning:
+    // exactly one exchange on doc_id, and never a cartesian/nested-lambda
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1,
+      s"winnow windows must reuse one doc_id exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("g5 composed plan: one state-machine window pass, no reparse") {
+    val plan = q("g5_baselog_routes").queryExecution.executedPlan.toString
+    // the contribution-explode rewrite keeps ONE window (the is_new state
+    // machine) and ONE generate over a single parse of the log lineage
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window pass:\n$plan")
+    assert("Generate".r.findAllIn(plan).size == 1,
+      s"expected exactly one Generate (contribution explode):\n$plan")
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
