@@ -51,6 +51,8 @@ object ComposedApps extends QueryModule {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "a17_sku_order_window" ->
       ((s, dir) => graft.streaming.SkuOrderApp.batch(s, dir)),
+    "a18_user_login_window" ->
+      ((s, dir) => graft.streaming.UserLoginApp.batch(s, dir)),
     "g5_baselog_routes" -> baselogRoutes)
 
   private val wsUs = 7L * 86400L * 1000000L // 7-day tumble in micros
@@ -90,6 +92,30 @@ object ComposedApps extends QueryModule {
          |       CAST(c_sum AS DOUBLE) AS coupon_reduce_amount,
          |       CAST(o_sum - a_sum - c_sum AS DOUBLE) AS order_amount
          |FROM agg JOIN part ON sku_id = p_partkey""".stripMargin,
+    "a18_user_login_window" ->
+      s"""WITH lg AS (
+         |  SELECT user_id, ${Oracle.sec()} AS sec, event_id
+         |  FROM events WHERE event_type = 'view'),
+         |d AS (
+         |  SELECT *, ${Oracle.fmtDate("sec")} AS day,
+         |         lag(${Oracle.fmtDate("sec")}) OVER
+         |           (PARTITION BY user_id ORDER BY sec, event_id) AS prev_day
+         |  FROM lg),
+         |f AS (
+         |  SELECT (sec // 10) * 10 AS ws,
+         |         CASE WHEN prev_day IS NULL OR prev_day <> day
+         |              THEN 1 ELSE 0 END AS uu,
+         |         CASE WHEN prev_day IS NOT NULL AND prev_day <> day
+         |               AND date_diff('day', CAST(prev_day AS DATE),
+         |                             CAST(day AS DATE)) >= 8
+         |              THEN 1 ELSE 0 END AS back
+         |  FROM d)
+         |SELECT ${Oracle.fmtTs("ws")} AS stt, ${Oracle.fmtTs("ws + 10")} AS edt,
+         |       ${Oracle.fmtDate("ws")} AS cur_date,
+         |       CAST(sum(uu) AS BIGINT) AS uu_ct,
+         |       CAST(sum(back) AS BIGINT) AS back_ct,
+         |       count(*) AS login_ct
+         |FROM f GROUP BY 1, 2, 3""".stripMargin,
     "g5_baselog_routes" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id, event_type,
