@@ -31,5 +31,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hamming_dist(a, b) - popcount(a XOR b) of two BIGINT signatures"),
       (children: Seq[Expression]) =>
         HammingDistance(children(0), children(1))))
+    // the UDTF surface: catalog-visible table functions, usable from raw
+    // SQL via LATERAL VIEW — the reference's `LATERAL TABLE(ik_analyze)`
+    // call shape (DwsTrafficSourceKeywordPageViewWindow.java:50-52)
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_udtf"),
+      info("tokenize_udtf",
+        "tokenize_udtf(text) - one row per whitespace token"),
+      (children: Seq[Expression]) => TokenizeGenerator(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_cjk_udtf"),
+      info("tokenize_cjk_udtf",
+        "tokenize_cjk_udtf(text) - whitespace tokens; CJK runs as bigrams"),
+      (children: Seq[Expression]) =>
+        TokenizeGenerator(children.head, cjk = true)))
   }
 }

@@ -148,6 +148,12 @@ class PerfSpec extends SparkSuite {
           .stripMargin).head
       assert(r.getInt(0) == java.lang.Long.bitCount(5L ^ 3L))
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      // the UDTF surface from raw SQL — the LATERAL TABLE call shape
+      val toks = s2.sql(
+        """SELECT word FROM (SELECT 'spark 数据仓库' AS t)
+          |LATERAL VIEW tokenize_cjk_udtf(t) x AS word""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(toks == Seq("spark", "数据", "据仓", "仓库"), s"got $toks")
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
