@@ -276,7 +276,32 @@ object CurationOps extends QueryModule {
           .as("sampled_tokens"))
   }
 
+  /** c7: token-budget mixture sampling — the training-data "recipe"
+    * builder: each source has a token budget (derived from the source
+    * name so the config rides the data) and docs fill it in
+    * deterministic md5 order (a stable shuffle — re-runs and re-shards
+    * pick the identical subset, unlike RNG sampling). One window pass
+    * per source (cumulative tokens under the hash total order), then
+    * the per-source audit: docs/tokens taken vs budget. */
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = lit(2000L) + pmod(length(col("source")), lit(3)) * 1000L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tokens"),
+        budget.as("budget"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(max(col("budget")).as("budget"),
+        count(lit(1)).as("taken_ct"),
+        max(col("cum_tokens")).as("taken_tokens"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
@@ -310,6 +335,22 @@ object CurationOps extends QueryModule {
        |           * (CAST(1 AS BIGINT) << (4 * (4 - i)))), 'sum') AS BIGINT)""".stripMargin
 
   val oracles = Map(
+    "c7_token_budget" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         2000 + (length(source) % 3) * 1000 AS budget
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM b)
+        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        |       count(*) AS taken_ct,
+        |       CAST(max(cum_tokens) AS BIGINT) AS taken_tokens
+        |FROM c WHERE cum_tokens <= budget GROUP BY 1""".stripMargin,
     "c5_contamination" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |            FROM documents),
