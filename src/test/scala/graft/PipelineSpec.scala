@@ -155,6 +155,19 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(acd - exact).toDouble <= 0.1 * exact)
   }
 
+  test("HLL error bound holds across cardinality decades") {
+    import spark.implicits._
+    val hll = udaf(graft.functions.HllSketch)
+    // deterministic inputs (splitmix64 inside the sketch does the
+    // mixing): exact n distinct keys per decade
+    Seq(100L, 1000L, 10000L, 100000L).foreach { n =>
+      val est = spark.range(n).select(hll(col("id"))).head.getLong(0)
+      val err = math.abs(est - n).toDouble / n
+      // p=12 → 1.04/sqrt(4096) ≈ 1.6% stderr; 5% ≈ 3σ
+      assert(err <= 0.05, s"n=$n est=$est err=$err")
+    }
+  }
+
   test("native cosine evaluates correctly and joins a codegen span") {
     import spark.implicits._
     val got = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
