@@ -246,7 +246,114 @@ object SqlApps extends QueryModule {
       """)
   }
 
+  /** DwdTradeOrderPaySucDetail (DwdTradeOrderPaySucDetail.java:56-100):
+    * payment stream (status-filtered CDC update) interval-joined to the
+    * order-detail stream — `od.et BETWEEN pi.et - 30 min AND pi.et + 5 s`
+    * — then a dictionary lookup for the payment-type name. Re-expressed
+    * over the events table (purchase plays payment_info, click plays
+    * order_detail, same [-30 min, +5 s] bound as J3) with the detail
+    * wide-row output shape of the reference's upsert-kafka sink.
+    * Timestamps compared at microsecond resolution (nsToUs) for engine
+    * parity; the equi-key bounds join state exactly like the reference's
+    * idle-state retention (DwdTradeOrderPaySucDetail.java:97-98). */
+  private def dwdPaySuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Fns
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Fns.nsToUs(col("ts")).as("et_us"),
+        Fns.nsToSec(col("ts")).as("et_sec"))
+      .createOrReplaceTempView("topic_events_pay")
+    Tables(s, dir, "region").createOrReplaceTempView("base_dic_pay")
+    s.sql("""
+      WITH payment_info AS (
+        SELECT event_id AS order_id, user_id,
+               user_id % 5 AS payment_type, et_us, et_sec
+        FROM topic_events_pay WHERE event_type = 'purchase'),
+      order_detail AS (
+        SELECT event_id AS order_detail_id, user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+                 AS split_payment_amount,
+               et_us AS od_us
+        FROM topic_events_pay WHERE event_type = 'click')
+      SELECT CAST(od.order_detail_id AS STRING) AS order_detail_id,
+             CAST(pi.order_id AS STRING) AS order_id,
+             CAST(pi.user_id AS STRING) AS user_id,
+             CAST(pi.payment_type AS STRING) AS payment_type_code,
+             dic.r_name AS payment_type_name,
+             date_format(timestamp_seconds(pi.et_sec),
+                         'yyyy-MM-dd HH:mm:ss') AS callback_time,
+             od.split_payment_amount,
+             pi.et_sec AS ts
+      FROM payment_info pi
+      JOIN order_detail od
+        ON pi.user_id = od.user_id
+        AND od.od_us >= pi.et_us - 1800000000
+        AND od.od_us <= pi.et_us + 5000000
+      JOIN base_dic_pay dic ON pi.payment_type = dic.r_regionkey
+      """)
+  }
+
+  /** DwdTradeOrderRefund (DwdTradeOrderRefund.java:37-95): refund-info
+    * inserts joined to the order_info CDC update filtered to the
+    * status-1005 transition (`old`/`data` map predicates), then the
+    * dic1/dic2 double-alias dictionary lookup (refund_type +
+    * refund_reason_type, DwdTradeOrderRefund.java:90-93). Shares the
+    * synthetic topic_db envelope of sql_dwd_order_cancel — even keys
+    * cancel (1001→1003), odd keys refund (1002→1005) — so the two apps
+    * split the same CDC stream exactly like the reference pair. */
+  private def dwdOrderRefund(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, Seq("lineitem", "orders", "nation"))
+    s.sql("""
+      WITH topic_db AS (
+        SELECT 'order_info' AS `table`,
+               CASE WHEN o_orderstatus = 'O' THEN 'update'
+                    ELSE 'insert' END AS `type`,
+               map('id', CAST(o_orderkey AS STRING),
+                   'order_status',
+                   CASE WHEN o_orderkey % 2 = 0 THEN '1003' ELSE '1005' END,
+                   'province_id', CAST(o_custkey % 25 AS STRING)) AS data,
+               map('order_status',
+                   CASE WHEN o_orderkey % 2 = 0 THEN '1001' ELSE '1002' END)
+                 AS `old`
+        FROM orders),
+      order_info AS (
+        SELECT data['id'] AS id, data['province_id'] AS province_id
+        FROM topic_db
+        WHERE `table` = 'order_info' AND `type` = 'update'
+          AND `old`['order_status'] IS NOT NULL
+          AND data['order_status'] = '1005'),
+      order_refund_info AS (
+        SELECT CONCAT(CAST(l_orderkey AS STRING), '-',
+                      CAST(l_linenumber AS STRING)) AS id,
+               CAST(l_orderkey AS STRING) AS order_id,
+               CAST(l_partkey AS STRING) AS sku_id,
+               l_partkey % 25 AS refund_type,
+               l_suppkey % 25 AS refund_reason_type,
+               CAST(l_quantity AS STRING) AS refund_num,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS refund_amount,
+               date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss') AS create_time,
+               unix_timestamp(l_shipdate) AS ts
+        FROM lineitem WHERE l_returnflag = 'R')
+      SELECT ri.id, ri.order_id, ri.sku_id, oi.province_id,
+             substr(ri.create_time, 1, 10) AS date_id,
+             ri.create_time,
+             CAST(ri.refund_type AS STRING) AS refund_type_code,
+             dic1.n_name AS refund_type_name,
+             CAST(ri.refund_reason_type AS STRING) AS refund_reason_type_code,
+             dic2.n_name AS refund_reason_type_name,
+             ri.refund_num, ri.refund_amount, ri.ts
+      FROM order_refund_info ri
+      JOIN order_info oi ON ri.order_id = oi.id
+      JOIN nation dic1 ON ri.refund_type = dic1.n_nationkey
+      JOIN nation dic2 ON ri.refund_reason_type = dic2.n_nationkey
+      """)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "sql_dwd_pay_suc" -> dwdPaySuc,
+    "sql_dwd_order_refund" -> dwdOrderRefund,
     "sql_dwd_order_cancel" -> dwdOrderCancel,
     "sql_dwd_order_detail" -> dwdOrderDetail,
     "sql_dwd_comment_info" -> dwdCommentInfo,
@@ -255,6 +362,51 @@ object SqlApps extends QueryModule {
     "sql_dwd_cart_add" -> dwdCartAdd)
 
   val oracles = Map(
+    "sql_dwd_pay_suc" ->
+      s"""WITH pi AS (SELECT event_id AS order_id, user_id,
+         |              user_id % 5 AS payment_type,
+         |              epoch_us(ts) AS pi_us, ${graft.functions.Oracle.sec()} AS pi_sec
+         |            FROM events WHERE event_type = 'purchase'),
+         |     od AS (SELECT event_id AS order_detail_id, user_id,
+         |              CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+         |                AS split_payment_amount,
+         |              epoch_us(ts) AS od_us
+         |            FROM events WHERE event_type = 'click')
+         |SELECT CAST(od.order_detail_id AS VARCHAR) AS order_detail_id,
+         |       CAST(pi.order_id AS VARCHAR) AS order_id,
+         |       CAST(pi.user_id AS VARCHAR) AS user_id,
+         |       CAST(pi.payment_type AS VARCHAR) AS payment_type_code,
+         |       dic.r_name AS payment_type_name,
+         |       ${graft.functions.Oracle.fmtTs("pi.pi_sec")} AS callback_time,
+         |       od.split_payment_amount,
+         |       CAST(pi.pi_sec AS BIGINT) AS ts
+         |FROM pi
+         |JOIN od ON pi.user_id = od.user_id
+         |  AND od.od_us >= pi.pi_us - 1800000000
+         |  AND od.od_us <= pi.pi_us + 5000000
+         |JOIN region dic ON pi.payment_type = dic.r_regionkey""".stripMargin,
+    "sql_dwd_order_refund" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |         CAST(l_linenumber AS VARCHAR) AS id,
+        |       CAST(l_orderkey AS VARCHAR) AS order_id,
+        |       CAST(l_partkey AS VARCHAR) AS sku_id,
+        |       CAST(o_custkey % 25 AS VARCHAR) AS province_id,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS date_id,
+        |       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+        |       CAST(l_partkey % 25 AS VARCHAR) AS refund_type_code,
+        |       dic1.n_name AS refund_type_name,
+        |       CAST(l_suppkey % 25 AS VARCHAR) AS refund_reason_type_code,
+        |       dic2.n_name AS refund_reason_type_name,
+        |       CAST(l_quantity AS VARCHAR) AS refund_num,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS refund_amount,
+        |       CAST(epoch(l_shipdate) AS BIGINT) AS ts
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation dic1 ON l_partkey % 25 = dic1.n_nationkey
+        |JOIN nation dic2 ON l_suppkey % 25 = dic2.n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderstatus = 'O'
+        |  AND o_orderkey % 2 = 1""".stripMargin,
     "sql_dwd_order_cancel" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
         |         CAST(l_linenumber AS VARCHAR) AS id,
