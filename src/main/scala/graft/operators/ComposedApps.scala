@@ -48,16 +48,50 @@ object ComposedApps extends QueryModule {
           .otherwise(col("is_new") * col("x.w"))).as("new_ct"))
   }
 
+  /** g6: the composed DwdBaseDb output summarized per route
+    * ([[graft.streaming.BaseDbApp]]): row counts, an id checksum, and
+    * the pruned-payload key set per sink table — proving the compound
+    * (table,type) probe, the replayed config op log (cart route retired
+    * by its `d`), the sinkColumns narrowing (favor loses create_time via
+    * the `u`), and the ts stamping, in one result set. */
+  private def basedbRoutes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val app = graft.streaming.BaseDbApp
+    app.routed(s, app.envelopes(s, dir))
+      .groupBy(col("sink_table"))
+      .agg(count(lit(1)).as("row_ct"),
+        sum(col("data")("id").cast("long")).as("id_sum"),
+        min(array_join(array_sort(map_keys(col("data"))), ","))
+          .as("cols"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "a17_sku_order_window" ->
       ((s, dir) => graft.streaming.SkuOrderApp.batch(s, dir)),
     "a18_user_login_window" ->
       ((s, dir) => graft.streaming.UserLoginApp.batch(s, dir)),
-    "g5_baselog_routes" -> baselogRoutes)
+    "g5_baselog_routes" -> baselogRoutes,
+    "g6_basedb_routes" -> basedbRoutes)
 
   private val wsUs = 7L * 86400L * 1000000L // 7-day tumble in micros
 
   val oracles = Map(
+    "g6_basedb_routes" ->
+      """SELECT 'dwd_interaction_favor_add' AS sink_table,
+        |       count(*) AS row_ct,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+        |       'id,sku_id,ts,user_id' AS cols
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'dwd_tool_coupon_get', count(*),
+        |       CAST(SUM(o_orderkey) AS BIGINT),
+        |       'coupon_id,id,ts,using_time'
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT 'dwd_tool_coupon_use', count(*),
+        |       CAST(SUM(o_orderkey) AS BIGINT),
+        |       'coupon_id,id,ts,used_time'
+        |FROM orders WHERE o_orderkey % 6 = 1""".stripMargin,
     "a17_sku_order_window" ->
       s"""WITH ded AS (
          |  SELECT l_partkey, l_shipdate, l_extendedprice, l_discount, l_tax
