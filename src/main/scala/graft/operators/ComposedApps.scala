@@ -70,6 +70,12 @@ object ComposedApps extends QueryModule {
       ((s, dir) => graft.streaming.SkuOrderApp.batch(s, dir)),
     "a18_user_login_window" ->
       ((s, dir) => graft.streaming.UserLoginApp.batch(s, dir)),
+    "a19_cart_add_uu_window" ->
+      ((s, dir) => graft.streaming.CartAddUuApp.batch(s, dir)),
+    "a20_home_detail_window" ->
+      ((s, dir) => graft.streaming.HomeDetailApp.batch(s, dir)),
+    "a21_traffic_page_view_window" ->
+      ((s, dir) => graft.streaming.TrafficPageViewApp.batch(s, dir)),
     "g5_baselog_routes" -> baselogRoutes,
     "g6_basedb_routes" -> basedbRoutes)
 
@@ -150,6 +156,73 @@ object ComposedApps extends QueryModule {
          |       CAST(sum(back) AS BIGINT) AS back_ct,
          |       count(*) AS login_ct
          |FROM f GROUP BY 1, 2, 3""".stripMargin,
+    "a19_cart_add_uu_window" ->
+      s"""WITH ca AS (
+         |  SELECT user_id, ${Oracle.sec()} AS sec, event_id
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (
+         |  SELECT *, ${Oracle.fmtDate("sec")} AS day,
+         |         lag(${Oracle.fmtDate("sec")}) OVER
+         |           (PARTITION BY user_id ORDER BY sec, event_id) AS prev_day
+         |  FROM ca),
+         |f AS (
+         |  SELECT (sec // 10) * 10 AS ws FROM d
+         |  WHERE prev_day IS NULL OR prev_day <> day)
+         |SELECT ${Oracle.fmtTs("ws")} AS stt, ${Oracle.fmtTs("ws + 10")} AS edt,
+         |       ${Oracle.fmtDate("ws")} AS cur_date,
+         |       count(*) AS cart_add_uu_ct
+         |FROM f GROUP BY 1, 2, 3""".stripMargin,
+    "a20_home_detail_window" ->
+      s"""WITH pv AS (
+         |  SELECT user_id,
+         |         CASE WHEN event_id % 2 = 0 THEN 'home'
+         |              ELSE 'good_detail' END AS page,
+         |         ${Oracle.sec()} AS sec, event_id
+         |  FROM events WHERE event_type = 'view'),
+         |d AS (
+         |  SELECT *, ${Oracle.fmtDate("sec")} AS day,
+         |         lag(${Oracle.fmtDate("sec")}) OVER
+         |           (PARTITION BY user_id, page ORDER BY sec, event_id)
+         |           AS prev_day
+         |  FROM pv),
+         |f AS (
+         |  SELECT (sec // 10) * 10 AS ws,
+         |         CASE WHEN page = 'home' THEN 1 ELSE 0 END AS home_uv,
+         |         CASE WHEN page = 'home' THEN 0 ELSE 1 END AS detail_uv
+         |  FROM d WHERE prev_day IS NULL OR prev_day <> day)
+         |SELECT ${Oracle.fmtTs("ws")} AS stt, ${Oracle.fmtTs("ws + 10")} AS edt,
+         |       ${Oracle.fmtDate("ws")} AS cur_date,
+         |       CAST(sum(home_uv) AS BIGINT) AS home_uv_ct,
+         |       CAST(sum(detail_uv) AS BIGINT) AS good_detail_uv_ct
+         |FROM f GROUP BY 1, 2, 3""".stripMargin,
+    "a21_traffic_page_view_window" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type AS ch, ${Oracle.sec()} AS sec,
+         |         event_id, value AS dur,
+         |         CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS sv
+         |  FROM events),
+         |d AS (
+         |  SELECT *, ${Oracle.fmtDate("sec")} AS day,
+         |         lag(${Oracle.fmtDate("sec")}) OVER w AS prev_day,
+         |         first_value(${Oracle.fmtDate("sec")}) OVER w AS first_day
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |f AS (
+         |  SELECT (sec // 10) * 10 AS ws,
+         |         'v' || CAST(user_id % 3 AS VARCHAR) AS vc, ch,
+         |         CAST(user_id % 5 AS VARCHAR) AS ar,
+         |         CASE WHEN first_day = day THEN 1 ELSE 0 END AS is_new,
+         |         CASE WHEN prev_day IS NULL OR prev_day <> day
+         |              THEN 1 ELSE 0 END AS uv,
+         |         sv, dur
+         |  FROM d)
+         |SELECT ${Oracle.fmtTs("ws")} AS stt, ${Oracle.fmtTs("ws + 10")} AS edt,
+         |       ${Oracle.fmtDate("ws")} AS cur_date,
+         |       vc, ch, ar, is_new,
+         |       CAST(sum(uv) AS BIGINT) AS uv_ct,
+         |       CAST(sum(sv) AS BIGINT) AS sv_ct,
+         |       count(*) AS pv_ct,
+         |       CAST(SUM(CAST(dur AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+         |FROM f GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
     "g5_baselog_routes" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id, event_type,
