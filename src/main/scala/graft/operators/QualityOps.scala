@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Corpus-quality operators a training-data pipeline runs before any
+  * model sees a byte: PII detection/redaction (the scrub pass) and
+  * C4/Gopher-style repetition signals (the quality-filter features).
+  * Beyond-reference scope, same engine idioms as [[TextOps]]: every
+  * scalar stage is codegen'd builtins (regexp_* / split / higher-order
+  * array functions), map-side until the final aggregation.
+  *
+  * Scale notes: p15 is a pure map + one small groupBy(lang) — at 100 TB
+  * the redaction pass is embarrassingly parallel and the aggregate is
+  * bounded by the language count. t10's only shuffles are keyed on
+  * doc_id (bigram counting), the natural partitioning of a document
+  * corpus; no all-pairs, no driver-side state.
+  */
+object QualityOps extends QueryModule {
+
+  /** Shared Java/RE2-safe PII patterns (both engines compile them
+    * identically — no lookaround, no backrefs). */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\+1-555-[0-9]+"
+  val ipPat = "192\\.168\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Deterministic PII-bearing fixture: the synthetic corpus carries no
+    * real PII, so the queries plant addresses/numbers derived from
+    * doc_id (both engines build the identical string). */
+  private def withPii(c: Column): Column = {
+    val email = concat(lit(" Contact user"),
+      col("doc_id").cast(StringType), lit("@example.com now"))
+    val phone = concat(lit(" call +1-555-"),
+      (col("doc_id") % 10000).cast(StringType))
+    val ip = concat(lit(" from 192.168."),
+      (col("doc_id") % 256).cast(StringType), lit("."),
+      (col("doc_id") % 100).cast(StringType))
+    concat(c,
+      when(col("doc_id") % 3 === 0, email).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, phone).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, ip).otherwise(lit("")))
+  }
+
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"),
+      ipPat, "<IP>")
+
+  /** p15: the PII scrub pass summarized per language — match counts per
+    * category and the net characters removed by redaction. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), withPii(col("text")).as("txt"))
+    d.select(col("lang"),
+        size(regexp_extract_all(col("txt"), lit(emailPat), lit(0)))
+          .as("email"),
+        size(regexp_extract_all(col("txt"), lit(phonePat), lit(0)))
+          .as("phone"),
+        size(regexp_extract_all(col("txt"), lit(ipPat), lit(0))).as("ip"),
+        (length(col("txt")) - length(redact(col("txt")))).as("removed"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("email")).cast(LongType).as("email_ct"),
+        sum(col("phone")).cast(LongType).as("phone_ct"),
+        sum(col("ip")).cast(LongType).as("ip_ct"),
+        sum(col("removed")).cast(LongType).as("removed_chars"))
+  }
+
+  /** t10: per-document repetition signals (C4/Gopher quality features):
+    * duplicate-token fraction and the top bigram's occurrence count.
+    * Bigrams are built row-wise with one single-level transform over the
+    * token array (element_at indexing — no nested array lambdas, the t9
+    * collapse lesson), then counted through two doc_id-keyed
+    * aggregations. */
+  private def repetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+    val base = d.select(col("doc_id"),
+      size(col("t")).cast(LongType).as("n_tokens"),
+      size(array_distinct(col("t"))).cast(LongType).as("n_distinct"))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val top = d.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("ct")).as("top_ct"))
+      .withColumnRenamed("doc_id", "b_doc_id")
+    base.join(top, col("doc_id") === col("b_doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((col("n_tokens") - col("n_distinct")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("dup_frac"),
+        coalesce(col("top_ct"), lit(0L)).as("top_bigram_ct"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "p15_pii_redact" -> piiRedact,
+    "t10_repetition_signals" -> repetitionSignals)
+
+  val oracles = Map(
+    "p15_pii_redact" -> {
+      val fixture =
+        """text ||
+          |  CASE WHEN doc_id % 3 = 0 THEN ' Contact user' ||
+          |    CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+          |    CAST(doc_id % 10000 AS VARCHAR) ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.' ||
+          |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+          |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END""".stripMargin
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]+"
+      val ip = "192\\.168\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH d AS (SELECT lang, ($fixture) AS txt FROM documents),
+         |m AS (SELECT lang,
+         |        len(regexp_extract_all(txt, '$email')) AS email,
+         |        len(regexp_extract_all(txt, '$phone')) AS phone,
+         |        len(regexp_extract_all(txt, '$ip')) AS ip,
+         |        length(txt) - length(
+         |          regexp_replace(regexp_replace(regexp_replace(txt,
+         |            '$email', '<EMAIL>', 'g'),
+         |            '$phone', '<PHONE>', 'g'),
+         |            '$ip', '<IP>', 'g')) AS removed
+         |      FROM d)
+         |SELECT lang, count(*) AS doc_ct,
+         |       CAST(SUM(email) AS BIGINT) AS email_ct,
+         |       CAST(SUM(phone) AS BIGINT) AS phone_ct,
+         |       CAST(SUM(ip) AS BIGINT) AS ip_ct,
+         |       CAST(SUM(removed) AS BIGINT) AS removed_chars
+         |FROM m GROUP BY 1""".stripMargin
+    },
+    "t10_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |         len(list_distinct(t)) AS n_distinct
+        |  FROM toks WHERE len(t) > 0),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |top AS (
+        |  SELECT doc_id, CAST(MAX(ct) AS BIGINT) AS top_ct FROM (
+        |    SELECT doc_id, bg, count(*) AS ct FROM bg GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(b.n_distinct AS BIGINT) AS n_distinct,
+        |       round((b.n_tokens - b.n_distinct) /
+        |             CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac,
+        |       COALESCE(top.top_ct, 0) AS top_bigram_ct
+        |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityOps
+
+/** Invariants of the corpus-quality operators beyond the oracle hash:
+  * redaction is complete (no pattern survives), repetition signals stay
+  * in their ranges, and int8 ANN keeps real recall against brute force. */
+class QualityOpsSpec extends SparkSuite {
+
+  test("p15: redaction removes every planted match") {
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        QualityOps.redact(concat(col("text"),
+          lit(" u1@a.io +1-555-77 192.168.1.1"))).as("red"))
+    Seq(QualityOps.emailPat, QualityOps.phonePat, QualityOps.ipPat)
+      .foreach { p =>
+        assert(d.filter(col("red").rlike(p)).count() == 0,
+          s"pattern survived redaction: $p")
+      }
+    // counts are all positive on the planted fixture
+    val agg = q("p15_pii_redact").agg(sum(col("email_ct")),
+      sum(col("phone_ct")), sum(col("ip_ct")), sum(col("removed_chars")))
+      .head
+    (0 until 4).foreach(i => assert(agg.getLong(i) > 0))
+  }
+
+  test("t10: repetition signals stay in range") {
+    val r = q("t10_repetition_signals")
+    assert(r.count() > 0)
+    assert(r.filter(col("dup_frac") < 0 || col("dup_frac") >= 1)
+      .count() == 0)
+    assert(r.filter(col("top_bigram_ct") > col("n_tokens") - 1)
+      .count() == 0)
+    assert(r.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+  }
+
+  test("v7: int8 quantized ANN keeps >= 3/5 exact neighbors per query") {
+    val r = q("v7_ann_int8_topk")
+    assert(r.count() == 10)
+    assert(r.filter(!col("int8_ok")).count() == 0)
+  }
+}
