@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables}
@@ -242,7 +243,35 @@ object TextOps extends QueryModule {
         countDistinct(col("wmin")).as("fp_distinct"))
   }
 
+  /** t11: TF-IDF-style distinctive terms — tf over the document, df over
+    * the whole corpus, top-3 per document ranked (tf DESC, df ASC, term)
+    * so a term frequent HERE but rare EVERYWHERE wins. The ranking is
+    * integer-only on purpose: ln()-based idf differs in the last ulp
+    * across engines/libm, integer (tf, df) ranking is bit-portable —
+    * downstream consumers can scale tf·ln(N/df) themselves.
+    *
+    * Scale: explode → (doc,term) count → (term) df — two keyed shuffles
+    * on the corpus' natural keys; df is corpus-global (must see every
+    * doc) while the final rank is restricted to the query's doc slice. */
+  private def distinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(tokenize(lower(col("text"))), t => t =!= ""))
+          .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.filter(col("doc_id") < 100)
+      .join(df, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t11_distinctive_terms" -> distinctiveTerms,
     "t9_winnow_fingerprints" -> winnowFingerprints,
     "t8_cjk_tokens" -> cjkTokens,
     "g4_posexplode_tokens" -> posexplodeTokens,
@@ -261,6 +290,21 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t11_distinctive_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(lower(text), ' '),
+        |                            x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term) WHERE tf.doc_id < 100)
+        |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3""".stripMargin,
     "t9_winnow_fingerprints" -> {
       val hexToInt = DedupOps.hexToIntSql("t")
       s"""WITH hs AS (
