@@ -237,7 +237,93 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), (col("hits") >= 3).as("int8_ok"))
   }
 
+  /** PQ geometry: 8 subspaces × 8 dims, 64 codewords per subspace
+    * (sampled vectors stand in for k-means centroids — deterministic and
+    * public-knowledge; trained codebooks would only raise recall), ADC
+    * shortlist of 100 re-ranked exactly. Synthetic embeddings are
+    * near-random (no cluster structure for the codebook to exploit), so
+    * the shortlist is deep relative to the corpus; on real clustered
+    * data the same shape holds with a much smaller ratio. */
+  val pqSubspaces = 8
+  val pqSubDim: Int = embDim / pqSubspaces
+  val pqCodebookSize = 64
+  val pqShortlist = 100
+
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** v8: product-quantization ANN — the codebook scale path (each vector
+    * stored as M=4 byte codes): per-subspace nearest-codeword assignment
+    * (min over a broadcast 64-row codebook, struct-min for a
+    * deterministic tie-break), ADC scoring against the RECONSTRUCTED
+    * vectors (equivalent to the per-query distance-table lookup), then
+    * the standard shortlist + exact re-rank: top-50 by ADC, top-5 by
+    * true cosine. Approximate by construction → per-query recall
+    * contract like v7 (pq_ok = final top-5 keeps ≥ 3/5 of brute force).
+    *
+    * Scale: assignment is corpus × 64 broadcast rows (map-side, linear);
+    * the shortlist probe is the v1 broadcast top-k shape against 4-byte
+    * codes instead of 256-byte floats — the memory story PQ exists for. */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    def sub(c: Column, m: Int) = slice(c, m * pqSubDim + 1, pqSubDim)
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+    val cb = em.filter(col("vec_id") < pqCodebookSize)
+      .select(col("vec_id").as("cw_id") +:
+        (0 until pqSubspaces).map(m => sub(col("emb"), m).as(s"cw$m")): _*)
+    val withSubs = em.select(col("vec_id") +:
+      (0 until pqSubspaces).map(m => sub(col("emb"), m).as(s"s$m")): _*)
+    val codeAggs = (0 until pqSubspaces).map { m =>
+      min(struct(l2(col(s"s$m"), col(s"cw$m")).as("d"), col("cw_id").as("c")))
+        .getField("c").as(s"code$m")
+    }
+    val codes = withSubs.crossJoin(broadcast(cb))
+      .groupBy(col("vec_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    val recon = (0 until pqSubspaces).foldLeft(codes) { (df, m) =>
+      df.join(broadcast(cb.select(col("cw_id").as(s"rc$m"),
+          col(s"cw$m"))), col(s"code$m") === col(s"rc$m"))
+    }.select(col("vec_id"),
+      flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
+        .as("recon"))
+      .withColumn("rnrm", norm(col("recon")))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        norm(col("emb")).as("q_nrm"))
+    val slW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id"))
+    val shortlist = broadcast(q)
+      .join(recon, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("n_id"),
+        (dot(col("q_emb"), col("recon")) / (col("q_nrm") * col("rnrm")))
+          .as("adc"))
+      .withColumn("slrk", row_number().over(slW))
+      .filter(col("slrk") <= pqShortlist)
+    val exW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val reranked = shortlist
+      .join(em.select(col("vec_id").as("e_id"), col("emb").as("n_emb")),
+        col("n_id") === col("e_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * norm(col("n_emb")))).as("cos"))
+      .withColumn("rk", row_number().over(exW))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val exactTop = annBrute(s, dir)
+      .select(col("q_id").as("e_qid"), col("n_id").as("e_nid"))
+    reranked.join(exactTop,
+        col("q_id") === col("e_qid") && col("n_id") === col("e_nid"),
+        "left_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("e_nid").isNotNull, 1).otherwise(0)).as("hits"))
+      .select(col("q_id"), (col("hits") >= 3).as("pq_ok"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v8_ann_pq_topk" -> annPq,
     "v7_ann_int8_topk" -> annInt8,
     "v6_ann_signlsh_topk" -> annSignLsh,
     "v1_ann_brute_topk" -> annBrute,
@@ -264,6 +350,9 @@ object VectorOps extends QueryModule {
     // computes against its own brute-force baseline — the a16 pattern.
     "v7_ann_int8_topk" ->
       """SELECT vec_id AS q_id, true AS int8_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "v8_ann_pq_topk" ->
+      """SELECT vec_id AS q_id, true AS pq_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "v6_ann_signlsh_topk" -> {
       val bucket = (0 until numPlanes).map { p =>

@@ -40,4 +40,10 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.count() == 10)
     assert(r.filter(!col("int8_ok")).count() == 0)
   }
+
+  test("v8: PQ shortlist + exact re-rank keeps >= 3/5 per query") {
+    val r = q("v8_ann_pq_topk")
+    assert(r.count() == 10)
+    assert(r.filter(!col("pq_ok")).count() == 0)
+  }
 }
