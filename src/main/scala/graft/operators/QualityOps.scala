@@ -102,8 +102,40 @@ object QualityOps extends QueryModule {
         coalesce(col("top_ct"), lit(0L)).as("top_bigram_ct"))
   }
 
+  /** c8: the quality-filter funnel audit — every corpus pipeline ships
+    * one: per source, how many documents survive each cumulative gate
+    * (length → repetition → PII-clean). ONE scan computes all signals
+    * (token counts, dup fraction, PII matches over the planted fixture)
+    * and one groupBy emits the wide funnel row; at 100 TB this is a
+    * map-side pass plus an aggregation bounded by the source count. */
+  private def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        withPii(col("text")).as("txt"), toks.as("t"))
+      .select(col("source"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        col("n_chars"),
+        (size(regexp_extract_all(col("txt"), lit(emailPat), lit(0))) +
+          size(regexp_extract_all(col("txt"), lit(phonePat), lit(0))) +
+          size(regexp_extract_all(col("txt"), lit(ipPat), lit(0))))
+          .as("pii_ct"))
+    val lenOk = col("n_tokens") >= 10 && col("n_chars") <= 20000
+    val repOk = lenOk &&
+      (col("n_tokens") - col("n_distinct")).cast("double") /
+        col("n_tokens").cast("double") <= 0.5
+    val cleanOk = repOk && col("pii_ct") === 0
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_ct"),
+        sum(when(lenOk, 1L).otherwise(0L)).as("len_ok_ct"),
+        sum(when(repOk, 1L).otherwise(0L)).as("rep_ok_ct"),
+        sum(when(cleanOk, 1L).otherwise(0L)).as("clean_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "p15_pii_redact" -> piiRedact,
+    "c8_quality_funnel" -> qualityFunnel,
     "t10_repetition_signals" -> repetitionSignals)
 
   val oracles = Map(
@@ -137,6 +169,47 @@ object QualityOps extends QueryModule {
          |       CAST(SUM(ip) AS BIGINT) AS ip_ct,
          |       CAST(SUM(removed) AS BIGINT) AS removed_chars
          |FROM m GROUP BY 1""".stripMargin
+    },
+    "c8_quality_funnel" -> {
+      val fixture =
+        """text ||
+          |  CASE WHEN doc_id % 3 = 0 THEN ' Contact user' ||
+          |    CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+          |    CAST(doc_id % 10000 AS VARCHAR) ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.' ||
+          |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+          |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END""".stripMargin
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]+"
+      val ip = "192\\.168\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH sig AS (
+         |  SELECT source, n_chars,
+         |         len(list_filter(string_split(lower(text), ' '),
+         |                         x -> x <> '')) AS n_tokens,
+         |         len(list_distinct(list_filter(
+         |             string_split(lower(text), ' '),
+         |             x -> x <> ''))) AS n_distinct,
+         |         len(regexp_extract_all(($fixture), '$email')) +
+         |         len(regexp_extract_all(($fixture), '$phone')) +
+         |         len(regexp_extract_all(($fixture), '$ip')) AS pii_ct
+         |  FROM documents),
+         |g AS (
+         |  SELECT source,
+         |         (n_tokens >= 10 AND n_chars <= 20000) AS len_ok,
+         |         (n_tokens >= 10 AND n_chars <= 20000 AND
+         |          (n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE)
+         |            <= 0.5) AS rep_ok,
+         |         pii_ct
+         |  FROM sig)
+         |SELECT source, count(*) AS total_ct,
+         |       CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS len_ok_ct,
+         |       CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS rep_ok_ct,
+         |       CAST(SUM(CASE WHEN rep_ok AND pii_ct = 0
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS clean_ct
+         |FROM g GROUP BY 1""".stripMargin
     },
     "t10_repetition_signals" ->
       """WITH toks AS (

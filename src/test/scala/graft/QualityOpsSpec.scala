@@ -41,6 +41,17 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.filter(!col("int8_ok")).count() == 0)
   }
 
+  test("c8: funnel gates are monotone per source") {
+    val r = q("c8_quality_funnel")
+    assert(r.count() > 0)
+    assert(r.filter(col("len_ok_ct") > col("total_ct") ||
+      col("rep_ok_ct") > col("len_ok_ct") ||
+      col("clean_ct") > col("rep_ok_ct")).count() == 0)
+    // the planted PII fixture actually cuts documents at the last gate
+    val cut = r.agg(sum(col("rep_ok_ct") - col("clean_ct"))).head.getLong(0)
+    assert(cut > 0)
+  }
+
   test("v8: PQ shortlist + exact re-rank keeps >= 3/5 per query") {
     val r = q("v8_ann_pq_topk")
     assert(r.count() == 10)
