@@ -180,6 +180,23 @@ class PerfSpec extends SparkSuite {
       s"expected exactly one Generate (contribution explode):\n$plan")
   }
 
+  test("round-5 ops keep their scale shapes") {
+    // g6: the config probe is a broadcast, never a shuffled join
+    assert(plan("g6_basedb_routes").contains("BroadcastHashJoin"),
+      "base-db config probe must broadcast")
+    // p15: pure map + one aggregation — no join anywhere in the scrub
+    val p15 = plan("p15_pii_redact")
+    assert(!p15.contains("Join"), s"PII scrub must not join:\n$p15")
+    // t10/t11: shuffles only on the corpus' natural keys
+    assert("Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(plan("t10_repetition_signals")).nonEmpty)
+    assert("Exchange hashpartitioning\\(term".r
+      .findAllIn(plan("t11_distinctive_terms")).nonEmpty)
+    // v7/v8: the only nested-loop joins are tiny broadcast sides
+    // (1-row scale / 64-row codebook); cartesians are globally banned
+    assert(plan("v7_ann_int8_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
