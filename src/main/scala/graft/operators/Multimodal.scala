@@ -126,11 +126,73 @@ object Multimodal extends QueryModule {
       .groupBy(col("frame_no"))
       .agg(count(lit(1)).as("frame_ct"), sum(col("fbytes")).as("byte_sum"))
 
+  /** m3: frame-level media near-dup — the video-dedup pass of a training
+    * pipeline: per media item, hash each sampled frame; block on
+    * (frame_no, frame_hash) so only colliding frames join; count shared
+    * frames per pair; keep pairs sharing ≥ 2 of 4. The fixture plants
+    * what a crawl actually contains — exact re-uploads (same payload,
+    * new id, +1e9) and tail-edited variants (last quarter overwritten,
+    * +2e9) — so the expected pair set is analytic: re-uploads share 4
+    * frames, tail edits 3, and single-frame accidents (the shared
+    * blanked tail between two variants) fall below the threshold.
+    *
+    * Scale: the join is blocked by frame hash — never media×media; the
+    * shuffle key is the hash space, uniform by construction. Frames ride
+    * as hashes (16 bytes) — payload bytes are never shuffled, the same
+    * contract as m1/m2. */
+  private def frameNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val withGeom = (df: DataFrame) => df
+      .withColumn("L", length(col("text")).cast(LongType))
+      .withColumn("flen", greatest(expr("L div 4"), lit(1L)))
+    val copies = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val partials = withGeom(base.filter(col("doc_id") % 15 === 0))
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        expr("concat(substring(text, 1, CAST(3 * flen AS INT))," +
+          " repeat('x', CAST(L - 3 * flen AS INT)))").as("text"))
+    val media = withGeom(base.unionByName(copies).unionByName(partials))
+    val frames = media
+      .select(col("doc_id"), col("text"), col("L"), col("flen"),
+        explode(sequence(lit(0L), lit(3L))).as("frame_no"))
+      .withColumn("ffrom", least(col("frame_no") * col("flen"), col("L")))
+      .withColumn("fl2",
+        least(col("ffrom") + col("flen"), col("L")) - col("ffrom"))
+      .filter(col("fl2") > 0)
+      .select(col("doc_id"), col("frame_no"),
+        md5(expr("substring(text, CAST(ffrom + 1 AS INT), " +
+          "CAST(fl2 AS INT))")).as("fhash"))
+    val a = frames.select(col("doc_id").as("a_id"),
+      col("frame_no").as("a_no"), col("fhash").as("a_hash"))
+    val b = frames.select(col("doc_id").as("b_id"),
+      col("frame_no").as("b_no"), col("fhash").as("b_hash"))
+    a.join(b, col("a_hash") === col("b_hash") &&
+        col("a_no") === col("b_no") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_ct"))
+      .filter(col("shared_ct") >= 2)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "m1_media_meta" -> mediaMeta,
+    "m3_frame_near_dup" -> frameNearDup,
     "m2_frame_stats" -> frameStats)
 
   val oracles = Map(
+    // Analytic expectation of the planted fixture: re-uploads share all
+    // 4 frames, tail-edited variants share the first 3 (with the base
+    // AND with the base's re-upload when both exist, doc_id % 30 = 0);
+    // everything else collides on at most one frame and is thresholded.
+    "m3_frame_near_dup" ->
+      """SELECT doc_id AS a_id, doc_id + 1000000000 AS b_id,
+        |       CAST(4 AS BIGINT) AS shared_ct
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, doc_id + 2000000000, CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000, doc_id + 2000000000, CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 30 = 0""".stripMargin,
     "m1_media_meta" ->
       """SELECT 'fake/' || lang AS format, count(*) AS media_ct,
         |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_sum,

@@ -57,4 +57,13 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.count() == 10)
     assert(r.filter(!col("pq_ok")).count() == 0)
   }
+
+  test("m3: frame dedup finds exactly the planted pairs") {
+    val r = q("m3_frame_near_dup")
+    // re-uploads share all 4 frames; every kept pair involves a planted id
+    assert(r.filter(col("shared_ct") === 4).count() > 0)
+    assert(r.filter(col("b_id") < 1000000000L).count() == 0,
+      "a pair of two ORIGINAL docs survived the threshold — accidental " +
+        "frame collision, fixture no longer analytic")
+  }
 }
