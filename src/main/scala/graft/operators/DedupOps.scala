@@ -54,20 +54,6 @@ object DedupOps extends QueryModule {
     array_min(transform(col("hs"),
       h => (h * lit(aK(k)) + lit(bK(k))) % lit(P))).as(s"mh$k")
 
-  /** Per-doc minhash signature columns mh0..mh{K-1} from distinct tokens:
-    * one md5 per token, K integer permutations. The scan is one parquet
-    * row group (= one partition), so the md5-heavy map is spread first —
-    * the only shuffle in the stage, of the raw 5000-row table. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-    d.select(col("doc_id"), col("source"),
-        transform(array_distinct(tokenize(col("text"))),
-          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("hs"))
-      .select(col("doc_id") +: col("source") +: (0 until numHashes).map(mh): _*)
-  }
-
   private def bandCol(b: Int): Column =
     md5(concat_ws("|", (0 until bandSize).map(i =>
       col(s"mh${b * bandSize + i}").cast(StringType)): _*))
@@ -89,15 +75,32 @@ object DedupOps extends QueryModule {
     simhashMemo.clear()
   }
 
-  private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
-      .select(col("doc_id") +: col("source") +: (0 until numBands).map(bandCol): _*)
-    val stacked = sig.select(col("doc_id"), col("source"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band_no"), col(s"band$b").as("band_sig"))): _*))
-        .as("b"))
+  /** Stacked LSH band rows for an arbitrary (doc_id, source, text)
+    * frame — the per-shard signature stage, shared by the batch
+    * candidate build and the incremental streaming dedup
+    * ([[graft.streaming.IncrementalDedup]]): one md5 per distinct
+    * token, K integer permutations, one row per (doc, band). */
+  private[graft] def stackedBands(docs: DataFrame): DataFrame = {
+    val withSig = docs.select(col("doc_id"), col("source"),
+        transform(array_distinct(tokenize(col("text"))),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("hs"))
+      .select(col("doc_id") +: col("source") +: (0 until numHashes).map(mh): _*)
+    withSig
+      .select(col("doc_id") +: col("source") +:
+        (0 until numBands).map(bandCol): _*)
+      .select(col("doc_id"), col("source"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band_no"), col(s"band$b").as("band_sig"))): _*))
+          .as("b"))
       .select(col("doc_id"), col("source"),
         col("b.band_no"), col("b.band_sig"))
+  }
+
+  private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val stacked = stackedBands(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism))
     val l = stacked.as("l")
     val r = stacked.as("r")
     l.join(r,
