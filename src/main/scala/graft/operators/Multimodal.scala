@@ -173,9 +173,37 @@ object Multimodal extends QueryModule {
       .filter(col("shared_ct") >= 2)
   }
 
+  /** m4: the resize/transcode pass — every payload brought under a fixed
+    * byte budget through the partition-local [[MediaCodec.resizeStub]]
+    * (a real deploy swaps the stub for a pixel re-encoder; the batching,
+    * binary plumbing and savings accounting are the contract). Savings
+    * are summarized per format; the oracle restates the stub's
+    * truncate-to-budget arithmetic over the byte lengths alone. */
+  val RESIZE_BUDGET = 256
+
+  private def resizeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val resized = mediaTable(s, dir).as[MediaRow].mapPartitions { it =>
+      it.grouped(DECODE_BATCH).flatMap { batch =>
+        batch.map { row =>
+          val out = MediaCodec.resizeStub(row.media,
+            math.min(row.n_bytes.toInt, RESIZE_BUDGET))
+          (row.doc_id, row.format, row.n_bytes, out.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "format", "n_bytes", "out_bytes")
+    resized.groupBy(col("format"))
+      .agg(count(lit(1)).as("media_ct"),
+        sum(col("n_bytes")).as("in_bytes"),
+        sum(col("out_bytes")).as("out_bytes"),
+        sum(when(col("n_bytes") > col("out_bytes"), 1L).otherwise(0L))
+          .as("shrunk_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "m1_media_meta" -> mediaMeta,
     "m3_frame_near_dup" -> frameNearDup,
+    "m4_resize_stats" -> resizeStats,
     "m2_frame_stats" -> frameStats)
 
   val oracles = Map(
@@ -193,6 +221,16 @@ object Multimodal extends QueryModule {
         |UNION ALL
         |SELECT doc_id + 1000000000, doc_id + 2000000000, CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 30 = 0""".stripMargin,
+    "m4_resize_stats" ->
+      """WITH m AS (SELECT 'fake/' || lang AS format,
+        |             octet_length(CAST(text AS BLOB)) AS L
+        |           FROM documents)
+        |SELECT format, count(*) AS media_ct,
+        |       CAST(SUM(L) AS BIGINT) AS in_bytes,
+        |       CAST(SUM(least(L, 256)) AS BIGINT) AS out_bytes,
+        |       CAST(SUM(CASE WHEN L > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS shrunk_ct
+        |FROM m GROUP BY 1""".stripMargin,
     "m1_media_meta" ->
       """SELECT 'fake/' || lang AS format, count(*) AS media_ct,
         |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_sum,

@@ -133,9 +133,42 @@ object QualityOps extends QueryModule {
         sum(when(cleanOk, 1L).otherwise(0L)).as("clean_ct"))
   }
 
+  /** c9: training-sequence packing (the GPT-style concat-and-chunk): per
+    * source, documents are laid end to end in a deterministic md5 order
+    * (the c7 stable-shuffle idiom — identical layout on any re-run or
+    * re-shard) and cut into fixed 2048-token sequences. One window
+    * cumulative sum gives every document its byte range; the audit row
+    * reports sequences produced, boundary-spanning documents, and the
+    * fill rate. At 100 TB: one shuffle on source, one window pass — no
+    * driver-side packing loop. */
+  private def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SEQ = 2048L
+    val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("k", md5(col("doc_id").cast(StringType)))
+    val w = Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("first_seq", expr(s"(cum - n_tokens) div $SEQ"))
+      .withColumn("last_seq", expr(s"(cum - 1) div $SEQ"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("n_tokens")).as("token_sum"),
+        expr(s"(max(cum) + ${SEQ - 1}) div $SEQ").as("n_sequences"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .as("boundary_docs"))
+      .withColumn("fill_rate",
+        round(col("token_sum").cast(DoubleType) /
+          (col("n_sequences") * SEQ).cast(DoubleType), 6))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "p15_pii_redact" -> piiRedact,
     "c8_quality_funnel" -> qualityFunnel,
+    "c9_sequence_packing" -> sequencePacking,
     "t10_repetition_signals" -> repetitionSignals)
 
   val oracles = Map(
@@ -211,6 +244,26 @@ object QualityOps extends QueryModule {
          |                THEN 1 ELSE 0 END) AS BIGINT) AS clean_ct
          |FROM g GROUP BY 1""".stripMargin
     },
+    "c9_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |                         x -> x <> '')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER
+        |    (PARTITION BY source ORDER BY k, doc_id) AS cum
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT source, count(*) AS doc_ct,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+        |       CAST((MAX(cum) + 2047) // 2048 AS BIGINT) AS n_sequences,
+        |       CAST(SUM(CASE WHEN (cum - n_tokens) // 2048
+        |                       <> (cum - 1) // 2048
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+        |       round(CAST(SUM(n_tokens) AS DOUBLE) /
+        |             (((MAX(cum) + 2047) // 2048) * 2048), 6) AS fill_rate
+        |FROM c GROUP BY 1""".stripMargin,
     "t10_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -58,6 +58,28 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.filter(!col("pq_ok")).count() == 0)
   }
 
+  test("c9: packing conserves tokens and stays within fill bounds") {
+    val r = q("c9_sequence_packing")
+    assert(r.count() > 0)
+    // every sequence is at most full; the layout wastes less than one
+    // sequence per source (concat-and-chunk leaves only the tail slack)
+    assert(r.filter(col("fill_rate") <= 0 || col("fill_rate") > 1)
+      .count() == 0)
+    assert(r.filter(col("token_sum") >
+      col("n_sequences") * 2048L).count() == 0)
+    assert(r.filter(col("token_sum") <=
+      (col("n_sequences") - 1) * 2048L).count() == 0)
+    assert(r.filter(col("boundary_docs") >= col("doc_ct")).count() == 0)
+  }
+
+  test("m4: resize never grows a payload and hits the budget") {
+    val r = q("m4_resize_stats")
+    assert(r.count() > 0)
+    assert(r.filter(col("out_bytes") > col("in_bytes")).count() == 0)
+    assert(r.filter(col("out_bytes") > col("media_ct") * 256L)
+      .count() == 0)
+  }
+
   test("m3: frame dedup finds exactly the planted pairs") {
     val r = q("m3_frame_near_dup")
     // re-uploads share all 4 frames; every kept pair involves a planted id
