@@ -181,6 +181,29 @@ object CurationOps extends QueryModule {
         countDistinct(col("source")).as("source_ct"))
   }
 
+  /** c10: deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis, "Weighted random sampling with a reservoir",
+    * IPL 2006): each doc gets key u^(1/w) with u a hash-derived uniform
+    * and w its token count; the global top-n keys are the sample, so
+    * inclusion probability is weight-proportional. Expressed as
+    * ln(u)/w (same ordering, no pow underflow), rounded to 9 dp so the
+    * cross-engine order is robust, with doc_id as the total-order
+    * tie-break. The u is the same md5-bucket uniform as c3 — purely
+    * map-side, stable under re-sharding. The plan is orderBy+limit →
+    * TakeOrderedAndProject: per-partition partial top-n, no full sort —
+    * the correct 100-TB shape for "sample n docs by token weight". */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(DoubleType)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("u", (h + lit(1.0)) / lit(65536.0))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(log(col("u")) / col("n_tokens"), 9).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id")).limit(200)
+  }
+
   /** c4: top-3 docs per source by size — rank-window top-k-per-group
     * (absent in the reference: its only top-N is global, A10/ch). */
   private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
@@ -307,6 +330,7 @@ object CurationOps extends QueryModule {
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
     "c3_hash_split" -> hashSplit,
+    "c10_weighted_sample" -> weightedSample,
     "c4_topk_per_group" -> topkPerGroup,
     // the heap twin is oracle-checked against the SAME SQL as c4: two
     // physically different plans (rank window vs two-phase mapPartitions
@@ -423,7 +447,16 @@ object CurationOps extends QueryModule {
          |       count(DISTINCT source) AS source_ct
          |FROM b GROUP BY 1""".stripMargin,
     "c4_topk_per_group" -> topkSql,
-    "x3_topk_heap" -> topkSql)
+    "x3_topk_heap" -> topkSql,
+    "c10_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         |         (${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} + 1.0)
+         |           / 65536.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |       round(ln(u) / n_tokens, 9) AS skey
+         |FROM b ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin)
 
   private lazy val topkSql: String =
     """SELECT source, doc_id, n_chars, rk FROM (

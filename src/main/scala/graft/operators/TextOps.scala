@@ -270,7 +270,28 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
   }
 
+  /** t12: inverted-index build — the retrieval-side structure a corpus
+    * pipeline materializes next to the text: token → document-frequency,
+    * total term-frequency, posting-list bounds and an order-independent
+    * posting checksum (sum of doc_ids). Two shuffles, both map-side
+    * combinable: (token, doc) tf then token rollup — the exact shape of
+    * a distributed index build at 100 TB (the posting lists themselves
+    * would be written per token-range partition; the scalars here are
+    * the index's statistics page). Top 50 postings by df with the token
+    * string as total-order tie-break. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("word"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(col("doc_id")).as("posting_sum"))
+      .orderBy(col("df").desc, col("word")).limit(50)
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t12_inverted_index" -> invertedIndex,
     "t11_distinctive_terms" -> distinctiveTerms,
     "t9_winnow_fingerprints" -> winnowFingerprints,
     "t8_cjk_tokens" -> cjkTokens,
@@ -290,6 +311,15 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t12_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |p AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |       CAST(sum(doc_id) AS BIGINT) AS posting_sum
+        |FROM p GROUP BY 1 ORDER BY df DESC, word LIMIT 50""".stripMargin,
     "t11_distinctive_terms" ->
       """WITH toks AS (
         |  SELECT doc_id,

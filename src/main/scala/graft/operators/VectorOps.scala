@@ -104,6 +104,61 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
   }
 
+  /** Squared euclidean distance of two ARRAY<DOUBLE> columns —
+    * left-to-right accumulation like [[dot]], so both engines produce
+    * bit-identical doubles. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** v9: one Lloyd iteration of k-means over the embedding table — the
+    * semantic-clustering primitive behind embedding-based data mixing
+    * and cluster-balanced sampling (and the training step that produces
+    * v3's IVF coarse quantizer). Seeds = v3's deterministic centroid
+    * set (vec_id % 50 == 0); assignment is a map-side argmin over the
+    * broadcast centroids via `min(struct(d2, c_id, emb))` — partial-agg
+    * combinable, so the shuffle carries one row per vector, NOT the n×k
+    * pair set a rank-window would sort. Centroid recompute is
+    * posexplode → (cluster, dim) sum — a single shuffle bounded by k×d —
+    * with each component quantized to DECIMAL before the cross-row sum
+    * so the new centroids are order-independent (then one double
+    * division by the member count, identical in both engines). The
+    * re-assignment distances are DECIMAL-quantized the same way before
+    * the per-cluster total. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+    val cent0 = em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    def argmin(pairs: DataFrame, carryEmb: Boolean): DataFrame = {
+      val best = if (carryEmb) struct(col("d2"), col("c_id"), col("emb"))
+                 else struct(col("d2"), col("c_id"))
+      pairs.groupBy(col("vec_id")).agg(min(best).as("best"))
+    }
+    val assign0 = argmin(em.join(broadcast(cent0))
+        .select(col("vec_id"), col("emb"), col("c_id"),
+          sqDist(col("emb"), col("c_emb")).as("d2")), carryEmb = true)
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        col("best.emb").as("emb"))
+    val cent1 = assign0
+      .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg((sum(round(col("v"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType) / count(lit(1))).as("v"))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x("v")).as("c_emb"))
+    val assign1 = argmin(em.join(broadcast(cent1))
+        .select(col("vec_id"), col("emb"), col("c_id"),
+          sqDist(col("emb"), col("c_emb")).as("d2")), carryEmb = false)
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        col("best.d2").as("d2"))
+    assign1.groupBy(col("c_id").as("cluster_id"))
+      .agg(count(lit(1)).as("member_ct"),
+        sum(round(col("d2"), 6).cast(DecimalType(28, 6))).as("sum_sqdist"),
+        min(col("vec_id")).as("min_member"))
+  }
+
   /** v4: brute-force top-k on the native Catalyst [[graft.plans.CosineSimilarity]]
     * expression — one fused codegen loop per pair (dot + both norms)
     * instead of the zip_with/aggregate chain; same accumulation order →
@@ -323,6 +378,7 @@ object VectorOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v9_kmeans_assign" -> kmeansAssign,
     "v8_ann_pq_topk" -> annPq,
     "v7_ann_int8_topk" -> annInt8,
     "v6_ann_signlsh_topk" -> annSignLsh,
@@ -444,6 +500,45 @@ object VectorOps extends QueryModule {
     },
     // v3 is approximate vs TRUE neighbors but fully deterministic as a
     // computation — the oracle replays the same assign→probe pipeline.
+    // v9 is a full deterministic replay: seed → assign (argmin) →
+    // DECIMAL-quantized mean recompute → re-assign → per-cluster rollup.
+    "v9_kmeans_assign" -> {
+      def d2Sql(a: String, b: String) =
+        s"list_aggregate(list_transform(range(1, ${embDim + 1}), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM em
+         |          WHERE vec_id % 50 = 0),
+         |a0 AS (SELECT vec_id, emb, c_id, ${d2Sql("emb", "c_emb")} AS d2
+         |       FROM em CROSS JOIN cent0),
+         |assign0 AS (
+         |  SELECT vec_id, emb, c_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
+         |    FROM a0) WHERE rk = 1),
+         |comp AS (
+         |  SELECT c_id, i,
+         |         CAST(sum(CAST(round(emb[i], 9) AS DECIMAL(28,9)))
+         |              AS DOUBLE) / count(*) AS v
+         |  FROM assign0 CROSS JOIN range(1, ${embDim + 1}) t(i)
+         |  GROUP BY c_id, i),
+         |cent1 AS (SELECT c_id, list(v ORDER BY i) AS c_emb
+         |          FROM comp GROUP BY c_id),
+         |a1 AS (SELECT em.vec_id, cent1.c_id, ${d2Sql("emb", "c_emb")} AS d2
+         |       FROM em CROSS JOIN cent1),
+         |assign1 AS (
+         |  SELECT vec_id, c_id, d2 FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
+         |    FROM a1) WHERE rk = 1)
+         |SELECT c_id AS cluster_id, count(*) AS member_ct,
+         |       sum(CAST(round(d2, 6) AS DECIMAL(28,6))) AS sum_sqdist,
+         |       min(vec_id) AS min_member
+         |FROM assign1 GROUP BY 1""".stripMargin
+    },
     "v3_ann_ivf_topk" -> {
       val dotCE = dotSql("embedding", "c_emb")
       val dotQN = dotSql("q_emb", "n_emb")

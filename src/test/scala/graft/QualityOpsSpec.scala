@@ -88,4 +88,52 @@ class QualityOpsSpec extends SparkSuite {
       "a pair of two ORIGINAL docs survived the threshold — accidental " +
         "frame collision, fixture no longer analytic")
   }
+
+  test("v9: partition is total and one Lloyd step does not increase " +
+      "distortion") {
+    import graft.operators.VectorOps
+    val r = q("v9_kmeans_assign")
+    val emCt = Tables(spark, sf, "embeddings").count()
+    assert(r.agg(sum(col("member_ct"))).head.getLong(0) == emCt)
+    // Lloyd monotonicity: distortion after recompute+reassign <= the
+    // seed-centroid assignment distortion (epsilon for the 6-dp quantize)
+    val em = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent0 = em.filter(col("vec_id") % 50 === 0)
+      .select(col("emb").as("c_emb"))
+    val d0 = em.join(broadcast(cent0))
+      .select(col("vec_id"), VectorOps.sqDist(col("emb"), col("c_emb")).as("d2"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+      .agg(sum(col("d2"))).head.getDouble(0)
+    val d1 = r.agg(sum(col("sum_sqdist"))).head.getDecimal(0).doubleValue()
+    assert(d1 <= d0 + 1e-3, s"Lloyd step increased distortion: $d1 > $d0")
+  }
+
+  test("t12: posting stats are internally consistent") {
+    val r = q("t12_inverted_index")
+    // vocab at sf0.001 is below the LIMIT 50 — assert the cap, not equality
+    val ct = r.count()
+    assert(ct > 0 && ct <= 50)
+    val docCt = Tables(spark, sf, "documents").count()
+    assert(r.filter(col("df") > docCt).count() == 0)
+    assert(r.filter(col("tf_sum") < col("df")).count() == 0)
+    assert(r.filter(col("min_doc") > col("max_doc")).count() == 0)
+    // checksum bounds: df * min_doc <= posting_sum <= df * max_doc
+    assert(r.filter(col("posting_sum") < col("df") * col("min_doc") ||
+      col("posting_sum") > col("df") * col("max_doc")).count() == 0)
+  }
+
+  test("c10: weighted sample is exact-size and weight-biased") {
+    val r = q("c10_weighted_sample")
+    assert(r.count() == 200)
+    assert(r.select(col("doc_id")).distinct().count() == 200)
+    // Efraimidis-Spirakis inclusion is weight-proportional: the sampled
+    // mean token count must exceed the corpus mean
+    val sampleMean = r.agg(avg(col("n_tokens"))).head.getDouble(0)
+    val corpusMean = Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(avg(col("n"))).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }
