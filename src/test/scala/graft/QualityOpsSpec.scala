@@ -109,6 +109,17 @@ class QualityOpsSpec extends SparkSuite {
     assert(d1 <= d0 + 1e-3, s"Lloyd step increased distortion: $d1 > $d0")
   }
 
+  test("v10: outlier scores are >= 1 of their cluster mean floor and " +
+      "sorted") {
+    val r = q("v10_embed_outliers").collect()
+    assert(r.length == 20)
+    // top-20 by score: descending, tie-broken by vec_id
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the max of d2/mean within a cluster is always >= 1
+    assert(scores.head >= 1.0)
+  }
+
   test("t12: posting stats are internally consistent") {
     val r = q("t12_inverted_index")
     // vocab at sf0.001 is below the LIMIT 50 — assert the cap, not equality
