@@ -39,7 +39,9 @@ object Bench {
     val releaseAfter: Map[String, QueryModule] = Map(
       "c2_kept_corpus" -> operators.CurationOps,
       "d6_simhash_near_pairs" -> operators.DedupOps,
-      "s2_debezium_snapshot" -> operators.EnvelopeOps)
+      "s2_debezium_snapshot" -> operators.EnvelopeOps,
+      // v10 runs before v9 in sorted order; both read the Lloyd memo
+      "v9_kmeans_assign" -> operators.VectorOps)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column

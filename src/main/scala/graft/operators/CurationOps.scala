@@ -52,7 +52,10 @@ object CurationOps extends QueryModule {
   private[graft] var lastRounds: Int = 0
 
   /** large-star: per node u with m = min(Γ(u) ∪ {u}), connect every
-    * strictly-larger neighbor to m. Output edges all satisfy src > dst. */
+    * strictly-larger neighbor to m. Output edges all satisfy src > dst.
+    * Output may carry duplicates — smallStar's aggregations absorb them
+    * and its final distinct dedupes the round, so largeStar skips its
+    * own distinct (one less shuffle per round). */
   private def largeStar(edges: DataFrame): DataFrame = {
     val und = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -61,7 +64,6 @@ object CurationOps extends QueryModule {
     und.join(mins, col("src") === col("u"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** small-star on a large→small directed edge set: per node u with
@@ -89,16 +91,27 @@ object CurationOps extends QueryModule {
       var prevCount = edges.count()
       var done = prevCount == 0
       var iter = 0
-      while (!done && iter < 30) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(true)
-        // exact fixpoint test: both sets are distinct, so equal counts
-        // plus an equal-count distinct union means set equality
-        val nc = next.count()
-        done = prevCount == nc && edges.union(next).distinct().count() == nc
-        edges = next
-        prevCount = nc
-        iter += 1
-      }
+      // Size-adaptive parallelism for the loop: the edge set is known
+      // (prevCount was just materialized), so size the per-round shuffles
+      // to it — ~20k edges per partition, floor 4 — instead of paying 32
+      // stage-widths of task overhead per tiny round. This is the same
+      // knob a 100 TB run turns the other way (thousands of partitions
+      // for billions of edges); restored after the loop.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, math.min(prevCount / 20000L, 512L)).toString)
+      try {
+        while (!done && iter < 30) {
+          val next = smallStar(largeStar(edges)).localCheckpoint(true)
+          // exact fixpoint test: both sets are distinct, so equal counts
+          // plus an equal-count distinct union means set equality
+          val nc = next.count()
+          done = prevCount == nc && edges.union(next).distinct().count() == nc
+          edges = next
+          prevCount = nc
+          iter += 1
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       lastRounds = iter
       // at the fixpoint the edge set is a star per component: every
       // non-min node points at the component min; the min nodes appear
