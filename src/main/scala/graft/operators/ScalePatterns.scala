@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.functions.{Fns, Oracle}
@@ -55,9 +55,63 @@ object ScalePatterns extends QueryModule {
       .agg(sum(col("uv_part")).as("uv_ct")) // salts partition users → sum is exact
   }
 
+  /** x4: Z-order (Morton-curve) layout clustering — the multi-dimensional
+    * file-layout lever behind Delta/Iceberg `OPTIMIZE ZORDER BY`: rows
+    * sorted by the bit-interleave of (o_custkey, o_orderdate-days) land
+    * in buckets whose min/max extents are tight on BOTH dimensions, so
+    * parquet row-group stats prune scans filtered on either one. The
+    * query materializes the evidence: the same 32-bucket split under a
+    * Z-value order vs a plain date order, with each bucket's custkey and
+    * date spans. Bucketing uses ntile over the unique (key, orderkey)
+    * total order so the oracle replays it exactly; the production form
+    * is `repartitionByRange($"zval")` + write — a distributed range
+    * sort, no global window. The interleave itself is four mask-shift
+    * rounds (standard Morton magic numbers), pure codegen'd integer
+    * arithmetic, identical in both engines. */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    // 8-bit spread (Morton magic numbers). Both dimensions are first
+    // min-max normalized to 8 bits — interleaving RAW values lets the
+    // wider-ranged dimension's high bits dominate the curve and the
+    // "z-order" degenerates to a single-dim sort (Delta's OPTIMIZE
+    // normalizes via per-column range ids for the same reason).
+    def spread(c: Column): Column = {
+      val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+      val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+      b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+    }
+    val raw = Tables(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey").cast(LongType).as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast(LongType)
+        .as("dt"))
+    val mm = raw.agg(min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+      min(col("dt")).as("dt_min"), max(col("dt")).as("dt_max"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      floor((c - lo) * lit(255.0) / greatest(hi - lo, lit(1L)))
+        .cast(LongType)
+    val base = raw.crossJoin(broadcast(mm))
+      .select(col("o_orderkey"), col("ck"), col("dt"),
+        norm(col("ck"), col("ck_min"), col("ck_max")).as("ckn"),
+        norm(col("dt"), col("dt_min"), col("dt_max")).as("dtn"))
+    val z = base.withColumn("zval",
+      spread(col("ckn")).bitwiseOR(shiftleft(spread(col("dtn")), 1)))
+    val zb = ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey")))
+    val db = ntile(32).over(Window.orderBy(col("dt"), col("o_orderkey")))
+    val both = z.select(lit("zorder").as("layout"), zb.as("bucket"),
+        col("ck"), col("dt"))
+      .unionAll(z.select(lit("bydate").as("layout"), db.as("bucket"),
+        col("ck"), col("dt")))
+    both.groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("row_ct"),
+        (max(col("ck")) - min(col("ck"))).as("ck_span"),
+        (max(col("dt")) - min(col("dt"))).as("dt_span"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x1_salted_agg" -> saltedAgg,
-    "x2_salted_distinct" -> saltedDistinct)
+    "x2_salted_distinct" -> saltedDistinct,
+    "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
     "x1_salted_agg" ->
@@ -66,5 +120,44 @@ object ScalePatterns extends QueryModule {
          |FROM events GROUP BY 1""".stripMargin,
     "x2_salted_distinct" ->
       """SELECT event_type AS ch, count(DISTINCT user_id) AS uv_ct
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "x4_zorder_layout" -> {
+      // min-max normalize to 8 bits, three mask-shift rounds per
+      // dimension, then interleave — the exact twin of the Spark side
+      val sp =
+        """s1 AS (SELECT o_orderkey, ck, dt,
+          |  ((ckn | (ckn << 4)) & 3855) AS cka,
+          |  ((dtn | (dtn << 4)) & 3855) AS dta FROM n),
+          |s2 AS (SELECT *, ((cka | (cka << 2)) & 13107) AS ckb,
+          |  ((dta | (dta << 2)) & 13107) AS dtb FROM s1),
+          |s3 AS (SELECT *, ((ckb | (ckb << 1)) & 21845) AS ckd,
+          |  ((dtb | (dtb << 1)) & 21845) AS dtd FROM s2)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey AS ck,
+         |         date_diff('day', DATE '1992-01-01', o_orderdate) AS dt
+         |  FROM orders),
+         |mm AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         |              min(dt) AS dt_min, max(dt) AS dt_max FROM b),
+         |n AS (
+         |  SELECT o_orderkey, ck, dt,
+         |    CAST(floor((ck - ck_min) * 255.0
+         |               / greatest(ck_max - ck_min, 1)) AS BIGINT) AS ckn,
+         |    CAST(floor((dt - dt_min) * 255.0
+         |               / greatest(dt_max - dt_min, 1)) AS BIGINT) AS dtn
+         |  FROM b CROSS JOIN mm),
+         |$sp,
+         |zd AS (SELECT o_orderkey, ck, dt,
+         |              (ckd | (dtd << 1)) AS zval FROM s3),
+         |lay AS (
+         |  SELECT 'zorder' AS layout,
+         |         ntile(32) OVER (ORDER BY zval, o_orderkey) AS bucket,
+         |         ck, dt FROM zd
+         |  UNION ALL
+         |  SELECT 'bydate' AS layout,
+         |         ntile(32) OVER (ORDER BY dt, o_orderkey) AS bucket,
+         |         ck, dt FROM zd)
+         |SELECT layout, bucket, count(*) AS row_ct,
+         |       max(ck) - min(ck) AS ck_span, max(dt) - min(dt) AS dt_span
+         |FROM lay GROUP BY 1, 2""".stripMargin
+    })
 }

@@ -240,4 +240,19 @@ class PerfSpec extends SparkSuite {
         expect.exceptAll(joined).count() == 0)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("x4: z-order buckets are tighter on custkey than a date-sorted " +
+      "layout at equal bucket count") {
+    val r = q("x4_zorder_layout").collect()
+    def meanSpan(layout: String, c: String): Double = {
+      val rows = r.filter(_.getAs[String]("layout") == layout)
+      rows.map(_.getAs[Long](c)).sum.toDouble / rows.length
+    }
+    // date-sorted buckets see the full custkey range; z-order trades a
+    // little date locality for a large custkey-locality win
+    val zCk = meanSpan("zorder", "ck_span")
+    val dCk = meanSpan("bydate", "ck_span")
+    assert(zCk < dCk / 2,
+      s"z-order custkey span $zCk not clearly tighter than date-layout $dCk")
+  }
 }
