@@ -290,7 +290,38 @@ object TextOps extends QueryModule {
         sum(col("doc_id")).as("posting_sum"))
       .orderBy(col("df").desc, col("word")).limit(50)
 
+  /** t13: unigram-entropy + alphabetic-fraction quality gate — the
+    * gibberish/boilerplate detector family (Gopher-style rules): token
+    * entropy H = ln(n) − Σ tf·ln(tf)/n flags low-diversity docs
+    * (repeated boilerplate → H≈0), alpha_frac flags symbol soup. The
+    * per-term tf·ln(tf) values are quantized to DECIMAL before the
+    * cross-row sum, so the aggregate is order-independent (bit-stable on
+    * any cluster and vs the oracle) even though ln itself is libm. The
+    * gate thresholds are integer-only comparisons. */
+  private def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("distinct_ct"),
+        sum(round(col("tf").cast(DoubleType) *
+            log(col("tf").cast(DoubleType)), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("slog"),
+        sum(when(col("tok").rlike("^[A-Za-z]+$"), col("tf"))
+          .otherwise(0L)).as("alpha_ct"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ct"),
+        round(log(col("n_tokens").cast(DoubleType)) -
+          col("slog") / col("n_tokens"), 6).as("token_entropy"),
+        round(col("alpha_ct").cast(DoubleType) / col("n_tokens"), 6)
+          .as("alpha_frac"),
+        (col("n_tokens") >= 10 &&
+          col("alpha_ct") * lit(10L) >= col("n_tokens") * lit(5L))
+          .as("gopher_ok"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t13_text_entropy" -> textEntropy,
     "t12_inverted_index" -> invertedIndex,
     "t11_distinctive_terms" -> distinctiveTerms,
     "t9_winnow_fingerprints" -> winnowFingerprints,
@@ -311,6 +342,25 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t13_text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         count(*) AS distinct_ct,
+        |         CAST(sum(CAST(round(tf * ln(tf), 9) AS DECIMAL(28,9)))
+        |              AS DOUBLE) AS slog,
+        |         CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$')
+        |                       THEN tf ELSE 0 END) AS BIGINT) AS alpha_ct
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, distinct_ct,
+        |       round(ln(n_tokens) - slog / n_tokens, 6) AS token_entropy,
+        |       round(CAST(alpha_ct AS DOUBLE) / n_tokens, 6) AS alpha_frac,
+        |       (n_tokens >= 10 AND alpha_ct * 10 >= n_tokens * 5)
+        |         AS gopher_ok
+        |FROM m""".stripMargin,
     "t12_inverted_index" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -134,6 +134,16 @@ class QualityOpsSpec extends SparkSuite {
       col("posting_sum") > col("df") * col("max_doc")).count() == 0)
   }
 
+  test("t13: entropy bounded by ln(distinct), fractions in range") {
+    val r = q("t13_text_entropy")
+    assert(r.count() > 0)
+    assert(r.filter(col("token_entropy") < -1e-6).count() == 0)
+    assert(r.filter(col("token_entropy") >
+      log(col("distinct_ct")) + 1e-6).count() == 0)
+    assert(r.filter(col("alpha_frac") < 0 || col("alpha_frac") > 1)
+      .count() == 0)
+  }
+
   test("c10: weighted sample is exact-size and weight-biased") {
     val r = q("c10_weighted_sample")
     assert(r.count() == 200)
