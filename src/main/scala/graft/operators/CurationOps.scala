@@ -217,6 +217,49 @@ object CurationOps extends QueryModule {
       .orderBy(col("skey").desc, col("doc_id")).limit(200)
   }
 
+  /** c11: temperature-based source mixing (the multinomial sampling rule
+    * of Raffel et al., "Exploring the Limits of Transfer Learning with a
+    * Unified Text-to-Text Transformer", JMLR 2020 §3.4.3 / XLM-R) —
+    * per-source sampling rates ∝ S_i^α with α = 0.5, so small sources
+    * are up-weighted relative to proportional sampling without letting
+    * any single giant source dominate the mixture. α = 0.5 is computed
+    * via sqrt, which is IEEE-correctly-rounded in both engines (a libm
+    * pow would drift in the last ulp); the per-source weights are
+    * DECIMAL-quantized before the global sum so the normalizer is
+    * order-independent. The target volume is half the corpus' tokens;
+    * per-doc keeps use the same md5-bucket uniform as c3 — leakage-free,
+    * re-shard-stable, identical across engines. Everything is two
+    * aggregates and one broadcast join back onto the corpus: map-side at
+    * 100 TB with a 20-row dimension of rates. */
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tokens"))
+    val u = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(DoubleType) / lit(65536.0)
+    val perSrc = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wq",
+        round(sqrt(col("src_tokens").cast(DoubleType)), 9)
+          .cast(DecimalType(28, 9)))
+    val totals = perSrc.agg(sum(col("wq")).as("sumw"),
+      sum(col("src_tokens")).as("tot"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .select(col("source").as("r_source"), col("src_tokens"),
+        least(lit(1.0),
+          col("tot").cast(DoubleType) * lit(0.5)
+            * col("wq").cast(DoubleType) / col("sumw").cast(DoubleType)
+            / col("src_tokens").cast(DoubleType)).as("rate"))
+    d.withColumn("u", u)
+      .join(broadcast(rates), col("source") === col("r_source"))
+      .groupBy(col("source"))
+      .agg(max(col("src_tokens")).as("src_tokens"),
+        round(max(col("rate")), 6).as("rate"),
+        count(when(col("u") < col("rate"), 1)).as("kept_ct"),
+        sum(when(col("u") < col("rate"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   /** c4: top-3 docs per source by size — rank-window top-k-per-group
     * (absent in the reference: its only top-N is global, A10/ch). */
   private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
@@ -337,6 +380,7 @@ object CurationOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "c11_temperature_mix" -> temperatureMix,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
     "c6_stratified_sample" -> stratifiedSample,
@@ -372,6 +416,35 @@ object CurationOps extends QueryModule {
        |           * (CAST(1 AS BIGINT) << (4 * (4 - i)))), 'sum') AS BIGINT)""".stripMargin
 
   val oracles = Map(
+    "c11_temperature_mix" -> {
+      val u = s"(${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} / 65536.0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |       FROM d GROUP BY 1),
+         |psw AS (SELECT *, CAST(round(sqrt(CAST(src_tokens AS DOUBLE)), 9)
+         |                       AS DECIMAL(28,9)) AS wq FROM ps),
+         |tot AS (SELECT sum(wq) AS sumw,
+         |               CAST(sum(src_tokens) AS BIGINT) AS tot FROM psw),
+         |rates AS (
+         |  SELECT source AS r_source, src_tokens,
+         |         least(1.0, CAST(tot AS DOUBLE) * 0.5 * CAST(wq AS DOUBLE)
+         |               / CAST(sumw AS DOUBLE)
+         |               / CAST(src_tokens AS DOUBLE)) AS rate
+         |  FROM psw CROSS JOIN tot),
+         |k AS (SELECT d.doc_id, d.source, d.n_tokens, r.src_tokens, r.rate,
+         |             $u AS u
+         |      FROM d JOIN rates r ON d.source = r.r_source)
+         |SELECT source, CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+         |       round(max(rate), 6) AS rate,
+         |       CAST(count(CASE WHEN u < rate THEN 1 END) AS BIGINT)
+         |         AS kept_ct,
+         |       CAST(sum(CASE WHEN u < rate THEN n_tokens ELSE 0 END)
+         |            AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY 1""".stripMargin
+    },
     "c7_token_budget" ->
       """WITH b AS (
         |  SELECT source, doc_id,

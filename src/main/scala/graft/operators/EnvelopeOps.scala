@@ -208,6 +208,30 @@ object EnvelopeOps extends QueryModule {
         col("l_linenumber").as("last_op_seq"))
   }
 
+  /** k7: time-travel (as-of) snapshot read — the lakehouse
+    * `VERSION AS OF` semantics over the same merge contract as k5: the
+    * dimension state as it stood after applying only ops with
+    * seq ≤ 3 (an op-log prefix = an earlier committed version of the
+    * [[graft.streaming.VersionedParquetMergeSink]] store, whose
+    * `snapshotAt` reads exactly this; the spec proves the two agree).
+    * Same deterministic last-op-wins total order as k5, restricted to
+    * the prefix — at scale this is a partition-pruned read of one
+    * version directory, no recompute. */
+  private val asOfSeq = 3
+  private def asOfSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").filter(col("l_linenumber") <= asOfSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("l_returnflag").desc,
+        col("l_extendedprice").desc, col("l_partkey").desc,
+        col("l_suppkey").desc, col("l_quantity").desc)
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("l_returnflag") =!= "R")
+      .select(col("l_orderkey").as("id"),
+        money(col("l_extendedprice")).cast("double").as("final_price"),
+        col("l_linenumber").as("last_op_seq"))
+  }
+
   /** G1: array fan-out — per log event, one row per display element,
     * copying the enclosing common/page/ts fields (DwdBaseLog.java:229-266).
     * The displays array is built deterministically from the props payload
@@ -293,6 +317,7 @@ object EnvelopeOps extends QueryModule {
     "p5_conditional_delta" -> conditionalDelta,
     "p9_column_pruning" -> columnPruning,
     "g3_multiway_split" -> multiWaySplit,
+    "k7_asof_snapshot" -> asOfSnapshot,
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
   val oracles = Map(
@@ -386,6 +411,16 @@ object EnvelopeOps extends QueryModule {
          |       count(*) AS route_ct,
          |       ${Oracle.moneySum("\"value\"")} AS value_sum
          |FROM events GROUP BY 1""".stripMargin,
+    "k7_asof_snapshot" ->
+      """SELECT l_orderkey AS id,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS final_price,
+        |       l_linenumber AS last_op_seq
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY l_orderkey ORDER BY l_linenumber DESC,
+        |         l_returnflag DESC, l_extendedprice DESC, l_partkey DESC,
+        |         l_suppkey DESC, l_quantity DESC) AS rn
+        |      FROM lineitem WHERE l_linenumber <= 3)
+        |WHERE rn = 1 AND l_returnflag <> 'R'""".stripMargin,
     "k5_dim_merge_snapshot" ->
       """SELECT l_orderkey AS id,
         |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS final_price,

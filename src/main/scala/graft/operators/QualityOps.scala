@@ -165,13 +165,84 @@ object QualityOps extends QueryModule {
           (col("n_sequences") * SEQ).cast(DoubleType), 6))
   }
 
+  /** p16: URL canonicalization + dedup — the crawl-frontier dedup gate:
+    * scheme/host-case noise, `www.` prefixes, tracking parameters
+    * (`utm_*`) and fragments all collapse to one canonical form, then
+    * exact dedup groups by canonical URL. The synthetic corpus carries
+    * no URLs, so (as with p15's PII) each doc plants a deterministic
+    * doc_id-derived raw URL — many raw variants per canonical target —
+    * and both engines build the identical string. Canonicalization is a
+    * pure map (5 regexp/lower steps, all codegen'd); the dedup is one
+    * groupBy on the canonical key — at 100 TB this is the frontier
+    * "have we crawled this?" pass, shuffling only the URL column. */
+  private def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(
+      when(id % 2 === 0, "https://").otherwise("HTTP://"),
+      when(id % 3 === 0, "WWW.Example.COM")
+        .when(id % 3 === 1, "example.com").otherwise("Example.Com"),
+      lit("/p/"), (id % 40).cast(StringType),
+      when(id % 4 === 0,
+          concat(lit("?utm_source=feed&ref="), (id % 5).cast(StringType)))
+        .when(id % 4 === 1, concat(lit("?ref="), (id % 5).cast(StringType)))
+        .otherwise(lit("")),
+      when(id % 5 === 0, "#top").otherwise(""))
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(raw), "^http://", "https://"),
+              "^https://www\\.", "https://"),
+            "#.*$", ""),
+          "utm_[a-z]+=[^&#]*&?", ""),
+        "[?&]$", "")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw_url"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("dup_ct"),
+        countDistinct(col("raw_url")).as("variant_ct"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "p16_url_canonicalize" -> urlCanonicalize,
     "p15_pii_redact" -> piiRedact,
     "c8_quality_funnel" -> qualityFunnel,
     "c9_sequence_packing" -> sequencePacking,
     "t10_repetition_signals" -> repetitionSignals)
 
   val oracles = Map(
+    "p16_url_canonicalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+        |          WHEN doc_id % 3 = 1 THEN 'example.com'
+        |          ELSE 'Example.Com' END) ||
+        |    '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |            THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+        |          WHEN doc_id % 4 = 1
+        |            THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(lower(raw_url), '^http://', 'https://'),
+        |            '^https://www\.', 'https://'),
+        |          '#.*$', ''),
+        |        'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |      '[?&]$', '') AS canon_url
+        |  FROM raw)
+        |SELECT canon_url, count(*) AS dup_ct,
+        |       count(DISTINCT raw_url) AS variant_ct, min(doc_id) AS min_doc
+        |FROM c GROUP BY 1""".stripMargin,
     "p15_pii_redact" -> {
       val fixture =
         """text ||

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.{QueryModule, Tables}
 import graft.functions.{Fns, Oracle}
 
@@ -108,12 +109,98 @@ object ScalePatterns extends QueryModule {
         (max(col("dt")) - min(col("dt"))).as("dt_span"))
   }
 
+  /** Double-hash inputs for the bloom sketch: two independent 32-bit
+    * slices of md5(key), h2 forced odd so the k probe positions never
+    * collapse onto one bit (Kirsch–Mitzenstein double hashing). Shared
+    * by the build side (Aggregator input) and the probe side. */
+  private[operators] def bloomH1(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
+  private[operators] def bloomH2(key: Column): Column =
+    conv(substring(md5(key), 9, 8), 16, 10).cast(LongType) * 2 + 1
+
+  /** Bloom membership probe over the HEX image of the bitset, written
+    * entirely in codegen'd builtins (substr + conv + arithmetic): bit
+    * position_i = (h1 + i*h2) mod m; byte = two hex chars at
+    * floor(pos/8); bit = floor(byte / 2^(pos mod 8)) mod 2. The bit
+    * arithmetic mirrors [[graft.functions.BloomSketch.reduce]] exactly
+    * (little-endian bit order within each byte). */
+  private def mightContain(hexCol: Column, h1: Column, h2: Column): Column = {
+    val pow2 = array((0 until 8).map(i => lit(1 << i)): _*)
+    (0 until graft.functions.BloomSketch.numProbes).map { i =>
+      val pos = pmod(h1 + lit(i.toLong) * h2,
+        lit(graft.functions.BloomSketch.mBits.toLong))
+      val byteVal = conv(hexCol.substr(
+        (floor(pos / 8) * 2 + 1).cast(IntegerType), lit(2)), 16, 10)
+        .cast(IntegerType)
+      val divisor = element_at(pow2, pmod(pos, lit(8L)).cast(IntegerType) + 1)
+      pmod(floor(byteVal / divisor), lit(2L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  private def bloomKeyed(s: SparkSession, dir: String): DataFrame = {
+    val key = concat_ws(":", col("lang"), col("n_chars"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), key.as("k"))
+      .withColumn("h1", bloomH1(col("k")))
+      .withColumn("h2", bloomH2(col("k")))
+  }
+
+  /** Bloom-surviving new-side rows (doc_id, k) — exposed for the spec,
+    * which asserts the prefilter is sound (superset of the exact match
+    * set) and useful (prunes a large share of the new batch). */
+  private[graft] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
+    val keyed = bloomKeyed(s, dir)
+    val old = keyed.filter(col("source") =!= "src0")
+    val bloomUdaf = udaf(graft.functions.BloomSketch)
+    val bloomDf = old.agg(bloomUdaf(col("h1"), col("h2")).as("bloom"))
+    keyed.filter(col("source") === "src0")
+      .crossJoin(broadcast(bloomDf))
+      .withColumn("bhex", hex(col("bloom")))
+      .filter(mightContain(col("bhex"), col("h1"), col("h2")))
+      .select(col("doc_id"), col("k"))
+  }
+
+  /** x5: bloom-prefiltered incremental dedup — the new batch (src0) is
+    * checked against the accumulated store (all other sources) for
+    * exact-key duplicates. Instead of shuffling the WHOLE batch into the
+    * join, a 4 KB bloom bitset aggregated over the store is broadcast
+    * and prunes non-matching rows map-side; only bloom survivors pay the
+    * exact join, which also removes the bloom's false positives — so the
+    * output is byte-identical to the plain join (the oracle) while the
+    * shuffle carries only the candidate sliver. At 100 TB this is the
+    * standard "is this crawl row already in the corpus?" gate: the bloom
+    * rides a broadcast variable, the store-side join input is pruned by
+    * the same sketch, and the exact join stays for correctness. */
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val old = bloomKeyed(s, dir).filter(col("source") =!= "src0")
+      .select(col("k").as("ok"), col("doc_id").as("old_id"))
+    bloomCandidates(s, dir)
+      .join(old, col("k") === col("ok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("old_match_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x1_salted_agg" -> saltedAgg,
     "x2_salted_distinct" -> saltedDistinct,
+    "x5_bloom_prefilter" -> bloomPrefilter,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    // The bloom prefilter is semantically invisible (false positives are
+    // removed by the exact join, false negatives don't exist), so the
+    // oracle is the PLAIN exact join — any bloom defect shows up as a
+    // row/hash mismatch here.
+    "x5_bloom_prefilter" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |         concat_ws(':', lang, CAST(n_chars AS VARCHAR)) AS k
+        |  FROM documents),
+        |n AS (SELECT doc_id, k FROM k WHERE source = 'src0'),
+        |o AS (SELECT doc_id, k FROM k WHERE source <> 'src0')
+        |SELECT n.doc_id, count(*) AS old_match_ct
+        |FROM n JOIN o ON n.k = o.k
+        |GROUP BY 1""".stripMargin,
     "x1_salted_agg" ->
       s"""SELECT event_type AS ch, count(*) AS pv_ct,
          |       ${Oracle.moneySum("\"value\"")} AS amount_sum

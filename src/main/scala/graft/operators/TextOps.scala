@@ -320,7 +320,47 @@ object TextOps extends QueryModule {
           .as("gopher_ok"))
   }
 
+  /** t14: duplicate-n-gram span fraction (Lee, Ippolito, Nystrom, Zhang,
+    * Eck, Callison-Burch, Carlini, "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022) — the substring-level dedup
+    * signal whole-document fingerprints miss: for every doc, the
+    * fraction of its 5-gram spans that occur MORE THAN ONCE in the
+    * corpus (anywhere — another doc or a repeat within the same doc).
+    * Docs with ≥ 20 % duplicated spans are flagged for span-level
+    * dedup/removal (integer-only threshold, engine-portable).
+    *
+    * Scale shape: explode → (doc, gram) counts (map-side combinable) →
+    * (gram) global counts (map-side combinable) → hash join back on
+    * gram → per-doc rollup. Never doc×doc: the corpus-wide duplicate
+    * discovery is carried entirely by the gram-keyed shuffles, the same
+    * shape ES/suffix-array pipelines reduce to when distributed. */
+  private def dupNgramSpans(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), tokenize(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+          element_at(col("tk"), i + 3), element_at(col("tk"), i + 4))))
+        .as("gram"))
+    val perDoc = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("ct"))
+    val global = perDoc.groupBy(col("gram")).agg(sum(col("ct")).as("gct"))
+    perDoc.join(global, "gram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ct")).as("gram_ct"),
+        sum(when(col("gct") >= 2, col("ct")).otherwise(0L))
+          .as("dup_gram_ct"))
+      .select(col("doc_id"), col("gram_ct"), col("dup_gram_ct"),
+        round(col("dup_gram_ct").cast(DoubleType) / col("gram_ct"), 6)
+          .as("dup_frac"),
+        (col("dup_gram_ct") * lit(10L) >= col("gram_ct") * lit(2L))
+          .as("flagged"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t14_dup_ngram_spans" -> dupNgramSpans,
     "t13_text_entropy" -> textEntropy,
     "t12_inverted_index" -> invertedIndex,
     "t11_distinctive_terms" -> distinctiveTerms,
@@ -342,6 +382,26 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t14_dup_ngram_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))
+        |    AS gram
+        |  FROM tk WHERE len(tk) >= 5),
+        |pd AS (SELECT doc_id, gram, count(*) AS ct FROM g GROUP BY 1, 2),
+        |gl AS (SELECT gram, CAST(sum(ct) AS BIGINT) AS gct
+        |       FROM pd GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(ct) AS BIGINT) AS gram_ct,
+        |         CAST(sum(CASE WHEN gct >= 2 THEN ct ELSE 0 END) AS BIGINT)
+        |           AS dup_gram_ct
+        |  FROM pd JOIN gl USING (gram) GROUP BY 1)
+        |SELECT doc_id, gram_ct, dup_gram_ct,
+        |       round(CAST(dup_gram_ct AS DOUBLE) / gram_ct, 6) AS dup_frac,
+        |       dup_gram_ct * 10 >= gram_ct * 2 AS flagged
+        |FROM agg""".stripMargin,
     "t13_text_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -421,7 +421,49 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), (col("hits") >= 3).as("pq_ok"))
   }
 
+  /** v11: SemDeDup (Abbas, Tirumala, Simig, Ganguli, Morcos, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540) — semantic near-dup pruning with
+    * the pairwise work BOUNDED BY THE CLUSTER: vectors are compared only
+    * against members of their own k-means cell (the shared memoized
+    * Lloyd assignment), so the candidate set is Σ|cell|² ≈ n²/k instead
+    * of n² — the paper's exact recipe for running pairwise cosine at
+    * web scale. Keep rule (deterministic): a vector is pruned iff some
+    * LOWER-id member of its cluster has cosine ≥ τ with it — the
+    * "keep one representative per near-dup relation" greedy, expressed
+    * as one within-cluster self-join (a_id < b_id) + distinct, no
+    * iteration. Output is the per-cluster dedup ledger a 100 TB run
+    * publishes: members, pruned, kept, first pruned id. */
+  private val semTau = 0.15
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("e_id"), asD(col("embedding")).as("emb"))
+    val m = lloydAssign1(s, dir)
+      .join(em, col("vec_id") === col("e_id"))
+      .select(col("c_id"), col("vec_id"), col("emb"),
+        norm(col("emb")).as("nrm"))
+    val l = m.select(col("c_id"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val r = m.select(col("c_id").as("r_cid"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    val pruned = l.join(r,
+        col("c_id") === col("r_cid") && col("a_id") < col("b_id"))
+      .filter(round(dot(col("a_emb"), col("b_emb"))
+        / (col("a_nrm") * col("b_nrm")), 6) >= semTau)
+      .select(col("c_id").as("p_cid"), col("b_id")).distinct()
+    val stats = pruned.groupBy(col("p_cid"))
+      .agg(count(lit(1)).as("pruned_ct"), min(col("b_id")).as("first_pruned"))
+    m.groupBy(col("c_id")).agg(count(lit(1)).as("member_ct"))
+      .join(stats, col("c_id") === col("p_cid"), "left_outer")
+      .select(col("c_id").as("cluster_id"), col("member_ct"),
+        coalesce(col("pruned_ct"), lit(0L)).as("pruned_ct"),
+        (col("member_ct") - coalesce(col("pruned_ct"), lit(0L)))
+          .as("kept_ct"),
+        col("first_pruned"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v11_semdedup" -> semDedup,
     "v9_kmeans_assign" -> kmeansAssign,
     "v10_embed_outliers" -> embedOutliers,
     "v8_ann_pq_topk" -> annPq,
@@ -592,6 +634,24 @@ object VectorOps extends QueryModule {
          |       sum(CAST(round(d2, 6) AS DECIMAL(28,6))) AS sum_sqdist,
          |       min(vec_id) AS min_member
          |FROM assign1 GROUP BY 1""".stripMargin,
+    "v11_semdedup" ->
+      s"""$lloydCte,
+         |m AS (
+         |  SELECT a.vec_id, a.c_id, em.emb,
+         |         sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM assign1 a JOIN em ON em.vec_id = a.vec_id),
+         |pr AS (
+         |  SELECT DISTINCT l.c_id, r.vec_id AS b_id
+         |  FROM m l JOIN m r ON l.c_id = r.c_id AND l.vec_id < r.vec_id
+         |  WHERE round(${dotSql("l.emb", "r.emb")}
+         |              / (l.nrm * r.nrm), 6) >= $semTau),
+         |ps AS (SELECT c_id, count(*) AS pruned_ct, min(b_id) AS first_pruned
+         |       FROM pr GROUP BY 1),
+         |mc AS (SELECT c_id, count(*) AS member_ct FROM m GROUP BY 1)
+         |SELECT mc.c_id AS cluster_id, member_ct,
+         |       coalesce(pruned_ct, 0) AS pruned_ct,
+         |       member_ct - coalesce(pruned_ct, 0) AS kept_ct, first_pruned
+         |FROM mc LEFT JOIN ps ON mc.c_id = ps.c_id""".stripMargin,
     "v10_embed_outliers" ->
       s"""$lloydCte,
          |means AS (

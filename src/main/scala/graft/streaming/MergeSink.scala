@@ -75,4 +75,15 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
 
   def current(s: SparkSession): DataFrame =
     s.read.parquet(s"$storeDir/v${versions.max}")
+
+  /** Time-travel read (`VERSION AS OF`): the latest committed snapshot
+    * whose version ≤ `version` — reading history is a pruned scan of one
+    * immutable version directory, never a recompute (the Delta/Iceberg
+    * contract; their retention/VACUUM knobs are the part this stand-in
+    * lacks, see the class doc). */
+  def snapshotAt(s: SparkSession, version: Long): DataFrame = {
+    val vs = versions.filter(_ <= version)
+    require(vs.nonEmpty, s"no committed version <= $version in $storeDir")
+    s.read.parquet(s"$storeDir/v${vs.max}")
+  }
 }

@@ -81,6 +81,22 @@ class PipelineSpec extends SparkSuite {
       .select(col("id"), col("payload")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(after == state, "torn version directory must be skipped")
+
+    // time travel (VERSION AS OF): version 0 is the state after the
+    // first micro-batch only — reading it back is a pruned scan of that
+    // immutable version directory, not a recompute; a version at/after
+    // the latest commit resolves to the current snapshot (k7's batch
+    // twin states the same as-of semantics over the op-log prefix)
+    val sink = new graft.streaming.VersionedParquetMergeSink(
+      store, "id", "seq", "op", Seq("payload"))
+    val v0 = sink.snapshotAt(spark, 0L)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v0 == Map(1L -> 10.0, 2L -> 5.0), s"bad as-of state: $v0")
+    val vLate = sink.snapshotAt(spark, 98L)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vLate == state, "as-of past the last commit = current")
   }
 
   test("a6 typed aggregator agrees with builtin countDistinct") {

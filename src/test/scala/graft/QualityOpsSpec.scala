@@ -157,4 +157,84 @@ class QualityOpsSpec extends SparkSuite {
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("x5: bloom prefilter is sound (no false negatives) and prunes") {
+    val docs = Tables(spark, sf, "documents")
+    val newTotal = docs.filter(col("source") === "src0").count()
+    val cand = graft.operators.ScalePatterns
+      .bloomCandidates(spark, sf).select("doc_id")
+    // sound: every exactly-matched new doc survives the bloom
+    val exact = q("x5_bloom_prefilter").select("doc_id")
+    assert(exact.exceptAll(cand).count() == 0,
+      "bloom dropped a true match (false negative)")
+    // useful: the sketch prunes at least part of the new batch unless
+    // (tiny sf) every new doc genuinely matches the store
+    val candCt = cand.count()
+    val exactCt = exact.count()
+    assert(candCt >= exactCt && candCt <= newTotal)
+    if (exactCt < newTotal)
+      assert(candCt < newTotal, "bloom pruned nothing")
+  }
+
+  test("v11: semdedup ledger is conserved and pruning is id-greedy") {
+    val r = q("v11_semdedup")
+    assert(r.count() > 0)
+    assert(r.filter(col("pruned_ct") + col("kept_ct") =!= col("member_ct"))
+      .count() == 0)
+    assert(r.filter(col("kept_ct") < 1).count() == 0,
+      "every cluster keeps at least its lowest-id member")
+    val members = r.agg(sum(col("member_ct"))).head.getLong(0)
+    assert(members == Tables(spark, sf, "embeddings").count())
+    // the keep rule never prunes a cluster's lowest id (v9 publishes it)
+    val mins = q("v9_kmeans_assign").select(col("cluster_id"),
+      col("min_member"))
+    assert(r.join(mins, "cluster_id")
+      .filter(col("first_pruned").isNotNull &&
+        col("first_pruned") <= col("min_member")).count() == 0)
+  }
+
+  test("t14: dup-span fractions in range and consistent") {
+    val r = q("t14_dup_ngram_spans")
+    assert(r.count() > 0)
+    assert(r.filter(col("dup_gram_ct") > col("gram_ct")).count() == 0)
+    assert(r.filter(col("dup_frac") < 0 || col("dup_frac") > 1)
+      .count() == 0)
+    // gram_ct per doc = tokens - 4 (docs all have >= 5 tokens)
+    val bad = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 4).cast("long").as("expect"))
+      .join(r, "doc_id")
+      .filter(col("gram_ct") =!= col("expect"))
+    assert(bad.count() == 0)
+  }
+
+  test("c11: temperature mixing up-weights small sources") {
+    val r = q("c11_temperature_mix")
+    assert(r.count() > 0)
+    assert(r.filter(col("rate") <= 0 || col("rate") > 1).count() == 0)
+    assert(r.filter(col("kept_tokens") > col("src_tokens")).count() == 0)
+    // alpha = 0.5: among uncapped sources, rate strictly decreases as
+    // source size grows
+    val rows = r.filter(col("rate") < 1.0)
+      .select(col("src_tokens").cast("long"), col("rate"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((s1, r1), (s2, r2)) =>
+        if (s1 < s2) assert(r1 >= r2,
+          s"rate must not grow with size: ($s1,$r1) vs ($s2,$r2)")
+      case _ =>
+    }
+  }
+
+  test("p16: canonical urls carry no tracking/fragment/case noise") {
+    val r = q("p16_url_canonicalize")
+    assert(r.count() > 0)
+    assert(r.filter(col("canon_url").rlike("utm_|#|//www\\.|[A-Z]"))
+      .count() == 0)
+    val docCt = Tables(spark, sf, "documents").count()
+    assert(r.agg(sum(col("dup_ct"))).head.getLong(0) == docCt)
+    // the fixture generates real collisions: some canonical target has
+    // multiple raw variants
+    assert(r.filter(col("variant_ct") >= 2).count() > 0)
+  }
 }
