@@ -359,7 +359,53 @@ object TextOps extends QueryModule {
           .as("flagged"))
   }
 
+  /** t15: importance-resampling scores (the DSIR recipe — Xie,
+    * Santurkar, Ma, Liang, "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): rank raw docs by how much
+    * more likely they are under a TARGET domain's unigram model than
+    * under the raw corpus' own, log w(x) = Σ_w tf_x(w)·[ln p̂_t(w) −
+    * ln p̂_r(w)] with add-1 smoothing; the c5 eval slice
+    * (doc_id ≡ 0 mod 37) plays the target domain. The per-VOCAB-WORD
+    * log-ratio is computed once in the vocabulary dimension (bounded by
+    * |V|, not corpus size), DECIMAL-quantized so the per-doc sum is
+    * order-independent, then broadcast-joined onto per-doc tfs — at
+    * 100 TB the corpus-side work is the same two token-keyed shuffles as
+    * the t12 index build plus a map-side join; top-50 selection is
+    * TakeOrderedAndProject (partial top-n, no full sort). */
+  private def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+    val raw = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf_r"))
+    val tgt = toks.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      .groupBy(col("tok").as("t_tok")).agg(count(lit(1)).as("tf_t"))
+    val totals = raw.agg(sum(col("tf_r")).as("n_r"),
+      count(lit(1)).as("v_sz"))
+      .crossJoin(tgt.agg(coalesce(sum(col("tf_t")), lit(0L)).as("n_t")))
+    val vocab = raw.join(tgt, col("tok") === col("t_tok"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("tok").as("v_tok"),
+        round(
+          log((coalesce(col("tf_t"), lit(0L)) + 1).cast(DoubleType)
+            / (col("n_t") + col("v_sz")).cast(DoubleType)) -
+          log((col("tf_r") + 1).cast(DoubleType)
+            / (col("n_r") + col("v_sz")).cast(DoubleType)), 9)
+          // (18,9) so tf(10,0) × logdiff(18,9) = (29,9) stays inside
+          // Spark's 38-digit cap — a wider operand would trigger lossy
+          // scale reduction on the product and drift off the oracle
+          .cast(DecimalType(18, 9)).as("logdiff_q"))
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(vocab, col("tok") === col("v_tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf").cast(DecimalType(10, 0)) * col("logdiff_q"))
+        .as("sq"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sq").cast(DoubleType), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t15_dsir_scores" -> dsirScores,
     "t14_dup_ngram_spans" -> dupNgramSpans,
     "t13_text_entropy" -> textEntropy,
     "t12_inverted_index" -> invertedIndex,
@@ -382,6 +428,37 @@ object TextOps extends QueryModule {
       s"THEN n_chars END)"
 
   val oracles = Map(
+    "t15_dsir_scores" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf_r
+        |        FROM toks GROUP BY 1),
+        |tgt AS (SELECT tok AS t_tok, CAST(count(*) AS BIGINT) AS tf_t
+        |        FROM toks WHERE doc_id % 37 = 0 GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(tf_r) AS BIGINT) FROM raw) AS n_r,
+        |         (SELECT count(*) FROM raw) AS v_sz,
+        |         (SELECT CAST(coalesce(sum(tf_t), 0) AS BIGINT) FROM tgt)
+        |           AS n_t),
+        |vocab AS (
+        |  SELECT tok AS v_tok,
+        |         CAST(round(
+        |           ln(CAST(coalesce(tf_t, 0) + 1 AS DOUBLE)
+        |              / CAST(n_t + v_sz AS DOUBLE)) -
+        |           ln(CAST(tf_r + 1 AS DOUBLE)
+        |              / CAST(n_r + v_sz AS DOUBLE)), 9)
+        |           AS DECIMAL(18,9)) AS logdiff_q
+        |  FROM raw LEFT JOIN tgt ON tok = t_tok CROSS JOIN tot),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         round(CAST(sum(CAST(tf AS DECIMAL(10,0)) * logdiff_q)
+        |                    AS DOUBLE), 6) AS dsir_score
+        |  FROM tf JOIN vocab ON tok = v_tok GROUP BY 1)
+        |SELECT doc_id, n_tokens, dsir_score
+        |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
     "t14_dup_ngram_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

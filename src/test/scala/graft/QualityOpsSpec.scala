@@ -226,6 +226,25 @@ class QualityOpsSpec extends SparkSuite {
     }
   }
 
+  test("t15: dsir ranks target-domain docs above base rate") {
+    val r = q("t15_dsir_scores")
+    assert(r.count() == 50)
+    // sorted by score desc (with doc_id tiebreak)
+    val scores = r.select(col("dsir_score")).collect().map(_.getDouble(0))
+    assert(scores.sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+    // target-domain docs (the distribution defining p_target) must be
+    // over-represented in the top-50 vs their corpus share
+    val topTgt = r.filter(pmod(col("doc_id"), lit(37L)) === 0).count()
+    val d = Tables(spark, sf, "documents")
+    val baseShare = d.filter(pmod(col("doc_id"), lit(37L)) === 0).count()
+      .toDouble / d.count()
+    assert(topTgt.toDouble / 50 > baseShare,
+      s"target share in top-50 ($topTgt/50) not above base $baseShare")
+  }
+
   test("p16: canonical urls carry no tracking/fragment/case noise") {
     val r = q("p16_url_canonicalize")
     assert(r.count() > 0)
