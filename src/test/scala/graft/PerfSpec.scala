@@ -197,6 +197,28 @@ class PerfSpec extends SparkSuite {
     assert(plan("v7_ann_int8_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-6 ops keep their scale shapes") {
+    // x5: the bloom rides a 1-row broadcast (BNLJ), never a shuffle of
+    // the new batch against the store before the prefilter
+    val x5 = plan("x5_bloom_prefilter")
+    assert(x5.contains("BroadcastNestedLoopJoin"),
+      "bloom bitset must broadcast")
+    // t15/c10 shape: global top-n is TakeOrderedAndProject (per-partition
+    // partial top-n), not a full sort
+    assert(plan("t15_dsir_scores").contains("TakeOrderedAndProject"))
+    // t14: corpus-wide duplicate discovery shuffles on the gram key only
+    assert("Exchange hashpartitioning\\(gram".r
+      .findAllIn(plan("t14_dup_ngram_spans")).nonEmpty)
+    // c11: the 20-row rate dimension broadcasts back onto the corpus
+    assert(plan("c11_temperature_mix").contains("BroadcastHashJoin"))
+    // p16: canonicalization is a pure map + one aggregation
+    val p16 = plan("p16_url_canonicalize")
+    assert(!p16.contains("Join"), s"url canonicalize must not join:\n$p16")
+    // k7: the as-of predicate reaches the parquet scan
+    assert(plan("k7_asof_snapshot").contains("LessThanOrEqual(l_linenumber"),
+      "as-of seq bound must push down to the scan")
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
