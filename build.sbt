@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 100+-query suite generates far more whole-stage-codegen classes
+  // than the JVM's default 240 MB code cache holds; when it fills, the
+  // JIT shuts off mid-suite and whichever query is running goes
+  // interpreted (observed as a random query spiking 20-25x in exactly
+  // one of two back-to-back runs). Size the cache for the suite and
+  // allow flushing so a full cache degrades gracefully.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

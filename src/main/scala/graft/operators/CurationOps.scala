@@ -88,7 +88,16 @@ object CurationOps extends QueryModule {
       // reliable storage.
       var edges = pairs.filter(col("a_id") =!= col("b_id"))
         .toDF("src", "dst").localCheckpoint(true)
-      var prevCount = edges.count()
+      // fixpoint signature: (count, order-independent xor of edge
+      // hashes) in ONE action — both edge sets are distinct, so equal
+      // signatures mean set equality without the extra union+distinct
+      // shuffle the exact test used to pay every round
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(col("src"), col("dst")))).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var (prevCount, prevChk) = sig(edges)
       var done = prevCount == 0
       var iter = 0
       // Size-adaptive parallelism for the loop: the edge set is known
@@ -103,12 +112,11 @@ object CurationOps extends QueryModule {
       try {
         while (!done && iter < 30) {
           val next = smallStar(largeStar(edges)).localCheckpoint(true)
-          // exact fixpoint test: both sets are distinct, so equal counts
-          // plus an equal-count distinct union means set equality
-          val nc = next.count()
-          done = prevCount == nc && edges.union(next).distinct().count() == nc
+          val (nc, chk) = sig(next)
+          done = prevCount == nc && prevChk == chk
           edges = next
           prevCount = nc
+          prevChk = chk
           iter += 1
         }
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
