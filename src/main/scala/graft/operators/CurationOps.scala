@@ -268,6 +268,50 @@ object CurationOps extends QueryModule {
           .as("kept_tokens"))
   }
 
+  /** c12: PageRank authority over the near-dup graph (Brin & Page 1998;
+    * the canonical iterative-join workload, complementing c1's
+    * connected components): three power iterations, damping 0.85, over
+    * the undirected d3 pair graph — the "which duplicate is the
+    * canonical copy" signal a dedup pipeline uses to pick cluster
+    * representatives by centrality rather than min-id. Every node of
+    * the pair graph has degree ≥ 1 in both directions (the edge set is
+    * symmetrized), so there is no dangling mass and Σpr stays 1.
+    *
+    * Determinism: per-edge contributions pr(u)/deg(u) are rounded to
+    * 12 dp and summed as DECIMAL (order-independent); the scalar
+    * (1−d)/n + d·Σ recurrence is then identical IEEE double arithmetic
+    * in both engines. Scale shape: the iteration count is FIXED (3), so
+    * all three rounds unroll into one declarative plan — three
+    * join+aggregate pairs shuffling on the node key, no driver-side
+    * loop, no action between rounds; at 100 TB each round is the same
+    * edges⋈ranks shuffle CC pays, and AQE sizes the exchanges. */
+  private val prDamp = 0.85
+  private def pagerankAuthority(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("id"), col("deg"),
+        (lit(1.0) / col("n")).as("pr"), col("n"))
+    for (_ <- 1 to 3) {
+      val contrib = und.join(pr, col("src") === col("id"))
+        .select(col("dst"),
+          round(col("pr") / col("deg"), 12).cast(DecimalType(28, 12))
+            .as("c"))
+      pr = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .join(deg, col("dst") === col("src"))
+        .crossJoin(broadcast(nDf))
+        .select(col("dst").as("id"), col("deg"),
+          ((lit(1.0) - lit(prDamp)) / col("n")
+            + lit(prDamp) * col("sc").cast(DoubleType)).as("pr"),
+          col("n"))
+    }
+    pr.select(col("id").as("doc_id"), col("deg"),
+      round(col("pr"), 9).as("pagerank"))
+  }
+
   /** c4: top-3 docs per source by size — rank-window top-k-per-group
     * (absent in the reference: its only top-N is global, A10/ch). */
   private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
@@ -388,6 +432,7 @@ object CurationOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "c12_pagerank_authority" -> pagerankAuthority,
     "c11_temperature_mix" -> temperatureMix,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
@@ -424,6 +469,37 @@ object CurationOps extends QueryModule {
        |           * (CAST(1 AS BIGINT) << (4 * (4 - i)))), 'sum') AS BIGINT)""".stripMargin
 
   val oracles = Map(
+    "c12_pagerank_authority" -> {
+      // DuckDB numeric literals are DECIMAL — every scalar is cast to
+      // DOUBLE so the recurrence replays Spark's IEEE ops bit-for-bit
+      // (including (1 - 0.85) ≠ 0.15 in binary)
+      val iters = (1 to 3).map { k =>
+        val prev = if (k == 1) "pr0" else s"pr${k - 1}"
+        s"""c$k AS (
+           |  SELECT u.dst, CAST(round(p.pr / p.deg, 12) AS DECIMAL(28,12))
+           |           AS c
+           |  FROM und u JOIN $prev p ON u.src = p.id),
+           |pr$k AS (
+           |  SELECT s.dst AS id, d.deg,
+           |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |           / CAST(nn.n AS DOUBLE)
+           |           + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE) AS pr,
+           |         nn.n
+           |  FROM (SELECT dst, sum(c) AS sc FROM c$k GROUP BY 1) s
+           |  JOIN deg d ON s.dst = d.src CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupOps.verifiedPairsCte},
+         |und AS (SELECT a_id AS src, b_id AS dst FROM ndp
+         |        UNION ALL SELECT b_id, a_id FROM ndp),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |pr0 AS (SELECT src AS id, deg,
+         |               CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS pr, n
+         |        FROM deg CROSS JOIN nn),
+         |$iters
+         |SELECT id AS doc_id, deg, round(pr, 9) AS pagerank FROM pr3""".stripMargin
+    },
     "c11_temperature_mix" -> {
       val u = s"(${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} / 65536.0)"
       s"""WITH d AS (

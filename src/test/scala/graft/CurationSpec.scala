@@ -45,6 +45,20 @@ class CurationSpec extends SparkSuite {
     assert(mismatched.count() == 0)
   }
 
+  test("c12 pagerank: mass conserved, positive, covers the pair graph") {
+    val r = q("c12_pagerank_authority")
+    val nodes = q("d3_near_dup_pairs")
+      .select(col("a_id").as("id"))
+      .union(q("d3_near_dup_pairs").select(col("b_id").as("id")))
+      .distinct().count()
+    assert(r.count() == nodes, "one rank per graph node")
+    assert(r.filter(col("pagerank") <= 0).count() == 0)
+    // no dangling nodes (symmetrized graph) → total mass stays 1 up to
+    // the per-edge 12-dp quantization
+    val mass = r.agg(sum(col("pagerank"))).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-5, s"pagerank mass drifted: $mass")
+  }
+
   test("c2 funnel counts are consistent and exhaustive") {
     val f = q("c2_kept_corpus")
     val bad = f.filter(col("total_ct") =!=

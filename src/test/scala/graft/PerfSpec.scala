@@ -217,6 +217,11 @@ class PerfSpec extends SparkSuite {
     // k7: the as-of predicate reaches the parquet scan
     assert(plan("k7_asof_snapshot").contains("LessThanOrEqual(l_linenumber"),
       "as-of seq bound must push down to the scan")
+    // c12: all three power iterations unroll into one declarative plan —
+    // three rank-key aggregations, zero driver-side iteration
+    assert("Exchange hashpartitioning\\(dst".r
+      .findAllIn(plan("c12_pagerank_authority")).size >= 3,
+      "pagerank rounds must unroll into the plan")
   }
 
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
