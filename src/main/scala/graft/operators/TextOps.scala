@@ -215,7 +215,10 @@ object TextOps extends QueryModule {
     * per doc (measured: one 690 s task at sf0.1 vs ~1 s for this
     * form). Docs shorter than k+w-1 tokens carry no full window and
     * are excluded. */
-  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc distinct winnowing fingerprints (the t9 pipeline up to the
+    * per-doc fp set) — shared by the t9 per-source rollup and the t16
+    * pairwise local-overlap join. */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame = {
     val A = 31L
     val P = 4294967291L // prime < 2^32: h*31^3 stays < 2^63
     val d = Tables(s, dir, "documents")
@@ -238,9 +241,35 @@ object TextOps extends QueryModule {
       .withColumn("mx", max(col("pos")).over(wDoc))
       .filter(col("pos") <= col("mx") - 4) // full 5-windows only
       .select(col("source"), col("doc_id"), col("wmin")).distinct()
+  }
+
+  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFps(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("fp_total"),
         countDistinct(col("wmin")).as("fp_distinct"))
+
+  /** t16: pairwise local-overlap detection (the MOSS join — Schleimer,
+    * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003 §5): doc pairs sharing ≥ 3 winnow
+    * fingerprints, found by a FINGERPRINT-KEYED self-join — never
+    * doc×doc. Fingerprints appearing in > 20 docs are dropped first
+    * (stop-gram hygiene): they carry no discriminative signal and their
+    * buckets are the quadratic blowup risk, the same df-cap every
+    * plagiarism/near-dup index applies. Complements d3 (whole-doc
+    * Jaccard) and t14 (span fractions) with the pair-level local
+    * overlap evidence. */
+  private def winnowOverlapPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(s, dir).select(col("doc_id"), col("wmin"))
+    val cap = fps.groupBy(col("wmin")).agg(count(lit(1)).as("dfp"))
+      .filter(col("dfp") <= 20).select(col("wmin"))
+    val kept = fps.join(cap, "wmin")
+    val b = kept.select(col("wmin").as("w2"), col("doc_id").as("b_id"))
+    kept.select(col("wmin"), col("doc_id").as("a_id"))
+      .join(b, col("wmin") === col("w2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 3)
   }
 
   /** t11: TF-IDF-style distinctive terms — tf over the document, df over
@@ -405,6 +434,7 @@ object TextOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t16_winnow_overlap_pairs" -> winnowOverlapPairs,
     "t15_dsir_scores" -> dsirScores,
     "t14_dup_ngram_spans" -> dupNgramSpans,
     "t13_text_entropy" -> textEntropy,
@@ -426,6 +456,29 @@ object TextOps extends QueryModule {
   private def pickSql(q: Double): String =
     s"max(CASE WHEN rn = greatest(CAST(ceil($q * n) AS BIGINT), 1) " +
       s"THEN n_chars END)"
+
+  /** Oracle twin of [[winnowFps]]: the t9 rolling-hash pipeline down to
+    * per-doc distinct fingerprint rows (`wf`), shared by t9 and t16. */
+  private lazy val winnowCte: String = {
+    val hexToInt = DedupOps.hexToIntSql("t")
+    s"""hs AS (
+       |  SELECT source, doc_id,
+       |         list_transform(string_split(text, ' '),
+       |                        t -> $hexToInt) AS hs
+       |  FROM documents),
+       |kg AS (
+       |  SELECT source, doc_id,
+       |         list_transform(range(1, len(hs) - 3 + 1),
+       |           i -> (hs[i] * ${31L * 31 * 31} + hs[i+1] * ${31L * 31} +
+       |                 hs[i+2] * 31 + hs[i+3]) % 4294967291) AS kg
+       |  FROM hs WHERE len(hs) >= 8),
+       |fps AS (
+       |  SELECT source, doc_id,
+       |         list_distinct(list_transform(range(1, len(kg) - 4 + 1),
+       |           j -> list_aggregate(kg[j:j+4], 'min'))) AS fps
+       |  FROM kg),
+       |wf AS (SELECT source, doc_id, unnest(fps) AS fp FROM fps)""".stripMargin
+  }
 
   val oracles = Map(
     "t15_dsir_scores" ->
@@ -522,29 +575,20 @@ object TextOps extends QueryModule {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
         |  FROM tf JOIN df USING (term) WHERE tf.doc_id < 100)
         |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3""".stripMargin,
-    "t9_winnow_fingerprints" -> {
-      val hexToInt = DedupOps.hexToIntSql("t")
-      s"""WITH hs AS (
-         |  SELECT source, doc_id,
-         |         list_transform(string_split(text, ' '),
-         |                        t -> $hexToInt) AS hs
-         |  FROM documents),
-         |kg AS (
-         |  SELECT source, doc_id,
-         |         list_transform(range(1, len(hs) - 3 + 1),
-         |           i -> (hs[i] * ${31L * 31 * 31} + hs[i+1] * ${31L * 31} +
-         |                 hs[i+2] * 31 + hs[i+3]) % 4294967291) AS kg
-         |  FROM hs WHERE len(hs) >= 8),
-         |fps AS (
-         |  SELECT source, doc_id,
-         |         list_distinct(list_transform(range(1, len(kg) - 4 + 1),
-         |           j -> list_aggregate(kg[j:j+4], 'min'))) AS fps
-         |  FROM kg)
+    "t9_winnow_fingerprints" ->
+      s"""WITH $winnowCte
          |SELECT source, count(*) AS fp_total,
          |       count(DISTINCT fp) AS fp_distinct
-         |FROM (SELECT source, unnest(fps) AS fp FROM fps)
-         |GROUP BY 1""".stripMargin
-    },
+         |FROM wf GROUP BY 1""".stripMargin,
+    "t16_winnow_overlap_pairs" ->
+      s"""WITH $winnowCte,
+         |cap AS (SELECT fp FROM (SELECT fp, count(*) AS dfp FROM wf
+         |                        GROUP BY 1) WHERE dfp <= 20),
+         |k AS (SELECT doc_id, fp FROM wf JOIN cap USING (fp))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(count(*) AS BIGINT) AS shared_fp
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "t8_cjk_tokens" -> {
       val phrases = cjkPhrases.map("'" + _ + "'").mkString(", ")
       s"""WITH d AS (

@@ -245,6 +245,19 @@ class QualityOpsSpec extends SparkSuite {
       s"target share in top-50 ($topTgt/50) not above base $baseShare")
   }
 
+  test("t16: overlap pairs are ordered, thresholded, and agree with d3") {
+    val r = q("t16_winnow_overlap_pairs")
+    assert(r.count() > 0)
+    assert(r.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(r.filter(col("shared_fp") < 3).count() == 0)
+    // whole-doc near-dups (d3) share local fingerprints too: the two
+    // pair sets must intersect
+    val both = r.select(col("a_id"), col("b_id"))
+      .join(q("d3_near_dup_pairs").select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"))
+    assert(both.count() > 0, "no overlap between t16 and d3 pair sets")
+  }
+
   test("p16: canonical urls carry no tracking/fragment/case noise") {
     val r = q("p16_url_canonicalize")
     assert(r.count() > 0)
