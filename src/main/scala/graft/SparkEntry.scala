@@ -15,7 +15,7 @@ object SparkEntry {
   private[graft] val modules: Seq[QueryModule] = Seq(
     WindowAggs, StatefulTwins, Joins, EnvelopeOps, TextOps, DedupOps,
     VectorOps, Multimodal, Serving, TypedAggs, SqlApps, ScalePatterns,
-    DebeziumOps, CurationOps, ComposedApps, QualityOps)
+    DebeziumOps, CurationOps, ComposedApps, QualityOps, SketchOps)
 
   /** Flagship query (SURVEY.md §7.3 minimum end-to-end slice): order facts
     * → dedup-shaped distinct → day window → decimal sum + exact distinct →

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+import graft.functions.CmsSketch
+
+/** Sketch-backed frequency analysis and retrieval-prep chunking over the
+  * documents corpus — beyond-reference training-data operators.
+  *
+  * Scale notes (100 TB):
+  *  - t17's counter matrix is d×w = 4×256 cells total, REGARDLESS of
+  *    vocabulary size: the token shuffle is the same one t1's top-k
+  *    already pays, and everything after it is bounded by the sketch
+  *    dimensions. The mergeable Aggregator form ([[CmsSketch]]) folds
+  *    each partition into a local 8 KB matrix and merges by elementwise
+  *    sum — no vocab-sized state anywhere, which is the point of a
+  *    sketch at corpus scale (spec-proven equal to the declarative
+  *    bucket-sum matrix, which is what the oracle replays).
+  *  - c13 chunking is a pure per-document fan-out (sequence + explode —
+  *    one Generate, no shuffle at all until a consumer aggregates);
+  *    chunk fingerprints are md5 over the token slice, so downstream
+  *    chunk-level dedup is an exact-dedup groupBy away. At 100 TB this
+  *    is the RAG/embedding-prep pass: map-side only, output partitioned
+  *    by the same doc_id the corpus is already keyed on.
+  */
+object SketchOps extends QueryModule {
+
+  // ---- t17: count-min heavy hitters --------------------------------------
+
+  /** CMS bucket of a token for sketch row `i` — the SQL twin of
+    * [[CmsSketch.bucket]] (same md5-prefix hash, same width). */
+  private[graft] def bucketCol(i: Column, tok: Column): Column =
+    conv(substring(md5(concat_ws(":", i, tok)), 1, 8), 16, 10)
+      .cast(LongType) % CmsSketch.width
+
+  /** t17: heavy hitters with count-min estimates. True per-token counts
+    * (one token shuffle), the d×w counter matrix as d bucketed group-bys
+    * over those counts (what a CMS row IS), then the top-20 tokens by
+    * true count with their sketch estimates — demonstrating the
+    * `est ≥ true` one-sided contract the driver's oracle re-derives. */
+  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
+    val tokCt = Tables(s, dir, "documents")
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_ct"))
+    val withBucket = tokCt
+      .select(col("tok"), col("true_ct"),
+        explode(sequence(lit(0), lit(CmsSketch.depth - 1))).as("i"))
+      .withColumn("bucket", bucketCol(col("i"), col("tok")))
+    val counters = withBucket.groupBy(col("i"), col("bucket"))
+      .agg(sum(col("true_ct")).as("bsum"))
+    withBucket.join(counters, Seq("i", "bucket"))
+      .groupBy(col("tok"), col("true_ct"))
+      .agg(min(col("bsum")).as("cms_est"))
+      .orderBy(col("true_ct").desc, col("tok"))
+      .limit(20)
+      .select(col("tok").as("token"), col("true_ct"), col("cms_est"),
+        (col("cms_est") >= col("true_ct")).as("one_sided_ok"))
+  }
+
+  // ---- c13: RAG chunking -------------------------------------------------
+
+  val chunkSize = 128L
+  val chunkStride = 96L
+
+  /** c13: retrieval-prep document chunking — fixed 128-token windows with
+    * 32-token overlap (stride 96), the standard RAG/embedding input
+    * shape. Each chunk row carries its token range and an md5 content
+    * fingerprint of the exact token slice (chunk-level exact dedup and
+    * provenance both hang off it). Pure map-side fan-out: sequence +
+    * explode, no shuffle. */
+  private def ragChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= chunkSize, lit(1L)).otherwise(
+          expr(s"(n - $chunkSize + ${chunkStride - 1}) div $chunkStride")
+            + 1L))
+    d.select(col("doc_id"), col("n"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * chunkStride)
+      .withColumn("tok_len", least(lit(chunkSize), col("n") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("tok_len"),
+        md5(concat_ws(" ",
+          slice(col("t"), (col("tok_start") + 1L).cast(IntegerType),
+            col("tok_len").cast(IntegerType)))).as("chunk_fp"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t17_cms_heavy_hitters" -> cmsHeavyHitters,
+    "c13_rag_chunks" -> ragChunks)
+
+  val oracles = Map(
+    "t17_cms_heavy_hitters" -> {
+      // NB: the alias must NOT be `i` — hexToIntSql's list_transform
+      // lambda variable is `i` and would shadow it inside md5(...).
+      val b = DedupOps.hexToIntSql("CAST(r AS VARCHAR) || ':' || tok")
+      s"""WITH tc AS (
+         |  SELECT tok, count(*) AS true_ct FROM (
+         |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |                              x -> x <> '')) AS tok
+         |    FROM documents) GROUP BY 1),
+         |wb AS (
+         |  SELECT tok, true_ct, r AS i, ($b) % ${CmsSketch.width} AS bucket
+         |  FROM tc CROSS JOIN range(0, ${CmsSketch.depth}) t(r)),
+         |cnt AS (
+         |  SELECT i, bucket, CAST(sum(true_ct) AS BIGINT) AS bsum
+         |  FROM wb GROUP BY 1, 2)
+         |SELECT tok AS token, true_ct, CAST(min(bsum) AS BIGINT) AS cms_est,
+         |       min(bsum) >= true_ct AS one_sided_ok
+         |FROM wb JOIN cnt USING (i, bucket)
+         |GROUP BY tok, true_ct
+         |ORDER BY true_ct DESC, tok LIMIT 20""".stripMargin
+    },
+    "c13_rag_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '),
+         |                     x -> x <> '') AS t
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |         CASE WHEN len(t) <= $chunkSize THEN 1
+         |              ELSE (len(t) - $chunkSize + ${chunkStride - 1})
+         |                   // $chunkStride + 1 END AS n_chunks
+         |  FROM d WHERE len(t) > 0),
+         |c AS (
+         |  SELECT doc_id, n, t,
+         |         unnest(range(0, n_chunks)) AS chunk_idx
+         |  FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(chunk_idx * $chunkStride AS BIGINT) AS tok_start,
+         |       CAST(least($chunkSize, n - chunk_idx * $chunkStride)
+         |            AS BIGINT) AS tok_len,
+         |       md5(array_to_string(
+         |         t[CAST(chunk_idx * $chunkStride + 1 AS BIGINT):
+         |           CAST(chunk_idx * $chunkStride +
+         |                least($chunkSize, n - chunk_idx * $chunkStride)
+         |                AS BIGINT)], ' ')) AS chunk_fp
+         |FROM c""".stripMargin)
+}

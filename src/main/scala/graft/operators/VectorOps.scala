@@ -462,7 +462,54 @@ object VectorOps extends QueryModule {
         col("first_pruned"))
   }
 
+  /** v12: top principal direction of the embedding cloud via THREE
+    * unrolled power-iteration steps (v ← Cᵀ(Cv), renormalized) — the
+    * distributed linear-algebra kernel behind PCA whitening, spectral
+    * embedding-drift monitors, and low-rank compression of embedding
+    * stores. The c12-pagerank idiom applied to linalg: every matrix
+    * product is two keyed aggregations over the exploded (vec_id, dim,
+    * value) cell relation — `p = Cv` groups by vec_id, `w = Cᵀp` groups
+    * by dim — so the shuffles are bounded by n·d cells and NOTHING is
+    * ever collected to the driver; the normalizer (max |w|, exact) joins
+    * back as a broadcast 1-row aggregate. Every cross-row sum is
+    * DECIMAL-quantized (the v9/t13 idiom), so the result is bit-stable
+    * under any partitioning and exactly replayable by the oracle. The
+    * centered cell relation is localCheckpointed once: six downstream
+    * aggregations read it, and on a cluster this is `checkpoint` (the c1
+    * lesson — without it the unrolled plan re-derives the centering
+    * join 2^3 times). Deterministic start v₀ = 1⃗; 3 fixed steps (no
+    * data-dependent loop → ONE declarative plan shape). */
+  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+    val cells = em
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
+    val means = cells.groupBy(col("j"))
+      .agg((sum(round(col("x"), 9).cast(DecimalType(28, 9)))
+        .cast(DoubleType) / count(lit(1))).as("mu"))
+    val cent = cells.join(means, Seq("j"))
+      .select(col("vec_id"), col("j"), (col("x") - col("mu")).as("c"))
+      .localCheckpoint(true)
+    val v0 = means.select(col("j"), lit(1.0).as("vj"))
+    val v3 = (1 to 3).foldLeft(v0) { (v, _) =>
+      val p = cent.join(v, Seq("j"))
+        .groupBy(col("vec_id"))
+        .agg(sum(round(col("c") * col("vj"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("p"))
+      val w = cent.join(p, Seq("vec_id"))
+        .groupBy(col("j"))
+        .agg(sum(round(col("c") * col("p"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(col("j"), round(col("w") / col("mx"), 9).as("vj"))
+    }
+    v3.select(col("j").cast(LongType).as("dim"), col("vj").as("loading"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v12_pca_power" -> pcaPower,
     "v11_semdedup" -> semDedup,
     "v9_kmeans_assign" -> kmeansAssign,
     "v10_embed_outliers" -> embedOutliers,
@@ -526,7 +573,45 @@ object VectorOps extends QueryModule {
        |      (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
        |    FROM a1) WHERE rk = 1)""".stripMargin
 
+  /** One power-iteration step as oracle CTEs: p_k = C v_{k-1} (group by
+    * vec_id), w_k = Cᵀ p_k (group by j), v_k = w_k / max|w_k| — the exact
+    * DECIMAL-quantization points of [[pcaPower]]. */
+  private def pcaStepSql(k: Int, vPrev: String): String =
+    s"""p$k AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CAST(round(c * vj, 9) AS DECIMAL(28,9)))
+       |              AS DOUBLE) AS p
+       |  FROM cent JOIN $vPrev USING (j) GROUP BY vec_id),
+       |w$k AS (
+       |  SELECT j,
+       |         CAST(sum(CAST(round(c * p, 6) AS DECIMAL(28,6)))
+       |              AS DOUBLE) AS w
+       |  FROM cent JOIN p$k USING (vec_id) GROUP BY j),
+       |v$k AS (
+       |  SELECT j, round(w / (SELECT max(abs(w)) FROM w$k), 9) AS vj
+       |  FROM w$k)""".stripMargin
+
   val oracles = Map(
+    "v12_pca_power" ->
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id, i AS j, emb[i] AS x
+         |  FROM em CROSS JOIN range(1, ${embDim + 1}) t(i)),
+         |means AS (
+         |  SELECT j, CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+         |              AS DOUBLE) / count(*) AS mu
+         |  FROM cells GROUP BY j),
+         |cent AS (
+         |  SELECT vec_id, j, x - mu AS c
+         |  FROM cells JOIN means USING (j)),
+         |v0 AS (SELECT j, 1.0 AS vj FROM means),
+         |${pcaStepSql(1, "v0")},
+         |${pcaStepSql(2, "v1")},
+         |${pcaStepSql(3, "v2")}
+         |SELECT CAST(j AS BIGINT) AS dim, vj AS loading FROM v3""".stripMargin,
     // v7 is approximate by construction; the oracle states the per-query
     // recall contract (≥3/5 exact neighbors kept) the Spark side
     // computes against its own brute-force baseline — the a16 pattern.

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.CmsSketch
+import graft.operators.{SketchOps, TextOps}
+
+/** Sketch + chunking invariants beyond the oracle hash: the CMS
+  * Aggregator equals the declarative bucket-sum matrix (which is what
+  * the t17 oracle replays), is partition-order independent, and keeps
+  * its one-sided guarantee; c13 chunks tile every document exactly. */
+class SketchSpec extends SparkSuite {
+
+  private def tokens = Tables(spark, sf, "documents")
+    .select(explode(filter(TextOps.tokenize(lower(col("text"))),
+      t => t =!= "")).as("tok"))
+
+  test("cms: aggregator sketch == declarative bucket-sum matrix") {
+    import spark.implicits._
+    val agg = new CmsSketch().toColumn
+    val sketch = tokens.repartition(7).as[String].select(agg).head()
+    // declarative twin: counter[i][b] = sum of true counts per bucket
+    val mat = tokens.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+      .select(col("tok"), col("ct"),
+        explode(sequence(lit(0), lit(CmsSketch.depth - 1))).as("i"))
+      .withColumn("b", SketchOps.bucketCol(col("i"), col("tok")))
+      .groupBy(col("i"), col("b")).agg(sum(col("ct")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val bb = java.nio.ByteBuffer.wrap(sketch)
+    for (i <- 0 until CmsSketch.depth; b <- 0 until CmsSketch.width) {
+      val cell = bb.getLong((i * CmsSketch.width + b) * 8)
+      assert(cell == mat.getOrElse((i, b.toLong), 0L),
+        s"counter[$i][$b] mismatch")
+    }
+  }
+
+  test("cms: partition layout does not change the sketch (mergeable)") {
+    import spark.implicits._
+    val agg = new CmsSketch().toColumn
+    val a = tokens.repartition(3).as[String].select(agg).head()
+    val b = tokens.repartition(11).as[String].select(agg).head()
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("cms: estimate >= true count for EVERY token (one-sided)") {
+    import spark.implicits._
+    val agg = new CmsSketch().toColumn
+    val sketch = tokens.as[String].select(agg).head()
+    val truth = tokens.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+      .collect()
+    truth.foreach { r =>
+      val (tok, ct) = (r.getString(0), r.getLong(1))
+      assert(CmsSketch.estimate(sketch, tok) >= ct, s"undercount for $tok")
+    }
+    // and the t17 query's top-20 carries the same contract
+    assert(q("t17_cms_heavy_hitters").filter(!col("one_sided_ok"))
+      .count() == 0)
+  }
+
+  test("c13: chunks tile each document exactly with stride overlap") {
+    val c = q("c13_rag_chunks")
+    val perDoc = c.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("tok_start") + col("tok_len")).as("covered"),
+      min(col("tok_start")).as("first_start"),
+      max(col("chunk_idx")).as("max_idx"),
+      min(col("tok_len")).as("min_len"),
+      max(col("tok_len")).as("max_len"))
+    val n = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(TextOps.tokenize(lower(col("text"))), t => t =!= ""))
+          .cast(LongType).as("n"))
+      .filter(col("n") > 0)
+    val joined = perDoc.join(n, "doc_id")
+    // full coverage, 0-based contiguous indexes, len bounds
+    assert(joined.filter(col("covered") =!= col("n")).count() == 0)
+    assert(joined.filter(col("first_start") =!= 0).count() == 0)
+    assert(joined.filter(col("max_idx") =!= col("n_chunks") - 1)
+      .count() == 0)
+    assert(joined.filter(col("min_len") < 1 ||
+      col("max_len") > SketchOps.chunkSize).count() == 0)
+    // consecutive chunks overlap by exactly chunkSize - chunkStride
+    // except possibly the short last chunk
+    val overlapBad = c.filter(col("chunk_idx") > 0)
+      .filter(col("tok_start") =!=
+        col("chunk_idx") * SketchOps.chunkStride)
+    assert(overlapBad.count() == 0)
+    // no shuffle in the chunking plan: pure map-side fan-out
+    val plan = c.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "c13 should not shuffle")
+  }
+
+  test("v12: power iteration output is normalized and deterministic") {
+    val v = q("v12_pca_power")
+    assert(v.count() == 64)
+    val mx = v.agg(max(abs(col("loading")))).head.getDouble(0)
+    assert(math.abs(mx - 1.0) < 1e-9, s"max |loading| was $mx")
+    // bit-identical across two independent evaluations (the DECIMAL
+    // quantization makes the cross-row sums partition-order free)
+    val a = v.orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    val b = q("v12_pca_power").orderBy("dim").collect()
+      .map(_.getDouble(1)).toSeq
+    assert(a == b)
+  }
+}
