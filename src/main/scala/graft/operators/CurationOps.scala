@@ -81,6 +81,12 @@ object CurationOps extends QueryModule {
 
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     labelMemo.getOrElseUpdate((s, dir), {
+      val dbg = sys.env.contains("SPARK_GRAFT_DEBUG")
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = if (dbg) {
+        println(f"[c1] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       val pairs = DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
       // localCheckpoint (eager) per round: without it each iteration's
       // plan embeds the whole lineage of all prior rounds and Catalyst
@@ -97,7 +103,9 @@ object CurationOps extends QueryModule {
           bit_xor(xxhash64(col("src"), col("dst")))).head
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
+      lap("nearDupPairs+checkpoint")
       var (prevCount, prevChk) = sig(edges)
+      lap(s"sig0 n=$prevCount")
       var done = prevCount == 0
       var iter = 0
       // Size-adaptive parallelism for the loop: the edge set is known
@@ -111,13 +119,22 @@ object CurationOps extends QueryModule {
         math.max(4L, math.min(prevCount / 20000L, 512L)).toString)
       try {
         while (!done && iter < 30) {
-          val next = smallStar(largeStar(edges)).localCheckpoint(true)
+          // TWO large/small alternations per driver action (the converged
+          // set is a fixpoint of both operators, so doubling can only
+          // overshoot by one no-op pair), and a LAZY localCheckpoint so
+          // the sig() action both materializes the truncated lineage and
+          // reads the signature — ONE driver-synchronized action per two
+          // rounds instead of the former two actions per round. At sf0.1
+          // this is the difference between ~16 tiny jobs and ~4.
+          val next = smallStar(largeStar(smallStar(largeStar(edges))))
+            .localCheckpoint(false)
           val (nc, chk) = sig(next)
+          lap(s"round pair iter=$iter n=$nc")
           done = prevCount == nc && prevChk == chk
           edges = next
           prevCount = nc
           prevChk = chk
-          iter += 1
+          iter += 2
         }
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       lastRounds = iter
