@@ -150,7 +150,41 @@ object Joins extends QueryModule {
       .agg(count(lit(1)).as("part_ct"))
   }
 
+  /** J9 (beyond-reference; the range join Spark has no native operator
+    * for): match every lineitem price to each OVERLAPPING price band of
+    * a band dimension. The naive plan is a theta-join — Catalyst can
+    * only produce BroadcastNestedLoopJoin (O(n·m) comparisons, and a
+    * full cartesian when neither side broadcasts). The scale path
+    * decomposes the range predicate into an integer-bucket EQUI-join:
+    * each band is exploded to the W-wide buckets it overlaps (a few
+    * rows per band, bounded by span/W), each fact row computes its one
+    * bucket map-side, the join shuffles on the bucket key like any
+    * hash join, and the exact range predicate re-filters inside the
+    * matched bucket. A row's single bucket meets each band at most
+    * once, so no dedup pass is needed. This is the standard
+    * interval/range-join recipe on hash-partitioned engines (bucketed
+    * band join — same family as the d2 LSH and m3 frame-hash blocking
+    * joins). */
+  private val bandW = 4500L
+  private val bandSpan = 7000L
+  private def rangeBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 20)
+      .select(col("id").as("band_id"), (col("id") * bandW).as("lo"),
+        (col("id") * bandW + bandSpan).as("hi"))
+      .select(col("band_id"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div $bandW"), expr(s"(hi - 1) div $bandW")))
+          .as("bucket"))
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("price"))
+      .withColumn("bucket", expr(s"CAST(floor(price / $bandW) AS BIGINT)"))
+    li.join(bands, Seq("bucket"))
+      .filter(col("price") >= col("lo") && col("price") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("row_ct"), Fns.moneySum(col("price")).as("price_sum"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "j9_range_bucket_join" -> rangeBucketJoin,
     "j1_order_wide" -> orderWide,
     "j2_left_outer_returns" -> orderReturnsLeft,
     "j3_interval_join" -> intervalJoin,
@@ -206,6 +240,19 @@ object Joins extends QueryModule {
   }
 
   val oracles = Map(
+    // the oracle states the range join PLAINLY (BETWEEN theta-join) —
+    // proving the bucket decomposition computes exactly the naive
+    // semantics
+    "j9_range_bucket_join" ->
+      s"""WITH bands AS (
+         |  SELECT r AS band_id, r * $bandW AS lo, r * $bandW + $bandSpan AS hi
+         |  FROM range(0, 20) t(r))
+         |SELECT band_id, count(*) AS row_ct,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS price_sum
+         |FROM bands JOIN lineitem
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY 1""".stripMargin,
     "j11_struct_dic_lookup" ->
       """SELECT n_name, r_name AS region_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,

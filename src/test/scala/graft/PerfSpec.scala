@@ -224,6 +224,29 @@ class PerfSpec extends SparkSuite {
       "pagerank rounds must unroll into the plan")
   }
 
+  test("round-7 ops keep their scale shapes") {
+    // j9: the range join decomposes to a bucketed EQUI-join — a
+    // nested-loop/cartesian anywhere in the plan means the decomposition
+    // regressed to the O(n·m) theta-join the oracle states
+    val j9 = plan("j9_range_bucket_join")
+    assert(!j9.contains("BroadcastNestedLoopJoin") &&
+      !j9.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$j9")
+    assert("HashJoin.*bucket".r.findAllIn(j9).nonEmpty ||
+      "SortMergeJoin.*bucket".r.findAllIn(j9).nonEmpty,
+      s"range join must key on the bucket:\n$j9")
+    // t17: everything after the token count is bounded by the 4x256
+    // sketch; the top-20 cut is a partial top-n, not a full sort
+    assert(plan("t17_cms_heavy_hitters").contains("TakeOrderedAndProject"))
+    // v12: the only nested-loop join is the 1-row broadcast normalizer;
+    // the power iterations shuffle on the cell keys only
+    val v12 = plan("v12_pca_power")
+    assert(!v12.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(v12).nonEmpty &&
+      "Exchange hashpartitioning\\(j".r.findAllIn(v12).nonEmpty,
+      "power iteration must shuffle on the exploded cell keys")
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)

@@ -185,6 +185,31 @@ class StreamingSpec extends SparkSuite {
       "processing-time windows must conserve the input rows")
   }
 
+  test("CMS sketch aggregates identically in a streaming window") {
+    // elementwise-sum merge is associative+commutative, so the packed
+    // counter matrix is BIT-equal between the incremental (state-store)
+    // and batch paths on closed windows — same contract as HLL below
+    val cms = udaf(new graft.functions.CmsSketch)
+    def agged(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("et", timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts"))))
+      .withWatermark("et", "3 seconds")
+      .groupBy(window(col("et"), "10 minutes"))
+      .agg(cms(col("event_type")).as("sketch"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("stt"), col("window.end").as("edt"), col("sketch"))
+    val streamed = runStream(
+      agged(StatefulStreams.eventStream(spark, sf)), "cms_win", "append")
+    val e = Tables(spark, sf, "events")
+    val wm = e.agg(max(timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts")))) -
+      expr("INTERVAL 3 SECONDS")).head.getTimestamp(0)
+    val closed = agged(e).filter(col("edt") <= lit(wm))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0 &&
+      closed.exceptAll(streamed).count() == 0)
+  }
+
   test("HLL sketch aggregates identically in a streaming window") {
     val hll = udaf(graft.functions.HllSketch)
     def agged(df: org.apache.spark.sql.DataFrame) = df
