@@ -305,8 +305,14 @@ object CurationOps extends QueryModule {
   private val prDamp = 0.85
   private def pagerankAuthority(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    // ONE eager checkpoint of the symmetrized edge list: the unrolled
+    // 3-round plan references it 6× (und + deg per round), and without
+    // the cut each reference re-derives the whole LSH+Jaccard verify
+    // subtree — 3× the near-dup pipeline instead of 3 tiny joins. On a
+    // cluster this is `checkpoint`/a staging table (the c1 lesson).
     val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nDf = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nDf))

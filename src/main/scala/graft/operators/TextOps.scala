@@ -433,7 +433,59 @@ object TextOps extends QueryModule {
       .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
   }
 
+  /** t18: bigram-LM log-perplexity scoring — the CCNet-style quality
+    * filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): an add-one-smoothed
+    * bigram language model is trained on the target slice (doc_id % 37
+    * = 0, the t15 target domain) as two count tables, and every
+    * document is scored by its average negative log-likelihood per
+    * bigram under that LM — low score = target-like, the ranking CCNet
+    * buckets a crawl by. Engine parity: per-bigram −ln P is rounded to
+    * 9 places and DECIMAL-quantized BEFORE the cross-row sum (the t15
+    * idiom), so the score is partition-order independent and
+    * bit-replayable. Scale: the LM is two token-keyed aggregations over
+    * the (small) target slice joined back by bigram/prefix key; doc
+    * scoring shuffles on the bigram key only — no driver-side model
+    * object, the "model" is a DataFrame like everything else. */
+  private def bigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(tokenize(lower(col("text"))), t => t =!= "")
+    val d = Tables(s, dir, "documents").select(col("doc_id"), tk.as("t"))
+    val bgOf = (t: Column) => transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val bg = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bgOf(col("t"))).as("bg"))
+    val tgtBg = bg.filter(pmod(col("doc_id"), lit(37L)) === 0)
+    val c2 = tgtBg.groupBy(col("bg").as("m_bg"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = tgtBg
+      .select(substring_index(col("bg"), " ", 1).as("m_w1"))
+      .groupBy(col("m_w1")).agg(count(lit(1)).as("c1"))
+    // V = distinct target unigrams + 1 (so the smoothing denominator is
+    // always positive, even for a prefix the LM never saw)
+    val v = d.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      .select(explode(col("t")).as("tok"))
+      .agg((countDistinct(col("tok")) + 1L).as("v_sz"))
+    val tf = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    tf.join(c2, col("bg") === col("m_bg"), "left_outer")
+      .join(c1, col("w1") === col("m_w1"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("tf"),
+        round(-log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType)
+            / (coalesce(col("c1"), lit(0L)) + col("v_sz")).cast(DoubleType)),
+          9).cast(DecimalType(18, 9)).as("nll_q"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast(DecimalType(10, 0)) * col("nll_q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("avg_nll"))
+      .orderBy(col("avg_nll"), col("doc_id")).limit(50)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t18_bigram_perplexity" -> bigramPerplexity,
     "t16_winnow_overlap_pairs" -> winnowOverlapPairs,
     "t15_dsir_scores" -> dsirScores,
     "t14_dup_ngram_spans" -> dupNgramSpans,
@@ -481,6 +533,41 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t18_bigram_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM d WHERE len(t) >= 2),
+        |c2 AS (SELECT bg AS m_bg, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bg WHERE doc_id % 37 = 0 GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS m_w1,
+        |              CAST(count(*) AS BIGINT) AS c1
+        |       FROM bg WHERE doc_id % 37 = 0 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS v_sz FROM (
+        |        SELECT unnest(t) AS tok FROM d WHERE doc_id % 37 = 0)),
+        |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf,
+        |              split_part(bg, ' ', 1) AS w1
+        |       FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, tf,
+        |         CAST(round(-ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+        |             / CAST(coalesce(c1, 0) + v_sz AS DOUBLE)), 9)
+        |           AS DECIMAL(18,9)) AS nll_q
+        |  FROM tf LEFT JOIN c2 ON bg = m_bg
+        |          LEFT JOIN c1 ON w1 = m_w1
+        |          CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |         round(CAST(sum(CAST(tf AS DECIMAL(10,0)) * nll_q)
+        |                    AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6)
+        |           AS avg_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_nll
+        |FROM agg ORDER BY avg_nll, doc_id LIMIT 50""".stripMargin,
     "t15_dsir_scores" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -245,6 +245,26 @@ class QualityOpsSpec extends SparkSuite {
       s"target share in top-50 ($topTgt/50) not above base $baseShare")
   }
 
+  test("t18: bigram-LM perplexity favors the training slice") {
+    val r = q("t18_bigram_perplexity")
+    assert(r.count() == 50)
+    // ascending by avg_nll (low = target-like), all scores positive
+    val scores = r.select(col("avg_nll")).collect().map(_.getDouble(0))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    })
+    // docs the LM was trained on must be over-represented in the
+    // most-target-like 50 vs their corpus share
+    val topTgt = r.filter(pmod(col("doc_id"), lit(37L)) === 0).count()
+    val d = Tables(spark, sf, "documents")
+    val baseShare = d.filter(pmod(col("doc_id"), lit(37L)) === 0).count()
+      .toDouble / d.count()
+    assert(topTgt.toDouble / 50 > baseShare,
+      s"target share in top-50 ($topTgt/50) not above base $baseShare")
+  }
+
   test("t16: overlap pairs are ordered, thresholded, and agree with d3") {
     val r = q("t16_winnow_overlap_pairs")
     assert(r.count() > 0)
