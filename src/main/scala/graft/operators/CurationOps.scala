@@ -454,7 +454,46 @@ object CurationOps extends QueryModule {
         max(col("cum_tokens")).as("taken_tokens"))
   }
 
+  /** c14: canonical-copy selection — for every near-dup cluster, pick
+    * the member to KEEP by data quality rather than the arbitrary
+    * min-id rule c2 inherits from the label itself: rank members by
+    * (quality_score DESC, pair-graph degree DESC, doc_id) and take the
+    * top. Degree is the cheap centrality proxy (the full PageRank
+    * variant is c12); the `quality_rule_differs` flag counts the
+    * clusters where quality-based selection disagrees with min-id —
+    * the documents a min-id pipeline would have thrown away wrongly.
+    * Scale: reuses the memoized labels and pair table; one rank window
+    * partitioned by cluster label (bounded by cluster size), one
+    * member-count aggregation — both shuffle on the label key. */
+  private def canonicalSelection(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val pairs = DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val deg = pairs.select(col("a_id").as("d_id"))
+      .union(pairs.select(col("b_id")))
+      .groupBy(col("d_id")).agg(count(lit(1)).as("deg"))
+    val quality = qualityCols(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("quality_score"))
+    val members = labels
+      .join(deg, col("id") === col("d_id"))
+      .join(quality, col("id") === col("doc_id"))
+      .select(col("id"), col("label"), col("deg"), col("quality_score"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("quality_score").desc, col("deg").desc, col("id"))
+    val canon = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("label").as("c_label"), col("id").as("canonical_id"),
+        round(col("quality_score"), 6).as("canonical_quality"),
+        col("deg").as("canonical_deg"))
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("member_ct"))
+      .join(canon, col("label") === col("c_label"))
+      .select(col("label").as("cluster_id"), col("member_ct"),
+        col("canonical_id"), col("canonical_quality"), col("canonical_deg"),
+        (col("canonical_id") =!= col("label")).as("quality_rule_differs"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "c14_canonical_selection" -> canonicalSelection,
     "c12_pagerank_authority" -> pagerankAuthority,
     "c11_temperature_mix" -> temperatureMix,
     "c7_token_budget" -> tokenBudget,
@@ -600,6 +639,36 @@ object CurationOps extends QueryModule {
          |SELECT label AS cluster_id, count(*) AS member_ct,
          |       max(id) AS max_member_id
          |FROM lab GROUP BY 1""".stripMargin,
+    "c14_canonical_selection" ->
+      s"""WITH RECURSIVE $labelCte,
+         |und AS (SELECT a_id AS src FROM ndp
+         |        UNION ALL SELECT b_id FROM ndp),
+         |deg AS (SELECT src AS d_id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |             x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |           AS DOUBLE) / len(string_split(text, ' ')) * 0.3 +
+         |         CAST(least(len(string_split(text, ' ')), 100)
+         |           AS DOUBLE) / 100.0 * 0.7 AS quality_score
+         |  FROM documents),
+         |m AS (
+         |  SELECT lab.id, lab.label, deg.deg, q.quality_score
+         |  FROM lab JOIN deg ON lab.id = deg.d_id
+         |           JOIN q ON lab.id = q.doc_id),
+         |canon AS (
+         |  SELECT label AS c_label, id AS canonical_id,
+         |         round(quality_score, 6) AS canonical_quality,
+         |         deg AS canonical_deg
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY label
+         |          ORDER BY quality_score DESC, deg DESC, id) AS rk
+         |        FROM m) WHERE rk = 1),
+         |mc AS (SELECT label, count(*) AS member_ct FROM lab GROUP BY 1)
+         |SELECT mc.label AS cluster_id, mc.member_ct, canonical_id,
+         |       canonical_quality, canonical_deg,
+         |       canonical_id <> mc.label AS quality_rule_differs
+         |FROM mc JOIN canon ON mc.label = canon.c_label""".stripMargin,
     "c2_kept_corpus" ->
       s"""WITH RECURSIVE $labelCte,
          |q AS (

@@ -59,6 +59,21 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(mass - 1.0) < 1e-5, s"pagerank mass drifted: $mass")
   }
 
+  test("c14 canonical is a max-quality member of its own cluster") {
+    val c14 = q("c14_canonical_selection")
+    val labels = q("c1_dedup_clusters")
+      .select(col("cluster_id").as("l_cid"), col("member_ct").as("l_ct"))
+    // one row per c1 cluster, same member counts
+    assert(c14.count() == labels.count())
+    assert(c14.join(labels, col("cluster_id") === col("l_cid"))
+      .filter(col("member_ct") =!= col("l_ct")).count() == 0)
+    // near-dup clusters always have >= 2 members
+    assert(c14.filter(col("member_ct") < 2).count() == 0)
+    // the flag is exactly (canonical != min-id label)
+    assert(c14.filter(col("quality_rule_differs") =!=
+      (col("canonical_id") =!= col("cluster_id"))).count() == 0)
+  }
+
   test("c2 funnel counts are consistent and exhaustive") {
     val f = q("c2_kept_corpus")
     val bad = f.filter(col("total_ct") =!=
