@@ -205,7 +205,38 @@ object QualityOps extends QueryModule {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** p17: tombstone purge — the right-to-be-forgotten pass every stored
+    * corpus needs: a deletion-request list (deterministic fixture:
+    * doc_id % 101 = 0) is propagated through THREE derived stores (the
+    * c13 chunk store, the t5 fingerprint store, the embedding store)
+    * and the per-table purge ledger is emitted. Scale shape: the
+    * tombstone list broadcasts (it is small by nature) and each derived
+    * table pays ONE map-side probe — never a shuffle of the store, and
+    * the per-table audit is a 1-row aggregate. The kept rows are
+    * exactly `store LEFT ANTI tombstones`; the ledger counts both sides
+    * from one left-outer probe so the oracle can restate it as CASE
+    * sums. */
+  private def tombstonePurge(s: SparkSession, dir: String): DataFrame = {
+    val tomb = Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(101L)) === 0)
+      .select(col("doc_id").as("t_id"))
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.join(broadcast(tomb), col(key) === col("t_id"), "left_outer")
+        .agg(count(lit(1)).as("total_ct"),
+          sum(when(col("t_id").isNotNull, 1L).otherwise(0L))
+            .as("purged_ct"))
+        .select(lit(name).as("store"), col("total_ct"), col("purged_ct"),
+          (col("total_ct") - col("purged_ct")).as("kept_ct"))
+    val chunks = SketchOps.queries("c13_rag_chunks")(s, dir)
+    val fps = Tables(s, dir, "documents").select(col("doc_id"))
+    val em = Tables(s, dir, "embeddings").select(col("vec_id"))
+    audit("chunks", chunks, "doc_id")
+      .unionByName(audit("fingerprints", fps, "doc_id"))
+      .unionByName(audit("embeddings", em, "vec_id"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "p17_tombstone_purge" -> tombstonePurge,
     "p16_url_canonicalize" -> urlCanonicalize,
     "p15_pii_redact" -> piiRedact,
     "c8_quality_funnel" -> qualityFunnel,
@@ -213,6 +244,40 @@ object QualityOps extends QueryModule {
     "t10_repetition_signals" -> repetitionSignals)
 
   val oracles = Map(
+    "p17_tombstone_purge" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(list_filter(string_split(lower(text), ' '),
+         |                                 x -> x <> '')) AS n
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n <= 128 THEN 1
+         |              ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks
+         |  FROM d WHERE n > 0)
+         |SELECT 'chunks' AS store,
+         |       CAST(sum(n_chunks) AS BIGINT) AS total_ct,
+         |       CAST(coalesce(sum(CASE WHEN doc_id % 101 = 0
+         |                          THEN n_chunks END), 0) AS BIGINT)
+         |         AS purged_ct,
+         |       CAST(sum(n_chunks) -
+         |            coalesce(sum(CASE WHEN doc_id % 101 = 0
+         |                         THEN n_chunks END), 0) AS BIGINT)
+         |         AS kept_ct
+         |FROM ch
+         |UNION ALL
+         |SELECT 'fingerprints', count(*),
+         |       count(CASE WHEN doc_id % 101 = 0 THEN 1 END),
+         |       count(*) - count(CASE WHEN doc_id % 101 = 0 THEN 1 END)
+         |FROM documents
+         |UNION ALL
+         |SELECT 'embeddings', count(*),
+         |       count(CASE WHEN vec_id IN (SELECT doc_id FROM documents
+         |                                  WHERE doc_id % 101 = 0)
+         |             THEN 1 END),
+         |       count(*) - count(CASE WHEN vec_id IN
+         |           (SELECT doc_id FROM documents WHERE doc_id % 101 = 0)
+         |             THEN 1 END)
+         |FROM embeddings""".stripMargin,
     "p16_url_canonicalize" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -86,4 +86,19 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
     require(vs.nonEmpty, s"no committed version <= $version in $storeDir")
     s.read.parquet(s"$storeDir/v${vs.max}")
   }
+
+  /** Retention (`VACUUM` analog): drop all but the newest `retain`
+    * committed versions. `current` is never touched (retain >= 1 is
+    * enforced); `snapshotAt` older than the horizon then fails, exactly
+    * like a vacuumed Delta table. Returns the versions removed. */
+  def expireVersions(retain: Int): Seq[Long] = {
+    require(retain >= 1, "must retain at least the current version")
+    val doomed = versions.sorted.dropRight(retain)
+    doomed.foreach { v =>
+      val dir = new java.io.File(s"$storeDir/v$v")
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+    doomed
+  }
 }

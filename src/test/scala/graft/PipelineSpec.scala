@@ -97,6 +97,35 @@ class PipelineSpec extends SparkSuite {
       .select(col("id"), col("payload")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(vLate == state, "as-of past the last commit = current")
+
+    // retention (VACUUM analog): keep only the newest version; current()
+    // is untouched, but time-travel behind the horizon now fails —
+    // exactly a vacuumed Delta table's contract
+    val removed = sink.expireVersions(1)
+    assert(removed.nonEmpty, "expected at least one expired version")
+    val afterVacuum = Pipelines.dimStore(spark, store)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(afterVacuum == state, "retention must not touch current")
+    intercept[IllegalArgumentException] {
+      sink.snapshotAt(spark, removed.max)
+    }
+  }
+
+  test("p17 tombstone ledger: kept + purged = total, broadcast probe") {
+    val r = SparkEntry.queries("p17_tombstone_purge")(spark, sf)
+    val rows = r.collect()
+    assert(rows.length == 3)
+    rows.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2) + row.getLong(3),
+        s"ledger mismatch for ${row.getString(0)}")
+    }
+    // the fixture plants real deletion requests
+    assert(rows.map(_.getLong(2)).sum > 0, "no purged rows anywhere")
+    // the tombstone list rides a broadcast — the store is never shuffled
+    val plan = SparkEntry.queries("p17_tombstone_purge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "tombstones must broadcast")
   }
 
   test("a6 typed aggregator agrees with builtin countDistinct") {
