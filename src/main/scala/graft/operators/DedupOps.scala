@@ -41,23 +41,21 @@ object DedupOps extends QueryModule {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Universal-hash constants: p prime < 2^32; a_k·x stays < 2^63. */
-  val P: Long = 4294967291L
-  def aK(k: Int): Long = 1000003L + 2L * k
-  def bK(k: Int): Long = 12345L + 7L * k
+  /** Universal-hash constants — single source of truth lives with the
+    * native expression ([[graft.plans.MinhashSignature]]); re-exported
+    * here for the oracle SQL builders. */
+  val P: Long = graft.plans.MinhashSignature.P
+  def aK(k: Int): Long = graft.plans.MinhashSignature.aK(k)
+  def bK(k: Int): Long = graft.plans.MinhashSignature.bK(k)
 
-  /** mh_k = min over the doc's distinct-token hashes of the k-th linear
-    * permutation — computed as an array traversal (array_min ∘ transform)
-    * instead of explode + min aggregate: no row blowup, no shuffle, the
-    * whole signature stage is one codegen'd map over documents. */
-  private def mh(k: Int): Column =
+  /** mh_k as composed builtins (array_min ∘ transform) — kept as the
+    * spec twin of the native [[graft.plans.MinhashSignature]] expression
+    * that production [[stackedBands]] actually runs: K traversals + K
+    * transformed array allocations per row vs the expression's single
+    * fused loop. Identical values (same Long arithmetic). */
+  private[graft] def mh(k: Int): Column =
     array_min(transform(col("hs"),
       h => (h * lit(aK(k)) + lit(bK(k))) % lit(P))).as(s"mh$k")
-
-  private def bandCol(b: Int): Column =
-    md5(concat_ws("|", (0 until bandSize).map(i =>
-      col(s"mh${b * bandSize + i}").cast(StringType)): _*))
-      .as(s"band$b")
 
   /** Candidate pairs from LSH banding (distinct over bands, a < b). */
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
@@ -81,19 +79,28 @@ object DedupOps extends QueryModule {
     * ([[graft.streaming.IncrementalDedup]]): one md5 per distinct
     * token, K integer permutations, one row per (doc, band). */
   private[graft] def stackedBands(docs: DataFrame): DataFrame = {
-    val withSig = docs.select(col("doc_id"), col("source"),
+    // One-pass native signature ([[graft.plans.MinhashSignature]]),
+    // computed in its OWN projection. Referencing `sig[k]` twelve times
+    // from one collapsed projection would inline — and re-evaluate —
+    // the full K-permutation pass per reference (CollapseProject folds
+    // adjacent projects, and Generate input expressions get no
+    // subexpression elimination; measured 2.5× slower than even the
+    // composed builtins). The explode of the band INDEX sits between
+    // the sig projection and the band-string projection, and a Generate
+    // is a collapse barrier: downstream reads `sig` as a plain
+    // attribute — the signature runs exactly once per document.
+    val sig = graft.plans.MinhashSignature.minhashSig(docs.sparkSession,
+      col("hs"), numHashes)
+    docs.select(col("doc_id"), col("source"),
         transform(array_distinct(tokenize(col("text"))),
           t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("hs"))
-      .select(col("doc_id") +: col("source") +: (0 until numHashes).map(mh): _*)
-    withSig
-      .select(col("doc_id") +: col("source") +:
-        (0 until numBands).map(bandCol): _*)
-      .select(col("doc_id"), col("source"),
-        explode(array((0 until numBands).map(b =>
-          struct(lit(b).as("band_no"), col(s"band$b").as("band_sig"))): _*))
-          .as("b"))
-      .select(col("doc_id"), col("source"),
-        col("b.band_no"), col("b.band_sig"))
+      .select(col("doc_id"), col("source"), sig.as("sig"))
+      .select(col("doc_id"), col("source"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band_no"))
+      .select(col("doc_id"), col("source"), col("band_no"),
+        md5(concat_ws("|", (0 until bandSize).map(i =>
+          element_at(col("sig"), col("band_no") * bandSize + i + 1)
+            .cast(StringType)): _*)).as("band_sig"))
   }
 
   private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame = {

@@ -45,5 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "tokenize_cjk_udtf(text) - whitespace tokens; CJK runs as bigrams"),
       (children: Seq[Expression]) =>
         TokenizeGenerator(children.head, cjk = true)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(hashes, k) - k-permutation minhash signature of an " +
+          "ARRAY<BIGINT> in one pass"),
+      (children: Seq[Expression]) => MinhashSignature(children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

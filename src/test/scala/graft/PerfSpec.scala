@@ -224,6 +224,42 @@ class PerfSpec extends SparkSuite {
       "pagerank rounds must unroll into the plan")
   }
 
+  test("minhash_sig native expression: one-pass signature == composed K-traversal form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val hs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+          .as("hs"))
+    val native = hs.withColumn("sig",
+        graft.plans.MinhashSignature.minhashSig(spark, col("hs"),
+          operators.DedupOps.numHashes))
+      .select(col("doc_id") +:
+        (0 until operators.DedupOps.numHashes)
+          .map(k => col("sig")(k).as(s"mh$k")): _*)
+    val composed = hs.select(col("doc_id") +:
+      (0 until operators.DedupOps.numHashes)
+        .map(k => operators.DedupOps.mh(k)): _*)
+    assert(native.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(native).count() == 0,
+      "native minhash signature must be bit-identical to the composed form")
+    // interpreted path agrees with codegen (same check the hamming
+    // expression gets)
+    val row = hs.limit(1).select(col("hs")).head.getSeq[Long](0)
+    val expr = graft.plans.MinhashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        row, org.apache.spark.sql.types.ArrayType(LongType)),
+      operators.DedupOps.numHashes)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    val viaDf = native.limit(1)
+      .select((0 until operators.DedupOps.numHashes)
+        .map(k => col(s"mh$k")): _*).head.toSeq.map(_.asInstanceOf[Long])
+    assert(interp == viaDf)
+  }
+
   test("round-7 ops keep their scale shapes") {
     // j9: the range join decomposes to a bucketed EQUI-join — a
     // nested-loop/cartesian anywhere in the plan means the decomposition
