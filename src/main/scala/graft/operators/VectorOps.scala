@@ -508,7 +508,44 @@ object VectorOps extends QueryModule {
     v3.select(col("j").cast(LongType).as("dim"), col("vj").as("loading"))
   }
 
+  /** v13: embedding-centroid drift monitor — the production data-quality
+    * check for an embedding store: per label, compare the per-dimension
+    * centroid of two snapshot epochs (deterministic stand-in: vec_id
+    * parity) and report the L2 distance between centroids. A drift
+    * alarm on this number is how pipelines catch upstream encoder or
+    * distribution changes. Engine parity: per-(label, epoch, dim) means
+    * are DECIMAL-quantized sums (the v9 idiom), the per-dim squared
+    * deltas are rounded then DECIMAL-summed across dims, and the final
+    * sqrt is IEEE-exact in both engines. Scale: two shuffles — cells
+    * keyed by (label, epoch, dim), then the k×d-bounded mean join —
+    * nothing driver-side. */
+  private def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("emb"))
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("epoch"),
+        posexplode(col("emb")).as(Seq("j0", "x")))
+      .select(col("label"), col("epoch"), (col("j0") + 1).as("j"), col("x"))
+    val means = cells.groupBy(col("label"), col("epoch"), col("j"))
+      .agg((sum(round(col("x"), 9).cast(DecimalType(28, 9)))
+        .cast(DoubleType) / count(lit(1))).as("m"),
+        count(lit(1)).as("ct"))
+    val m0 = means.filter(col("epoch") === 0)
+      .select(col("label").as("l0"), col("j").as("j0k"),
+        col("m").as("m0"), col("ct").as("ct0"))
+    val m1 = means.filter(col("epoch") === 1)
+      .select(col("label").as("l1"), col("j").as("j1k"),
+        col("m").as("m1"), col("ct").as("ct1"))
+    m0.join(m1, col("l0") === col("l1") && col("j0k") === col("j1k"))
+      .groupBy(col("l0").as("label"))
+      .agg(max(col("ct0")).as("epoch0_ct"), max(col("ct1")).as("epoch1_ct"),
+        sum(round((col("m0") - col("m1")) * (col("m0") - col("m1")), 9)
+          .cast(DecimalType(28, 9))).as("ssq"))
+      .select(col("label"), col("epoch0_ct"), col("epoch1_ct"),
+        round(sqrt(col("ssq").cast(DoubleType)), 6).as("drift"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v13_centroid_drift" -> centroidDrift,
     "v12_pca_power" -> pcaPower,
     "v11_semdedup" -> semDedup,
     "v9_kmeans_assign" -> kmeansAssign,
@@ -592,6 +629,27 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v13_centroid_drift" ->
+      s"""WITH cells AS (
+         |  SELECT label, vec_id % 2 AS epoch, i AS j,
+         |         CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN range(1, ${embDim + 1}) t(i)),
+         |means AS (
+         |  SELECT label, epoch, j,
+         |         CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |           / count(*) AS m,
+         |         CAST(count(*) AS BIGINT) AS ct
+         |  FROM cells GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT m0.label, m0.ct AS ct0, m1.ct AS ct1,
+         |         CAST(round((m0.m - m1.m) * (m0.m - m1.m), 9)
+         |              AS DECIMAL(28,9)) AS d2
+         |  FROM (SELECT * FROM means WHERE epoch = 0) m0
+         |  JOIN (SELECT * FROM means WHERE epoch = 1) m1
+         |    ON m0.label = m1.label AND m0.j = m1.j)
+         |SELECT label, max(ct0) AS epoch0_ct, max(ct1) AS epoch1_ct,
+         |       round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS drift
+         |FROM p GROUP BY 1""".stripMargin,
     "v12_pca_power" ->
       s"""WITH em AS (
          |  SELECT vec_id,

@@ -173,7 +173,57 @@ object WindowAggs extends QueryModule {
         col("event_ct"), col("value_sum"))
   }
 
+  /** a23 (beyond-reference): ordered session-funnel conversion — the
+    * product-analytics staple the reference's serving layer stops short
+    * of. Sessions are 30-min inactivity islands per user (lag-gap flag +
+    * running sum — ONE Exchange on user_id serves the ordering window,
+    * the sessionization, and the three funnel stages); within a session
+    * the funnel is strictly ordered: first view, first click AT-OR-AFTER
+    * that view, first purchase at-or-after that click (each stage a
+    * conditional min over the session partition, chained selects because
+    * stage k's bound references stage k-1's window result). Microsecond
+    * epoch math is integer-exact in both engines (`nsToUs` ↔
+    * `epoch_us`, the j10 parity). At 100 TB: everything runs inside the
+    * user_id partitioning; the final funnel rollup is a 1-row global
+    * aggregate with a map-side partial. */
+  private val sessGapUs = 30L * 60L * 1000000L
+  private def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        nsToUs(col("ts")).as("us"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > sessGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col("user_id"), col("sess"))
+    val staged = sess
+      .withColumn("s1",
+        min(when(col("event_type") === "view", col("us"))).over(wS))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("us") >= col("s1"),
+          col("us"))).over(wS))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("s2"),
+          col("us"))).over(wS))
+    staged.groupBy(col("user_id"), col("sess"))
+      .agg(max(col("s1")).as("v1"), max(col("s2")).as("v2"),
+        max(col("s3")).as("v3"))
+      .agg(count(lit(1)).as("sessions"),
+        sum(when(col("v1").isNotNull, 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L))
+          .as("clicked_after_view"),
+        sum(when(col("v3").isNotNull, 1L).otherwise(0L))
+          .as("purchased_after_click"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a23_session_funnel" -> sessionFunnel,
     "w5_sliding_window" -> slidingWindow,
     "w5_session_window" -> sessionWindow,
     "a1_keyword_window_count" -> keywordWindowCount,
@@ -184,6 +234,45 @@ object WindowAggs extends QueryModule {
     "a3_pricing_summary" -> pricingSummary)
 
   val oracles = Map(
+    "a23_session_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $sessGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM g),
+         |f1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+         |              OVER (PARTITION BY user_id, sess) AS s1
+         |  FROM sess),
+         |f2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND us >= s1
+         |                     THEN us END)
+         |              OVER (PARTITION BY user_id, sess) AS s2
+         |  FROM f1),
+         |f3 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= s2
+         |                     THEN us END)
+         |              OVER (PARTITION BY user_id, sess) AS s3
+         |  FROM f2),
+         |per AS (
+         |  SELECT user_id, sess, max(s1) AS v1, max(s2) AS v2, max(s3) AS v3
+         |  FROM f3 GROUP BY 1, 2)
+         |SELECT count(*) AS sessions,
+         |       CAST(sum(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS viewed,
+         |       CAST(sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS clicked_after_view,
+         |       CAST(sum(CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS purchased_after_click
+         |FROM per""".stripMargin,
     "w5_sliding_window" ->
       s"""WITH expanded AS (
          |  SELECT event_type AS ch,

@@ -152,4 +152,33 @@ class OperatorSpec extends SparkSuite {
     val fps = df.select(operators.TextOps.fingerprint(col("text"))).distinct()
     assert(fps.count() == 1, "case+whitespace-insensitive fingerprint")
   }
+
+  test("a23 funnel stages are monotone and sessions partition the events") {
+    val r = q("a23_session_funnel").head
+    val (sessions, viewed, clicked, purchased) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(sessions > 0)
+    assert(sessions >= viewed && viewed >= clicked && clicked >= purchased,
+      s"funnel must be monotone: $sessions >= $viewed >= $clicked >= $purchased")
+    // strict ordering bites: some views exist, not every session converts
+    assert(viewed > 0 && purchased < sessions)
+  }
+
+  test("v13 drift: every label covered, both epochs populated, drift > 0") {
+    val r = q("v13_centroid_drift")
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("label")).distinct().count()
+    assert(r.count() == labels)
+    assert(r.filter(col("epoch0_ct") === 0 || col("epoch1_ct") === 0)
+      .count() == 0)
+    // random embeddings: two epoch centroids never coincide exactly
+    assert(r.filter(col("drift") <= 0).count() == 0)
+    // epoch counts add up to the label's vector count
+    val per = Tables(spark, sf, "embeddings").groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("label", "l2")
+    assert(r.join(per, col("label") === col("l2"))
+      .filter(col("epoch0_ct") + col("epoch1_ct") =!= col("n"))
+      .count() == 0)
+  }
 }

@@ -124,4 +124,24 @@ class PropertySpec extends AnyFunSuite {
     // exact J = 20/60 = 1/3; 12 hashes → expect ~4 agreements, allow wide band
     assert(agree >= 1 && agree <= 8, s"minhash agreement $agree outside band")
   }
+
+  test("native minhash_sig == per-permutation mins on random hash arrays") {
+    val cases = samples(Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 32) - 1)),
+      100)
+    import graft.plans.MinhashSignature
+    val K = graft.operators.DedupOps.numHashes
+    cases.foreach { hs =>
+      val expr = MinhashSignature(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          hs, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), K)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      val want = (0 until K).map(k =>
+        hs.map(h => (h * MinhashSignature.aK(k) + MinhashSignature.bK(k))
+          % MinhashSignature.P).min)
+      assert(got == want, s"signature mismatch for $hs")
+    }
+  }
 }
