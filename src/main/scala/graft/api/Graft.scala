@@ -1,0 +1,131 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The user-facing library surface: every reusable operator, over
+  * ARBITRARY DataFrames — the demo queries in `graft.operators.*` (each
+  * verified against the DuckDB oracle on the driver's tables) delegate
+  * to the same code paths these entry points expose, so a user of the
+  * reference system can run the identical operations on their own data.
+  *
+  * Column contracts are positional-by-name and minimal: a "docs" frame
+  * is `(doc_id: LONG, source: STRING, text: STRING)` (source may be a
+  * constant lit for unblocked dedup), a "pairs" frame is
+  * `(a_id, b_id)`. Everything returns a plain DataFrame and composes.
+  *
+  * Scale properties are inherited from the underlying operators and
+  * spec-asserted there: LSH banding (never doc×doc), one-pass native
+  * minhash signatures, O(log² n)-round connected components,
+  * zero-shuffle chunking, mergeable sketches.
+  */
+object Graft {
+
+  // ---- dedup -------------------------------------------------------------
+
+  /** LSH candidate pairs (12 minhashes, 4 bands) for a docs frame;
+    * `source` is the blocking key. Never compares all pairs. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    graft.operators.DedupOps.candidatePairsFor(docs)
+
+  /** Verified near-duplicate pairs: LSH candidates filtered by exact
+    * distinct-token Jaccard >= threshold. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    graft.operators.DedupOps.nearDupPairsFor(docs, threshold)
+
+  /** Connected-component labels (id, label) of an arbitrary symmetric
+    * pair frame (a_id, b_id); label = min member id. Alternating
+    * large-star/small-star — O(log² n) rounds at any diameter. */
+  def componentLabels(pairs: DataFrame): DataFrame =
+    graft.operators.CurationOps.componentLabels(pairs.sparkSession, pairs)
+
+  /** End-to-end near-dup clustering of a docs frame:
+    * (doc_id, cluster_label). */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    componentLabels(nearDupPairs(docs, threshold)
+      .select(col("a_id"), col("b_id")))
+
+  // ---- retrieval prep ----------------------------------------------------
+
+  /** Fixed-size overlapping token chunks with md5 content fingerprints:
+    * (doc_id, chunk_idx, tok_start, tok_len, chunk_fp). Zero-shuffle. */
+  def chunks(docs: DataFrame, size: Long = 128L,
+      stride: Long = 96L): DataFrame =
+    graft.operators.SketchOps.chunksFor(docs, size, stride)
+
+  // ---- generic relational patterns ---------------------------------------
+
+  /** Top-k rows per group by `order` descending (ties broken by the
+    * tiebreak column for determinism). One shuffle on the group keys. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(order.desc, tiebreak)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic leakage-free split assignment: md5-bucket of the id,
+    * stable under re-sharding and re-runs. Returns df + `split` column
+    * with values train/val/test by the given percent cut points. */
+  def hashSplit(df: DataFrame, idCol: Column, trainPct: Int = 70,
+      valPct: Int = 15): DataFrame = {
+    val bucket =
+      conv(substring(md5(idCol.cast(StringType)), 1, 4), 16, 10)
+        .cast(LongType) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** As-of join: each left row matched to the LATEST right row with
+    * `rightTime <= leftTime` for the same key — the single-shuffle
+    * tagged-union form (one Exchange on the key, no range
+    * cross-product). Output: left key/time plus `asof_time` (null when
+    * no earlier right row exists). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(leftTime).as("t"))
+      .withColumn("tag", lit(1))
+    val r = right.select(col(keyCol).as("k"), col(rightTime).as("t"))
+      .withColumn("tag", lit(0))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_time",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("k").as(keyCol), col("t").as(leftTime), col("asof_time"))
+  }
+
+  // ---- sketches ----------------------------------------------------------
+
+  /** Mergeable HyperLogLog distinct-count aggregator (p=12, ~1.6 %
+    * error): `df.agg(Graft.hll(col("user_id")))`. Accepts ANY column
+    * type: values are xxhash64'd to the sketch's Long input first
+    * (distinct counts survive — 64-bit collisions are negligible at any
+    * practical cardinality, and the sketch re-mixes the hash). */
+  def hll(c: Column): Column =
+    udaf(graft.functions.HllSketch).apply(xxhash64(c))
+
+  /** Mergeable count-min frequency sketch (4×256 counters) as packed
+    * bytes; probe with [[graft.functions.CmsSketch.estimate]]. */
+  def cms(c: Column): Column =
+    udaf(new graft.functions.CmsSketch).apply(c)
+
+  // ---- text / vectors ----------------------------------------------------
+
+  /** Whitespace tokens (the corpus-wide tokenizer all text operators
+    * share); [[cjkTokens]] adds character-bigram segmentation for
+    * non-ASCII runs. */
+  def tokens(text: Column): Column = graft.operators.TextOps.tokenize(text)
+  def cjkTokens(text: Column): Column =
+    graft.operators.TextOps.tokenizeMixed(text)
+
+  /** Exact cosine similarity of two ARRAY<DOUBLE> columns
+    * (left-to-right accumulation — deterministic at any parallelism). */
+  def cosine(a: Column, b: Column): Column =
+    graft.operators.VectorOps.cosine(a, b)
+}

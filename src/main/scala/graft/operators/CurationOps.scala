@@ -80,19 +80,27 @@ object CurationOps extends QueryModule {
   }
 
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelMemo.getOrElseUpdate((s, dir), {
+    labelMemo.getOrElseUpdate((s, dir),
+      componentLabels(s,
+        DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))))
+
+  /** Connected-component labels for an ARBITRARY symmetric pair frame
+    * (a_id, b_id) — the generic core behind c1 and the
+    * [[graft.api.Graft]] facade. Label = min node id of the component. */
+  private[graft] def componentLabels(s: SparkSession,
+      pairs: DataFrame): DataFrame = {
       val dbg = sys.env.contains("SPARK_GRAFT_DEBUG")
       var t0 = System.nanoTime()
       def lap(tag: String): Unit = if (dbg) {
         println(f"[c1] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
         t0 = System.nanoTime()
       }
-      val pairs = DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
       // localCheckpoint (eager) per round: without it each iteration's
       // plan embeds the whole lineage of all prior rounds and Catalyst
       // analysis dominates. On a cluster this is `checkpoint` to
       // reliable storage.
-      var edges = pairs.filter(col("a_id") =!= col("b_id"))
+      var edges = pairs.toDF("a_id", "b_id")
+        .filter(col("a_id") =!= col("b_id"))
         .toDF("src", "dst").localCheckpoint(true)
       // fixpoint signature: (count, order-independent xor of edge
       // hashes) in ONE action — both edge sets are distinct, so equal
@@ -148,7 +156,7 @@ object CurationOps extends QueryModule {
       edges.select(col("src").as("id"), col("dst").as("label"))
         .union(roots)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-    })
+  }
 
   override def release(): Unit = {
     labelMemo.values.foreach(_.unpersist(false))

@@ -103,11 +103,10 @@ object DedupOps extends QueryModule {
             .cast(StringType)): _*)).as("band_sig"))
   }
 
-  private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val stacked = stackedBands(
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism))
+  /** LSH candidate pairs for an arbitrary (doc_id, source, text) frame —
+    * the generic form behind d2 and the [[graft.api.Graft]] facade. */
+  private[graft] def candidatePairsFor(docs: DataFrame): DataFrame = {
+    val stacked = stackedBands(docs)
     val l = stacked.as("l")
     val r = stacked.as("r")
     l.join(r,
@@ -118,6 +117,20 @@ object DedupOps extends QueryModule {
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
         col("l.source").as("source"))
       .distinct()
+  }
+
+  private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame =
+    candidatePairsFor(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism))
+
+  /** Generic near-dup verify for arbitrary docs (the d3 pipeline shape). */
+  private[graft] def nearDupPairsFor(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val docToks = docs.select(col("doc_id"),
+      array_distinct(tokenize(col("text"))).as("elems"))
+    verifyByJaccard(candidatePairsFor(docs), docToks, "jaccard", threshold)
   }
 
   /** d2: LSH candidate-pair counts per source (the bucketed shuffle). */

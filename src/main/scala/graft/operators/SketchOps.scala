@@ -71,26 +71,32 @@ object SketchOps extends QueryModule {
     * fingerprint of the exact token slice (chunk-level exact dedup and
     * provenance both hang off it). Pure map-side fan-out: sequence +
     * explode, no shuffle. */
-  private def ragChunks(s: SparkSession, dir: String): DataFrame = {
+  /** Generic chunk fan-out for an arbitrary (doc_id, text) frame — the
+    * form behind c13 and the [[graft.api.Graft]] facade. */
+  private[graft] def chunksFor(docs: DataFrame, size: Long,
+      stride: Long): DataFrame = {
     val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
-    val d = Tables(s, dir, "documents")
+    val d = docs
       .select(col("doc_id"), toks.as("t"))
-      .withColumn("n", size(col("t")).cast(LongType))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("t"))
+        .cast(LongType))
       .filter(col("n") > 0)
       .withColumn("n_chunks",
-        when(col("n") <= chunkSize, lit(1L)).otherwise(
-          expr(s"(n - $chunkSize + ${chunkStride - 1}) div $chunkStride")
-            + 1L))
+        when(col("n") <= size, lit(1L)).otherwise(
+          expr(s"(n - $size + ${stride - 1}) div $stride") + 1L))
     d.select(col("doc_id"), col("n"), col("t"),
         explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
-      .withColumn("tok_start", col("chunk_idx") * chunkStride)
-      .withColumn("tok_len", least(lit(chunkSize), col("n") - col("tok_start")))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_len", least(lit(size), col("n") - col("tok_start")))
       .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
         col("tok_len"),
         md5(concat_ws(" ",
           slice(col("t"), (col("tok_start") + 1L).cast(IntegerType),
             col("tok_len").cast(IntegerType)))).as("chunk_fp"))
   }
+
+  private def ragChunks(s: SparkSession, dir: String): DataFrame =
+    chunksFor(Tables(s, dir, "documents"), chunkSize, chunkStride)
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "t17_cms_heavy_hitters" -> cmsHeavyHitters,

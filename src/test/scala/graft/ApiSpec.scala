@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** The facade contract: every Graft entry point works on ARBITRARY
+  * user DataFrames — none of these tests touch the driver's testdata. */
+class ApiSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "web", "the quick brown fox jumps over the lazy dog today"),
+    (2L, "web", "the quick brown fox jumps over the lazy dog tonight"),
+    (3L, "web", "completely different content about spark catalyst planning"),
+    (4L, "book", "the quick brown fox jumps over the lazy dog today"),
+    (5L, "web", "another unrelated document discussing lakehouse tables")
+  ).toDF("doc_id", "source", "text")
+
+  test("nearDupPairs + componentLabels cluster the planted near-dups") {
+    val pairs = Graft.nearDupPairs(corpus, threshold = 0.7)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 2 differ by one token (J = 9/11); 4 is identical text to 1
+    // but in another source (blocking key) so it is NOT a candidate
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    val labels = Graft.nearDupClusters(corpus, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("chunks tile a user corpus with the requested geometry") {
+    val c = Graft.chunks(corpus, size = 4L, stride = 3L)
+    val row1 = c.filter(col("doc_id") === 1L).orderBy(col("chunk_idx"))
+      .collect()
+    // 10 tokens, size 4, stride 3 -> starts 0,3,6; the last chunk ends
+    // exactly at token 10, so every position is covered
+    assert(row1.map(_.getLong(2)).toSeq == Seq(0L, 3L, 6L))
+    assert(row1.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L))
+    // identical text => identical chunk fingerprints (docs 1 and 4)
+    val fp1 = c.filter(col("doc_id") === 1L && col("chunk_idx") === 0)
+      .head.getString(4)
+    val fp4 = c.filter(col("doc_id") === 4L && col("chunk_idx") === 0)
+      .head.getString(4)
+    assert(fp1 == fp4)
+  }
+
+  test("topKPerGroup and hashSplit behave on arbitrary frames") {
+    val sales = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0)).toDF("grp", "id", "amt")
+    val top = Graft.topKPerGroup(sales, Seq("grp"), col("amt"), col("id"), 2)
+    assert(top.filter(col("grp") === "a").collect()
+      .map(_.getLong(1)).toSet == Set(2L, 3L))
+    assert(top.filter(col("grp") === "b").count() == 1)
+
+    val split = Graft.hashSplit(sales, col("id"))
+    assert(split.count() == 4)
+    assert(split.filter(!col("split").isin("train", "val", "test"))
+      .count() == 0)
+    // deterministic: same assignment on re-evaluation
+    val a = split.orderBy("id").collect().map(_.getString(3)).toSeq
+    val b = Graft.hashSplit(sales, col("id")).orderBy("id").collect()
+      .map(_.getString(3)).toSeq
+    assert(a == b)
+  }
+
+  test("asofJoin matches each left row to the latest earlier right row") {
+    val quotes = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "qt")
+    val trades = Seq((1L, 15L), (1L, 25L), (2L, 10L), (3L, 9L))
+      .toDF("k", "tt")
+    val got = Graft.asofJoin(trades, quotes, "k", "tt", "qt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, 15L, 10L), (1L, 25L, 20L), (2L, 10L, -1L),
+      (3L, 9L, -1L)), s"got $got")
+  }
+
+  test("hll and cms sketches aggregate arbitrary columns") {
+    val events = (1 to 1000).map(i => (s"user${i % 137}", s"tok${i % 7}"))
+      .toDF("user", "tok")
+    val uv = events.agg(Graft.hll(col("user"))).head.getLong(0)
+    assert(math.abs(uv - 137) <= 137 * 0.05, s"hll said $uv for 137")
+    val sk = events.agg(Graft.cms(col("tok"))).head.getAs[Array[Byte]](0)
+    // every token occurs ceil/floor of 1000/7 times; estimate >= truth
+    (0 until 7).foreach { t =>
+      val est = graft.functions.CmsSketch.estimate(sk, s"tok$t")
+      assert(est >= 1000 / 7, s"tok$t estimated $est")
+    }
+  }
+
+  test("cosine and tokenizers compose on user frames") {
+    val v = Seq((Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
+    val cs = v.select(Graft.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(cs == Seq(1.0, 0.0))
+    val toks = Seq("hello spark 你好世界").toDF("text")
+      .select(Graft.cjkTokens(col("text")).as("t")).head.getSeq[String](0)
+    assert(toks.contains("hello") && toks.contains("你好"))
+  }
+}
