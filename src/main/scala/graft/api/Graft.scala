@@ -55,6 +55,19 @@ object Graft {
       stride: Long = 96L): DataFrame =
     graft.operators.SketchOps.chunksFor(docs, size, stride)
 
+  /** Benchmark decontamination: (train_id, eval_id, shared_ct) pairs of
+    * documents sharing >= minShared distinct word 3-grams — a
+    * shingle-keyed equi-join, never doc×doc. Both inputs are
+    * (doc_id, text) frames. */
+  def contamination(train: DataFrame, eval: DataFrame,
+      minShared: Long = 3L): DataFrame =
+    graft.operators.CurationOps.contaminationFor(train, eval, minShared)
+
+  /** C4/Gopher repetition quality signals per document:
+    * (doc_id, n_tokens, n_distinct, dup_frac, top_bigram_ct). */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    graft.operators.QualityOps.repetitionSignalsFor(docs)
+
   // ---- generic relational patterns ---------------------------------------
 
   /** Top-k rows per group by `order` descending (ties broken by the

@@ -397,23 +397,32 @@ object CurationOps extends QueryModule {
     * are hashed and joined shingle-to-shingle (a bucketed equi-join,
     * never doc×doc), then counted per (train, eval) pair — the same
     * never-all-pairs discipline as the LSH dedup path. */
-  private def contamination(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val sh = d.select(col("doc_id"), tokenize(col("text")).as("tk"))
+  /** Distinct word-3-gram shingles of a (doc_id, text) frame. */
+  private def shinglesOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokenize(col("text")).as("tk"))
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))),
         i => concat_ws(" ", element_at(col("tk"), i),
           element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
         .as("shingle"))
-    val isEval = pmod(col("doc_id"), lit(37L)) === 0
-    val trainSh = sh.filter(!isEval)
-      .select(col("doc_id").as("train_id"), col("shingle"))
-    val evalSh = sh.filter(isEval)
-      .select(col("doc_id").as("eval_id"), col("shingle"))
-    trainSh.join(evalSh, "shingle")
+
+  /** Generic benchmark decontamination for ARBITRARY train/eval frames
+    * (the c5 core, exposed through [[graft.api.Graft]]): flagged
+    * (train_id, eval_id) pairs sharing >= minShared distinct word
+    * 3-grams — a shingle-keyed equi-join, never doc×doc. */
+  private[graft] def contaminationFor(train: DataFrame, eval: DataFrame,
+      minShared: Long): DataFrame =
+    shinglesOf(train).select(col("doc_id").as("train_id"), col("shingle"))
+      .join(shinglesOf(eval).select(col("doc_id").as("eval_id"),
+        col("shingle")), "shingle")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("shingle")).as("shared_ct"))
-      .filter(col("shared_ct") >= 3)
+      .filter(col("shared_ct") >= minShared)
+
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    contaminationFor(d.filter(!isEval), d.filter(isEval), 3L)
   }
 
   /** c6: deterministic stratified sampling — per-source keep rates

@@ -76,9 +76,14 @@ object QualityOps extends QueryModule {
     * token array (element_at indexing — no nested array lambdas, the t9
     * collapse lesson), then counted through two doc_id-keyed
     * aggregations. */
-  private def repetitionSignals(s: SparkSession, dir: String): DataFrame = {
+  private def repetitionSignals(s: SparkSession, dir: String): DataFrame =
+    repetitionSignalsFor(Tables(s, dir, "documents"))
+
+  /** Generic per-document repetition signals for an arbitrary
+    * (doc_id, text) frame — the t10 core behind [[graft.api.Graft]]. */
+  private[graft] def repetitionSignalsFor(docs: DataFrame): DataFrame = {
     val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
-    val d = Tables(s, dir, "documents")
+    val d = docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) > 0)
     val base = d.select(col("doc_id"),

@@ -88,6 +88,32 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("contamination flags the planted train/eval overlap only") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "nothing in common with anything else at all here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (21L, "fully disjoint evaluation prompt text tokens")
+    ).toDF("doc_id", "text")
+    val got = Graft.contamination(train, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 10/20 share the 3-grams of "alpha..zeta" (4 shingles >= 3)
+    assert(got == Set((10L, 20L)), s"got $got")
+  }
+
+  test("repetitionSignals computes dup fractions on user frames") {
+    val docs = Seq(
+      (1L, "a a a a a a"),
+      (2L, "all words here are unique tokens")
+    ).toDF("doc_id", "text")
+    val r = Graft.repetitionSignals(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(3), x.getLong(4))).toMap
+    assert(r(1L)._1 > 0.8 && r(1L)._2 == 5) // "a a" bigram 5 times
+    assert(r(2L)._1 == 0.0 && r(2L)._2 == 1)
+  }
+
   test("cosine and tokenizers compose on user frames") {
     val v = Seq((Array(1.0, 0.0), Array(1.0, 0.0)),
       (Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
