@@ -69,6 +69,8 @@ object DedupOps extends QueryModule {
   override def release(): Unit = {
     memo.values.foreach(_.unpersist(false))
     memo.clear()
+    verifiedMemo.values.foreach(_.unpersist(false))
+    verifiedMemo.clear()
     simhashMemo.values.foreach(_.unpersist(false))
     simhashMemo.clear()
   }
@@ -163,14 +165,25 @@ object DedupOps extends QueryModule {
 
   /** d3: full near-dup pipeline — candidates verified by exact unigram
     * Jaccard ≥ 0.8. Output is the verified duplicate pair list. Shared
-    * downstream: CurationOps clusters these pairs into components. */
-  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val docToks = d.select(col("doc_id"),
-      array_distinct(tokenize(col("text"))).as("elems"))
-    verifyByJaccard(candidatePairs(s, dir), docToks,
-      "jaccard", jaccardThreshold)
-  }
+    * downstream by FOUR consumers (d3 itself, CurationOps clustering,
+    * the c12 pagerank graph, the c14 degree table), so the verified
+    * table is memoized + persisted like the candidate table — a real
+    * pipeline materializes the verified pair list once (at 100 TB: a
+    * checkpointed table) rather than re-running the verify join per
+    * consumer. Released with the candidate memo at the family boundary. */
+  private val verifiedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedMemo.getOrElseUpdate((s, dir), {
+      val d = Tables(s, dir, "documents")
+      val docToks = d.select(col("doc_id"),
+        array_distinct(tokenize(col("text"))).as("elems"))
+      val df = verifyByJaccard(candidatePairs(s, dir), docToks,
+        "jaccard", jaccardThreshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   /** d5: word-bigram (2-shingle) Jaccard over the LSH candidates — the
     * n-gram refinement of d3: shingles catch reorderings that unigram
