@@ -114,6 +114,16 @@ class ApiSpec extends SparkSuite {
     assert(r(2L)._1 == 0.0 && r(2L)._2 == 1)
   }
 
+  test("facade entry points degrade gracefully on empty inputs") {
+    val noDocs = corpus.filter(col("doc_id") < 0)
+    assert(Graft.nearDupPairs(noDocs).count() == 0)
+    assert(Graft.nearDupClusters(noDocs).count() == 0)
+    assert(Graft.chunks(noDocs).count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Graft.componentLabels(noPairs).count() == 0)
+    assert(Graft.contamination(noDocs, corpus).count() == 0)
+  }
+
   test("cosine and tokenizers compose on user frames") {
     val v = Seq((Array(1.0, 0.0), Array(1.0, 0.0)),
       (Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
