@@ -35,6 +35,27 @@ object Graft {
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     graft.operators.DedupOps.nearDupPairsFor(docs, threshold)
 
+  /** The stacked LSH band signatures of a docs frame:
+    * (doc_id, source, band_no, band_sig) — the shared building block of
+    * the batch candidate join and the incremental streaming dedup. */
+  def bandSignatures(docs: DataFrame): DataFrame =
+    graft.operators.DedupOps.stackedBands(docs)
+
+  /** Incremental crawl dedup: stream document shards from `srcDir`
+    * (one micro-batch per file) and emit each batch's candidate pairs
+    * against the ACCUMULATED signature store under `storeDir` — new×old
+    * plus new×new, never corpus×corpus. Read results with
+    * [[incrementalPairs]]. */
+  def incrementalDedup(s: org.apache.spark.sql.SparkSession, srcDir: String,
+      storeDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IncrementalDedup.run(s, srcDir, storeDir, checkpoint)
+
+  /** All candidate pairs the incremental dedup has found so far. */
+  def incrementalPairs(s: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    graft.streaming.IncrementalDedup.pairs(s, storeDir)
+
   /** Connected-component labels (id, label) of an arbitrary symmetric
     * pair frame (a_id, b_id); label = min member id. Alternating
     * large-star/small-star — O(log² n) rounds at any diameter. */

@@ -27,6 +27,9 @@ class ApiSpec extends SparkSuite {
     val labels = Graft.nearDupClusters(corpus, threshold = 0.7)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L))
+    // the shared signature stage: one row per (doc, band)
+    assert(Graft.bandSignatures(corpus).count() ==
+      corpus.count() * operators.DedupOps.numBands)
   }
 
   test("chunks tile a user corpus with the requested geometry") {
