@@ -120,19 +120,9 @@ object Graft {
     * cross-product). Output: left key/time plus `asof_time` (null when
     * no earlier right row exists). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTime: String, rightTime: String): DataFrame = {
-    val l = left.select(col(keyCol).as("k"), col(leftTime).as("t"))
-      .withColumn("tag", lit(1))
-    val r = right.select(col(keyCol).as("k"), col(rightTime).as("t"))
-      .withColumn("tag", lit(0))
-    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
-      .withColumn("asof_time",
-        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select(col("k").as(keyCol), col("t").as(leftTime), col("asof_time"))
-  }
+      leftTime: String, rightTime: String): DataFrame =
+    graft.operators.Joins.asofJoinFor(left, right, keyCol, leftTime,
+      rightTime)
 
   // ---- sketches ----------------------------------------------------------
 

@@ -28,13 +28,23 @@ object CmsSketch {
   val depth = 4
   val width = 256
 
+  /** Reusable digest per thread: getInstance does a provider-registry
+    * lookup per call, and reduce() invokes bucket() depth× per token —
+    * the sketch's only per-row work. reset() + digest() is safe because
+    * each partition task is single-threaded. */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** Row-i bucket of a token: first 8 md5 hex chars of "i:tok" as an
     * integer, mod width — identical to Spark SQL
     * `conv(substring(md5(concat(i, ':', tok)), 1, 8), 16, 10) % width`
     * and to the DuckDB hexToIntSql twin. */
   def bucket(i: Int, tok: String): Int = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s"$i:$tok".getBytes(StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$i:$tok".getBytes(StandardCharsets.UTF_8))
     // first 4 bytes = first 8 hex chars, as an unsigned 32-bit value
     val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

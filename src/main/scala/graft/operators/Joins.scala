@@ -239,6 +239,30 @@ object Joins extends QueryModule {
         (col("us") - col("v_us")).as("gap_us"))
   }
 
+  /** Generic as-of join core for ARBITRARY frames — the same
+    * tagged-union + ignoreNulls-running-window recipe as
+    * [[asofAttribution]] (j10, oracle-checked against DuckDB's native
+    * ASOF JOIN), kept beside it so the two cannot drift: each left row
+    * gets the latest right time <= its own time per key (`asof_time`,
+    * null when no earlier right row exists). Exposed via
+    * [[graft.api.Graft.asofJoin]]. */
+  private[graft] def asofJoinFor(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTime: String, rightTime: String): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(leftTime).as("t"))
+      .withColumn("tag", lit(1))
+    val r = right.select(col(keyCol).as("k"), col(rightTime).as("t"))
+      .withColumn("tag", lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_time",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("k").as(keyCol), col("t").as(leftTime), col("asof_time"))
+  }
+
   val oracles = Map(
     // the oracle states the range join PLAINLY (BETWEEN theta-join) —
     // proving the bucket decomposition computes exactly the naive

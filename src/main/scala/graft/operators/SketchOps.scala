@@ -75,6 +75,10 @@ object SketchOps extends QueryModule {
     * form behind c13 and the [[graft.api.Graft]] facade. */
   private[graft] def chunksFor(docs: DataFrame, size: Long,
       stride: Long): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride " +
+        "(stride > size would skip tokens; non-positive values blow up " +
+        "the sequence fan-out)")
     val toks = filter(TextOps.tokenize(lower(col("text"))), t => t =!= "")
     val d = docs
       .select(col("doc_id"), toks.as("t"))

@@ -106,9 +106,16 @@ object MinhashSignature {
   def aK(k: Int): Long = 1000003L + 2L * k
   def bK(k: Int): Long = 12345L + 7L * k
 
+  /** Temp-function registration with the SAME arity contract as the
+    * GraftExtensions catalog entry — minhash_sig(hashes[, k]) — so a
+    * session where the internal pipeline has run keeps honoring an
+    * explicit k from SQL instead of silently ignoring it. */
   def register(spark: SparkSession, numHashes: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinhashSignature(exprs.head, numHashes),
+      "minhash_sig",
+      exprs => MinhashSignature(exprs.head,
+        if (exprs.length >= 2) exprs(1).eval().asInstanceOf[Int]
+        else numHashes),
       "built-in")
 
   def minhashSig(spark: SparkSession, hs: Column, numHashes: Int): Column = {

@@ -96,6 +96,13 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
     val doomed = versions.sorted.dropRight(retain)
     doomed.foreach { v =>
       val dir = new java.io.File(s"$storeDir/v$v")
+      // decommit FIRST: once _SUCCESS is gone, `versions` no longer
+      // reports this dir, so a crash mid-delete can never leave a
+      // half-emptied directory that still looks committed (the same
+      // invariant torn writes rely on, in reverse)
+      val marker = new java.io.File(dir, "_SUCCESS")
+      require(!marker.exists() || marker.delete(),
+        s"could not decommit $dir")
       Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       dir.delete()
     }
