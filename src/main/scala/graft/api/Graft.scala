@@ -152,4 +152,12 @@ object Graft {
     * (left-to-right accumulation — deterministic at any parallelism). */
   def cosine(a: Column, b: Column): Column =
     graft.operators.VectorOps.cosine(a, b)
+
+  /** Top principal direction of an embedding frame (vec_id,
+    * emb ARRAY<DOUBLE>) via three unrolled distributed power-iteration
+    * steps: (dim, loading) with max |loading| = 1. DECIMAL-quantized
+    * matrix products — bit-stable under any partitioning, nothing
+    * collected to the driver. */
+  def pcaTopComponent(em: DataFrame): DataFrame =
+    graft.operators.VectorOps.pcaPowerFor(em)
 }

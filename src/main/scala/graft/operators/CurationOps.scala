@@ -509,7 +509,44 @@ object CurationOps extends QueryModule {
         (col("canonical_id") =!= col("label")).as("quality_rule_differs"))
   }
 
+  /** c16: the per-source DATA CARD — the one-page summary a curation
+    * run publishes with its corpus: volume (docs, tokens, languages),
+    * dedup exposure (exact-dup members, near-dup graph members), the
+    * funnel survivor count (same keep rule as c2, so the two queries
+    * cross-check), and mean quality. Composes the SHARED memoized
+    * intermediates (quality scan, cluster labels) — one scan of
+    * documents, one label join, one aggregation keyed by source; the
+    * quality mean is a DECIMAL-quantized sum so the card is bit-stable
+    * at any parallelism. */
+  private def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val q = qualityCols(d)
+    val keeperW = Window.partitionBy(col("fp"))
+    val scored = q.withColumn("keeper_id", min(col("doc_id")).over(keeperW))
+    val lab = clusterLabels(s, dir)
+      .select(col("id"), col("label"))
+    val langs = d.select(col("doc_id").as("l_did"), col("lang"))
+    val j = scored
+      .join(lab, col("doc_id") === col("id"), "left_outer")
+      .join(langs, col("doc_id") === col("l_did"))
+    val kept = col("doc_id") === col("keeper_id") &&
+      col("quality_score") >= qualityThreshold &&
+      (col("label").isNull || col("label") === col("doc_id"))
+    j.groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("n_tokens")).as("token_sum"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L))
+          .as("exact_dup_ct"),
+        sum(when(col("label").isNotNull, 1L).otherwise(0L))
+          .as("near_dup_member_ct"),
+        sum(when(kept, 1L).otherwise(0L)).as("kept_ct"),
+        round(sum(round(col("quality_score"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType) / count(lit(1)), 6).as("quality_mean"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "c16_data_card" -> dataCard,
     "c14_canonical_selection" -> canonicalSelection,
     "c12_pagerank_authority" -> pagerankAuthority,
     "c11_temperature_mix" -> temperatureMix,
@@ -656,6 +693,41 @@ object CurationOps extends QueryModule {
          |SELECT label AS cluster_id, count(*) AS member_ct,
          |       max(id) AS max_member_id
          |FROM lab GROUP BY 1""".stripMargin,
+    "c16_data_card" ->
+      s"""WITH RECURSIVE $labelCte,
+         |q AS (
+         |  SELECT doc_id, source, lang,
+         |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '),
+         |             x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |           AS stop_ct
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, lang, n_tokens,
+         |         min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+         |         CAST(stop_ct AS DOUBLE) / n_tokens * 0.3 +
+         |           CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.7
+         |           AS quality_score
+         |  FROM q),
+         |j AS (
+         |  SELECT scored.*, lab.label
+         |  FROM scored LEFT JOIN lab ON doc_id = lab.id)
+         |SELECT source, count(*) AS doc_ct,
+         |       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+         |       count(DISTINCT lang) AS n_langs,
+         |       CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS exact_dup_ct,
+         |       CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS near_dup_member_ct,
+         |       CAST(sum(CASE WHEN doc_id = keeper_id
+         |                      AND quality_score >= $qualityThreshold
+         |                      AND (label IS NULL OR label = doc_id)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct,
+         |       round(CAST(sum(CAST(round(quality_score, 9)
+         |                           AS DECIMAL(28,9))) AS DOUBLE)
+         |             / count(*), 6) AS quality_mean
+         |FROM j GROUP BY 1""".stripMargin,
     "c14_canonical_selection" ->
       s"""WITH RECURSIVE $labelCte,
          |und AS (SELECT a_id AS src FROM ndp

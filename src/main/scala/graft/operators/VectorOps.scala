@@ -479,9 +479,13 @@ object VectorOps extends QueryModule {
     * lesson — without it the unrolled plan re-derives the centering
     * join 2^3 times). Deterministic start v₀ = 1⃗; 3 fixed steps (no
     * data-dependent loop → ONE declarative plan shape). */
-  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
-    val em = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+  private def pcaPower(s: SparkSession, dir: String): DataFrame =
+    pcaPowerFor(Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb")))
+
+  /** Generic power iteration for an arbitrary (vec_id, emb ARRAY<DOUBLE>)
+    * frame — the v12 core behind [[graft.api.Graft.pcaTopComponent]]. */
+  private[graft] def pcaPowerFor(em: DataFrame): DataFrame = {
     val cells = em
       .select(col("vec_id"), posexplode(col("emb")).as(Seq("j0", "x")))
       .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))

@@ -117,6 +117,20 @@ class ApiSpec extends SparkSuite {
     assert(r(2L)._1 == 0.0 && r(2L)._2 == 1)
   }
 
+  test("pcaTopComponent runs on an arbitrary embedding frame") {
+    val em = Seq(
+      (1L, Array(2.0, 0.1, 0.0)), (2L, Array(-2.0, -0.1, 0.0)),
+      (3L, Array(1.5, 0.0, 0.1)), (4L, Array(-1.5, 0.0, -0.1)),
+      (5L, Array(1.8, 0.05, 0.02))
+    ).toDF("vec_id", "emb")
+    val v = Graft.pcaTopComponent(em).orderBy("dim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v.size == 3)
+    // the variance is overwhelmingly along dim 1
+    assert(math.abs(v(1L)) == 1.0, s"dominant loading was ${v(1L)}")
+    assert(math.abs(v(2L)) < 0.2 && math.abs(v(3L)) < 0.2)
+  }
+
   test("facade entry points degrade gracefully on empty inputs") {
     val noDocs = corpus.filter(col("doc_id") < 0)
     assert(Graft.nearDupPairs(noDocs).count() == 0)

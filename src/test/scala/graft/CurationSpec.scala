@@ -74,6 +74,25 @@ class CurationSpec extends SparkSuite {
       (col("canonical_id") =!= col("cluster_id"))).count() == 0)
   }
 
+  test("c16 data card agrees with the c2 funnel and conserves documents") {
+    val card = q("c16_data_card")
+    val funnel = q("c2_kept_corpus")
+      .select(col("source").as("f_src"), col("kept_ct").as("f_kept"),
+        col("total_ct").as("f_total"))
+    val j = card.join(funnel, col("source") === col("f_src"))
+    assert(j.count() == funnel.count())
+    // same keep rule -> same survivors; same scan -> same totals
+    assert(j.filter(col("kept_ct") =!= col("f_kept")).count() == 0)
+    assert(j.filter(col("doc_ct") =!= col("f_total")).count() == 0)
+    // dedup exposure counts stay within the doc count
+    assert(card.filter(col("exact_dup_ct") + col("kept_ct") > col("doc_ct"))
+      .count() == 0)
+    assert(card.filter(col("near_dup_member_ct") > col("doc_ct"))
+      .count() == 0)
+    assert(card.filter(col("quality_mean") <= 0 || col("quality_mean") > 1)
+      .count() == 0)
+  }
+
   test("c2 funnel counts are consistent and exhaustive") {
     val f = q("c2_kept_corpus")
     val bad = f.filter(col("total_ct") =!=
