@@ -222,7 +222,32 @@ object WindowAggs extends QueryModule {
           .as("purchased_after_click"))
   }
 
+  /** a24 (beyond-reference): the cohort-retention matrix — users
+    * cohorted by their first signup week, counted as retained in each
+    * later activity week: (cohort_week, week_offset, active_users).
+    * Week indexes are integer epoch-microsecond division (engine-exact,
+    * timezone-free); the cohort table joins back onto per-user-week
+    * activity — two user-keyed aggregations and one join, the matrix
+    * itself bounded by weeks × offsets. The a14 cohort set-ops give two
+    * cells of this matrix; this is the full triangular report. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        divFloor(nsToUs(col("ts")), weekUs).as("wk"))
+    val cohorts = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val activity = e.select(col("user_id").as("a_uid"), col("wk")).distinct()
+    cohorts.join(activity, col("user_id") === col("a_uid"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .filter(col("week_offset") >= 0 && col("week_offset") <= 8)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
     "w5_sliding_window" -> slidingWindow,
     "w5_session_window" -> sessionWindow,
@@ -234,6 +259,20 @@ object WindowAggs extends QueryModule {
     "a3_pricing_summary" -> pricingSummary)
 
   val oracles = Map(
+    "a24_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week
+        |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id AS a_uid, wk FROM e),
+        |j AS (SELECT c.user_id, cohort_week, wk - cohort_week AS week_offset
+        |      FROM c JOIN a ON c.user_id = a.a_uid)
+        |SELECT cohort_week, week_offset,
+        |       count(DISTINCT user_id) AS active_users
+        |FROM j WHERE week_offset BETWEEN 0 AND 8
+        |GROUP BY 1, 2""".stripMargin,
     "a23_session_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

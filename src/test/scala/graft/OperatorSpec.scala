@@ -164,6 +164,20 @@ class OperatorSpec extends SparkSuite {
     assert(viewed > 0 && purchased < sessions)
   }
 
+  test("a24 retention: offset-0 is the cohort ceiling, offsets bounded") {
+    val r = q("a24_cohort_retention")
+    assert(r.count() > 0)
+    assert(r.filter(col("week_offset") < 0 || col("week_offset") > 8)
+      .count() == 0)
+    assert(r.filter(col("active_users") <= 0).count() == 0)
+    // the signup event itself makes every cohort member active at
+    // offset 0, so no later offset can exceed it
+    val base = r.filter(col("week_offset") === 0)
+      .select(col("cohort_week").as("cw"), col("active_users").as("base"))
+    assert(r.join(base, col("cohort_week") === col("cw"))
+      .filter(col("active_users") > col("base")).count() == 0)
+  }
+
   test("v13 drift: every label covered, both epochs populated, drift > 0") {
     val r = q("v13_centroid_drift")
     val labels = Tables(spark, sf, "embeddings")
