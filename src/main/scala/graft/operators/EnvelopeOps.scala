@@ -308,7 +308,28 @@ object EnvelopeOps extends QueryModule {
         col("key_distinct_ct"), col("dup_key_ct"), col("orphan_line_ct"))
   }
 
+  /** p18: JSON path extraction over a STORED semi-structured column —
+    * events.props holds real JSON strings (unlike the inline-built
+    * envelopes of s2/g5), so this is the `get_json_object` /
+    * `json_extract` parity check on data at rest: extract `$.k`, type
+    * it, aggregate per event family. Map-side scalar extraction (one
+    * codegen'd JSON path per row), one bounded aggregation — at 100 TB
+    * the JSON parse is the scan-time cost and nothing here shuffles
+    * more than the group keys. */
+  private def propsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("event_ct"),
+        count(col("k")).as("k_present_ct"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "p18_props_json" -> propsJsonExtract,
     "p14_dq_audit" -> dqAudit,
     "k6_scd2_history" -> scd2History,
     "g1_explode_displays" -> explodeDisplays,
@@ -321,6 +342,19 @@ object EnvelopeOps extends QueryModule {
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
   val oracles = Map(
+    "p18_props_json" ->
+      """SELECT event_type, count(*) AS event_ct,
+        |       count(CAST(json_extract(props, '$.k') AS BIGINT))
+        |         AS k_present_ct,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_min,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_max,
+        |       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+        |         AS k_distinct
+        |FROM events GROUP BY 1""".stripMargin,
     "p14_dq_audit" ->
       """WITH li AS (
         |  SELECT count(*) AS row_ct,
