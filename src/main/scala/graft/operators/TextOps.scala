@@ -388,6 +388,64 @@ object TextOps extends QueryModule {
           .as("flagged"))
   }
 
+  /** t19: merged duplicate-span extents — the CUT LIST the t14 fraction
+    * only scores: for every doc, the maximal token ranges covered by
+    * corpus-duplicated 5-gram spans (the gram at token position i covers
+    * tokens [i, i+4]; a gram is duplicated when it occurs ≥ 2 times
+    * anywhere in the corpus). Overlapping spans are merged into extents
+    * by the classic gaps-and-islands pass: sort spans by start per doc,
+    * open a new extent whenever a span starts past the running max end.
+    * This is the removal step of substring-level dedup (Lee et al., ACL
+    * 2022 §4: duplicated substrings are CUT, not whole docs dropped) —
+    * the output says exactly which token ranges to cut and what fraction
+    * of the doc goes.
+    *
+    * Scale shape: the duplicate discovery is the same gram-keyed
+    * aggregation t14 pays (map-side combinable, never doc×doc); the
+    * merge adds one doc-keyed window sort bounded by each doc's OWN
+    * duplicated-span count. Integer-only interval arithmetic — the
+    * extents are engine-exact, no float anywhere but the final audit
+    * fraction. */
+  private def dupSpanExtents(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), tokenize(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+            element_at(col("tk"), i + 3), element_at(col("tk"), i + 4)))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("start"), col("col").as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gct")).filter(col("gct") >= 2)
+      .select(col("gram"))
+    val spans = grams.join(dupGrams, "gram")
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        (col("start") + 4).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    spans
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pme").isNull || col("start") > col("pme"), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("start")).as("es"), max(col("e")).as("ee"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("ee") - col("es") + 1).as("elen"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_extents"),
+        sum(col("elen")).as("dup_tokens"),
+        max(col("elen")).cast(LongType).as("longest_extent"))
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_extents"), col("dup_tokens"), col("longest_extent"),
+        round(col("dup_tokens").cast(DoubleType) / col("n_tokens"), 6)
+          .as("cut_frac"))
+  }
+
   /** t15: importance-resampling scores (the DSIR recipe — Xie,
     * Santurkar, Ma, Liang, "Data Selection for Language Models via
     * Importance Resampling", NeurIPS 2023): rank raw docs by how much
@@ -485,6 +543,7 @@ object TextOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t19_dup_span_extents" -> dupSpanExtents,
     "t18_bigram_perplexity" -> bigramPerplexity,
     "t16_winnow_overlap_pairs" -> winnowOverlapPairs,
     "t15_dsir_scores" -> dsirScores,
@@ -533,6 +592,45 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t19_dup_span_extents" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         unnest(range(1, len(tk) - 3)) AS start,
+        |         unnest(list_transform(range(1, len(tk) - 3),
+        |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+        |                          tk[i+4]))) AS gram
+        |  FROM tk WHERE len(tk) >= 5),
+        |dg AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |sp AS (SELECT doc_id, n_tokens, start, start + 4 AS e
+        |       FROM g JOIN dg USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, start, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM sp),
+        |brk AS (
+        |  SELECT doc_id, n_tokens, start, e,
+        |         CASE WHEN pme IS NULL OR start > pme THEN 1 ELSE 0 END
+        |           AS brk
+        |  FROM isl),
+        |ext AS (
+        |  SELECT doc_id, n_tokens, start, e,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS island
+        |  FROM brk),
+        |ex2 AS (
+        |  SELECT doc_id, n_tokens, island,
+        |         max(e) - min(start) + 1 AS elen
+        |  FROM ext GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_extents,
+        |       CAST(sum(elen) AS BIGINT) AS dup_tokens,
+        |       CAST(max(elen) AS BIGINT) AS longest_extent,
+        |       round(CAST(sum(elen) AS DOUBLE) / n_tokens, 6) AS cut_frac
+        |FROM ex2 GROUP BY 1, 2""".stripMargin,
     "t18_bigram_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),

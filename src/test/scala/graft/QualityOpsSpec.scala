@@ -208,6 +208,24 @@ class QualityOpsSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("t19: merged extents are sane and agree with t14's flags") {
+    val r = q("t19_dup_span_extents")
+    assert(r.count() > 0)
+    // extents cover at least one 5-token span and never exceed the doc
+    assert(r.filter(col("dup_tokens") < 5 ||
+      col("dup_tokens") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("longest_extent") * col("n_extents") <
+      col("dup_tokens")).count() == 0) // max * count bounds the sum
+    assert(r.filter(col("cut_frac") <= 0 || col("cut_frac") > 1)
+      .count() == 0)
+    // every doc with a duplicated gram in t14 has an extent here, and
+    // vice versa — the two views see the same duplicated-span set
+    val t14docs = q("t14_dup_ngram_spans")
+      .filter(col("dup_gram_ct") > 0).select("doc_id")
+    assert(t14docs.exceptAll(r.select("doc_id")).count() == 0)
+    assert(r.select("doc_id").exceptAll(t14docs).count() == 0)
+  }
+
   test("c11: temperature mixing up-weights small sources") {
     val r = q("c11_temperature_mix")
     assert(r.count() > 0)
