@@ -84,6 +84,18 @@ object Graft {
       minShared: Long = 3L): DataFrame =
     graft.operators.CurationOps.contaminationFor(train, eval, minShared)
 
+  /** Fuzzy benchmark decontamination: (train_id, eval_id, jaccard)
+    * near-duplicate pairs across the split, found by MinHash-LSH
+    * banding and verified by exact distinct-token Jaccard >= threshold
+    * — catches paraphrased/reformatted eval copies that share few
+    * exact shingles (run alongside [[contamination]], which catches
+    * verbatim quotes). Both inputs are (doc_id, source, text) frames;
+    * never train×eval at any stage. */
+  def fuzzyContamination(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    graft.operators.CurationOps.fuzzyContaminationFor(train, eval,
+      threshold)
+
   /** C4/Gopher repetition quality signals per document:
     * (doc_id, n_tokens, n_distinct, dup_frac, top_bigram_ct). */
   def repetitionSignals(docs: DataFrame): DataFrame =

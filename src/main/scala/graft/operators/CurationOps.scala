@@ -425,6 +425,56 @@ object CurationOps extends QueryModule {
     contaminationFor(d.filter(!isEval), d.filter(isEval), 3L)
   }
 
+  /** Generic FUZZY decontamination for arbitrary train/eval frames (the
+    * c17 core, exposed through [[graft.api.Graft]]): near-duplicate
+    * train×eval pairs found by MinHash-LSH banding — each side is
+    * signed independently (the small eval side pays only its own
+    * signature cost), candidates come from a (band_no, band_sig) bucket
+    * equi-join, and every candidate is verified by exact distinct-token
+    * Jaccard ≥ threshold. Never corpus×corpus at any stage. */
+  private[graft] def fuzzyContaminationFor(train: DataFrame,
+      eval: DataFrame, threshold: Double): DataFrame = {
+    val trainBands = DedupOps.stackedBands(train)
+      .select(col("doc_id").as("train_id"), col("band_no"), col("band_sig"))
+    val evalBands = DedupOps.stackedBands(eval)
+      .select(col("doc_id").as("eval_id"), col("band_no"), col("band_sig"))
+    val cand = trainBands.join(evalBands, Seq("band_no", "band_sig"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    val toks = train.unionByName(eval)
+      .select(col("doc_id"), array_distinct(tokenize(col("text")))
+        .as("elems"))
+    cand
+      .join(toks.as("fta"), col("train_id") === col("fta.doc_id"))
+      .join(toks.as("fte"), col("eval_id") === col("fte.doc_id"))
+      .select(col("train_id"), col("eval_id"),
+        size(array_intersect(col("fta.elems"), col("fte.elems")))
+          .as("inter_ct"),
+        size(col("fta.elems")).as("na"), size(col("fte.elems")).as("nb"))
+      .select(col("train_id"), col("eval_id"),
+        (col("inter_ct").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter_ct"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** c17: fuzzy benchmark decontamination — the NEAR-DUP complement of
+    * c5's exact 3-gram overlap (GPT-3's appendix-C decontamination and
+    * every successor pipeline run both lenses: exact n-gram hits catch
+    * verbatim quotes, MinHash catches paraphrased/reformatted copies
+    * that share few exact shingles). Same eval slice as c5
+    * (doc_id ≡ 0 mod 37); flagged pairs are LSH band candidates that
+    * survive an exact unigram-Jaccard ≥ 0.5 verify. The banding is the
+    * production d2 signature stage ([[DedupOps.stackedBands]], native
+    * one-pass minhash Expression); at 100 TB the eval side is tiny, so
+    * its band table broadcasts and the train corpus pays exactly one
+    * signature scan — the candidate join is bucket-keyed, never
+    * train×eval. */
+  private def fuzzyContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    fuzzyContaminationFor(d.filter(!isEval), d.filter(isEval), 0.5)
+  }
+
   /** c6: deterministic stratified sampling — per-source keep rates
     * applied via the same md5 bucket as c3 (leakage-free, re-shard- and
     * engine-stable; rates derived from the source name so the config
@@ -552,6 +602,7 @@ object CurationOps extends QueryModule {
     "c11_temperature_mix" -> temperatureMix,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
+    "c17_fuzzy_contamination" -> fuzzyContamination,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
@@ -661,6 +712,29 @@ object CurationOps extends QueryModule {
         |       count(*) AS taken_ct,
         |       CAST(max(cum_tokens) AS BIGINT) AS taken_tokens
         |FROM c WHERE cum_tokens <= budget GROUP BY 1""".stripMargin,
+    "c17_fuzzy_contamination" ->
+      s"""WITH ${DedupOps.candidateCte},
+         |tr AS (SELECT doc_id AS train_id, band_no, band_sig FROM stacked
+         |       WHERE doc_id % 37 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, band_no, band_sig FROM stacked
+         |       WHERE doc_id % 37 = 0),
+         |fcand AS (SELECT DISTINCT train_id, eval_id
+         |          FROM tr JOIN ev USING (band_no, band_sig)),
+         |fsizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |finter AS (
+         |  SELECT train_id, eval_id, count(*) AS inter_ct
+         |  FROM fcand
+         |  JOIN toks fta ON train_id = fta.doc_id
+         |  JOIN toks ftb ON eval_id = ftb.doc_id AND fta.tok = ftb.tok
+         |  GROUP BY 1, 2)
+         |SELECT train_id, eval_id,
+         |       CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct)
+         |         AS jaccard
+         |FROM finter
+         |JOIN fsizes sa ON train_id = sa.doc_id
+         |JOIN fsizes sb ON eval_id = sb.doc_id
+         |WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct)
+         |      >= 0.5""".stripMargin,
     "c5_contamination" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |            FROM documents),

@@ -106,6 +106,22 @@ class ApiSpec extends SparkSuite {
     assert(got == Set((10L, 20L)), s"got $got")
   }
 
+  test("fuzzyContamination flags the near-identical cross-split copy") {
+    val train = Seq(
+      (10L, "s", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "s", "completely unrelated training material nothing shared")
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq(
+      (20L, "s", "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (21L, "s", "another fully disjoint evaluation prompt")
+    ).toDF("doc_id", "source", "text")
+    val got = Graft.fuzzyContamination(train, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10/20 share 8 of 10 distinct tokens (J = 0.8 >= 0.5); nothing
+    // else shares a band
+    assert(got == Set((10L, 20L)), s"got $got")
+  }
+
   test("repetitionSignals computes dup fractions on user frames") {
     val docs = Seq(
       (1L, "a a a a a a"),

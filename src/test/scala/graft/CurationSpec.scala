@@ -190,6 +190,29 @@ class CurationSpec extends SparkSuite {
       window.exceptAll(heap).count() == 0)
   }
 
+  test("c17 fuzzy decontamination: split honored, d3 straddlers caught") {
+    val r = q("c17_fuzzy_contamination")
+    assert(r.count() > 0)
+    assert(r.filter(pmod(col("train_id"), lit(37L)) === 0 ||
+      pmod(col("eval_id"), lit(37L)) =!= 0).count() == 0)
+    assert(r.filter(col("jaccard") < 0.5 || col("jaccard") > 1.000001)
+      .count() == 0)
+    // every verified near-dup pair (d3, J >= 0.8) that straddles the
+    // split must be flagged: c17's band join is a superset of d3's
+    // (no same-source requirement) and its threshold is lower
+    val straddle = q("d3_near_dup_pairs")
+      .select(col("a_id"), col("b_id"))
+      .filter((pmod(col("a_id"), lit(37L)) === 0) =!=
+        (pmod(col("b_id"), lit(37L)) === 0))
+      .select(
+        when(pmod(col("a_id"), lit(37L)) =!= 0, col("a_id"))
+          .otherwise(col("b_id")).as("train_id"),
+        when(pmod(col("a_id"), lit(37L)) === 0, col("a_id"))
+          .otherwise(col("b_id")).as("eval_id"))
+    assert(straddle.exceptAll(r.select("train_id", "eval_id"))
+      .count() == 0)
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
