@@ -151,6 +151,13 @@ object Graft {
   def cms(c: Column): Column =
     udaf(new graft.functions.CmsSketch).apply(c)
 
+  /** Mergeable equi-width histogram sketch (60 × 10k bins) as packed
+    * bytes; estimate percentiles with
+    * [[graft.functions.HistogramSketch.percentileLo]] (rank-based,
+    * one-sided within one bin width). */
+  def histogram(c: Column): Column =
+    udaf(new graft.functions.HistogramSketch).apply(c)
+
   // ---- text / vectors ----------------------------------------------------
 
   /** Whitespace tokens (the corpus-wide tokenizer all text operators

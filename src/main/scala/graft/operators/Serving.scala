@@ -127,7 +127,49 @@ object Serving extends QueryModule {
       .withColumn("pct_rank", percent_rank().over(w))
   }
 
+  /** Dyadic EWMA weights 2^-i, i = 0..7, as exact DECIMAL(9,7) literals
+    * (every value is a finite binary fraction with ≤ 7 decimal places,
+    * so the weighted sums are exact in BOTH engines — no libm pow, no
+    * float accumulation). */
+  private val ewmaWeights: Seq[String] =
+    Seq("1", "0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625",
+      "0.0078125").map(x => s"CAST($x AS DECIMAL(9,7))")
+
+  /** a25 (beyond-reference): EWMA-smoothed daily revenue per priority —
+    * the serving layer's trend line over the a10 daily GMV. A true
+    * recursive EWMA is not declarative; the standard bounded form is a
+    * weighted moving window: ewma_t = Σ_{i=0..7} 2^-i·x_{t-i} / Σ 2^-i
+    * over the 8 most recent days present (missing leading days shrink
+    * the denominator — no warm-up bias). Weights are dyadic and the
+    * daily amounts DECIMAL, so numerator and denominator are exact in
+    * any engine and any partitioning; only the final division is
+    * double. One (priority)-keyed window sort after one groupBy — the
+    * same shuffle the daily rollup already pays. */
+  private def ewmaRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("cur_date"))
+      .agg(sum(money(col("o_totalprice")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("amt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("cur_date"))
+    val lags = ewmaWeights.indices.map(i =>
+      if (i == 0) col("amt") else lag(col("amt"), i).over(w))
+    val zero = expr("CAST(0 AS DECIMAL(18,2))")
+    val num = lags.zip(ewmaWeights).map { case (l, wt) =>
+      coalesce(l, zero) * expr(wt) }.reduce(_ + _)
+    val den = lags.zip(ewmaWeights).map { case (l, wt) =>
+      when(l.isNotNull, expr(wt)).otherwise(expr("CAST(0 AS DECIMAL(9,7))"))
+    }.reduce(_ + _)
+    daily.select(col("priority"), col("cur_date"),
+      col("amt").cast(org.apache.spark.sql.types.DoubleType)
+        .as("day_amount"),
+      round(num.cast(org.apache.spark.sql.types.DoubleType) /
+        den.cast(org.apache.spark.sql.types.DoubleType), 6).as("ewma"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a25_ewma_revenue" -> ewmaRevenue,
     "a15_rank_suite" -> rankSuite,
     "a14_cohort_setops" -> cohortSetOps,
     "a13_cube_revenue" -> cubeRevenue,
@@ -137,7 +179,34 @@ object Serving extends QueryModule {
     "a11_rollup_revenue" -> rollupRevenue,
     "a12_pivot_channels" -> pivotChannels)
 
+  private def ewmaOracle: String = {
+    val lagDefs = (1 to 7)
+      .map(i => s"lag(amt, $i) OVER w AS l$i").mkString(",\n        |       ")
+    val num = ("amt * " + ewmaWeights.head) +: (1 to 7).map(i =>
+      s"coalesce(l$i, CAST(0 AS DECIMAL(18,2))) * ${ewmaWeights(i)}")
+    val den = ewmaWeights.head +: (1 to 7).map(i =>
+      s"CASE WHEN l$i IS NOT NULL THEN ${ewmaWeights(i)} " +
+        s"ELSE CAST(0 AS DECIMAL(9,7)) END")
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS priority,
+       |         strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+       |         CAST(sum(${Oracle.money("o_totalprice")})
+       |              AS DECIMAL(18,2)) AS amt
+       |  FROM orders GROUP BY 1, 2),
+       |l AS (
+       |  SELECT priority, cur_date, amt,
+       |       $lagDefs
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY priority ORDER BY cur_date))
+       |SELECT priority, cur_date, CAST(amt AS DOUBLE) AS day_amount,
+       |       round(CAST(${num.mkString("\n         + ")} AS DOUBLE)
+       |             / CAST(${den.mkString("\n         + ")} AS DOUBLE),
+       |             6) AS ewma
+       |FROM l""".stripMargin
+  }
+
   val oracles = Map(
+    "a25_ewma_revenue" -> ewmaOracle,
     "a15_rank_suite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |       rank() OVER w AS rk,

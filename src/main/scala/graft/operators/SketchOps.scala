@@ -102,11 +102,79 @@ object SketchOps extends QueryModule {
   private def ragChunks(s: SparkSession, dir: String): DataFrame =
     chunksFor(Tables(s, dir, "documents"), chunkSize, chunkStride)
 
+  // ---- a26: histogram percentile sketch ----------------------------------
+
+  /** a26: percentile estimation from a mergeable equi-width histogram —
+    * p50/p95/p99 of order value per priority, computed as the
+    * declarative twin of [[graft.functions.HistogramSketch]]: bin
+    * counts are one map-side-combinable (priority, bin) group-by, the
+    * cumulative pass is one tiny window over ≤ 60 rows per group, and
+    * the estimate is the lower bound of the first bin whose cumulative
+    * count reaches ceil(q·n) — integer-only rank logic (cum·den ≥
+    * num·n), engine-exact. The shuffle is bounded by groups × bins no
+    * matter the row count — the whole point of a histogram sketch at
+    * 100 TB (exact percentiles need a full sort; t7's rank form pays
+    * it, this never does). The Aggregator form is spec-proven
+    * bin-identical and powers the streaming-window variant. */
+  private def histPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HistogramSketch.{binWidth, numBins}
+    val bins = Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        least(floor(col("o_totalprice") / binWidth), lit(numBins - 1))
+          .cast(LongType).as("bin"))
+      .groupBy(col("priority"), col("bin"))
+      .agg(count(lit(1)).as("ct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority"))
+    val lo = (c: Column) => (c * binWidth.toLong).cast(LongType)
+    bins
+      .withColumn("cum", sum(col("ct")).over(w))
+      .withColumn("n", sum(col("ct")).over(wAll))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n"),
+        lo(min(when(col("cum") * 2L >= col("n"), col("bin"))))
+          .as("p50_lo"),
+        lo(min(when(col("cum") * 20L >= col("n") * 19L, col("bin"))))
+          .as("p95_lo"),
+        lo(min(when(col("cum") * 100L >= col("n") * 99L, col("bin"))))
+          .as("p99_lo"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "t17_cms_heavy_hitters" -> cmsHeavyHitters,
+    "a26_hist_percentiles" -> histPercentiles,
     "c13_rag_chunks" -> ragChunks)
 
   val oracles = Map(
+    "a26_hist_percentiles" -> {
+      import graft.functions.HistogramSketch.{binWidth, numBins}
+      val bw = binWidth.toLong
+      s"""WITH bins AS (
+         |  SELECT o_orderpriority AS priority,
+         |         least(CAST(floor(o_totalprice / $binWidth) AS BIGINT),
+         |               ${numBins - 1}) AS bin,
+         |         CAST(count(*) AS BIGINT) AS ct
+         |  FROM orders GROUP BY 1, 2),
+         |c AS (
+         |  SELECT priority, bin, ct,
+         |         sum(ct) OVER (PARTITION BY priority ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum,
+         |         sum(ct) OVER (PARTITION BY priority) AS n
+         |  FROM bins)
+         |SELECT priority, CAST(max(n) AS BIGINT) AS n,
+         |       CAST(min(CASE WHEN cum * 2 >= n THEN bin END) * $bw
+         |            AS BIGINT) AS p50_lo,
+         |       CAST(min(CASE WHEN cum * 20 >= n * 19 THEN bin END) * $bw
+         |            AS BIGINT) AS p95_lo,
+         |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * $bw
+         |            AS BIGINT) AS p99_lo
+         |FROM c GROUP BY 1""".stripMargin
+    },
     "t17_cms_heavy_hitters" -> {
       // NB: the alias must NOT be `i` — hexToIntSql's list_transform
       // lambda variable is `i` and would shadow it inside md5(...).

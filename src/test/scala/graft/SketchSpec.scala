@@ -91,6 +91,42 @@ class SketchSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), "c13 should not shuffle")
   }
 
+  test("a26: histogram aggregator == declarative bins; picks agree") {
+    import spark.implicits._
+    import graft.functions.HistogramSketch
+    val prices = Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_totalprice"))
+    val agg = new HistogramSketch().toColumn
+    val s3 = prices.repartition(3).as[Double].select(agg).head()
+    val s11 = prices.repartition(11).as[Double].select(agg).head()
+    assert(java.util.Arrays.equals(s3, s11)) // mergeable / layout-free
+    val counts = HistogramSketch.unpack(s3)
+    // bins equal the declarative twin's
+    val twin = prices
+      .select(least(floor(col("o_totalprice") / HistogramSketch.binWidth),
+        lit(HistogramSketch.numBins - 1)).cast(LongType).as("bin"))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    counts.indices.foreach(i =>
+      assert(counts(i) == twin.getOrElse(i, 0L), s"bin $i mismatch"))
+    // sketch-side percentile picks equal the a26 query row
+    val row = q("a26_hist_percentiles")
+      .filter(col("priority") === "1-URGENT").head
+    assert(row.getLong(row.fieldIndex("p50_lo")) ==
+      HistogramSketch.percentileLo(counts, 1L, 2L))
+    assert(row.getLong(row.fieldIndex("p95_lo")) ==
+      HistogramSketch.percentileLo(counts, 19L, 20L))
+    assert(row.getLong(row.fieldIndex("p99_lo")) ==
+      HistogramSketch.percentileLo(counts, 99L, 100L))
+    // the estimate brackets the exact percentile from below, within a bin
+    val exact = prices.orderBy(col("o_totalprice"))
+      .collect().map(_.getDouble(0))
+    val p50exact = exact(math.ceil(0.5 * exact.length).toInt - 1)
+    val p50lo = row.getLong(row.fieldIndex("p50_lo"))
+    assert(p50lo <= p50exact && p50exact < p50lo + HistogramSketch.binWidth)
+  }
+
   test("v12: power iteration output is normalized and deterministic") {
     val v = q("v12_pca_power")
     assert(v.count() == 64)
