@@ -180,13 +180,89 @@ object ScalePatterns extends QueryModule {
       .agg(count(lit(1)).as("old_match_ct"))
   }
 
+  /** Target compaction bin size in (simulated) bytes — sized so sf0.01
+    * partitions pack several day-files per bin. */
+  val compactTarget = 2048L
+
+  /** x6: small-file compaction planner — the OPTIMIZE/auto-compaction
+    * planning pass every partitioned lakehouse table needs: within each
+    * month partition, day-files (size = deterministic per-row byte
+    * estimate) are packed in day order into target-sized output bins by
+    * the greedy cumulative rule `bin = floor(bytes_before / target)` —
+    * exactly the size-based coalescing Spark's own file combiner and
+    * Delta OPTIMIZE use (a bin may overshoot by at most one file; no
+    * bin but the last undershoots). The plan is pure window arithmetic:
+    * one (partition)-keyed window sort over the FILE LISTING — never
+    * the data — so at 100 TB the planner's input is the metadata table
+    * (files × sizes), a few MB per million files. Output per partition:
+    * file count, bytes, bin count, the largest planned bin, and the
+    * mean fill fraction vs target. Integer-only except the final
+    * fraction. */
+  private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_month"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("file_day"))
+      .agg((count(lit(1)) * 40L +
+        sum(length(col("o_orderpriority")) + length(col("o_orderstatus"))))
+        .as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part_month")).orderBy(col("file_day"))
+    val binned = files
+      .withColumn("before", coalesce(sum(col("bytes")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"before div $compactTarget"))
+    val bins = binned.groupBy(col("part_month"), col("bin"))
+      .agg(sum(col("bytes")).as("bin_bytes"))
+    binned.groupBy(col("part_month"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        (max(col("bin")) + 1L).as("n_bins"))
+      .join(bins.groupBy(col("part_month").as("bp"))
+        .agg(max(col("bin_bytes")).as("max_bin_bytes")),
+        col("part_month") === col("bp"))
+      .select(col("part_month"), col("n_files"), col("total_bytes"),
+        col("n_bins"), col("max_bin_bytes"),
+        round(col("total_bytes").cast(org.apache.spark.sql.types.DoubleType)
+          / (col("n_bins") * compactTarget), 6).as("fill_frac"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x1_salted_agg" -> saltedAgg,
     "x2_salted_distinct" -> saltedDistinct,
     "x5_bloom_prefilter" -> bloomPrefilter,
+    "x6_compaction_plan" -> compactionPlan,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    "x6_compaction_plan" ->
+      s"""WITH files AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+         |         strftime(o_orderdate, '%Y-%m-%d') AS file_day,
+         |         CAST(count(*) * 40 +
+         |              sum(length(o_orderpriority) + length(o_orderstatus))
+         |              AS BIGINT) AS bytes
+         |  FROM orders GROUP BY 1, 2),
+         |b AS (
+         |  SELECT part_month, file_day, bytes,
+         |         coalesce(sum(bytes) OVER (PARTITION BY part_month
+         |           ORDER BY file_day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           // $compactTarget AS bin
+         |  FROM files),
+         |bins AS (
+         |  SELECT part_month, bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+         |  FROM b GROUP BY 1, 2),
+         |per AS (
+         |  SELECT part_month, CAST(count(*) AS BIGINT) AS n_files,
+         |         CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |         CAST(max(bin) + 1 AS BIGINT) AS n_bins
+         |  FROM b GROUP BY 1)
+         |SELECT per.part_month, n_files, total_bytes, n_bins,
+         |       CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+         |       round(CAST(total_bytes AS DOUBLE)
+         |             / (n_bins * $compactTarget), 6) AS fill_frac
+         |FROM per JOIN bins ON per.part_month = bins.part_month
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     // The bloom prefilter is semantically invisible (false positives are
     // removed by the exact join, false negatives don't exist), so the
     // oracle is the PLAIN exact join — any bloom defect shows up as a

@@ -178,6 +178,24 @@ class OperatorSpec extends SparkSuite {
       .filter(col("active_users") > col("base")).count() == 0)
   }
 
+  test("x6 compaction plan: bins bounded, greedy rule respected") {
+    val r = q("x6_compaction_plan")
+    assert(r.count() > 0)
+    assert(r.filter(col("n_bins") > col("n_files")).count() == 0)
+    assert(r.filter(col("max_bin_bytes") > col("total_bytes"))
+      .count() == 0)
+    assert(r.filter(col("fill_frac") <= 0).count() == 0)
+    // greedy cumulative packing: bins cover the byte range exactly —
+    // n_bins is within one of total/target (bins overshoot by at most
+    // the one file that crossed the boundary, so the count can only
+    // shrink vs the ideal, never grow past it + 1)
+    val t = operators.ScalePatterns.compactTarget
+    assert(r.filter(col("n_bins") > col("total_bytes") / t + 1)
+      .count() == 0)
+    // the planner actually coalesces: fewer bins than files somewhere
+    assert(r.filter(col("n_bins") < col("n_files")).count() > 0)
+  }
+
   test("v13 drift: every label covered, both epochs populated, drift > 0") {
     val r = q("v13_centroid_drift")
     val labels = Tables(spark, sf, "embeddings")
