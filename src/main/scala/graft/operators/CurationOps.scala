@@ -475,6 +475,46 @@ object CurationOps extends QueryModule {
     fuzzyContaminationFor(d.filter(!isEval), d.filter(isEval), 0.5)
   }
 
+  /** c18: corpus snapshot diff — the release-to-release change report
+    * every versioned dataset publishes (and the input to incremental
+    * re-processing: only `added`+`changed` docs need re-embedding /
+    * re-scoring). Two snapshots are derived deterministically from the
+    * stored corpus (old: doc_id ≢ 0 mod 5; new: doc_id ≢ 0 mod 7, with
+    * docs ≡ 0 mod 11 edited in the new snapshot), then diffed BY
+    * CONTENT FINGERPRINT, not by text: each side carries only
+    * (doc_id, source, md5 fp), so the full-outer join that classifies
+    * added / removed / changed / unchanged shuffles 3 narrow columns
+    * per row regardless of document size — the CDC-derivation shape
+    * for 100 TB snapshots where shipping text into a diff join would
+    * dominate. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(col("doc_id").as("o_id"), col("source").as("o_src"),
+        fingerprint(col("text")).as("o_fp"))
+    val nw = d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("doc_id").as("n_id"), col("source").as("n_src"),
+        fingerprint(when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("n_fp"))
+    old.join(nw, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_src"), col("n_src")).as("source"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_fp") =!= col("n_fp"), "changed")
+          .otherwise("unchanged").as("change"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("change") === "added", 1L).otherwise(0L))
+        .as("added_ct"),
+        sum(when(col("change") === "removed", 1L).otherwise(0L))
+          .as("removed_ct"),
+        sum(when(col("change") === "changed", 1L).otherwise(0L))
+          .as("changed_ct"),
+        sum(when(col("change") === "unchanged", 1L).otherwise(0L))
+          .as("unchanged_ct"))
+  }
+
   /** c6: deterministic stratified sampling — per-source keep rates
     * applied via the same md5 bucket as c3 (leakage-free, re-shard- and
     * engine-stable; rates derived from the source name so the config
@@ -603,6 +643,7 @@ object CurationOps extends QueryModule {
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
     "c17_fuzzy_contamination" -> fuzzyContamination,
+    "c18_snapshot_diff" -> snapshotDiff,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
@@ -712,6 +753,36 @@ object CurationOps extends QueryModule {
         |       count(*) AS taken_ct,
         |       CAST(max(cum_tokens) AS BIGINT) AS taken_tokens
         |FROM c WHERE cum_tokens <= budget GROUP BY 1""".stripMargin,
+    "c18_snapshot_diff" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+        |           AS fp,
+        |         md5(trim(regexp_replace(lower(
+        |           CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |                ELSE text END), ' +', ' ', 'g'))) AS fp2
+        |  FROM documents),
+        |o AS (SELECT doc_id AS o_id, source AS o_src, fp AS o_fp
+        |      FROM f WHERE doc_id % 5 <> 0),
+        |n AS (SELECT doc_id AS n_id, source AS n_src, fp2 AS n_fp
+        |      FROM f WHERE doc_id % 7 <> 0),
+        |cl AS (
+        |  SELECT coalesce(o_src, n_src) AS source,
+        |         CASE WHEN o_id IS NULL THEN 'added'
+        |              WHEN n_id IS NULL THEN 'removed'
+        |              WHEN o_fp <> n_fp THEN 'changed'
+        |              ELSE 'unchanged' END AS change
+        |  FROM o FULL OUTER JOIN n ON o_id = n_id)
+        |SELECT source,
+        |       CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS added_ct,
+        |       CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS removed_ct,
+        |       CAST(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS changed_ct,
+        |       CAST(sum(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS unchanged_ct
+        |FROM cl GROUP BY 1""".stripMargin,
     "c17_fuzzy_contamination" ->
       s"""WITH ${DedupOps.candidateCte},
          |tr AS (SELECT doc_id AS train_id, band_no, band_sig FROM stacked

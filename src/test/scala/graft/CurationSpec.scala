@@ -213,6 +213,24 @@ class CurationSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("c18 snapshot diff conserves documents and sees every class") {
+    val r = q("c18_snapshot_diff")
+    // union of the two snapshots per source = sum of the four classes
+    val d = Tables(spark, sf, "documents")
+    val union = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0 ||
+        pmod(col("doc_id"), lit(7L)) =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumnRenamed("source", "s2")
+    assert(r.join(union, col("source") === col("s2"))
+      .filter(col("added_ct") + col("removed_ct") + col("changed_ct") +
+        col("unchanged_ct") =!= col("n")).count() == 0)
+    // the planted edit/add/remove rules actually fire
+    val tot = r.agg(sum(col("added_ct")), sum(col("removed_ct")),
+      sum(col("changed_ct")), sum(col("unchanged_ct"))).head
+    (0 until 4).foreach(i => assert(tot.getLong(i) > 0,
+      s"class $i empty"))
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
