@@ -548,7 +548,49 @@ object VectorOps extends QueryModule {
         round(sqrt(col("ssq").cast(DoubleType)), 6).as("drift"))
   }
 
+  /** v14: truncated-dimension retrieval audit (the Matryoshka/MRL
+    * deployment question — Kusupati et al., "Matryoshka Representation
+    * Learning", NeurIPS 2022: serve the first d/2 dims at half the
+    * memory/compute, how much recall survives?): per query, top-5 by
+    * full 64-dim cosine vs top-5 by 32-dim-prefix cosine, reported as
+    * the overlap count. On MRL-trained embeddings this recall is the
+    * go/no-go metric for dimension truncation; the operator IS the
+    * audit a serving migration runs. Both rankings come off ONE
+    * broadcast-query pair scan (two cosines per pair, two rank windows
+    * over the same shuffle) — the truncated side reuses the pair join
+    * rather than paying a second O(Q×N) pass. */
+  private def annTruncated(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("emb32", slice(col("emb"), 1, embDim / 2))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("nrm32", norm(col("emb32")))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("emb32").as("q_emb32"), col("nrm").as("q_nrm"),
+        col("nrm32").as("q_nrm32"))
+    val pairs = broadcast(q).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")),
+          6).as("cos_full"),
+        round(dot(col("q_emb32"), col("emb32")) /
+          (col("q_nrm32") * col("nrm32")), 6).as("cos_tr"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_full").desc, col("n_id"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_tr").desc, col("n_id"))
+    pairs
+      .withColumn("rkf", row_number().over(wF))
+      .withColumn("rkt", row_number().over(wT))
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("rkf") <= 5 && col("rkt") <= 5, 1L).otherwise(0L))
+        .as("recall_ct"))
+      .select(col("q_id"), col("recall_ct"),
+        round(col("recall_ct").cast(DoubleType) / 5.0, 6).as("recall"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v14_truncated_recall" -> annTruncated,
     "v13_centroid_drift" -> centroidDrift,
     "v12_pca_power" -> pcaPower,
     "v11_semdedup" -> semDedup,
@@ -633,6 +675,43 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v14_truncated_recall" -> {
+      val half = embDim / 2
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |e2 AS (
+         |  SELECT vec_id, emb, emb[1:$half] AS emb32,
+         |         sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM em),
+         |e3 AS (
+         |  SELECT vec_id, emb, emb32, nrm,
+         |         sqrt(${dotSql("emb32", "emb32")}) AS nrm32
+         |  FROM e2),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |         round(${dotSql("q.emb", "e.emb")} / (q.nrm * e.nrm), 6)
+         |           AS cos_full,
+         |         round(${dotSql("q.emb32", "e.emb32")}
+         |               / (q.nrm32 * e.nrm32), 6) AS cos_tr
+         |  FROM e3 q JOIN e3 e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos_full DESC, n_id) AS rkf,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos_tr DESC, n_id) AS rkt
+         |  FROM p)
+         |SELECT q_id,
+         |       CAST(sum(CASE WHEN rkf <= 5 AND rkt <= 5 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS recall_ct,
+         |       round(CAST(sum(CASE WHEN rkf <= 5 AND rkt <= 5
+         |                           THEN 1 ELSE 0 END) AS DOUBLE) / 5,
+         |             6) AS recall
+         |FROM r GROUP BY 1""".stripMargin
+    },
     "v13_centroid_drift" ->
       s"""WITH cells AS (
          |  SELECT label, vec_id % 2 AS epoch, i AS j,

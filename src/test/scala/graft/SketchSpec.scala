@@ -127,6 +127,15 @@ class SketchSpec extends SparkSuite {
     assert(p50lo <= p50exact && p50exact < p50lo + HistogramSketch.binWidth)
   }
 
+  test("v14: truncated-recall audit is bounded and self-consistent") {
+    val r = q("v14_truncated_recall")
+    assert(r.count() == 10)
+    assert(r.filter(col("recall_ct") < 0 || col("recall_ct") > 5)
+      .count() == 0)
+    assert(r.filter(abs(col("recall") -
+      col("recall_ct").cast("double") / 5.0) > 1e-9).count() == 0)
+  }
+
   test("v12: power iteration output is normalized and deterministic") {
     val v = q("v12_pca_power")
     assert(v.count() == 64)
