@@ -84,6 +84,13 @@ object Graft {
       minShared: Long = 3L): DataFrame =
     graft.operators.CurationOps.contaminationFor(train, eval, minShared)
 
+  /** Corpus snapshot diff by content fingerprint: per-source
+    * added / removed / changed / unchanged counts between two
+    * (doc_id, source, text) snapshots. Only narrow fingerprint columns
+    * enter the diff join — document text never shuffles. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    graft.operators.CurationOps.snapshotDiffFor(oldSnap, newSnap)
+
   /** Fuzzy benchmark decontamination: (train_id, eval_id, jaccard)
     * near-duplicate pairs across the split, found by MinHash-LSH
     * banding and verified by exact distinct-token Jaccard >= threshold

@@ -487,17 +487,16 @@ object CurationOps extends QueryModule {
     * per row regardless of document size — the CDC-derivation shape
     * for 100 TB snapshots where shipping text into a diff join would
     * dominate. */
-  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-    val old = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+  /** The c18 core over ARBITRARY old/new (doc_id, source, text) frames —
+    * exposed through [[graft.api.Graft.snapshotDiff]]. */
+  private[graft] def snapshotDiffFor(oldSnap: DataFrame,
+      newSnap: DataFrame): DataFrame = {
+    val old = oldSnap
       .select(col("doc_id").as("o_id"), col("source").as("o_src"),
         fingerprint(col("text")).as("o_fp"))
-    val nw = d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+    val nw = newSnap
       .select(col("doc_id").as("n_id"), col("source").as("n_src"),
-        fingerprint(when(pmod(col("doc_id"), lit(11L)) === 0,
-          concat(col("text"), lit(" rev2")))
-          .otherwise(col("text"))).as("n_fp"))
+        fingerprint(col("text")).as("n_fp"))
     old.join(nw, col("o_id") === col("n_id"), "full_outer")
       .select(coalesce(col("o_src"), col("n_src")).as("source"),
         when(col("o_id").isNull, "added")
@@ -513,6 +512,18 @@ object CurationOps extends QueryModule {
           .as("changed_ct"),
         sum(when(col("change") === "unchanged", 1L).otherwise(0L))
           .as("unchanged_ct"))
+  }
+
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    snapshotDiffFor(
+      d.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(11L)) === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text")))
   }
 
   /** c6: deterministic stratified sampling — per-source keep rates

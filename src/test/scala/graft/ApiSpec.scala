@@ -122,6 +122,24 @@ class ApiSpec extends SparkSuite {
     assert(got == Set((10L, 20L)), s"got $got")
   }
 
+  test("snapshotDiff classifies add/remove/change/unchanged") {
+    val old = Seq(
+      (1L, "s", "kept exactly the same"),
+      (2L, "s", "this one gets edited"),
+      (3L, "s", "this one gets removed")
+    ).toDF("doc_id", "source", "text")
+    val nw = Seq(
+      (1L, "s", "kept exactly the same"),
+      (2L, "s", "this one got edited"),
+      (4L, "s", "this one is brand new")
+    ).toDF("doc_id", "source", "text")
+    val r = Graft.snapshotDiff(old, nw).head
+    assert(r.getLong(r.fieldIndex("added_ct")) == 1L)
+    assert(r.getLong(r.fieldIndex("removed_ct")) == 1L)
+    assert(r.getLong(r.fieldIndex("changed_ct")) == 1L)
+    assert(r.getLong(r.fieldIndex("unchanged_ct")) == 1L)
+  }
+
   test("repetitionSignals computes dup fractions on user frames") {
     val docs = Seq(
       (1L, "a a a a a a"),
