@@ -222,6 +222,56 @@ object WindowAggs extends QueryModule {
           .as("purchased_after_click"))
   }
 
+  /** a27 (beyond-reference): conversion-latency distribution — the
+    * time-to-convert report on top of a23's sessionization: per
+    * converted session (a view followed at-or-after by a purchase in
+    * the same 30-min-gap session), latency = first qualifying purchase
+    * − first view, summarized as rank-based p50/p95 (t7's integer pick
+    * — rn = ceil(q·n), total order (latency, user, sess), no float
+    * interpolation). Latencies are integer microseconds floored to
+    * seconds (`divFloor` ↔ DuckDB `//`) — engine-exact end to end.
+    * Scale: sessionization and stage mins all ride the user_id window
+    * partitioning a23 already pays; only the CONVERTED sliver (a small
+    * fraction of sessions) enters the global rank — and when even that
+    * is too big, the a26 histogram sketch is the fixed-memory path. */
+  private def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        nsToUs(col("ts")).as("us"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > sessGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col("user_id"), col("sess"))
+    val lat = sess
+      .withColumn("v1",
+        min(when(col("event_type") === "view", col("us"))).over(wS))
+      .withColumn("p1",
+        min(when(col("event_type") === "purchase" && col("us") >= col("v1"),
+          col("us"))).over(wS))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(max(col("v1")).as("v1"), max(col("p1")).as("p1"))
+      .filter(col("v1").isNotNull && col("p1").isNotNull)
+      .select(col("user_id"), col("sess"),
+        (col("p1") - col("v1")).as("lat_us"))
+    val ranked = lat
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("lat_us"), col("user_id"), col("sess"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    def pick(q: Double) = max(when(
+      col("rn") === greatest(ceil(lit(q) * col("n")).cast("long"), lit(1L)),
+      col("lat_us")))
+    ranked.agg(max(col("n")).as("converted_sessions"),
+      divFloor(pick(0.5), 1000000L).as("p50_latency_s"),
+      divFloor(pick(0.95), 1000000L).as("p95_latency_s"))
+  }
+
   /** a24 (beyond-reference): the cohort-retention matrix — users
     * cohorted by their first signup week, counted as retained in each
     * later activity week: (cohort_week, week_offset, active_users).
@@ -247,6 +297,7 @@ object WindowAggs extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
     "w5_sliding_window" -> slidingWindow,
@@ -273,6 +324,50 @@ object WindowAggs extends QueryModule {
         |       count(DISTINCT user_id) AS active_users
         |FROM j WHERE week_offset BETWEEN 0 AND 8
         |GROUP BY 1, 2""".stripMargin,
+    "a27_conversion_latency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $sessGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM g),
+         |f1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+         |              OVER (PARTITION BY user_id, sess) AS v1
+         |  FROM sess),
+         |f2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= v1
+         |                     THEN us END)
+         |              OVER (PARTITION BY user_id, sess) AS p1
+         |  FROM f1),
+         |per AS (
+         |  SELECT user_id, sess, max(v1) AS v1, max(p1) AS p1
+         |  FROM f2 GROUP BY 1, 2),
+         |lat AS (
+         |  SELECT user_id, sess, p1 - v1 AS lat_us
+         |  FROM per WHERE v1 IS NOT NULL AND p1 IS NOT NULL),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY lat_us, user_id, sess)
+         |              AS rn,
+         |         count(*) OVER () AS n
+         |  FROM lat)
+         |SELECT CAST(max(n) AS BIGINT) AS converted_sessions,
+         |       CAST(max(CASE WHEN rn = greatest(
+         |                CAST(ceil(0.5 * n) AS BIGINT), 1)
+         |              THEN lat_us END) // 1000000 AS BIGINT)
+         |         AS p50_latency_s,
+         |       CAST(max(CASE WHEN rn = greatest(
+         |                CAST(ceil(0.95 * n) AS BIGINT), 1)
+         |              THEN lat_us END) // 1000000 AS BIGINT)
+         |         AS p95_latency_s
+         |FROM r""".stripMargin,
     "a23_session_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

@@ -196,6 +196,18 @@ class OperatorSpec extends SparkSuite {
     assert(r.filter(col("n_bins") < col("n_files")).count() > 0)
   }
 
+  test("a27 conversion latency: ordered percentiles, superset of a23") {
+    val r = q("a27_conversion_latency").head
+    val n = r.getLong(r.fieldIndex("converted_sessions"))
+    val p50 = r.getLong(r.fieldIndex("p50_latency_s"))
+    val p95 = r.getLong(r.fieldIndex("p95_latency_s"))
+    assert(n > 0 && p50 >= 0 && p50 <= p95)
+    // view→purchase (no click required) is a superset of a23's
+    // view→click→purchase conversions
+    val f = q("a23_session_funnel").head
+    assert(n >= f.getLong(f.fieldIndex("purchased_after_click")))
+  }
+
   test("v13 drift: every label covered, both epochs populated, drift > 0") {
     val r = q("v13_centroid_drift")
     val labels = Tables(spark, sf, "embeddings")
