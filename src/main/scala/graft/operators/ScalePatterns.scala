@@ -226,7 +226,47 @@ object ScalePatterns extends QueryModule {
           / (col("n_bins") * compactTarget), 6).as("fill_frac"))
   }
 
+  /** x7: table-statistics collection — the ANALYZE TABLE / CBO input
+    * every lakehouse maintains per column: row count, null count, exact
+    * NDV, min/max. One full-scan aggregation computes every column's
+    * stats in a single pass (all map-side combinable except the
+    * countDistincts, which Spark plans as one expand + partial
+    * aggregate — still one scan), then the wide stats row unpivots to
+    * the (column, stats) catalog shape. Values are stringified through
+    * engine-stable casts only (integers, strings, DECIMAL(18,2) for the
+    * money column — never raw DOUBLE→VARCHAR, whose formatting is
+    * engine-specific). At 100 TB this is the nightly stats job: cost =
+    * one scan, output = a catalog row per column; the CBO reads it to
+    * pick broadcast sides and join orders. */
+  private def tableStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val longCols = Seq("o_orderkey", "o_custkey")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val statCols = (longCols ++ strCols).map(c => (c, col(c))) :+
+      ("o_totalprice",
+        col("o_totalprice").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2)))
+    val aggs = statCols.flatMap { case (n, c) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
+      countDistinct(c).as(s"${n}_ndv"),
+      min(c).cast(org.apache.spark.sql.types.StringType).as(s"${n}_min"),
+      max(c).cast(org.apache.spark.sql.types.StringType).as(s"${n}_max"))
+    }
+    val wide = o.agg(count(lit(1)).as("n"), aggs: _*)
+    wide.select(col("n"), explode(array(statCols.map { case (cn, _) =>
+      struct(lit(cn).as("column_name"),
+        col(s"${cn}_nulls").as("null_ct"),
+        col(s"${cn}_ndv").as("ndv"),
+        col(s"${cn}_min").as("min_val"),
+        col(s"${cn}_max").as("max_val"))
+    }: _*)).as("st"))
+      .select(col("st.column_name"), col("n").as("row_ct"),
+        col("st.null_ct"), col("st.ndv"), col("st.min_val"),
+        col("st.max_val"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x7_table_stats" -> tableStats,
     "x1_salted_agg" -> saltedAgg,
     "x2_salted_distinct" -> saltedDistinct,
     "x5_bloom_prefilter" -> bloomPrefilter,
@@ -234,6 +274,24 @@ object ScalePatterns extends QueryModule {
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    "x7_table_stats" -> {
+      val cols = Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"))
+      cols.map { case (n, e) =>
+        s"""SELECT '$n' AS column_name,
+           |       CAST(count(*) AS BIGINT) AS row_ct,
+           |       CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS null_ct,
+           |       CAST(count(DISTINCT $e) AS BIGINT) AS ndv,
+           |       CAST(min($e) AS VARCHAR) AS min_val,
+           |       CAST(max($e) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "x6_compaction_plan" ->
       s"""WITH files AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS part_month,

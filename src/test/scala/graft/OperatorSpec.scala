@@ -208,6 +208,19 @@ class OperatorSpec extends SparkSuite {
     assert(n >= f.getLong(f.fieldIndex("purchased_after_click")))
   }
 
+  test("x7 table stats: one catalog row per column, bounds sane") {
+    val r = q("x7_table_stats")
+    assert(r.count() == 5)
+    val n = Tables(spark, sf, "orders").count()
+    assert(r.filter(col("row_ct") =!= n).count() == 0)
+    assert(r.filter(col("ndv") + col("null_ct") > col("row_ct"))
+      .count() == 0)
+    assert(r.filter(col("ndv") <= 0).count() == 0)
+    // key column is unique
+    assert(r.filter(col("column_name") === "o_orderkey")
+      .filter(col("ndv") =!= n).count() == 0)
+  }
+
   test("v13 drift: every label covered, both epochs populated, drift > 0") {
     val r = q("v13_centroid_drift")
     val labels = Tables(spark, sf, "embeddings")
