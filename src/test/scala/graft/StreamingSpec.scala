@@ -185,6 +185,31 @@ class StreamingSpec extends SparkSuite {
       "processing-time windows must conserve the input rows")
   }
 
+  test("histogram sketch aggregates identically in a streaming window") {
+    // same mergeability contract as CMS/HLL: elementwise-sum bins make
+    // the packed histogram BIT-equal between the incremental and batch
+    // paths on closed windows — the streaming percentile monitor
+    val hist = udaf(new graft.functions.HistogramSketch)
+    def agged(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("et", timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts"))))
+      .withWatermark("et", "3 seconds")
+      .groupBy(window(col("et"), "10 minutes"))
+      .agg(hist(col("value") * 1000.0).as("sketch"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("stt"), col("window.end").as("edt"), col("sketch"))
+    val streamed = runStream(
+      agged(StatefulStreams.eventStream(spark, sf)), "hist_win", "append")
+    val e = Tables(spark, sf, "events")
+    val wm = e.agg(max(timestamp_seconds(
+        graft.functions.Fns.nsToSec(col("ts")))) -
+      expr("INTERVAL 3 SECONDS")).head.getTimestamp(0)
+    val closed = agged(e).filter(col("edt") <= lit(wm))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0 &&
+      closed.exceptAll(streamed).count() == 0)
+  }
+
   test("CMS sketch aggregates identically in a streaming window") {
     // elementwise-sum merge is associative+commutative, so the packed
     // counter matrix is BIT-equal between the incremental (state-store)
