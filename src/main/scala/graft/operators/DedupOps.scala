@@ -284,7 +284,51 @@ object DedupOps extends QueryModule {
       .groupBy("hamming").agg(count(lit(1)).as("pair_ct"))
   }
 
+  /** d7: minhash-estimator quality audit — for every LSH candidate
+    * pair, the SKETCH's Jaccard estimate (fraction of the K=12
+    * signature slots that agree — the unbiased minhash estimator) next
+    * to the exact distinct-token Jaccard, with the absolute error.
+    * This is the tuning table for choosing K and the band shape: the
+    * estimator's observed error distribution at K=12 is exactly what
+    * justifies (or indicts) the 4×3 banding. Reuses the memoized
+    * candidate table and one signature scan (the same native one-pass
+    * Expression the bands are built from) — the audit costs one join
+    * more than d2 itself. */
+  private def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val sig = graft.plans.MinhashSignature.minhashSig(s, col("hs"),
+      numHashes)
+    val sigs = d.select(col("doc_id"),
+        transform(array_distinct(tokenize(col("text"))),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+          .as("hs"))
+      .select(col("doc_id"), sig.as("sig"))
+    val toks = d.select(col("doc_id"),
+      array_distinct(tokenize(col("text"))).as("elems"))
+    candidatePairs(s, dir)
+      .join(sigs.as("sga"), col("a_id") === col("sga.doc_id"))
+      .join(sigs.as("sgb"), col("b_id") === col("sgb.doc_id"))
+      .join(toks.as("tka"), col("a_id") === col("tka.doc_id"))
+      .join(toks.as("tkb"), col("b_id") === col("tkb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        aggregate(zip_with(col("sga.sig"), col("sgb.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L),
+          (acc, v) => acc + v).as("agree_ct"),
+        size(array_intersect(col("tka.elems"), col("tkb.elems")))
+          .as("inter_ct"),
+        size(col("tka.elems")).as("na"), size(col("tkb.elems")).as("nb"))
+      .select(col("a_id"), col("b_id"), col("agree_ct"),
+        round(col("agree_ct").cast(DoubleType) / numHashes, 6)
+          .as("est_jaccard"),
+        round(col("inter_ct").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter_ct")), 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("agree_ct"),
+        col("est_jaccard"), col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "d7_minhash_estimate" -> minhashEstimate,
     "d1_exact_dup_groups" -> exactDupGroups,
     "d2_lsh_candidates" -> lshCandidates,
     "d3_near_dup_pairs" -> nearDupPairs,
@@ -360,6 +404,38 @@ object DedupOps extends QueryModule {
        |        >= $jaccardThreshold)""".stripMargin
 
   val oracles = Map(
+    "d7_minhash_estimate" -> {
+      val agree = (0 until numHashes)
+        .map(k => s"CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END")
+        .mkString("\n         + ")
+      s"""WITH $candidateCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |inter AS (
+         |  SELECT a_id, b_id, count(*) AS inter_ct
+         |  FROM cand
+         |  JOIN toks ta ON a_id = ta.doc_id
+         |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT a_id, b_id,
+         |         CAST($agree AS BIGINT) AS agree_ct
+         |  FROM cand JOIN mhs ma ON a_id = ma.doc_id
+         |            JOIN mhs mb ON b_id = mb.doc_id),
+         |j AS (
+         |  SELECT ag.a_id, ag.b_id, agree_ct,
+         |         round(CAST(agree_ct AS DOUBLE) / $numHashes, 6)
+         |           AS est_jaccard,
+         |         round(CAST(coalesce(inter_ct, 0) AS DOUBLE)
+         |               / (sa.n + sb.n - coalesce(inter_ct, 0)), 6)
+         |           AS jaccard
+         |  FROM ag
+         |  LEFT JOIN inter ON ag.a_id = inter.a_id AND ag.b_id = inter.b_id
+         |  JOIN sizes sa ON ag.a_id = sa.doc_id
+         |  JOIN sizes sb ON ag.b_id = sb.doc_id)
+         |SELECT a_id, b_id, agree_ct, est_jaccard, jaccard,
+         |       round(abs(est_jaccard - jaccard), 6) AS abs_err
+         |FROM j""".stripMargin
+    },
     "d1_exact_dup_groups" ->
       """WITH f AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp

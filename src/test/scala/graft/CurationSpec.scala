@@ -231,6 +231,24 @@ class CurationSpec extends SparkSuite {
       s"class $i empty"))
   }
 
+  test("d7 estimator audit: band floor, ranges, d3 agreement") {
+    val r = q("d7_minhash_estimate")
+    assert(r.count() > 0)
+    // every LSH candidate shares at least one full band = 3 slots
+    assert(r.filter(col("agree_ct") < 3 || col("agree_ct") > 12)
+      .count() == 0)
+    assert(r.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1 ||
+      col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(r.filter(abs(col("est_jaccard") -
+      round(col("agree_ct") / 12.0, 6)) > 1e-9).count() == 0)
+    // the exact-jaccard column agrees with d3 on the verified pairs
+    val d3 = q("d3_near_dup_pairs")
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard"), 6).as("j3"))
+    assert(r.join(d3, Seq("a_id", "b_id"))
+      .filter(abs(col("jaccard") - col("j3")) > 1e-9).count() == 0)
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
