@@ -208,6 +208,32 @@ object CurationOps extends QueryModule {
         count(when(col("reason") === "near_dup", 1)).as("drop_neardup_ct"))
   }
 
+  /** c19: deterministic curriculum ordering — the quality-phased
+    * training schedule (curriculum learning for pretraining data:
+    * ascending-quality phases, so the last phase — the one the LR
+    * anneal sees — is the highest-quality slice). Docs are ranked by
+    * the SHARED t3/c2 quality score under a total order (score, md5 of
+    * doc_id, doc_id — the md5 term shuffles equal-score docs
+    * deterministically, no RNG) and cut into 4 equal phases by ntile.
+    * The report is the per-phase manifest: doc count, token budget,
+    * DECIMAL-quantized mean quality. Engine-exact: same score op
+    * order as t3, integer ntile partitioning, quantized mean. Scale:
+    * one window sort over (score, md5) — the same single total-order
+    * pass c10's weighted sampling pays; phase assignment itself would
+    * ship as a column on the training manifest. */
+  private def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityCols(Tables(s, dir, "documents"))
+    val w = Window.orderBy(col("quality_score"),
+      md5(col("doc_id").cast(StringType)), col("doc_id"))
+    scored.withColumn("phase", ntile(4).over(w))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("n_tokens")).as("token_sum"),
+        round(sum(round(col("quality_score"), 9)
+          .cast(DecimalType(28, 9))).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_quality"))
+  }
+
   /** c3: deterministic train/val/test split by md5 bucket of doc_id —
     * stable under re-sharding, no RNG, leakage-free across engines. */
   private def hashSplit(s: SparkSession, dir: String): DataFrame = {
@@ -655,6 +681,7 @@ object CurationOps extends QueryModule {
     "c5_contamination" -> contamination,
     "c17_fuzzy_contamination" -> fuzzyContamination,
     "c18_snapshot_diff" -> snapshotDiff,
+    "c19_curriculum_phases" -> curriculumPhases,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
@@ -764,6 +791,30 @@ object CurationOps extends QueryModule {
         |       count(*) AS taken_ct,
         |       CAST(max(cum_tokens) AS BIGINT) AS taken_tokens
         |FROM c WHERE cum_tokens <= budget GROUP BY 1""".stripMargin,
+    "c19_curriculum_phases" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         len(list_filter(toks,
+        |             x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+        |           AS stop_ct
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(stop_ct AS DOUBLE) / n_tokens * 0.3 +
+        |           CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.7 AS q
+        |  FROM m),
+        |ph AS (
+        |  SELECT doc_id, n_tokens, q,
+        |         ntile(4) OVER (ORDER BY q, md5(CAST(doc_id AS VARCHAR)),
+        |                        doc_id) AS phase
+        |  FROM sc)
+        |SELECT phase, CAST(count(*) AS BIGINT) AS doc_ct,
+        |       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+        |       round(CAST(sum(CAST(round(q, 9) AS DECIMAL(28,9)))
+        |                  AS DOUBLE) / count(*), 6) AS mean_quality
+        |FROM ph GROUP BY 1""".stripMargin,
     "c18_snapshot_diff" ->
       """WITH f AS (
         |  SELECT doc_id, source,

@@ -249,6 +249,16 @@ class CurationSpec extends SparkSuite {
       .filter(abs(col("jaccard") - col("j3")) > 1e-9).count() == 0)
   }
 
+  test("c19 curriculum: balanced phases with monotone mean quality") {
+    val rows = q("c19_curriculum_phases").orderBy("phase").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val cts = rows.map(r => r.getLong(r.fieldIndex("doc_ct")))
+    assert(cts.max - cts.min <= 1) // ntile balance
+    val means = rows.map(r => r.getDouble(r.fieldIndex("mean_quality")))
+    assert(means.sliding(2).forall(p => p(0) <= p(1)),
+      s"phase means not ascending: ${means.toSeq}")
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
