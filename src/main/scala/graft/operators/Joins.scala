@@ -183,7 +183,38 @@ object Joins extends QueryModule {
       .agg(count(lit(1)).as("row_ct"), Fns.moneySum(col("price")).as("price_sum"))
   }
 
+  /** j12 (beyond-reference): referential-integrity audit — the DQ
+    * check every warehouse load gates on: for each foreign-key edge of
+    * the star schema (lineitem→orders, orders→customer,
+    * customer→nation), the child row count, matched count, and orphan
+    * count, each from ONE left join (null-extended parent = orphan).
+    * Small parents broadcast; the lineitem→orders edge is the same
+    * l_orderkey shuffle j1 pays. The audit row is what a pipeline
+    * asserts on before publishing (orphans > 0 → quarantine); j7's
+    * anti join is the companion that EXTRACTS the orphan rows. */
+  private def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey)).join(
+          parent.select(col(parentKey)).distinct(),
+          col(childKey) === col(parentKey), "left_outer")
+        .agg(count(lit(1)).as("child_ct"),
+          sum(when(col(parentKey).isNotNull, 1L).otherwise(0L))
+            .as("matched_ct"),
+          sum(when(col(parentKey).isNull, 1L).otherwise(0L))
+            .as("orphan_ct"))
+        .select(lit(name).as("fk_edge"), col("child_ct"),
+          col("matched_ct"), col("orphan_ct"))
+    audit("lineitem->orders", Tables(s, dir, "lineitem"), "l_orderkey",
+        Tables(s, dir, "orders"), "o_orderkey")
+      .unionByName(audit("orders->customer", Tables(s, dir, "orders"),
+        "o_custkey", Tables(s, dir, "customer"), "c_custkey"))
+      .unionByName(audit("customer->nation", Tables(s, dir, "customer"),
+        "c_nationkey", Tables(s, dir, "nation"), "n_nationkey"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "j12_ref_integrity" -> refIntegrity,
     "j9_range_bucket_join" -> rangeBucketJoin,
     "j1_order_wide" -> orderWide,
     "j2_left_outer_returns" -> orderReturnsLeft,
@@ -264,6 +295,24 @@ object Joins extends QueryModule {
   }
 
   val oracles = Map(
+    "j12_ref_integrity" -> {
+      def edge(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS fk_edge,
+           |       CAST(count(*) AS BIGINT) AS child_ct,
+           |       CAST(sum(CASE WHEN p.$pk IS NOT NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS matched_ct,
+           |       CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS orphan_ct
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$ck = p.$pk""".stripMargin
+      Seq(edge("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey")).mkString("\nUNION ALL\n")
+    },
     // the oracle states the range join PLAINLY (BETWEEN theta-join) —
     // proving the bucket decomposition computes exactly the naive
     // semantics

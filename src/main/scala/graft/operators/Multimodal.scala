@@ -211,16 +211,53 @@ object Multimodal extends QueryModule {
     // 4 frames, tail-edited variants share the first 3 (with the base
     // AND with the base's re-upload when both exist, doc_id % 30 = 0);
     // everything else collides on at most one frame and is thresholded.
+    // replays the ACTUAL frame-blocking join (planted copies/partials
+    // plus any organic raw-identical documents — at larger SF the
+    // corpus genuinely contains docs sharing frames, which an
+    // analytic planted-pairs-only statement would miss)
     "m3_frame_near_dup" ->
-      """SELECT doc_id AS a_id, doc_id + 1000000000 AS b_id,
-        |       CAST(4 AS BIGINT) AS shared_ct
-        |FROM documents WHERE doc_id % 10 = 0
-        |UNION ALL
-        |SELECT doc_id, doc_id + 2000000000, CAST(3 AS BIGINT)
-        |FROM documents WHERE doc_id % 15 = 0
-        |UNION ALL
-        |SELECT doc_id + 1000000000, doc_id + 2000000000, CAST(3 AS BIGINT)
-        |FROM documents WHERE doc_id % 30 = 0""".stripMargin,
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |copies AS (
+        |  SELECT doc_id + 1000000000 AS doc_id, text
+        |  FROM base WHERE doc_id % 10 = 0),
+        |partials AS (
+        |  SELECT doc_id + 2000000000 AS doc_id,
+        |         substr(text, 1,
+        |                CAST(3 * greatest(length(text) // 4, 1) AS BIGINT))
+        |         || repeat('x', CAST(length(text)
+        |                - 3 * greatest(length(text) // 4, 1) AS BIGINT))
+        |           AS text
+        |  FROM base WHERE doc_id % 15 = 0),
+        |media AS (
+        |  SELECT * FROM base UNION ALL
+        |  SELECT * FROM copies UNION ALL
+        |  SELECT * FROM partials),
+        |g AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |         greatest(CAST(length(text) AS BIGINT) // 4, 1) AS flen
+        |  FROM media),
+        |fr AS (
+        |  SELECT doc_id, text, L, flen,
+        |         unnest(range(0, 4)) AS frame_no
+        |  FROM g),
+        |fx AS (
+        |  SELECT doc_id, frame_no,
+        |         least(frame_no * flen, L) AS ffrom,
+        |         least(least(frame_no * flen, L) + flen, L)
+        |           - least(frame_no * flen, L) AS fl2,
+        |         text
+        |  FROM fr),
+        |f2 AS (
+        |  SELECT doc_id, frame_no,
+        |         md5(substr(text, CAST(ffrom + 1 AS BIGINT),
+        |                    CAST(fl2 AS BIGINT))) AS fhash
+        |  FROM fx WHERE fl2 > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(count(*) AS BIGINT) AS shared_ct
+        |FROM f2 a JOIN f2 b
+        |  ON a.fhash = b.fhash AND a.frame_no = b.frame_no
+        | AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "m4_resize_stats" ->
       """WITH m AS (SELECT 'fake/' || lang AS format,
         |             octet_length(CAST(text AS BLOB)) AS L

@@ -589,7 +589,44 @@ object VectorOps extends QueryModule {
         round(col("recall_ct").cast(DoubleType) / 5.0, 6).as("recall"))
   }
 
+  /** v15: label-precision retrieval audit — the embedding-quality
+    * metric when class labels exist: for each query vector (vec_id <
+    * 50), how many of its top-5 cosine neighbors share its label
+    * (precision@5), rolled up per label as an integer match-sum mean
+    * (sum of match counts / 5·queries — no per-query float enters a
+    * cross-row sum, so the rollup is partition-order exact). This is
+    * the eval every embedding-space build runs before trusting
+    * nearest-neighbor labels for semantic dedup (v11) or mixing —
+    * per-class precision exposes exactly which labels' neighborhoods
+    * are polluted. Same broadcast-query pair-scan shape as v1. */
+  private def labelPrecision(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val q = em.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")),
+          6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+        .as("match_ct"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("q_ct"), sum(col("match_ct")).as("match_sum"))
+      .select(col("label"), col("q_ct"), col("match_sum"),
+        round(col("match_sum").cast(DoubleType) / (col("q_ct") * 5L), 6)
+          .as("mean_precision"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v15_label_precision" -> labelPrecision,
     "v14_truncated_recall" -> annTruncated,
     "v13_centroid_drift" -> centroidDrift,
     "v12_pca_power" -> pcaPower,
@@ -675,6 +712,36 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v15_label_precision" ->
+      s"""WITH em AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM em),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label,
+         |         e.vec_id AS n_id, e.label AS n_label,
+         |         round(${dotSql("q.emb", "e.emb")} / (q.nrm * e.nrm), 6)
+         |           AS cos
+         |  FROM n q JOIN n e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50),
+         |r AS (
+         |  SELECT q_id, q_label, n_label,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, n_id) AS rk
+         |  FROM p),
+         |per AS (
+         |  SELECT q_id, q_label,
+         |         CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS match_ct
+         |  FROM r WHERE rk <= 5 GROUP BY 1, 2)
+         |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS q_ct,
+         |       CAST(sum(match_ct) AS BIGINT) AS match_sum,
+         |       round(CAST(sum(match_ct) AS DOUBLE) / (count(*) * 5), 6)
+         |         AS mean_precision
+         |FROM per GROUP BY 1""".stripMargin,
     "v14_truncated_recall" -> {
       val half = embDim / 2
       s"""WITH em AS (

@@ -221,6 +221,20 @@ class OperatorSpec extends SparkSuite {
       .filter(col("ndv") =!= n).count() == 0)
   }
 
+  test("j12 referential audit: counts partition, star schema is clean") {
+    val r = q("j12_ref_integrity")
+    assert(r.count() == 3)
+    assert(r.filter(col("matched_ct") + col("orphan_ct") =!=
+      col("child_ct")).count() == 0)
+    // the generated star schema has no orphans — a nonzero count here
+    // is exactly the quarantine signal the audit exists to raise
+    assert(r.filter(col("orphan_ct") =!= 0).count() == 0)
+    // child counts match the raw tables
+    val li = Tables(spark, sf, "lineitem").count()
+    assert(r.filter(col("fk_edge") === "lineitem->orders")
+      .head.getLong(1) == li)
+  }
+
   test("v13 drift: every label covered, both epochs populated, drift > 0") {
     val r = q("v13_centroid_drift")
     val labels = Tables(spark, sf, "embeddings")

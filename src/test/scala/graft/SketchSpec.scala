@@ -136,6 +136,23 @@ class SketchSpec extends SparkSuite {
       col("recall_ct").cast("double") / 5.0) > 1e-9).count() == 0)
   }
 
+  test("v15: label precision bounded and consistent with match sums") {
+    val r = q("v15_label_precision")
+    assert(r.count() > 0)
+    assert(r.filter(col("match_sum") > col("q_ct") * 5L ||
+      col("match_sum") < 0).count() == 0)
+    // mean_precision is rounded to 6 dp → tolerance is half an ulp of
+    // that rounding, not 1e-9
+    assert(r.filter(abs(col("mean_precision") -
+      col("match_sum").cast("double") / (col("q_ct") * 5L)) > 5e-7)
+      .count() == 0)
+    // all 50 query vectors are accounted for across labels
+    val qTot = r.agg(sum(col("q_ct"))).head.getLong(0)
+    val expect = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 50).count()
+    assert(qTot == expect)
+  }
+
   test("v12: power iteration output is normalized and deterministic") {
     val v = q("v12_pca_power")
     assert(v.count() == 64)
