@@ -38,7 +38,7 @@ object Bench {
     // parsed envelopes after s2_debezium (its users are p4/p9/s2_*)
     val releaseAfter: Map[String, QueryModule] = Map(
       "c2_kept_corpus" -> operators.CurationOps,
-      "d6_simhash_near_pairs" -> operators.DedupOps,
+      "d7_minhash_estimate" -> operators.DedupOps,
       "s2_debezium_snapshot" -> operators.EnvelopeOps,
       // v10 runs before v9 in sorted order; both read the Lloyd memo
       "v9_kmeans_assign" -> operators.VectorOps)
