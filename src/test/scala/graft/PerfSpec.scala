@@ -283,6 +283,36 @@ class PerfSpec extends SparkSuite {
       "power iteration must shuffle on the exploded cell keys")
   }
 
+  test("round-8 ops keep their scale shapes") {
+    // c17: candidates come from a band-keyed EQUI-join — a nested loop
+    // means the fuzzy decontamination regressed to train×eval
+    val c17 = plan("c17_fuzzy_contamination")
+    assert(!c17.contains("BroadcastNestedLoopJoin") &&
+      !c17.contains("CartesianProduct"),
+      s"fuzzy decontamination must stay band-bucketed:\n$c17")
+    // t19: duplicate discovery is gram-keyed; the merge is one doc-key
+    // window — no pairwise doc join anywhere
+    val t19 = plan("t19_dup_span_extents")
+    assert(!t19.contains("BroadcastNestedLoopJoin") &&
+      !t19.contains("CartesianProduct"))
+    assert(t19.contains("Window"), "island merge must be a window pass")
+    // x6: the planner aggregates the file listing then windows it —
+    // two exchanges bounded by the listing, no join at all
+    val x6 = plan("x6_compaction_plan")
+    assert(!x6.contains("NestedLoopJoin") && !x6.contains("Cartesian"))
+    // v15: query side broadcasts; the ranking is windowed, not a
+    // full global sort
+    val v15 = plan("v15_label_precision")
+    assert(v15.contains("BroadcastNestedLoopJoin") ||
+      v15.contains("BroadcastExchange"),
+      "v15 query set must broadcast")
+    // a26: the histogram never sorts rows — one bin group-by plus a
+    // <=60-row-per-group window
+    val a26 = plan("a26_hist_percentiles")
+    assert(!a26.contains("Sort global"), // only window-partial sorts
+      s"histogram percentiles must not globally sort rows:\n$a26")
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
