@@ -165,6 +165,23 @@ object Graft {
   def histogram(c: Column): Column =
     udaf(new graft.functions.HistogramSketch).apply(c)
 
+  /** ANALYZE-style per-column statistics catalog for any frame: one
+    * row per listed column with (row_ct, null_ct, exact ndv, min, max)
+    * from a single scan. Pass names, or (name, pre-cast Column) pairs
+    * when the raw type's stringification is engine-specific. */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.ScalePatterns.tableStatsFor(df,
+      cols.map(c => (c, col(c))))
+
+  /** One foreign-key referential-integrity audit row:
+    * (fk_edge, child_ct, matched_ct, orphan_ct) from a single left
+    * join — the publish gate; pair with an anti join to extract the
+    * orphans it flags. */
+  def refIntegrityAudit(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    graft.operators.Joins.refIntegrityFor(name, child, childKey,
+      parent, parentKey)
+
   // ---- text / vectors ----------------------------------------------------
 
   /** Whitespace tokens (the corpus-wide tokenizer all text operators

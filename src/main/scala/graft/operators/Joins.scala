@@ -192,19 +192,23 @@ object Joins extends QueryModule {
     * l_orderkey shuffle j1 pays. The audit row is what a pipeline
     * asserts on before publishing (orphans > 0 → quarantine); j7's
     * anti join is the companion that EXTRACTS the orphan rows. */
+  /** One FK-edge audit over arbitrary frames — the j12 core, exposed
+    * through [[graft.api.Graft.refIntegrityAudit]]. */
+  private[graft] def refIntegrityFor(name: String, child: DataFrame,
+      childKey: String, parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey)).join(
+        parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_outer")
+      .agg(count(lit(1)).as("child_ct"),
+        sum(when(col(parentKey).isNotNull, 1L).otherwise(0L))
+          .as("matched_ct"),
+        sum(when(col(parentKey).isNull, 1L).otherwise(0L))
+          .as("orphan_ct"))
+      .select(lit(name).as("fk_edge"), col("child_ct"),
+        col("matched_ct"), col("orphan_ct"))
+
   private def refIntegrity(s: SparkSession, dir: String): DataFrame = {
-    def audit(name: String, child: DataFrame, childKey: String,
-        parent: DataFrame, parentKey: String): DataFrame =
-      child.select(col(childKey)).join(
-          parent.select(col(parentKey)).distinct(),
-          col(childKey) === col(parentKey), "left_outer")
-        .agg(count(lit(1)).as("child_ct"),
-          sum(when(col(parentKey).isNotNull, 1L).otherwise(0L))
-            .as("matched_ct"),
-          sum(when(col(parentKey).isNull, 1L).otherwise(0L))
-            .as("orphan_ct"))
-        .select(lit(name).as("fk_edge"), col("child_ct"),
-          col("matched_ct"), col("orphan_ct"))
+    val audit = refIntegrityFor _
     audit("lineitem->orders", Tables(s, dir, "lineitem"), "l_orderkey",
         Tables(s, dir, "orders"), "o_orderkey")
       .unionByName(audit("orders->customer", Tables(s, dir, "orders"),

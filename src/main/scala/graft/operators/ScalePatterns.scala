@@ -237,22 +237,21 @@ object ScalePatterns extends QueryModule {
     * money column — never raw DOUBLE→VARCHAR, whose formatting is
     * engine-specific). At 100 TB this is the nightly stats job: cost =
     * one scan, output = a catalog row per column; the CBO reads it to
-    * pick broadcast sides and join orders. */
-  private def tableStats(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables(s, dir, "orders")
-    val longCols = Seq("o_orderkey", "o_custkey")
-    val strCols = Seq("o_orderstatus", "o_orderpriority")
-    val statCols = (longCols ++ strCols).map(c => (c, col(c))) :+
-      ("o_totalprice",
-        col("o_totalprice").cast(org.apache.spark.sql.types
-          .DecimalType(18, 2)))
+    * pick broadcast sides and join orders.
+    *
+    * This is the generic core over an ARBITRARY frame and column list
+    * (exposed through [[graft.api.Graft.tableStats]]; x7 binds it to
+    * the orders table). Pass pre-cast Columns for types whose
+    * stringification is engine-specific (DOUBLE). */
+  private[graft] def tableStatsFor(df: DataFrame,
+      statCols: Seq[(String, Column)]): DataFrame = {
     val aggs = statCols.flatMap { case (n, c) => Seq(
       sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
       countDistinct(c).as(s"${n}_ndv"),
       min(c).cast(org.apache.spark.sql.types.StringType).as(s"${n}_min"),
       max(c).cast(org.apache.spark.sql.types.StringType).as(s"${n}_max"))
     }
-    val wide = o.agg(count(lit(1)).as("n"), aggs: _*)
+    val wide = df.agg(count(lit(1)).as("n"), aggs: _*)
     wide.select(col("n"), explode(array(statCols.map { case (cn, _) =>
       struct(lit(cn).as("column_name"),
         col(s"${cn}_nulls").as("null_ct"),
@@ -264,6 +263,13 @@ object ScalePatterns extends QueryModule {
         col("st.null_ct"), col("st.ndv"), col("st.min_val"),
         col("st.max_val"))
   }
+
+  private def tableStats(s: SparkSession, dir: String): DataFrame =
+    tableStatsFor(Tables(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c => (c, col(c))) :+
+        ("o_totalprice", col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x7_table_stats" -> tableStats,

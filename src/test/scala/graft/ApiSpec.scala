@@ -140,6 +140,23 @@ class ApiSpec extends SparkSuite {
     assert(r.getLong(r.fieldIndex("unchanged_ct")) == 1L)
   }
 
+  test("tableStats and refIntegrityAudit work on user frames") {
+    val child = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "ref")
+    val parent = Seq(("a", 1), ("c", 2)).toDF("pk", "x")
+    val stats = Graft.tableStats(child, Seq("id", "ref")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("id").getLong(1) == 3L) // row_ct
+    assert(stats("id").getLong(3) == 3L) // ndv
+    assert(stats("ref").getLong(2) == 1L) // null_ct
+    assert(stats("ref").getString(4) == "a") // min
+    val audit = Graft.refIntegrityAudit("child->parent", child, "ref",
+      parent, "pk").head
+    assert(audit.getLong(1) == 3L) // child_ct
+    assert(audit.getLong(2) == 1L) // matched ("a")
+    assert(audit.getLong(3) == 2L) // orphans ("b", null)
+  }
+
   test("repetitionSignals computes dup fractions on user frames") {
     val docs = Seq(
       (1L, "a a a a a a"),
