@@ -112,6 +112,48 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("x6 plan executes: one output file per planned bin") {
+    import org.apache.spark.sql.functions._
+    val t = operators.ScalePatterns.compactTarget
+    // re-derive the per-day bin assignment the planner reports, then
+    // EXECUTE it: repartition by (month, bin) and write partitioned —
+    // every bin's rows share one shuffle partition, so each bin dir
+    // holds exactly one file (the compaction contract)
+    val files = Tables(spark, sf, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_month"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("file_day"))
+      .agg((count(lit(1)) * 40L + sum(length(col("o_orderpriority")) +
+        length(col("o_orderstatus")))).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part_month")).orderBy(col("file_day"))
+    val binned = files.withColumn("before",
+        coalesce(sum(col("bytes")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", expr(s"before div $t"))
+      .select(col("part_month").as("pm"), col("file_day"), col("bin"))
+    val rows = Tables(spark, sf, "orders")
+      .withColumn("fd", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .join(binned, col("fd") === col("file_day"))
+    val out = tmp("compact")
+    rows.repartition(col("pm"), col("bin"))
+      .write.partitionBy("pm", "bin").mode("overwrite").parquet(out)
+    // dirs == planned bins, one parquet file per dir, rows conserved
+    val planned = q("x6_compaction_plan")
+      .agg(sum(col("n_bins"))).head.getLong(0)
+    val binDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("pm=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("bin="))
+    assert(binDirs.length == planned,
+      s"planned $planned bins, wrote ${binDirs.length} dirs")
+    val multi = binDirs.filter(
+      _.listFiles().count(_.getName.endsWith(".parquet")) != 1)
+    assert(multi.isEmpty,
+      s"bins with != 1 file: ${multi.take(3).mkString(",")}")
+    assert(spark.read.parquet(out).count() ==
+      Tables(spark, sf, "orders").count())
+  }
+
   test("p17 tombstone ledger: kept + purged = total, broadcast probe") {
     val r = SparkEntry.queries("p17_tombstone_purge")(spark, sf)
     val rows = r.collect()
