@@ -272,6 +272,35 @@ object WindowAggs extends QueryModule {
       divFloor(pick(0.95), 1000000L).as("p95_latency_s"))
   }
 
+  /** a28 (beyond-reference): rolling 7-day active users — the DAU/WAU
+    * stickiness report. Rolling DISTINCT counts can't ride a window
+    * frame (distinct doesn't decompose over frames), so the scalable
+    * form fans each DISTINCT (day, user) pair out to the 7 window-end
+    * days it contributes to (a ×7 map-side explode of the already-
+    * deduplicated pair list — not of the raw events) and distinct-
+    * counts per window day. Day arithmetic is integer epoch-day
+    * division (engine-exact, timezone-free). Output keeps only days
+    * that had activity themselves (dau join wau), with
+    * stickiness = dau/wau. Shuffles: one (day,user) dedup, one
+    * window-day count — both map-side combinable. */
+  private def rollingWau(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val du = Tables(s, dir, "events")
+      .select(divFloor(nsToUs(col("ts")), dayUs).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6L)).as("wday"),
+        col("user_id"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast(DoubleType) / col("wau"), 6)
+          .as("stickiness"))
+  }
+
   /** a24 (beyond-reference): the cohort-retention matrix — users
     * cohorted by their first signup week, counted as retained in each
     * later activity week: (cohort_week, week_offset, active_users).
@@ -297,6 +326,7 @@ object WindowAggs extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a28_rolling_wau" -> rollingWau,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -324,6 +354,22 @@ object WindowAggs extends QueryModule {
         |       count(DISTINCT user_id) AS active_users
         |FROM j WHERE week_offset BETWEEN 0 AND 8
         |GROUP BY 1, 2""".stripMargin,
+    "a28_rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM du GROUP BY 1),
+        |f AS (
+        |  SELECT day + r AS wday, user_id
+        |  FROM du CROSS JOIN range(0, 7) t(r)),
+        |wau AS (
+        |  SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM f GROUP BY 1)
+        |SELECT day, dau, wau,
+        |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau ON day = wday""".stripMargin,
     "a27_conversion_latency" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

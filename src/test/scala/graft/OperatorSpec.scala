@@ -235,6 +235,20 @@ class OperatorSpec extends SparkSuite {
       .head.getLong(1) == li)
   }
 
+  test("a28 rolling WAU: wau >= dau, stickiness in (0,1]") {
+    val r = q("a28_rolling_wau")
+    assert(r.count() > 0)
+    assert(r.filter(col("wau") < col("dau")).count() == 0)
+    assert(r.filter(col("stickiness") <= 0 || col("stickiness") > 1)
+      .count() == 0)
+    // a day whose whole week is itself has stickiness exactly 1 —
+    // the first active day can only see itself if nothing precedes it
+    val firstDay = r.agg(min(col("day"))).head.getLong(0)
+    val f = r.filter(col("day") === firstDay).head
+    assert(f.getLong(f.fieldIndex("wau")) >=
+      f.getLong(f.fieldIndex("dau")))
+  }
+
   test("v13 drift: every label covered, both epochs populated, drift > 0") {
     val r = q("v13_centroid_drift")
     val labels = Tables(spark, sf, "embeddings")
