@@ -625,7 +625,40 @@ object VectorOps extends QueryModule {
           .as("mean_precision"))
   }
 
+  /** v16: hard-negative mining — the contrastive-training prep step:
+    * for each query vector, the highest-ranked OTHER-label neighbor
+    * inside its cosine top-10 (the "hardest negative" — close in
+    * embedding space, different class; the sample InfoNCE/triplet
+    * training wants most). One row per query that has such a neighbor,
+    * with the negative's rank as the difficulty signal. Same
+    * broadcast-query pair scan as v15; the mining itself is one rank
+    * window + one min-rank pick. */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val q = em.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val wNeg = Window.partitionBy(col("q_id")).orderBy(col("rk"))
+    broadcast(q).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")),
+          6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10 && col("n_label") =!= col("q_label"))
+      .withColumn("pick", row_number().over(wNeg))
+      .filter(col("pick") === 1)
+      .select(col("q_id"), col("q_label"), col("n_id").as("neg_id"),
+        col("n_label").as("neg_label"), col("cos"),
+        col("rk").cast(LongType).as("neg_rank"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v16_hard_negatives" -> hardNegatives,
     "v15_label_precision" -> labelPrecision,
     "v14_truncated_recall" -> annTruncated,
     "v13_centroid_drift" -> centroidDrift,
@@ -712,6 +745,32 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v16_hard_negatives" ->
+      s"""WITH em AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM em),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label,
+         |         e.vec_id AS n_id, e.label AS n_label,
+         |         round(${dotSql("q.emb", "e.emb")} / (q.nrm * e.nrm), 6)
+         |           AS cos
+         |  FROM n q JOIN n e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, n_id) AS rk
+         |  FROM p),
+         |neg AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rk)
+         |           AS pick
+         |  FROM r WHERE rk <= 10 AND n_label <> q_label)
+         |SELECT q_id, q_label, n_id AS neg_id, n_label AS neg_label,
+         |       cos, CAST(rk AS BIGINT) AS neg_rank
+         |FROM neg WHERE pick = 1""".stripMargin,
     "v15_label_precision" ->
       s"""WITH em AS (
          |  SELECT vec_id, label,

@@ -153,6 +153,16 @@ class SketchSpec extends SparkSuite {
     assert(qTot == expect)
   }
 
+  test("v16: hard negatives are cross-label and inside the top-10") {
+    val r = q("v16_hard_negatives")
+    assert(r.count() > 0)
+    assert(r.filter(col("q_label") === col("neg_label")).count() == 0)
+    assert(r.filter(col("neg_rank") < 1 || col("neg_rank") > 10)
+      .count() == 0)
+    assert(r.groupBy("q_id").count().filter(col("count") > 1)
+      .count() == 0) // one hardest negative per query
+  }
+
   test("v12: power iteration output is normalized and deterministic") {
     val v = q("v12_pca_power")
     assert(v.count() == 64)
