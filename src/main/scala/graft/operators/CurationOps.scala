@@ -253,6 +253,34 @@ object CurationOps extends QueryModule {
         countDistinct(col("source")).as("source_ct"))
   }
 
+  /** c20: release manifest — the publishable integrity record of a
+    * dataset release: per (c3 split × source), doc count, token sum,
+    * and an ORDER-INDEPENDENT content checksum (bit_xor of each doc's
+    * integer fingerprint prefix — xor is commutative/associative, so
+    * the checksum is identical under any partitioning, any engine, any
+    * row order; a re-publish that silently drops/mutates one document
+    * flips it). Downstream consumers verify their copy by recomputing
+    * three aggregates — no doc-level diff needed. Pure map + one
+    * group-by; the manifest rides the release at any corpus size. */
+  private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+        .cast(LongType), lit(100L))
+    d.select(col("source"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tokens"),
+        conv(substring(fingerprint(col("text")), 1, 8), 16, 10)
+          .cast(LongType).as("fpint"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 70, "train")
+          .when(col("bucket") < 85, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("n_tokens")).as("token_sum"),
+        expr("bit_xor(fpint)").as("content_checksum"))
+  }
+
   /** c10: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, "Weighted random sampling with a reservoir",
     * IPL 2006): each doc gets key u^(1/w) with u a hash-derived uniform
@@ -682,6 +710,7 @@ object CurationOps extends QueryModule {
     "c17_fuzzy_contamination" -> fuzzyContamination,
     "c18_snapshot_diff" -> snapshotDiff,
     "c19_curriculum_phases" -> curriculumPhases,
+    "c20_release_manifest" -> releaseManifest,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
@@ -791,6 +820,27 @@ object CurationOps extends QueryModule {
         |       count(*) AS taken_ct,
         |       CAST(max(cum_tokens) AS BIGINT) AS taken_tokens
         |FROM c WHERE cum_tokens <= budget GROUP BY 1""".stripMargin,
+    "c20_release_manifest" -> {
+      val fpint = DedupOps.hexToIntSql(
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g'))")
+      s"""WITH b AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         $fpint AS fpint,
+         |         ${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} % 100
+         |           AS bucket
+         |  FROM documents),
+         |sp AS (
+         |  SELECT CASE WHEN bucket < 70 THEN 'train'
+         |              WHEN bucket < 85 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         source, n_tokens, fpint
+         |  FROM b)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS doc_ct,
+         |       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+         |       CAST(bit_xor(fpint) AS BIGINT) AS content_checksum
+         |FROM sp GROUP BY 1, 2""".stripMargin
+    },
     "c19_curriculum_phases" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

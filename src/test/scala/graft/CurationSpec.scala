@@ -259,6 +259,25 @@ class CurationSpec extends SparkSuite {
       s"phase means not ascending: ${means.toSeq}")
   }
 
+  test("c20 manifest: agrees with c3 splits, checksum is layout-free") {
+    val r = q("c20_release_manifest")
+    // split doc totals agree with c3's split report
+    val bySplit = r.groupBy("split").agg(sum(col("doc_ct")).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    q("c3_hash_split").collect().foreach { row =>
+      assert(bySplit(row.getString(0)) ==
+        row.getLong(row.fieldIndex("doc_ct")))
+    }
+    // the xor checksum is identical under a different partition layout
+    val again = SparkEntry.queries("c20_release_manifest")(spark, sf)
+      .repartition(17)
+    val a = r.orderBy("split", "source").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(4)))
+    val b = again.orderBy("split", "source").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(4)))
+    assert(a.sameElements(b))
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
