@@ -446,6 +446,32 @@ object TextOps extends QueryModule {
           .as("cut_frac"))
   }
 
+  /** t20: readability scoring — the Flesch–Kincaid grade estimate with
+    * the classic dictionary-free syllable heuristic (a syllable ≈ one
+    * maximal vowel run `[aeiouy]+`; sentences ≈ terminal-punctuation
+    * count, floored at 1): grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59. Readability bands are a standard
+    * pretraining quality/complexity signal (age-appropriate corpus
+    * slicing, textbook-vs-web mixing). All three counts are single
+    * regexp/array passes per row (codegen'd, zero shuffle before the
+    * final sort-free projection); the identical double op order makes
+    * the score bit-equal in the oracle. */
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokenize(col("text"))).cast(LongType).as("words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)"))
+          .cast(LongType), lit(1L)).as("sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast(LongType).as("syllables"))
+      .select(col("doc_id"), col("words"), col("sentences"),
+        col("syllables"),
+        round(lit(0.39) * (col("words").cast(DoubleType) /
+            col("sentences")) +
+          lit(11.8) * (col("syllables").cast(DoubleType) / col("words")) -
+          lit(15.59), 6).as("fk_grade"))
+  }
+
   /** t15: importance-resampling scores (the DSIR recipe — Xie,
     * Santurkar, Ma, Liang, "Data Selection for Language Models via
     * Importance Resampling", NeurIPS 2023): rank raw docs by how much
@@ -543,6 +569,7 @@ object TextOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t20_readability" -> readability,
     "t19_dup_span_extents" -> dupSpanExtents,
     "t18_bigram_perplexity" -> bigramPerplexity,
     "t16_winnow_overlap_pairs" -> winnowOverlapPairs,
@@ -592,6 +619,20 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t20_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |         greatest(CAST(len(regexp_extract_all(text, '[.!?]'))
+        |                       AS BIGINT), 1) AS sentences,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |              AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |       round(0.39 * (CAST(words AS DOUBLE) / sentences) +
+        |             11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59,
+        |             6) AS fk_grade
+        |FROM m""".stripMargin,
     "t19_dup_span_extents" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -226,6 +226,18 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.select("doc_id").exceptAll(t14docs).count() == 0)
   }
 
+  test("t20: readability counts are consistent, grades cover all docs") {
+    val r = q("t20_readability")
+    assert(r.count() == Tables(spark, sf, "documents").count())
+    // every word carries at least one vowel-run? no — but syllables
+    // can never exceed the character count, and words >= 1
+    assert(r.filter(col("words") < 1 || col("sentences") < 1)
+      .count() == 0)
+    val j = r.join(Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")), "doc_id")
+    assert(j.filter(col("syllables") > col("n_chars")).count() == 0)
+  }
+
   test("c11: temperature mixing up-weights small sources") {
     val r = q("c11_temperature_mix")
     assert(r.count() > 0)
