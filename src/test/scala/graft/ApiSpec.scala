@@ -157,6 +157,34 @@ class ApiSpec extends SparkSuite {
     assert(audit.getLong(3) == 2L) // orphans ("b", null)
   }
 
+  test("README quick-start composition runs end to end") {
+    val docs = Seq(
+      (1L, "web", "en", 30L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "web", "en", 30L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "book", "fr", 20L, "le chat et la table et les mots"),
+      (4L, "book", "es", 25L, "texto completamente distinto de los otros")
+    ).toDF("doc_id", "source", "lang", "n_chars", "text")
+    val clusters = Graft.nearDupClusters(docs)
+    val keepers = docs
+      .join(clusters, col("doc_id") === col("id"), "left")
+      .filter(col("label").isNull || col("doc_id") === col("label"))
+    assert(keepers.count() == 3) // 1≡2 collapse, 3 and 4 are singletons
+    val chunks = Graft.chunks(keepers)
+    assert(chunks.count() > 0)
+    val splits = Graft.hashSplit(keepers, col("doc_id"))
+    assert(splits.count() == keepers.count())
+    val stats = Graft.tableStats(docs, Seq("doc_id", "source", "lang"))
+    assert(stats.count() == 3)
+    val facts = Seq((1L, 10L), (2L, 99L)).toDF("fact_id", "dim_id")
+    val dims = Seq((10L, "d")).toDF("id", "name")
+    val dq = Graft.refIntegrityAudit("facts->dims", facts, "dim_id",
+      dims, "id").head
+    assert(dq.getLong(3) == 1L) // the 99 orphan
+    val sk = docs.agg(Graft.hll(col("doc_id")), Graft.cms(col("lang")),
+      Graft.histogram(col("n_chars").cast("double"))).head
+    assert(!sk.isNullAt(0) && !sk.isNullAt(1) && !sk.isNullAt(2))
+  }
+
   test("repetitionSignals computes dup fractions on user frames") {
     val docs = Seq(
       (1L, "a a a a a a"),
