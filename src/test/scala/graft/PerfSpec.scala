@@ -313,6 +313,29 @@ class PerfSpec extends SparkSuite {
       s"histogram percentiles must not globally sort rows:\n$a26")
   }
 
+  test("round-8 late ops keep their scale shapes") {
+    // t20: three regexp counts per row, ZERO shuffle before the output
+    val t20 = plan("t20_readability")
+    assert(!t20.contains("Exchange"),
+      s"readability must be a pure map pass:\n$t20")
+    // c20: one map + one group-by — no join anywhere
+    val c20 = plan("c20_release_manifest")
+    assert(!c20.contains("Join"), s"manifest must not join:\n$c20")
+    // a28: the ×7 fan-out explodes the DISTINCT pair list (Generate
+    // above an aggregate), never the raw events
+    val a28 = plan("a28_rolling_wau")
+    assert(a28.contains("Generate"))
+    assert(!a28.contains("CartesianProduct") &&
+      !a28.contains("BroadcastNestedLoopJoin"))
+    // d7: estimator audit joins are all hash joins on doc keys
+    val d7 = plan("d7_minhash_estimate")
+    assert(!d7.contains("CartesianProduct"))
+    // v16: the query side broadcasts like every ANN pair scan
+    val v16 = plan("v16_hard_negatives")
+    assert(v16.contains("BroadcastExchange") ||
+      v16.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
