@@ -21,11 +21,13 @@ object HistogramSketch {
   val numBins = 60
   val binWidth = 10000.0
 
-  /** Bin of a value: floor(v / width), clamped to the last bin — the
-    * exact twin of SQL `least(floor(v / 10000.0), 59)` (same IEEE
-    * division in both engines). */
+  /** Bin of a value: floor(v / width), clamped to BOTH ends (values
+    * below the domain land in bin 0, above in the last bin — a sketch
+    * must never crash on out-of-domain input) — the exact twin of SQL
+    * `least(greatest(floor(v / 10000.0), 0), 59)` (same IEEE division
+    * in both engines). */
   def bin(v: Double): Int =
-    math.min(math.floor(v / binWidth).toInt, numBins - 1)
+    math.min(math.max(math.floor(v / binWidth).toInt, 0), numBins - 1)
 
   /** Rank-based percentile from bin counts: lower bound of the first
     * bin whose cumulative count reaches ceil(q·n), as integer

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -236,17 +236,22 @@ object CurationOps extends QueryModule {
 
   /** c3: deterministic train/val/test split by md5 bucket of doc_id —
     * stable under re-sharding, no RNG, leakage-free across engines. */
+  /** md5 percent-bucket of doc_id — the ONE source of the c3/c6/c20
+    * deterministic assignment (oracle twin: `hex4ToIntSql % 100`). */
+  private def md5Bucket: Column = pmod(
+    conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType), lit(100L))
+
+  /** The c3 split rule over that bucket (train <70, val <85, test). */
+  private def splitOf(bucket: Column): Column =
+    when(bucket < 70, "train").when(bucket < 85, "val").otherwise("test")
+
   private def hashSplit(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
-        .cast(LongType), lit(100L))
     d.select(col("doc_id"), col("source"),
         size(tokenize(col("text"))).cast(LongType).as("n_tokens"),
-        bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 70, "train")
-          .when(col("bucket") < 85, "val").otherwise("test"))
+        md5Bucket.as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("doc_ct"),
         sum(col("n_tokens")).as("tok_sum"),
@@ -264,17 +269,12 @@ object CurationOps extends QueryModule {
     * group-by; the manifest rides the release at any corpus size. */
   private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
-        .cast(LongType), lit(100L))
     d.select(col("source"),
         size(tokenize(col("text"))).cast(LongType).as("n_tokens"),
         conv(substring(fingerprint(col("text")), 1, 8), 16, 10)
           .cast(LongType).as("fpint"),
-        bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 70, "train")
-          .when(col("bucket") < 85, "val").otherwise("test"))
+        md5Bucket.as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("doc_ct"),
         sum(col("n_tokens")).as("token_sum"),
@@ -494,12 +494,15 @@ object CurationOps extends QueryModule {
       .select(col("doc_id").as("eval_id"), col("band_no"), col("band_sig"))
     val cand = trainBands.join(evalBands, Seq("band_no", "band_sig"))
       .select(col("train_id"), col("eval_id")).distinct()
-    val toks = train.unionByName(eval)
-      .select(col("doc_id"), array_distinct(tokenize(col("text")))
-        .as("elems"))
+    // per-SIDE token tables: the two frames may use overlapping doc_id
+    // spaces (each corpus its own id sequence), so a unioned table
+    // keyed on doc_id alone would join each candidate against BOTH
+    // sides' text and emit duplicate, wrong-jaccard rows
+    def toksOf(df: DataFrame) = df.select(col("doc_id"),
+      array_distinct(tokenize(col("text"))).as("elems"))
     cand
-      .join(toks.as("fta"), col("train_id") === col("fta.doc_id"))
-      .join(toks.as("fte"), col("eval_id") === col("fte.doc_id"))
+      .join(toksOf(train).as("fta"), col("train_id") === col("fta.doc_id"))
+      .join(toksOf(eval).as("fte"), col("eval_id") === col("fte.doc_id"))
       .select(col("train_id"), col("eval_id"),
         size(array_intersect(col("fta.elems"), col("fte.elems")))
           .as("inter_ct"),
@@ -587,9 +590,7 @@ object CurationOps extends QueryModule {
     * audit a 100 TB mixture build publishes. */
   private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
-        .cast(LongType), lit(100L))
+    val bucket = md5Bucket
     val ratePct = lit(40) + pmod(length(col("source")), lit(3)) * 30
     d.select(col("source"), col("doc_id"),
         size(tokenize(col("text"))).cast(LongType).as("n_tokens"),

@@ -195,17 +195,21 @@ object Joins extends QueryModule {
   /** One FK-edge audit over arbitrary frames — the j12 core, exposed
     * through [[graft.api.Graft.refIntegrityAudit]]. */
   private[graft] def refIntegrityFor(name: String, child: DataFrame,
-      childKey: String, parent: DataFrame, parentKey: String): DataFrame =
-    child.select(col(childKey)).join(
-        parent.select(col(parentKey)).distinct(),
-        col(childKey) === col(parentKey), "left_outer")
+      childKey: String, parent: DataFrame, parentKey: String): DataFrame = {
+    // alias both sides to fixed names: the ordinary FK case names the
+    // key identically on both sides, which would make the unqualified
+    // join/aggregate references ambiguous
+    child.select(col(childKey).as("graft_ck")).join(
+        parent.select(col(parentKey).as("graft_pk")).distinct(),
+        col("graft_ck") === col("graft_pk"), "left_outer")
       .agg(count(lit(1)).as("child_ct"),
-        sum(when(col(parentKey).isNotNull, 1L).otherwise(0L))
+        sum(when(col("graft_pk").isNotNull, 1L).otherwise(0L))
           .as("matched_ct"),
-        sum(when(col(parentKey).isNull, 1L).otherwise(0L))
+        sum(when(col("graft_pk").isNull, 1L).otherwise(0L))
           .as("orphan_ct"))
       .select(lit(name).as("fk_edge"), col("child_ct"),
         col("matched_ct"), col("orphan_ct"))
+  }
 
   private def refIntegrity(s: SparkSession, dir: String): DataFrame = {
     val audit = refIntegrityFor _

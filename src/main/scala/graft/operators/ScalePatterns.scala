@@ -214,9 +214,11 @@ object ScalePatterns extends QueryModule {
       .withColumn("bin", expr(s"before div $compactTarget"))
     val bins = binned.groupBy(col("part_month"), col("bin"))
       .agg(sum(col("bytes")).as("bin_bytes"))
+    // n_bins counts DISTINCT occupied bins — a single file ≥ 2× target
+    // skips bin indices, and empty indices produce no output file
     binned.groupBy(col("part_month"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
-        (max(col("bin")) + 1L).as("n_bins"))
+        countDistinct(col("bin")).as("n_bins"))
       .join(bins.groupBy(col("part_month").as("bp"))
         .agg(max(col("bin_bytes")).as("max_bin_bytes")),
         col("part_month") === col("bp"))
@@ -319,7 +321,7 @@ object ScalePatterns extends QueryModule {
          |per AS (
          |  SELECT part_month, CAST(count(*) AS BIGINT) AS n_files,
          |         CAST(sum(bytes) AS BIGINT) AS total_bytes,
-         |         CAST(max(bin) + 1 AS BIGINT) AS n_bins
+         |         CAST(count(DISTINCT bin) AS BIGINT) AS n_bins
          |  FROM b GROUP BY 1)
          |SELECT per.part_month, n_files, total_bytes, n_bins,
          |       CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,

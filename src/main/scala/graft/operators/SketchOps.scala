@@ -120,8 +120,8 @@ object SketchOps extends QueryModule {
     import graft.functions.HistogramSketch.{binWidth, numBins}
     val bins = Tables(s, dir, "orders")
       .select(col("o_orderpriority").as("priority"),
-        least(floor(col("o_totalprice") / binWidth), lit(numBins - 1))
-          .cast(LongType).as("bin"))
+        least(greatest(floor(col("o_totalprice") / binWidth), lit(0)),
+          lit(numBins - 1)).cast(LongType).as("bin"))
       .groupBy(col("priority"), col("bin"))
       .agg(count(lit(1)).as("ct"))
     val w = org.apache.spark.sql.expressions.Window
@@ -155,7 +155,8 @@ object SketchOps extends QueryModule {
       val bw = binWidth.toLong
       s"""WITH bins AS (
          |  SELECT o_orderpriority AS priority,
-         |         least(CAST(floor(o_totalprice / $binWidth) AS BIGINT),
+         |         least(greatest(CAST(floor(o_totalprice / $binWidth)
+         |                             AS BIGINT), 0),
          |               ${numBins - 1}) AS bin,
          |         CAST(count(*) AS BIGINT) AS ct
          |  FROM orders GROUP BY 1, 2),

@@ -288,8 +288,11 @@ object WindowAggs extends QueryModule {
     val du = Tables(s, dir, "events")
       .select(divFloor(nsToUs(col("ts")), dayUs).as("day"), col("user_id"))
       .distinct()
+    // du is already distinct (day, user) — plain count IS the DAU;
+    // the wau side genuinely needs countDistinct (a user active on two
+    // days of one window fans out to the same wday twice)
     val dau = du.groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("dau"))
+      .agg(count(lit(1)).as("dau"))
     val wau = du
       .select(explode(sequence(col("day"), col("day") + 6L)).as("wday"),
         col("user_id"))
@@ -359,7 +362,7 @@ object WindowAggs extends QueryModule {
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
         |  FROM events),
         |dau AS (
-        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau
         |  FROM du GROUP BY 1),
         |f AS (
         |  SELECT day + r AS wday, user_id

@@ -122,6 +122,26 @@ class ApiSpec extends SparkSuite {
     assert(got == Set((10L, 20L)), s"got $got")
   }
 
+  test("fuzzyContamination tolerates overlapping train/eval id spaces") {
+    // both corpora number from 0 — doc_id 5 exists on BOTH sides with
+    // different text; the copy pair uses different ids on each side
+    val train = Seq(
+      (5L, "s", "the quick brown fox jumps over the lazy dog today"),
+      (7L, "s", "alpha beta gamma delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq(
+      (5L, "s", "entirely different evaluation prompt with no overlap"),
+      (9L, "s", "alpha beta gamma delta epsilon zeta eta theta kappa")
+    ).toDF("doc_id", "source", "text")
+    val got = Graft.fuzzyContamination(train, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the planted (7, 9) pair at J = 8/10; never a doc paired
+    // against the other side's text for a colliding id
+    assert(got.map(x => (x._1, x._2)).toSet == Set((7L, 9L)),
+      s"got ${got.toSeq}")
+    assert(math.abs(got.head._3 - 0.8) < 1e-9)
+  }
+
   test("snapshotDiff classifies add/remove/change/unchanged") {
     val old = Seq(
       (1L, "s", "kept exactly the same"),
@@ -155,6 +175,12 @@ class ApiSpec extends SparkSuite {
     assert(audit.getLong(1) == 3L) // child_ct
     assert(audit.getLong(2) == 1L) // matched ("a")
     assert(audit.getLong(3) == 2L) // orphans ("b", null)
+    // the ordinary case: the FK column named identically on both sides
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("oid", "user_id")
+    val users = Seq((10L, "u")).toDF("user_id", "name")
+    val same = Graft.refIntegrityAudit("orders->users", orders, "user_id",
+      users, "user_id").head
+    assert(same.getLong(2) == 1L && same.getLong(3) == 1L)
   }
 
   test("README quick-start composition runs end to end") {

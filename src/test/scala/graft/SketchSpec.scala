@@ -97,6 +97,9 @@ class SketchSpec extends SparkSuite {
     val prices = Tables(spark, sf, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_totalprice"))
+    // out-of-domain inputs clamp instead of crashing the aggregator
+    assert(HistogramSketch.bin(-5.0) == 0)
+    assert(HistogramSketch.bin(1e12) == HistogramSketch.numBins - 1)
     val agg = new HistogramSketch().toColumn
     val s3 = prices.repartition(3).as[Double].select(agg).head()
     val s11 = prices.repartition(11).as[Double].select(agg).head()
@@ -104,7 +107,8 @@ class SketchSpec extends SparkSuite {
     val counts = HistogramSketch.unpack(s3)
     // bins equal the declarative twin's
     val twin = prices
-      .select(least(floor(col("o_totalprice") / HistogramSketch.binWidth),
+      .select(least(greatest(
+        floor(col("o_totalprice") / HistogramSketch.binWidth), lit(0)),
         lit(HistogramSketch.numBins - 1)).cast(LongType).as("bin"))
       .groupBy("bin").count().collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
