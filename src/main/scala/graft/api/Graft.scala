@@ -103,6 +103,20 @@ object Graft {
     graft.operators.CurationOps.fuzzyContaminationFor(train, eval,
       threshold)
 
+  /** Per-split release manifest for a (doc_id, source, text) corpus:
+    * doc/token counts + an order-independent xor content checksum per
+    * (c3-split × source) — downstream copies verify by recomputing
+    * three aggregates. */
+  def releaseManifest(docs: DataFrame): DataFrame =
+    graft.operators.CurationOps.releaseManifestFor(docs)
+
+  /** Merged duplicate-span extents (the substring-dedup CUT LIST) for
+    * a (doc_id, text) corpus: per doc with corpus-duplicated 5-gram
+    * spans, the merged extent count, token coverage, longest extent,
+    * and cut fraction. */
+  def dupSpanExtents(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.dupSpanExtentsFor(docs)
+
   /** C4/Gopher repetition quality signals per document:
     * (doc_id, n_tokens, n_distinct, dup_frac, top_bigram_ct). */
   def repetitionSignals(docs: DataFrame): DataFrame =

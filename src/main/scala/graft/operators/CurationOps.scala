@@ -267,9 +267,10 @@ object CurationOps extends QueryModule {
     * flips it). Downstream consumers verify their copy by recomputing
     * three aggregates — no doc-level diff needed. Pure map + one
     * group-by; the manifest rides the release at any corpus size. */
-  private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    d.select(col("source"),
+  /** The c20 core over an ARBITRARY (doc_id, source, text) frame —
+    * exposed through [[graft.api.Graft.releaseManifest]]. */
+  private[graft] def releaseManifestFor(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         size(tokenize(col("text"))).cast(LongType).as("n_tokens"),
         conv(substring(fingerprint(col("text")), 1, 8), 16, 10)
           .cast(LongType).as("fpint"),
@@ -279,7 +280,9 @@ object CurationOps extends QueryModule {
       .agg(count(lit(1)).as("doc_ct"),
         sum(col("n_tokens")).as("token_sum"),
         expr("bit_xor(fpint)").as("content_checksum"))
-  }
+
+  private def releaseManifest(s: SparkSession, dir: String): DataFrame =
+    releaseManifestFor(Tables(s, dir, "documents"))
 
   /** c10: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, "Weighted random sampling with a reservoir",

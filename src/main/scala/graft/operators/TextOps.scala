@@ -406,8 +406,10 @@ object TextOps extends QueryModule {
     * duplicated-span count. Integer-only interval arithmetic — the
     * extents are engine-exact, no float anywhere but the final audit
     * fraction. */
-  private def dupSpanExtents(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(s, dir, "documents")
+  /** The t19 core over an ARBITRARY (doc_id, text) frame — exposed
+    * through [[graft.api.Graft.dupSpanExtents]]. */
+  private[graft] def dupSpanExtentsFor(docs: DataFrame): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), tokenize(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), size(col("tk")).as("n_tokens"),
@@ -445,6 +447,9 @@ object TextOps extends QueryModule {
         round(col("dup_tokens").cast(DoubleType) / col("n_tokens"), 6)
           .as("cut_frac"))
   }
+
+  private def dupSpanExtents(s: SparkSession, dir: String): DataFrame =
+    dupSpanExtentsFor(Tables(s, dir, "documents"))
 
   /** t20: readability scoring — the Flesch–Kincaid grade estimate with
     * the classic dictionary-free syllable heuristic (a syllable ≈ one

@@ -142,6 +142,23 @@ class ApiSpec extends SparkSuite {
     assert(math.abs(got.head._3 - 0.8) < 1e-9)
   }
 
+  test("releaseManifest and dupSpanExtents run on user frames") {
+    val docs = Seq(
+      (1L, "web", "one two three four five six seven eight nine ten"),
+      (2L, "web", "one two three four five six seven eight nine ten"),
+      (3L, "web", "completely different words that repeat in no doc")
+    ).toDF("doc_id", "source", "text")
+    val man = Graft.releaseManifest(docs)
+    assert(man.agg(sum(col("doc_ct"))).head.getLong(0) == 3L)
+    // docs 1 and 2 are identical → every 5-gram span duplicated, so
+    // both carry one full-coverage extent; doc 3 shares nothing
+    val ext = Graft.dupSpanExtents(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("cut_frac")))
+      .toMap
+    assert(ext.keySet == Set(1L, 2L))
+    assert(ext.values.forall(_ == 1.0))
+  }
+
   test("snapshotDiff classifies add/remove/change/unchanged") {
     val old = Seq(
       (1L, "s", "kept exactly the same"),
