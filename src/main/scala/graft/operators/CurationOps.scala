@@ -284,6 +284,49 @@ object CurationOps extends QueryModule {
   private def releaseManifest(s: SparkSession, dir: String): DataFrame =
     releaseManifestFor(Tables(s, dir, "documents"))
 
+  /** c22: the dedup savings WATERFALL — the executive summary of the
+    * whole dedup stack, per source: token mass at each stage of
+    * exact-dup removal (d1's fp keeper) → near-dup collapse (c1's
+    * cluster representative) → substring span cuts (t19's merged
+    * extents, recomputed over the KEPT corpus — duplication among
+    * dropped docs must not inflate the cut estimate). `tok_final` is
+    * what actually reaches training; the deltas are each stage's
+    * contribution — the number that justifies (or kills) each pass at
+    * 100 TB. Composes the memoized cluster labels and the shared
+    * fingerprint/token scans; the only new work is one t19 gram pass
+    * over the kept slice. */
+  private def dedupWaterfall(s: SparkSession, dir: String): DataFrame = {
+    val d = qualityCols(Tables(s, dir, "documents"))
+    val keeper = d.withColumn("keeper_id",
+      min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val exactKept = keeper.filter(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val kept = exactKept.join(
+        clusterLabels(s, dir).select(col("id"), col("label")),
+        col("doc_id") === col("id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val cuts = TextOps.dupSpanExtentsFor(
+        Tables(s, dir, "documents").join(kept.select(col("doc_id")
+          .as("k_id")), col("doc_id") === col("k_id"))
+          .select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("c_id"), col("dup_tokens"))
+    val perKept = kept.join(cuts, col("doc_id") === col("c_id"),
+        "left_outer")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok_neardup"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("cut_tokens"))
+    d.groupBy(col("source")).agg(sum(col("n_tokens")).as("tok_total"))
+      .join(exactKept.groupBy(col("source").as("s2"))
+        .agg(sum(col("n_tokens")).as("tok_exact")),
+        col("source") === col("s2"))
+      .join(perKept.withColumnRenamed("source", "s3"),
+        col("source") === col("s3"))
+      .select(col("source"), col("tok_total"), col("tok_exact"),
+        col("tok_neardup"), col("cut_tokens"),
+        (col("tok_neardup") - col("cut_tokens")).as("tok_final"))
+  }
+
   /** c10: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, "Weighted random sampling with a reservoir",
     * IPL 2006): each doc gets key u^(1/w) with u a hash-derived uniform
@@ -715,6 +758,7 @@ object CurationOps extends QueryModule {
     "c18_snapshot_diff" -> snapshotDiff,
     "c19_curriculum_phases" -> curriculumPhases,
     "c20_release_manifest" -> releaseManifest,
+    "c22_dedup_waterfall" -> dedupWaterfall,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
@@ -824,6 +868,68 @@ object CurationOps extends QueryModule {
         |       count(*) AS taken_ct,
         |       CAST(max(cum_tokens) AS BIGINT) AS taken_tokens
         |FROM c WHERE cum_tokens <= budget GROUP BY 1""".stripMargin,
+    "c22_dedup_waterfall" ->
+      s"""WITH RECURSIVE $labelCte,
+         |wq AS (
+         |  SELECT doc_id, source, text,
+         |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+         |           AS fp,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |wk AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper_id
+         |  FROM wq),
+         |wek AS (SELECT doc_id, source, n_tokens, text FROM wk
+         |        WHERE doc_id = keeper_id),
+         |wkept AS (
+         |  SELECT wek.doc_id, wek.source, wek.n_tokens, wek.text
+         |  FROM wek LEFT JOIN lab ON wek.doc_id = lab.id
+         |  WHERE lab.label IS NULL OR lab.label = wek.doc_id),
+         |wtk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM wkept),
+         |wg AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, len(tk) - 3)) AS start,
+         |         unnest(list_transform(range(1, len(tk) - 3),
+         |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+         |                          tk[i+4]))) AS gram
+         |  FROM wtk WHERE len(tk) >= 5),
+         |wdg AS (SELECT gram FROM wg GROUP BY 1 HAVING count(*) >= 2),
+         |wsp AS (SELECT doc_id, start, start + 4 AS e
+         |        FROM wg JOIN wdg USING (gram)),
+         |wisl AS (
+         |  SELECT doc_id, start, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS pme
+         |  FROM wsp),
+         |wbrk AS (
+         |  SELECT doc_id, start, e,
+         |         CASE WHEN pme IS NULL OR start > pme THEN 1 ELSE 0 END
+         |           AS brk
+         |  FROM wisl),
+         |wext AS (
+         |  SELECT doc_id, start, e,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS island
+         |  FROM wbrk),
+         |wex2 AS (
+         |  SELECT doc_id, island, max(e) - min(start) + 1 AS elen
+         |  FROM wext GROUP BY 1, 2),
+         |wcuts AS (SELECT doc_id, CAST(sum(elen) AS BIGINT) AS dup_tokens
+         |          FROM wex2 GROUP BY 1),
+         |wpk AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_neardup,
+         |         CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT)
+         |           AS cut_tokens
+         |  FROM wkept LEFT JOIN wcuts USING (doc_id) GROUP BY 1),
+         |wtot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+         |           AS tok_total FROM wq GROUP BY 1),
+         |wex AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+         |          AS tok_exact FROM wek GROUP BY 1)
+         |SELECT wtot.source, tok_total, tok_exact, tok_neardup,
+         |       cut_tokens, tok_neardup - cut_tokens AS tok_final
+         |FROM wtot JOIN wex USING (source) JOIN wpk USING (source)""".stripMargin,
     "c20_release_manifest" -> {
       val fpint = DedupOps.hexToIntSql(
         "trim(regexp_replace(lower(text), ' +', ' ', 'g'))")

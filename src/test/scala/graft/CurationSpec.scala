@@ -278,6 +278,32 @@ class CurationSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("c22 waterfall: stage masses are monotone and stages all bite") {
+    val r = q("c22_dedup_waterfall")
+    assert(r.count() > 0)
+    assert(r.filter(col("tok_total") < col("tok_exact") ||
+      col("tok_exact") < col("tok_neardup") ||
+      col("tok_neardup") < col("tok_final") ||
+      col("tok_final") < 0).count() == 0)
+    // the stack as a whole bites (individual stages may be empty at
+    // tiny SF — sf0.001 has no exact dups, for instance)
+    val t = r.agg(sum(col("tok_total")), sum(col("tok_final"))).head
+    assert(t.getLong(0) > t.getLong(1), "dedup stack removed nothing")
+    // tok_exact per source equals the d1-keeper token mass
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        operators.TextOps.fingerprint(col("text")).as("fp"))
+    val keepers = d.withColumn("kid",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("kid"))
+      .groupBy(col("source")).agg(sum(col("n")).as("expect"))
+      .withColumnRenamed("source", "s2")
+    assert(r.join(keepers, col("source") === col("s2"))
+      .filter(col("tok_exact") =!= col("expect")).count() == 0)
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
