@@ -657,7 +657,59 @@ object VectorOps extends QueryModule {
         col("rk").cast(LongType).as("neg_rank"))
   }
 
+  /** v17: Davies–Bouldin clustering quality over the shared Lloyd
+    * assignment — the standard internal validation index (Davies &
+    * Bouldin, IEEE TPAMI 1979): per cluster, the mean member distance
+    * to the cluster mean (scatter sᵢ) and the worst
+    * (sᵢ+sⱼ)/d(μᵢ,μⱼ) ratio against any other cluster — high worst
+    * ratios mark overlapping/diffuse clusters, the go/no-go before
+    * trusting k-means cells for SemDeDup (v11) or IVF routing (v3).
+    * Engine parity: member distances and coordinate means are
+    * DECIMAL-quantized before every cross-row sum; the k×k centroid
+    * table is tiny (n/50 rows), so the pairwise separation join is
+    * bounded by k², never n². Reuses the memoized v9 assignment. */
+  private def daviesBouldin(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+    val memb = em.join(lloydAssign1(s, dir)
+        .select(col("vec_id").as("a_vid"), col("c_id")),
+        col("vec_id") === col("a_vid"))
+      .select(col("c_id"), col("emb"))
+    val mu = memb
+      .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg((sum(round(col("v"), 9).cast(DecimalType(28, 9)))
+        .cast(DoubleType) / count(lit(1))).as("m"))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("mu"))
+    val scat = memb.join(mu.withColumnRenamed("c_id", "m_cid"),
+        col("c_id") === col("m_cid"))
+      .select(col("c_id"),
+        sqrt(sqDist(col("emb"), col("mu"))).as("dist"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("member_ct"),
+        round(sum(round(col("dist"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType) / count(lit(1)), 6).as("scatter"))
+    val dij = mu.as("ma").join(mu.as("mb"),
+        col("ma.c_id") =!= col("mb.c_id"))
+      .select(col("ma.c_id").as("c_i"), col("mb.c_id").as("c_j"),
+        round(sqrt(sqDist(col("ma.mu"), col("mb.mu"))), 6).as("d_ij"))
+    val worst = dij
+      .join(scat.select(col("c_id").as("si_id"), col("scatter").as("si")),
+        col("c_i") === col("si_id"))
+      .join(scat.select(col("c_id").as("sj_id"), col("scatter").as("sj")),
+        col("c_j") === col("sj_id"))
+      .select(col("c_i"), round((col("si") + col("sj")) / col("d_ij"), 6)
+        .as("ratio"))
+      .groupBy(col("c_i")).agg(max(col("ratio")).as("worst_ratio"))
+    scat.join(worst, col("c_id") === col("c_i"))
+      .select(col("c_id").as("cluster_id"), col("member_ct"),
+        col("scatter"), col("worst_ratio"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v17_davies_bouldin" -> daviesBouldin,
     "v16_hard_negatives" -> hardNegatives,
     "v15_label_precision" -> labelPrecision,
     "v14_truncated_recall" -> annTruncated,
@@ -745,6 +797,39 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v17_davies_bouldin" ->
+      s"""$lloydCte,
+         |memb AS (
+         |  SELECT a.c_id, em.emb
+         |  FROM assign1 a JOIN em ON a.vec_id = em.vec_id),
+         |mcomp AS (
+         |  SELECT c_id, i,
+         |         CAST(sum(CAST(round(emb[i], 9) AS DECIMAL(28,9)))
+         |              AS DOUBLE) / count(*) AS m
+         |  FROM memb CROSS JOIN range(1, ${embDim + 1}) t(i)
+         |  GROUP BY 1, 2),
+         |mu AS (SELECT c_id, list(m ORDER BY i) AS mu
+         |       FROM mcomp GROUP BY 1),
+         |sc AS (
+         |  SELECT memb.c_id, CAST(count(*) AS BIGINT) AS member_ct,
+         |         round(CAST(sum(CAST(round(
+         |                 sqrt(${d2Sql("emb", "mu")}), 9)
+         |               AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+         |           AS scatter
+         |  FROM memb JOIN mu ON memb.c_id = mu.c_id GROUP BY 1),
+         |dij AS (
+         |  SELECT a.c_id AS c_i, b.c_id AS c_j,
+         |         round(sqrt(${d2Sql("a.mu", "b.mu")}), 6) AS d_ij
+         |  FROM mu a JOIN mu b ON a.c_id <> b.c_id),
+         |rat AS (
+         |  SELECT c_i,
+         |         round((sa.scatter + sb.scatter) / d_ij, 6) AS ratio
+         |  FROM dij JOIN sc sa ON c_i = sa.c_id
+         |           JOIN sc sb ON c_j = sb.c_id)
+         |SELECT sc.c_id AS cluster_id, member_ct, scatter,
+         |       max(ratio) AS worst_ratio
+         |FROM sc JOIN rat ON sc.c_id = rat.c_i
+         |GROUP BY 1, 2, 3""".stripMargin,
     "v16_hard_negatives" ->
       s"""WITH em AS (
          |  SELECT vec_id, label,

@@ -167,6 +167,15 @@ class SketchSpec extends SparkSuite {
       .count() == 0) // one hardest negative per query
   }
 
+  test("v17: DB index covers every vector, ratios positive") {
+    val r = q("v17_davies_bouldin")
+    assert(r.count() > 1)
+    assert(r.agg(sum(col("member_ct"))).head.getLong(0) ==
+      Tables(spark, sf, "embeddings").count())
+    assert(r.filter(col("scatter") < 0).count() == 0)
+    assert(r.filter(col("worst_ratio") <= 0).count() == 0)
+  }
+
   test("v12: power iteration output is normalized and deterministic") {
     val v = q("v12_pca_power")
     assert(v.count() == 64)
