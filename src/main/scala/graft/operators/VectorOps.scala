@@ -691,7 +691,9 @@ object VectorOps extends QueryModule {
       .agg(count(lit(1)).as("member_ct"),
         round(sum(round(col("dist"), 9).cast(DecimalType(28, 9)))
           .cast(DoubleType) / count(lit(1)), 6).as("scatter"))
-    val dij = mu.as("ma").join(mu.as("mb"),
+    // k×k centroid pairs with the (tiny, k-row) right side broadcast —
+    // the separation join is bounded by centroid count, never n
+    val dij = mu.as("ma").join(broadcast(mu.as("mb")),
         col("ma.c_id") =!= col("mb.c_id"))
       .select(col("ma.c_id").as("c_i"), col("mb.c_id").as("c_j"),
         round(sqrt(sqDist(col("ma.mu"), col("mb.mu"))), 6).as("d_ij"))
