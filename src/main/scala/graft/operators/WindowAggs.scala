@@ -304,6 +304,43 @@ object WindowAggs extends QueryModule {
           .as("stickiness"))
   }
 
+  /** a29 (beyond-reference): top navigation paths — the classic
+    * clickstream path-analysis report: the most common 3-step
+    * event-type sequences inside a 30-min session (a23's
+    * sessionization), counted corpus-wide and cut to a deterministic
+    * top-10. Steps are adjacent events in (time, event_id) order
+    * within one session — two lead() reads off the SAME window sort
+    * the sessionization already pays; the top-10 is
+    * TakeOrderedAndProject (partial top-n per partition, no full
+    * sort). */
+  private def topPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        nsToUs(col("ts")).as("us"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > sessGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("us"), col("event_id"))
+    sess
+      .withColumn("e2", lead(col("event_type"), 1).over(wS))
+      .withColumn("e3", lead(col("event_type"), 2).over(wS))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("path_ct"))
+      .orderBy(col("path_ct").desc, col("path"))
+      .limit(10)
+  }
+
   /** a24 (beyond-reference): the cohort-retention matrix — users
     * cohorted by their first signup week, counted as retained in each
     * later activity week: (cohort_week, week_offset, active_users).
@@ -329,6 +366,7 @@ object WindowAggs extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a29_top_paths" -> topPaths,
     "a28_rolling_wau" -> rollingWau,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
@@ -357,6 +395,31 @@ object WindowAggs extends QueryModule {
         |       count(DISTINCT user_id) AS active_users
         |FROM j WHERE week_offset BETWEEN 0 AND 8
         |GROUP BY 1, 2""".stripMargin,
+    "a29_top_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $sessGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM g),
+         |steps AS (
+         |  SELECT event_type,
+         |         lead(event_type, 1) OVER w2 AS e2,
+         |         lead(event_type, 2) OVER w2 AS e3
+         |  FROM sess
+         |  WINDOW w2 AS (PARTITION BY user_id, sess
+         |                ORDER BY us, event_id))
+         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         |       CAST(count(*) AS BIGINT) AS path_ct
+         |FROM steps WHERE e3 IS NOT NULL
+         |GROUP BY 1 ORDER BY path_ct DESC, path LIMIT 10""".stripMargin,
     "a28_rolling_wau" ->
       """WITH du AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id

@@ -235,6 +235,15 @@ class OperatorSpec extends SparkSuite {
       .head.getLong(1) == li)
   }
 
+  test("a29 top paths: 3-step shapes, counts ranked, bounded by events") {
+    val r = q("a29_top_paths").collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getString(0).split(">").length == 3))
+    val cts = r.map(x => x.getLong(x.fieldIndex("path_ct")))
+    assert(cts.sliding(2).forall(p => p(0) >= p(1)), "not ranked")
+    assert(cts.sum <= Tables(spark, sf, "events").count())
+  }
+
   test("a28 rolling WAU: wau >= dau, stickiness in (0,1]") {
     val r = q("a28_rolling_wau")
     assert(r.count() > 0)
