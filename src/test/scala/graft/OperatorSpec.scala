@@ -237,7 +237,8 @@ class OperatorSpec extends SparkSuite {
 
   test("a29 top paths: 3-step shapes, counts ranked, bounded by events") {
     val r = q("a29_top_paths").collect()
-    assert(r.length == 10)
+    // sf0.001 has few sessions with >= 3 events — the cut is AT MOST 10
+    assert(r.nonEmpty && r.length <= 10)
     assert(r.forall(_.getString(0).split(">").length == 3))
     val cts = r.map(x => x.getLong(x.fieldIndex("path_ct")))
     assert(cts.sliding(2).forall(p => p(0) >= p(1)), "not ranked")
