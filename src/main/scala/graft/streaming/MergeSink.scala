@@ -52,14 +52,25 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
       .filter(d => new java.io.File(d, "_SUCCESS").exists())
       .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
 
+  /** Additive schema evolution (the Delta `mergeSchema` behavior for
+    * the dim-attribute case): a frame missing one of this sink's
+    * payload columns — an OLD store version written before the column
+    * existed, or a batch from a producer that doesn't emit it yet —
+    * gets it as NULL (string, the engine's dim-attribute type per the
+    * reference's all-string DWD rows). Dropping or retyping a column
+    * stays an error, exactly like the lakehouse formats. */
+  private def widen(df: DataFrame): DataFrame =
+    payloadCols.filterNot(df.columns.contains)
+      .foldLeft(df)((b, c) => b.withColumn(c, lit(null).cast("string")))
+
   def merge(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val outCols = (Seq(keyCol) ++ payloadCols :+ seqCol).map(col)
-    val incoming = batch.select(
+    val incoming = widen(batch).select(
       (Seq(col(keyCol), col(opCol)) ++ payloadCols.map(col) :+ col(seqCol)): _*)
     val all = versions.sorted.lastOption match {
       case Some(v) =>
-        s.read.parquet(s"$storeDir/v$v")
+        widen(s.read.parquet(s"$storeDir/v$v"))
           .select((Seq(col(keyCol), lit("upsert").as(opCol)) ++
             payloadCols.map(col) :+ col(seqCol)): _*)
           .unionByName(incoming)

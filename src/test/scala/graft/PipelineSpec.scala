@@ -154,6 +154,31 @@ class PipelineSpec extends SparkSuite {
       Tables(spark, sf, "orders").count())
   }
 
+  test("merge sink evolves schema additively across batches and reopens") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    // epoch 1: a sink that only knows (name)
+    val s1 = new streaming.VersionedParquetMergeSink(dir, "id", "seq",
+      "op", Seq("name"))
+    s1.merge(Seq((1L, "upsert", "a", 1L), (2L, "upsert", "b", 2L))
+      .toDF("id", "op", "name", "seq"), 0L)
+    // epoch 2: the schema gains new_attr; the store on disk predates it
+    val s2 = new streaming.VersionedParquetMergeSink(dir, "id", "seq",
+      "op", Seq("name", "new_attr"))
+    // and one producer still emits the OLD shape in the same epoch
+    s2.merge(Seq((2L, "upsert", "b2", 3L)).toDF("id", "op", "name", "seq"),
+      1L)
+    s2.merge(Seq((3L, "upsert", "c", 4L, "x"))
+      .toDF("id", "op", "name", "seq", "new_attr"), 2L)
+    val cur = s2.current(spark).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getString(r.fieldIndex("name")),
+          Option(r.getString(r.fieldIndex("new_attr"))))).toMap
+    assert(cur(1L) == ("a", None))   // pre-evolution row: null new_attr
+    assert(cur(2L) == ("b2", None))  // old-shape producer: null
+    assert(cur(3L) == ("c", Some("x"))) // new-shape row carries it
+  }
+
   test("p17 tombstone ledger: kept + purged = total, broadcast probe") {
     val r = SparkEntry.queries("p17_tombstone_purge")(spark, sf)
     val rows = r.collect()
