@@ -327,7 +327,43 @@ object DedupOps extends QueryModule {
         round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
   }
 
+  /** d9: threshold-sweep curve — the tuning table for THE dedup knob:
+    * exact unigram Jaccard for every LSH candidate (unthresholded),
+    * bucketed to 0.1-wide bands with the count per band and the
+    * cumulative pair count at-or-above each band's lower edge. Reading
+    * the curve top-down answers "how many pairs does each candidate
+    * threshold keep?" without re-running the verify join per
+    * threshold. One verify pass over the memoized candidates + a
+    * ≤ 10-row window. */
+  private def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      array_distinct(tokenize(col("text"))).as("elems"))
+    val j = candidatePairs(s, dir)
+      .join(toks.as("sta"), col("a_id") === col("sta.doc_id"))
+      .join(toks.as("stb"), col("b_id") === col("stb.doc_id"))
+      .select(
+        size(array_intersect(col("sta.elems"), col("stb.elems")))
+          .as("inter_ct"),
+        size(col("sta.elems")).as("na"), size(col("stb.elems")).as("nb"))
+      .select(round(col("inter_ct").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter_ct")), 6).as("jac"))
+    val bands = j
+      .select(least(floor(col("jac") * 10).cast(LongType), lit(9L))
+        .as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("pair_ct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    bands
+      .withColumn("cum_ct", sum(col("pair_ct")).over(w))
+      .select((col("band").cast(DoubleType) / 10.0).as("threshold_lo"),
+        col("pair_ct"), col("cum_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "d9_threshold_sweep" -> thresholdSweep,
     "d7_minhash_estimate" -> minhashEstimate,
     "d1_exact_dup_groups" -> exactDupGroups,
     "d2_lsh_candidates" -> lshCandidates,
@@ -404,6 +440,32 @@ object DedupOps extends QueryModule {
        |        >= $jaccardThreshold)""".stripMargin
 
   val oracles = Map(
+    "d9_threshold_sweep" ->
+      s"""WITH $candidateCte,
+         |tsz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |tin AS (
+         |  SELECT a_id, b_id, count(*) AS inter_ct
+         |  FROM cand
+         |  JOIN toks ta ON a_id = ta.doc_id
+         |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT round(CAST(coalesce(inter_ct, 0) AS DOUBLE)
+         |               / (sa.n + sb.n - coalesce(inter_ct, 0)), 6)
+         |           AS jac
+         |  FROM cand
+         |  LEFT JOIN tin ON cand.a_id = tin.a_id AND cand.b_id = tin.b_id
+         |  JOIN tsz sa ON cand.a_id = sa.doc_id
+         |  JOIN tsz sb ON cand.b_id = sb.doc_id),
+         |bands AS (
+         |  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS band,
+         |         CAST(count(*) AS BIGINT) AS pair_ct
+         |  FROM jac GROUP BY 1)
+         |SELECT CAST(band AS DOUBLE) / 10.0 AS threshold_lo, pair_ct,
+         |       CAST(sum(pair_ct) OVER (ORDER BY band DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_ct
+         |FROM bands""".stripMargin,
     "d7_minhash_estimate" -> {
       val agree = (0 until numHashes)
         .map(k => s"CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END")

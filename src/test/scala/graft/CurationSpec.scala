@@ -304,6 +304,19 @@ class CurationSpec extends SparkSuite {
       .filter(col("tok_exact") =!= col("expect")).count() == 0)
   }
 
+  test("d9 sweep: cumulative curve is monotone and ties out to d3") {
+    val r = q("d9_threshold_sweep").orderBy(col("threshold_lo").desc)
+      .collect()
+    assert(r.nonEmpty)
+    val cums = r.map(x => x.getLong(x.fieldIndex("cum_ct")))
+    assert(cums.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "cumulative counts must grow as the threshold drops")
+    // pairs at >= 0.8 equal d3's verified pair count
+    val at08 = r.find(x => x.getDouble(0) == 0.8)
+      .map(x => x.getLong(x.fieldIndex("cum_ct"))).getOrElse(0L)
+    assert(at08 == q("d3_near_dup_pairs").count())
+  }
+
   test("t7 quantiles are monotone and bounded by the group extremes") {
     val t = q("t7_length_quantiles")
     assert(t.filter(col("p50") > col("p90") || col("p90") > col("p99"))
