@@ -710,7 +710,74 @@ object VectorOps extends QueryModule {
         col("scatter"), col("worst_ratio"))
   }
 
+  /** v18: IVF probe-recall curve — the recall/latency tuning table
+    * every IVF deployment reads before fixing nprobe: for each query
+    * and probe count p ∈ {1,2,3}, how many of the true (brute-force)
+    * top-5 neighbors survive when only the p closest coarse cells are
+    * searched. v3 ships nprobe=1; this is the measurement that
+    * justifies it (or buys more recall with p=2 at ~2× probe cost).
+    * One centroid-rank pass serves BOTH the data-side assignment
+    * (rank 1) and the query-side probe lists (ranks ≤ 3); the probe
+    * levels explode from the same candidate join, so the whole curve
+    * costs one bucket join + one rank window more than v3 itself. */
+  private def probeRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cent = em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val rankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val ranked = em.join(broadcast(cent))
+      .withColumn("c_cos",
+        dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("crk", row_number().over(rankW))
+    val assigned = ranked.filter(col("crk") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("n_cid"),
+        col("emb").as("n_emb"), col("nrm").as("n_nrm"))
+    val qTop = ranked.filter(col("vec_id") < 10 && col("crk") <= 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("c_id").as("q_cid"),
+        col("crk").as("q_crk"))
+    // candidates per probe level: explode p and keep cells ranked <= p
+    val pw = Window.partitionBy(col("q_id"), col("p"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val probeTop = qTop.join(assigned,
+        col("q_cid") === col("n_cid") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_crk"),
+        round(dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("cos"))
+      .withColumn("p", explode(sequence(col("q_crk"), lit(3))))
+      .withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("p"), col("n_id"))
+    val bruteW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("b_id"))
+    val brute = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val bruteTop = broadcast(brute)
+      .join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("b_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")),
+          6).as("cos"))
+      .withColumn("rk", row_number().over(bruteW))
+      .filter(col("rk") <= 5)
+      .select(col("q_id").as("bq_id"), col("b_id"))
+    probeTop.join(bruteTop,
+        col("q_id") === col("bq_id") && col("n_id") === col("b_id"),
+        "left_outer")
+      .groupBy(col("q_id"), col("p"))
+      .agg(sum(when(col("b_id").isNotNull, 1L).otherwise(0L))
+        .as("recall_ct"))
+      .select(col("q_id"), col("p").cast(LongType).as("nprobe"),
+        col("recall_ct"),
+        round(col("recall_ct").cast(DoubleType) / 5.0, 6).as("recall"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v18_probe_recall" -> probeRecallCurve,
     "v17_davies_bouldin" -> daviesBouldin,
     "v16_hard_negatives" -> hardNegatives,
     "v15_label_precision" -> labelPrecision,
@@ -799,6 +866,64 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v18_probe_recall" ->
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM em),
+         |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
+         |         FROM n WHERE vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT n.vec_id, n.emb, n.nrm, cent.c_id,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY ${dotSql("n.emb", "c_emb")}
+         |                    / (n.nrm * c_nrm) DESC, c_id) AS crk
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id AS n_id, c_id AS n_cid, emb AS n_emb,
+         |         nrm AS n_nrm
+         |  FROM ranked WHERE crk = 1),
+         |qtop AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
+         |         c_id AS q_cid, crk AS q_crk
+         |  FROM ranked WHERE vec_id < 10 AND crk <= 3),
+         |cands AS (
+         |  SELECT q_id, n_id, q_crk,
+         |         round(${dotSql("q_emb", "n_emb")} / (q_nrm * n_nrm), 6)
+         |           AS cos
+         |  FROM qtop JOIN assigned
+         |    ON q_cid = n_cid AND n_id <> q_id),
+         |lv AS (
+         |  SELECT q_id, n_id, cos, p
+         |  FROM cands CROSS JOIN range(1, 4) t(p)
+         |  WHERE q_crk <= p),
+         |ptop AS (
+         |  SELECT q_id, p, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id, p
+         |      ORDER BY cos DESC, n_id) AS rk
+         |    FROM lv) WHERE rk <= 5),
+         |brute AS (
+         |  SELECT vec_id AS bq_id, e_vid AS b_id FROM (
+         |    SELECT q.vec_id, e.vec_id AS e_vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(${dotSql("q.emb", "e.emb")}
+         |                      / (q.nrm * e.nrm), 6) DESC, e.vec_id)
+         |             AS rk
+         |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= 5)
+         |SELECT q_id, CAST(p AS BIGINT) AS nprobe,
+         |       CAST(sum(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS recall_ct,
+         |       round(CAST(sum(CASE WHEN b_id IS NOT NULL THEN 1
+         |                           ELSE 0 END) AS DOUBLE) / 5, 6)
+         |         AS recall
+         |FROM ptop LEFT JOIN brute
+         |  ON q_id = bq_id AND n_id = b_id
+         |GROUP BY 1, 2""".stripMargin,
     "v17_davies_bouldin" ->
       s"""$lloydCte,
          |memb AS (

@@ -167,6 +167,23 @@ class SketchSpec extends SparkSuite {
       .count() == 0) // one hardest negative per query
   }
 
+  test("v18: probe-recall curve is monotone in nprobe per query") {
+    val r = q("v18_probe_recall")
+    assert(r.count() == 30) // 10 queries x probes 1..3
+    assert(r.filter(col("recall_ct") < 0 || col("recall_ct") > 5)
+      .count() == 0)
+    // searching MORE cells can only add candidates — recall is
+    // non-decreasing in nprobe for every query
+    val byQ = r.orderBy("q_id", "nprobe").collect()
+      .groupBy(_.getLong(0)).values
+    byQ.foreach { rows =>
+      val cts = rows.sortBy(_.getLong(1))
+        .map(x => x.getLong(x.fieldIndex("recall_ct")))
+      assert(cts.sliding(2).forall(p => p(0) <= p(1)),
+        s"recall not monotone: ${cts.toSeq}")
+    }
+  }
+
   test("v17: DB index covers every vector, ratios positive") {
     val r = q("v17_davies_bouldin")
     assert(r.count() > 1)
