@@ -352,11 +352,16 @@ object DedupOps extends QueryModule {
       .select(least(floor(col("jac") * 10).cast(LongType), lit(9L))
         .as("band"))
       .groupBy(col("band")).agg(count(lit(1)).as("pair_ct"))
+    // dense 0..9 spine: an EMPTY band must still appear (pair_ct 0) —
+    // the curve is read by threshold, and a hole reads as "not
+    // measured" rather than "nothing in this band"
+    val spine = s.range(0, 10).select(col("id").as("band"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("band").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    bands
+    spine.join(bands, Seq("band"), "left_outer")
+      .select(col("band"), coalesce(col("pair_ct"), lit(0L)).as("pair_ct"))
       .withColumn("cum_ct", sum(col("pair_ct")).over(w))
       .select((col("band").cast(DoubleType) / 10.0).as("threshold_lo"),
         col("pair_ct"), col("cum_ct"))
@@ -460,12 +465,16 @@ object DedupOps extends QueryModule {
          |bands AS (
          |  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS band,
          |         CAST(count(*) AS BIGINT) AS pair_ct
-         |  FROM jac GROUP BY 1)
+         |  FROM jac GROUP BY 1),
+         |dense AS (
+         |  SELECT sp.band, CAST(coalesce(pair_ct, 0) AS BIGINT)
+         |           AS pair_ct
+         |  FROM range(0, 10) sp(band) LEFT JOIN bands USING (band))
          |SELECT CAST(band AS DOUBLE) / 10.0 AS threshold_lo, pair_ct,
          |       CAST(sum(pair_ct) OVER (ORDER BY band DESC
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |         AS BIGINT) AS cum_ct
-         |FROM bands""".stripMargin,
+         |FROM dense""".stripMargin,
     "d7_minhash_estimate" -> {
       val agree = (0 until numHashes)
         .map(k => s"CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END")

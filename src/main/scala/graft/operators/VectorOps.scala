@@ -765,15 +765,23 @@ object VectorOps extends QueryModule {
       .withColumn("rk", row_number().over(bruteW))
       .filter(col("rk") <= 5)
       .select(col("q_id").as("bq_id"), col("b_id"))
-    probeTop.join(bruteTop,
+    val hits = probeTop.join(bruteTop,
         col("q_id") === col("bq_id") && col("n_id") === col("b_id"),
         "left_outer")
-      .groupBy(col("q_id"), col("p"))
+      .groupBy(col("q_id").as("h_qid"), col("p").as("h_p"))
       .agg(sum(when(col("b_id").isNotNull, 1L).otherwise(0L))
-        .as("recall_ct"))
+        .as("hit_ct"))
+    // dense (query × nprobe) spine: a probe level with ZERO candidates
+    // (the query alone in its probed cells) must still report
+    // recall 0 — a missing row reads as "not measured"
+    em.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .crossJoin(s.range(1, 4).select(col("id").cast("int").as("p")))
+      .join(hits, col("q_id") === col("h_qid") && col("p") === col("h_p"),
+        "left_outer")
       .select(col("q_id"), col("p").cast(LongType).as("nprobe"),
-        col("recall_ct"),
-        round(col("recall_ct").cast(DoubleType) / 5.0, 6).as("recall"))
+        coalesce(col("hit_ct"), lit(0L)).as("recall_ct"),
+        round(coalesce(col("hit_ct"), lit(0L)).cast(DoubleType) / 5.0, 6)
+          .as("recall"))
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
@@ -914,16 +922,23 @@ object VectorOps extends QueryModule {
          |             AS rk
          |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
          |    WHERE q.vec_id < 10)
-         |  WHERE rk <= 5)
+         |  WHERE rk <= 5),
+         |hits AS (
+         |  SELECT q_id AS h_qid, p AS h_p,
+         |         CAST(sum(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS hit_ct
+         |  FROM ptop LEFT JOIN brute
+         |    ON q_id = bq_id AND n_id = b_id
+         |  GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT vec_id AS q_id, p
+         |  FROM em CROSS JOIN range(1, 4) t(p) WHERE vec_id < 10)
          |SELECT q_id, CAST(p AS BIGINT) AS nprobe,
-         |       CAST(sum(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS recall_ct,
-         |       round(CAST(sum(CASE WHEN b_id IS NOT NULL THEN 1
-         |                           ELSE 0 END) AS DOUBLE) / 5, 6)
+         |       CAST(coalesce(hit_ct, 0) AS BIGINT) AS recall_ct,
+         |       round(CAST(coalesce(hit_ct, 0) AS DOUBLE) / 5, 6)
          |         AS recall
-         |FROM ptop LEFT JOIN brute
-         |  ON q_id = bq_id AND n_id = b_id
-         |GROUP BY 1, 2""".stripMargin,
+         |FROM spine LEFT JOIN hits
+         |  ON spine.q_id = hits.h_qid AND spine.p = hits.h_p""".stripMargin,
     "v17_davies_bouldin" ->
       s"""$lloydCte,
          |memb AS (

@@ -187,20 +187,31 @@ object WindowAggs extends QueryModule {
     * user_id partitioning; the final funnel rollup is a 1-row global
     * aggregate with a map-side partial. */
   private val sessGapUs = 30L * 60L * 1000000L
-  private def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+
+  /** The ONE 30-min-gap sessionization all of a23/a27/a29 build on:
+    * events as (user_id, event_type, event_id, us, sess), session ids
+    * from the classic lag-gap running sum under the (us, event_id)
+    * total order. A change to the gap rule or tie-break lands in every
+    * consumer at once — four diverging copies of this block is how
+    * session boundaries silently desynchronize. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        nsToUs(col("ts")).as("us"))
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
-    val sess = e
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        nsToUs(col("ts")).as("us"))
       .withColumn("prev", lag(col("us"), 1).over(wOrd))
       .withColumn("new_sess",
         when(col("prev").isNull || col("us") - col("prev") > sessGapUs, 1L)
           .otherwise(0L))
       .withColumn("sess", sum(col("new_sess")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionized(s, dir)
     val wS = Window.partitionBy(col("user_id"), col("sess"))
     val staged = sess
       .withColumn("s1",
@@ -236,20 +247,8 @@ object WindowAggs extends QueryModule {
     * is too big, the a26 histogram sketch is the fixed-memory path. */
   private def conversionLatency(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        nsToUs(col("ts")).as("us"))
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-    val sess = e
-      .withColumn("prev", lag(col("us"), 1).over(wOrd))
-      .withColumn("new_sess",
-        when(col("prev").isNull || col("us") - col("prev") > sessGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("sess", sum(col("new_sess")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wS = Window.partitionBy(col("user_id"), col("sess"))
-    val lat = sess
+    val lat = sessionized(s, dir)
       .withColumn("v1",
         min(when(col("event_type") === "view", col("us"))).over(wS))
       .withColumn("p1",
@@ -315,21 +314,9 @@ object WindowAggs extends QueryModule {
     * sort). */
   private def topPaths(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        nsToUs(col("ts")).as("us"))
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-    val sess = e
-      .withColumn("prev", lag(col("us"), 1).over(wOrd))
-      .withColumn("new_sess",
-        when(col("prev").isNull || col("us") - col("prev") > sessGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("sess", sum(col("new_sess")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wS = Window.partitionBy(col("user_id"), col("sess"))
       .orderBy(col("us"), col("event_id"))
-    sess
+    sessionized(s, dir)
       .withColumn("e2", lead(col("event_type"), 1).over(wS))
       .withColumn("e3", lead(col("event_type"), 2).over(wS))
       .filter(col("e3").isNotNull)

@@ -52,25 +52,60 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
       .filter(d => new java.io.File(d, "_SUCCESS").exists())
       .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
 
-  /** Additive schema evolution (the Delta `mergeSchema` behavior for
-    * the dim-attribute case): a frame missing one of this sink's
-    * payload columns — an OLD store version written before the column
-    * existed, or a batch from a producer that doesn't emit it yet —
-    * gets it as NULL (string, the engine's dim-attribute type per the
-    * reference's all-string DWD rows). Dropping or retyping a column
-    * stays an error, exactly like the lakehouse formats. */
-  private def widen(df: DataFrame): DataFrame =
-    payloadCols.filterNot(df.columns.contains)
-      .foldLeft(df)((b, c) => b.withColumn(c, lit(null).cast("string")))
-
+  /** Additive schema evolution (the Delta `mergeSchema` + `UPDATE SET
+    * source-columns-only` behavior):
+    *  - a payload column the STORE predates is null-filled with the
+    *    type the batch carries it at (never a hardcoded type — a
+    *    silent retype would corrupt numeric payloads);
+    *  - a payload column a PRODUCER doesn't emit yet INHERITS the
+    *    store's current value for that key on upsert (mixed-shape
+    *    producers must not wipe each other's attributes — Delta's
+    *    UPDATE leaves target columns absent from the source alone);
+    *  - a column never seen anywhere is null string until first
+    *    produced;
+    *  - DROPPING a stored column (reopening with fewer payloadCols)
+    *    is an error, exactly like the lakehouse formats. */
   def merge(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val outCols = (Seq(keyCol) ++ payloadCols :+ seqCol).map(col)
-    val incoming = widen(batch).select(
+    val storeOpt = versions.sorted.lastOption
+      .map(v => s.read.parquet(s"$storeDir/v$v"))
+    storeOpt.foreach { st =>
+      val declared = (Seq(keyCol, seqCol) ++ payloadCols).toSet
+      val dropped = st.columns.filterNot(declared.contains)
+      require(dropped.isEmpty,
+        s"reopening would silently DROP stored columns " +
+          s"${dropped.mkString(", ")} — declare them in payloadCols " +
+          "(column drops are unsupported, like the lakehouse formats)")
+    }
+    def dtypeOf(c: String) =
+      batch.schema.find(_.name == c).map(_.dataType)
+        .orElse(storeOpt.flatMap(_.schema.find(_.name == c)
+          .map(_.dataType)))
+        .getOrElse(org.apache.spark.sql.types.StringType)
+    val missing = payloadCols.filterNot(batch.columns.contains)
+    val incoming0 = storeOpt match {
+      case Some(st) if missing.nonEmpty =>
+        val fromStore = missing.filter(st.columns.contains)
+        val inh = st.select((col(keyCol).as("__mk") +:
+          fromStore.map(c => col(c).as(s"__inh_$c"))): _*)
+        val joined = batch.join(inh, col(keyCol) === col("__mk"),
+          "left_outer")
+        val filled = missing.foldLeft(joined)((b, c) =>
+          b.withColumn(c,
+            if (st.columns.contains(c)) col(s"__inh_$c")
+            else lit(null).cast(dtypeOf(c))))
+        filled.drop("__mk" +: fromStore.map("__inh_" + _): _*)
+      case _ =>
+        missing.foldLeft(batch)((b, c) =>
+          b.withColumn(c, lit(null).cast(dtypeOf(c))))
+    }
+    val incoming = incoming0.select(
       (Seq(col(keyCol), col(opCol)) ++ payloadCols.map(col) :+ col(seqCol)): _*)
-    val all = versions.sorted.lastOption match {
-      case Some(v) =>
-        widen(s.read.parquet(s"$storeDir/v$v"))
+    val all = storeOpt match {
+      case Some(st) =>
+        payloadCols.filterNot(st.columns.contains)
+          .foldLeft(st)((b, c) => b.withColumn(c, lit(null).cast(dtypeOf(c))))
           .select((Seq(col(keyCol), lit("upsert").as(opCol)) ++
             payloadCols.map(col) :+ col(seqCol)): _*)
           .unionByName(incoming)

@@ -170,13 +170,25 @@ class PipelineSpec extends SparkSuite {
       1L)
     s2.merge(Seq((3L, "upsert", "c", 4L, "x"))
       .toDF("id", "op", "name", "seq", "new_attr"), 2L)
+    // an OLD-shape producer updates key 3: its upsert must INHERIT the
+    // stored new_attr (Delta UPDATE leaves source-absent columns
+    // alone), not wipe it to null
+    s2.merge(Seq((3L, "upsert", "c2", 5L)).toDF("id", "op", "name", "seq"),
+      3L)
     val cur = s2.current(spark).collect()
       .map(r => r.getLong(r.fieldIndex("id")) ->
         (r.getString(r.fieldIndex("name")),
           Option(r.getString(r.fieldIndex("new_attr"))))).toMap
     assert(cur(1L) == ("a", None))   // pre-evolution row: null new_attr
     assert(cur(2L) == ("b2", None))  // old-shape producer: null
-    assert(cur(3L) == ("c", Some("x"))) // new-shape row carries it
+    assert(cur(3L) == ("c2", Some("x"))) // updated name, attr survives
+    // reopening with FEWER payload columns must refuse, not drop data
+    val s3 = new streaming.VersionedParquetMergeSink(dir, "id", "seq",
+      "op", Seq("name"))
+    intercept[IllegalArgumentException] {
+      s3.merge(Seq((9L, "upsert", "z", 9L)).toDF("id", "op", "name", "seq"),
+        9L)
+    }
   }
 
   test("p17 tombstone ledger: kept + purged = total, broadcast probe") {
