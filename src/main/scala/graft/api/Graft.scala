@@ -188,9 +188,11 @@ object Graft {
       cols.map(c => (c, col(c))))
 
   /** One foreign-key referential-integrity audit row:
-    * (fk_edge, child_ct, matched_ct, orphan_ct) from a single left
-    * join — the publish gate; pair with an anti join to extract the
-    * orphans it flags. */
+    * (fk_edge, child_ct, matched_ct, orphan_ct, null_key_ct) from a
+    * single left join — the publish gate; pair with an anti join to
+    * extract the orphans it flags. NULL child keys follow SQL FK
+    * convention (vacuously valid): they land in null_key_ct, never in
+    * orphan_ct, so clean tables with nullable FKs audit clean. */
   def refIntegrityAudit(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
     graft.operators.Joins.refIntegrityFor(name, child, childKey,

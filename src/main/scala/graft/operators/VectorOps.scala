@@ -178,7 +178,8 @@ object VectorOps extends QueryModule {
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
     lloydAssign1(s, dir).groupBy(col("c_id").as("cluster_id"))
       .agg(count(lit(1)).as("member_ct"),
-        sum(round(col("d2"), 6).cast(DecimalType(28, 6))).as("sum_sqdist"),
+        sum(round(col("d2"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("sum_sqdist"),
         min(col("vec_id")).as("min_member"))
 
   /** v10: embedding outlier detection — the 20 vectors farthest from
@@ -1210,7 +1211,8 @@ object VectorOps extends QueryModule {
     "v9_kmeans_assign" ->
       s"""$lloydCte
          |SELECT c_id AS cluster_id, count(*) AS member_ct,
-         |       sum(CAST(round(d2, 6) AS DECIMAL(28,6))) AS sum_sqdist,
+         |       CAST(sum(CAST(round(d2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |         AS sum_sqdist,
          |       min(vec_id) AS min_member
          |FROM assign1 GROUP BY 1""".stripMargin,
     "v11_semdedup" ->

@@ -48,9 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
-        "minhash_sig(hashes, k) - k-permutation minhash signature of an " +
-          "ARRAY<BIGINT> in one pass"),
+        "minhash_sig(hashes[, k]) - k-permutation minhash signature of " +
+          "an ARRAY<BIGINT> in one pass (k defaults to " +
+          s"${MinhashSignature.DefaultK})"),
       (children: Seq[Expression]) => MinhashSignature(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        MinhashSignature.resolveK(children))))
   }
 }

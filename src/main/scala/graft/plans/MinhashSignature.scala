@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (min over `(h * a_k + b_k) % P` per permutation — same Long
   * arithmetic, so the DuckDB oracle twins are untouched); an empty
   * array yields null, and the tokenizer guarantees non-empty input
-  * (`split` returns at least one element). The universal-hash family
+  * (`split` returns at least one element). Null ELEMENTS are skipped —
+  * the same treatment `array_min` gives them in the composed form — and
+  * an all-null array yields null like an empty one; SQL callers can
+  * therefore pass ARRAY<BIGINT> with nullable slots without corrupting
+  * the signature. The universal-hash family
   * (P prime < 2^32; a_k·h < 2^63) is defined HERE as the single source
   * of truth; DedupOps re-exports it for the oracle SQL.
   */
@@ -50,18 +54,22 @@ case class MinhashSignature(child: Expression, numHashes: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var used = 0
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var k = 0
-      while (k < numHashes) {
-        val v = (h * as(k) + bs(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!arr.isNullAt(i)) {
+        used += 1
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val v = (h * as(k) + bs(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (used == 0) null else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -70,24 +78,29 @@ case class MinhashSignature(child: Expression, numHashes: Int)
     nullSafeCodeGen(ctx, ev, c => {
       val n = ctx.freshName("n")
       val mins = ctx.freshName("mins")
+      val used = ctx.freshName("used")
       val i = ctx.freshName("i")
       val k = ctx.freshName("k")
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       s"""
          |int $n = $c.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $mins = new long[$numHashes];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $used = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    $used++;
          |    long $h = $c.getLong($i);
          |    for (int $k = 0; $k < $numHashes; $k++) {
          |      long $v = ($h * $aRef[$k] + $bRef[$k]) % ${P}L;
          |      if ($v < $mins[$k]) $mins[$k] = $v;
          |    }
          |  }
+         |}
+         |if ($used == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
@@ -106,6 +119,28 @@ object MinhashSignature {
   def aK(k: Int): Long = 1000003L + 2L * k
   def bK(k: Int): Long = 12345L + 7L * k
 
+  /** Signature width when a SQL call omits k — the library-wide value
+    * the whole dedup subsystem is tuned for (DedupOps.numHashes aliases
+    * this, keeping one source of truth). */
+  val DefaultK: Int = 12
+
+  /** Evaluate the optional-k argument of a SQL `minhash_sig(hashes[, k])`
+    * call: absent → [[DefaultK]]; an INT or BIGINT foldable literal →
+    * its value; anything else is an analysis-time error (not an
+    * IndexOutOfBounds/ClassCast at eval). */
+  def resolveK(exprs: Seq[Expression], default: Int = DefaultK): Int = {
+    if (exprs.isEmpty) throw new IllegalArgumentException(
+      "minhash_sig needs at least one argument: minhash_sig(hashes[, k])")
+    if (exprs.length == 1) default
+    else exprs(1).eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long
+          if l >= 1 && l <= Int.MaxValue => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig k must be an INT/BIGINT literal >= 1, got $other")
+    }
+  }
+
   /** Temp-function registration with the SAME arity contract as the
     * GraftExtensions catalog entry — minhash_sig(hashes[, k]) — so a
     * session where the internal pipeline has run keeps honoring an
@@ -113,9 +148,7 @@ object MinhashSignature {
   def register(spark: SparkSession, numHashes: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinhashSignature(exprs.head,
-        if (exprs.length >= 2) exprs(1).eval().asInstanceOf[Int]
-        else numHashes),
+      exprs => MinhashSignature(exprs.head, resolveK(exprs, numHashes)),
       "built-in")
 
   def minhashSig(spark: SparkSession, hs: Column, numHashes: Int): Column = {

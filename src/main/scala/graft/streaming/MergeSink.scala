@@ -61,15 +61,27 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
     *    store's current value for that key on upsert (mixed-shape
     *    producers must not wipe each other's attributes — Delta's
     *    UPDATE leaves target columns absent from the source alone);
-    *  - a column never seen anywhere is null string until first
-    *    produced;
+    *  - a column never seen anywhere is a null placeholder (stored as
+    *    STRING) until first produced; each version records which of its
+    *    columns are such placeholders (`_NULLCOLS`), and the first batch
+    *    that actually produces the column RECASTS the all-null store
+    *    side to the produced type — without this, unionByName's
+    *    coercion would widen store+batch to STRING and permanently
+    *    stringify a numeric payload;
     *  - DROPPING a stored column (reopening with fewer payloadCols)
     *    is an error, exactly like the lakehouse formats. */
   def merge(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val outCols = (Seq(keyCol) ++ payloadCols :+ seqCol).map(col)
-    val storeOpt = versions.sorted.lastOption
-      .map(v => s.read.parquet(s"$storeDir/v$v"))
+    val latest = versions.sorted.lastOption
+    val storeOpt = latest.map(v => s.read.parquet(s"$storeDir/v$v"))
+    // Placeholder tracking: columns the latest version materialized as
+    // all-null STRING because no producer had emitted them yet. When the
+    // batch now carries such a column with a real type, the store side
+    // is RECAST to it (safe: every stored value is null) instead of
+    // letting unionByName coerce the union to STRING.
+    val storeNullCols: Set[String] =
+      latest.map(v => readNullCols(s"$storeDir/v$v")).getOrElse(Set.empty)
     storeOpt.foreach { st =>
       val declared = (Seq(keyCol, seqCol) ++ payloadCols).toSet
       val dropped = st.columns.filterNot(declared.contains)
@@ -104,8 +116,12 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
       (Seq(col(keyCol), col(opCol)) ++ payloadCols.map(col) :+ col(seqCol)): _*)
     val all = storeOpt match {
       case Some(st) =>
-        payloadCols.filterNot(st.columns.contains)
-          .foldLeft(st)((b, c) => b.withColumn(c, lit(null).cast(dtypeOf(c))))
+        val recast = storeNullCols.filter(c => batch.columns.contains(c))
+        recast.foldLeft(st)((b, c) => b.withColumn(c,
+            col(c).cast(batch.schema(c).dataType)))
+          .transform(b => payloadCols.filterNot(b.columns.contains)
+            .foldLeft(b)((x, c) =>
+              x.withColumn(c, lit(null).cast(dtypeOf(c)))))
           .select((Seq(col(keyCol), lit("upsert").as(opCol)) ++
             payloadCols.map(col) :+ col(seqCol)): _*)
           .unionByName(incoming)
@@ -116,8 +132,36 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
       .filter(col("__rn") === 1 && col(opCol) =!= "delete")
       .select(outCols: _*)
       .write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    // Carry the placeholder set forward: still-never-produced columns
+    // stay; ones this batch produced leave. Written AFTER the parquet
+    // commit — a crash in between leaves a committed version with no
+    // _NULLCOLS, which reads as "no placeholders": conservative (the
+    // recast is skipped, old union behavior), never corrupting.
+    val stillNull = (storeNullCols ++ payloadCols.filterNot(c =>
+        batch.columns.contains(c) ||
+          storeOpt.exists(st => st.columns.contains(c) &&
+            !storeNullCols.contains(c))))
+      .filterNot(batch.columns.contains)
+    writeNullCols(s"$storeDir/v$batchId", stillNull)
     ()
   }
+
+  /** `_NULLCOLS` sidecar: newline list of placeholder columns in a
+    * version (underscore prefix → invisible to parquet readers). */
+  private def readNullCols(dir: String): Set[String] = {
+    val f = new java.io.File(dir, "_NULLCOLS")
+    if (!f.exists()) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+  }
+
+  private def writeNullCols(dir: String, cols: Set[String]): Unit =
+    if (cols.nonEmpty) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, "_NULLCOLS"))
+      try cols.toSeq.sorted.foreach(w.println) finally w.close()
+    }
 
   def current(s: SparkSession): DataFrame =
     s.read.parquet(s"$storeDir/v${versions.max}")
@@ -149,8 +193,15 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
       val marker = new java.io.File(dir, "_SUCCESS")
       require(!marker.exists() || marker.delete(),
         s"could not decommit $dir")
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      dir.delete()
+      // the version is already decommitted (invisible) at this point,
+      // but a silent delete failure would strand vacuumed bytes on disk
+      // while the caller is told the version is gone — surface it
+      val leftovers = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.delete()) ++
+        (if (dir.delete()) Nil else Seq(dir))
+      require(leftovers.isEmpty,
+        s"vacuum of decommitted $dir left undeletable files: " +
+          leftovers.map(_.getName).mkString(", "))
     }
     doomed
   }

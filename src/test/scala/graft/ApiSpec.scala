@@ -191,7 +191,10 @@ class ApiSpec extends SparkSuite {
       parent, "pk").head
     assert(audit.getLong(1) == 3L) // child_ct
     assert(audit.getLong(2) == 1L) // matched ("a")
-    assert(audit.getLong(3) == 2L) // orphans ("b", null)
+    // SQL FK convention: NULL child key is vacuously valid, not an
+    // orphan — it is reported apart so the audit stays actionable
+    assert(audit.getLong(3) == 1L) // orphan ("b")
+    assert(audit.getLong(4) == 1L) // null_key_ct (the null ref)
     // the ordinary case: the FK column named identically on both sides
     val orders = Seq((1L, 10L), (2L, 20L)).toDF("oid", "user_id")
     val users = Seq((10L, "u")).toDF("user_id", "name")

@@ -224,8 +224,8 @@ class OperatorSpec extends SparkSuite {
   test("j12 referential audit: counts partition, star schema is clean") {
     val r = q("j12_ref_integrity")
     assert(r.count() == 3)
-    assert(r.filter(col("matched_ct") + col("orphan_ct") =!=
-      col("child_ct")).count() == 0)
+    assert(r.filter(col("matched_ct") + col("orphan_ct") +
+      col("null_key_ct") =!= col("child_ct")).count() == 0)
     // the generated star schema has no orphans — a nonzero count here
     // is exactly the quarantine signal the audit exists to raise
     assert(r.filter(col("orphan_ct") =!= 0).count() == 0)

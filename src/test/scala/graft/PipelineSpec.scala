@@ -191,6 +191,36 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("merge sink: never-seen column keeps its real type once produced") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val dir = tmp("latetype")
+    // `score` is declared up front but NO producer emits it yet — the
+    // store materializes it as a null placeholder
+    val sink = new streaming.VersionedParquetMergeSink(dir, "id", "seq",
+      "op", Seq("name", "score"))
+    sink.merge(Seq((1L, "upsert", "a", 1L)).toDF("id", "op", "name", "seq"),
+      0L)
+    sink.merge(Seq((2L, "upsert", "b", 2L)).toDF("id", "op", "name", "seq"),
+      1L)
+    // first REAL emission arrives as DOUBLE; without the placeholder
+    // recast, unionByName would coerce store+batch to STRING and
+    // permanently stringify the numeric payload
+    sink.merge(Seq((3L, "upsert", "c", 3L, 0.75))
+      .toDF("id", "op", "name", "seq", "score"), 2L)
+    val cur = sink.current(spark)
+    assert(cur.schema("score").dataType == DoubleType,
+      s"score must stay DOUBLE, got ${cur.schema("score").dataType}")
+    val m = cur.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      (if (r.isNullAt(r.fieldIndex("score"))) None
+       else Some(r.getDouble(r.fieldIndex("score"))))).toMap
+    assert(m == Map(1L -> None, 2L -> None, 3L -> Some(0.75)))
+    // and the type survives a subsequent old-shape batch too
+    sink.merge(Seq((1L, "upsert", "a2", 4L)).toDF("id", "op", "name", "seq"),
+      3L)
+    assert(sink.current(spark).schema("score").dataType == DoubleType)
+  }
+
   test("p17 tombstone ledger: kept + purged = total, broadcast probe") {
     val r = SparkEntry.queries("p17_tombstone_purge")(spark, sf)
     val rows = r.collect()

@@ -144,4 +144,37 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"signature mismatch for $hs")
     }
   }
+
+  test("minhash_sig SQL surface: optional k, BIGINT k, null elements") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MinhashSignature
+    MinhashSignature.register(spark, MinhashSignature.DefaultK)
+    // 1-arg call defaults to DefaultK instead of IndexOutOfBounds
+    val one = spark.sql(
+      "SELECT minhash_sig(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT)))")
+      .head.getSeq[Long](0)
+    assert(one.length == MinhashSignature.DefaultK)
+    // a BIGINT k literal works (eval() returns java.lang.Long there)
+    val big = spark.sql(
+      "SELECT minhash_sig(array(CAST(7 AS BIGINT)), CAST(4 AS BIGINT))")
+      .head.getSeq[Long](0)
+    assert(big.length == 4)
+    // null ELEMENTS are skipped, matching array_min's treatment in the
+    // composed form — not read as garbage zeros
+    val withNull = spark.sql(
+      "SELECT minhash_sig(array(CAST(7 AS BIGINT), NULL, " +
+        "CAST(11 AS BIGINT)), 4)").head.getSeq[Long](0)
+    val noNull = spark.sql(
+      "SELECT minhash_sig(array(CAST(7 AS BIGINT), " +
+        "CAST(11 AS BIGINT)), 4)").head.getSeq[Long](0)
+    assert(withNull == noNull, "null elements must not perturb the sig")
+    // all-null behaves like empty: null out, not a MaxValue signature
+    assert(spark.sql(
+      "SELECT minhash_sig(array(CAST(NULL AS BIGINT)), 4)").head.isNullAt(0))
+    // a non-literal/typed-wrong k is an upfront error, not a ClassCast
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(CAST(7 AS BIGINT)), 'x')")
+        .collect()
+    }
+  }
 }

@@ -39,6 +39,32 @@ def compare(name, spark_df, duck_df):
     issues = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver parity: the driver hashes RENDERED values, so a DECIMAL
+        # column on one side vs DOUBLE on the other hash-differs even when
+        # numerically equal (v9 round-5 failure). Flag the type skew before
+        # any float coercion can mask it.
+        def _is_dec(s):
+            import decimal
+            return s.dtype.kind == "O" and any(
+                isinstance(x, decimal.Decimal) for x in s.dropna().head(5))
+        if _is_dec(av) != _is_dec(bv) and (av.dtype.kind == "f"
+                                           or bv.dtype.kind == "f"):
+            issues.append(
+                f"{c}: TYPE-MISMATCH decimal-vs-float "
+                f"(spark {a[c].dtype}/{'dec' if _is_dec(av) else 'num'}, "
+                f"duck {b[c].dtype}/{'dec' if _is_dec(bv) else 'num'}) — "
+                f"driver hash would fail; CAST both sides to DOUBLE")
+            continue
+        if _is_dec(av) and _is_dec(bv):
+            # Both DECIMAL: the driver renders with scale, so
+            # Decimal('54.110') != Decimal('54.11') under a string hash
+            # even though == numerically. Compare renderings.
+            ast = av.map(lambda x: None if pd.isna(x) else str(x))
+            bst = bv.map(lambda x: None if pd.isna(x) else str(x))
+            if not ast.eq(bst).all():
+                bad = [(x, y) for x, y in zip(ast, bst) if x != y][:3]
+                issues.append(f"{c}: DECIMAL-SCALE-RENDER e.g. {bad}")
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)
