@@ -69,11 +69,24 @@ object VectorOps extends QueryModule {
         max(col("nrm_q")).cast(DoubleType).as("norm_max"))
   }
 
+  /** The IVF serving probe count (how many coarse cells each query
+    * searches) — v3 ships this value, and v18's probe-recall sweep
+    * (p ∈ 1..[[ivfProbeSweepMax]]) is the measurement that justifies
+    * it: one source of truth, so re-tuning from the v18 curve lands in
+    * the serving query and its recall contract (QualityOpsSpec)
+    * together. */
+  val ivfNprobe: Int = 1
+  /** Upper end of v18's probe sweep; must cover the shipped setting. */
+  val ivfProbeSweepMax: Int = 3
+  require(ivfNprobe >= 1 && ivfNprobe <= ivfProbeSweepMax,
+    "v18's sweep must cover the shipped nprobe")
+
   /** v3: IVF-bucketed ANN — vectors with vec_id % 50 == 0 act as coarse
     * centroids; every vector is assigned to its nearest centroid
-    * (deterministic tie-break), and each query searches only its own
-    * bucket. Approximate by construction → verified by the spec against
-    * brute-force recall, not a SQL oracle. */
+    * (deterministic tie-break), and each query searches its
+    * [[ivfNprobe]] closest cells. Approximate by construction →
+    * verified by the spec against brute-force recall, not a SQL
+    * oracle. */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val em = Tables(s, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("emb"))
@@ -83,13 +96,13 @@ object VectorOps extends QueryModule {
         col("nrm").as("c_nrm"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = em.join(broadcast(centroids))
+    val ranked = em.join(broadcast(centroids))
       .withColumn("c_cos",
         dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .withColumn("crk", row_number().over(assignW))
-      .filter(col("crk") === 1)
+    val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"))
-    val q = assigned.filter(col("vec_id") < 10)
+    val q = ranked.filter(col("vec_id") < 10 && col("crk") <= ivfNprobe)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("c_id").as("q_cid"))
     val topW = Window.partitionBy(col("q_id"))
@@ -737,7 +750,8 @@ object VectorOps extends QueryModule {
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id").as("n_id"), col("c_id").as("n_cid"),
         col("emb").as("n_emb"), col("nrm").as("n_nrm"))
-    val qTop = ranked.filter(col("vec_id") < 10 && col("crk") <= 3)
+    val qTop = ranked.filter(col("vec_id") < 10 &&
+        col("crk") <= ivfProbeSweepMax)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("c_id").as("q_cid"),
         col("crk").as("q_crk"))
@@ -749,7 +763,8 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), col("n_id"), col("q_crk"),
         round(dot(col("q_emb"), col("n_emb")) /
           (col("q_nrm") * col("n_nrm")), 6).as("cos"))
-      .withColumn("p", explode(sequence(col("q_crk"), lit(3))))
+      .withColumn("p", explode(sequence(col("q_crk"),
+        lit(ivfProbeSweepMax))))
       .withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("p"), col("n_id"))
@@ -776,7 +791,8 @@ object VectorOps extends QueryModule {
     // (the query alone in its probed cells) must still report
     // recall 0 — a missing row reads as "not measured"
     em.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
-      .crossJoin(s.range(1, 4).select(col("id").cast("int").as("p")))
+      .crossJoin(s.range(1, ivfProbeSweepMax + 1)
+        .select(col("id").cast("int").as("p")))
       .join(hits, col("q_id") === col("h_qid") && col("p") === col("h_p"),
         "left_outer")
       .select(col("q_id"), col("p").cast(LongType).as("nprobe"),
@@ -898,7 +914,7 @@ object VectorOps extends QueryModule {
          |qtop AS (
          |  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
          |         c_id AS q_cid, crk AS q_crk
-         |  FROM ranked WHERE vec_id < 10 AND crk <= 3),
+         |  FROM ranked WHERE vec_id < 10 AND crk <= $ivfProbeSweepMax),
          |cands AS (
          |  SELECT q_id, n_id, q_crk,
          |         round(${dotSql("q_emb", "n_emb")} / (q_nrm * n_nrm), 6)
@@ -907,7 +923,7 @@ object VectorOps extends QueryModule {
          |    ON q_cid = n_cid AND n_id <> q_id),
          |lv AS (
          |  SELECT q_id, n_id, cos, p
-         |  FROM cands CROSS JOIN range(1, 4) t(p)
+         |  FROM cands CROSS JOIN range(1, ${ivfProbeSweepMax + 1}) t(p)
          |  WHERE q_crk <= p),
          |ptop AS (
          |  SELECT q_id, p, n_id FROM (
@@ -933,7 +949,8 @@ object VectorOps extends QueryModule {
          |  GROUP BY 1, 2),
          |spine AS (
          |  SELECT vec_id AS q_id, p
-         |  FROM em CROSS JOIN range(1, 4) t(p) WHERE vec_id < 10)
+         |  FROM em CROSS JOIN range(1, ${ivfProbeSweepMax + 1}) t(p)
+         |  WHERE vec_id < 10)
          |SELECT q_id, CAST(p AS BIGINT) AS nprobe,
          |       CAST(coalesce(hit_ct, 0) AS BIGINT) AS recall_ct,
          |       round(CAST(coalesce(hit_ct, 0) AS DOUBLE) / 5, 6)
@@ -1257,14 +1274,15 @@ object VectorOps extends QueryModule {
          |  SELECT vec_id, embedding, nrm, c_id,
          |         $dotCE / (nrm * c_nrm) AS c_cos
          |  FROM em CROSS JOIN cent),
+         |ranked0 AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crk
+         |  FROM assign0),
          |assigned AS (
-         |  SELECT vec_id, embedding, nrm, c_id FROM (
-         |    SELECT *, row_number() OVER
-         |      (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crk
-         |    FROM assign0) WHERE crk = 1),
+         |  SELECT vec_id, embedding, nrm, c_id FROM ranked0 WHERE crk = 1),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
          |             c_id AS q_cid
-         |      FROM assigned WHERE vec_id < 10),
+         |      FROM ranked0 WHERE vec_id < 10 AND crk <= $ivfNprobe),
          |pairs AS (
          |  SELECT q_id, a.vec_id AS n_id,
          |         round($dotQN / (q_nrm * a.nrm), 6) AS cos

@@ -271,6 +271,33 @@ object WindowAggs extends QueryModule {
       divFloor(pick(0.95), 1000000L).as("p95_latency_s"))
   }
 
+  /** a22: per-channel landing bounce rate — the traffic-window family's
+    * user-jump metric (the reference pairs
+    * DwsTrafficVcChArIsNewPageViewWindow's vc/ch/ar/is_new page-view
+    * window with a CEP user-jump detail stream whose downstream report
+    * is exactly bounced/total per dimension). Sessions are a23's 30-min
+    * inactivity islands ([[sessionized]] — one shared gap rule, see its
+    * doc); a session belongs to its LANDING event's channel (min
+    * (us, event_id) — a genuine total order, so the landing pick is
+    * deterministic), and a bounce is a single-event session — the CEP
+    * pattern "entry followed by nothing within the gap" stated
+    * declaratively. Scale: both aggregations ride the user_id Exchange
+    * the sessionization already pays; the per-channel rollup is
+    * |channels| rows with a map-side partial. */
+  private def bounceRate(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("ev_ct"),
+        min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("landing"))
+      .select(col("landing.event_type").as("ch"), col("ev_ct"))
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("session_ct"),
+        sum(when(col("ev_ct") === 1, 1L).otherwise(0L)).as("bounce_ct"))
+      .select(col("ch"), col("session_ct"), col("bounce_ct"),
+        round(col("bounce_ct").cast(DoubleType) / col("session_ct"), 6)
+          .as("bounce_rate"))
+
   /** a28 (beyond-reference): rolling 7-day active users — the DAU/WAU
     * stickiness report. Rolling DISTINCT counts can't ride a window
     * frame (distinct doesn't decompose over frames), so the scalable
@@ -353,6 +380,7 @@ object WindowAggs extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a22_bounce_rate" -> bounceRate,
     "a29_top_paths" -> topPaths,
     "a28_rolling_wau" -> rollingWau,
     "a27_conversion_latency" -> conversionLatency,
@@ -467,6 +495,32 @@ object WindowAggs extends QueryModule {
          |              THEN lat_us END) // 1000000 AS BIGINT)
          |         AS p95_latency_s
          |FROM r""".stripMargin,
+    "a22_bounce_rate" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $sessGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM g),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+         |               ORDER BY us, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY user_id, sess) AS ev_ct
+         |  FROM sess),
+         |land AS (SELECT event_type AS ch, ev_ct FROM ranked WHERE rn = 1)
+         |SELECT ch, CAST(count(*) AS BIGINT) AS session_ct,
+         |       CAST(sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS bounce_ct,
+         |       round(CAST(sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 6) AS bounce_rate
+         |FROM land GROUP BY 1""".stripMargin,
     "a23_session_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

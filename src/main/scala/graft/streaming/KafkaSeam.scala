@@ -29,4 +29,18 @@ object KafkaSeam {
   def toKafka(df: DataFrame, keyExpr: Column): DataFrame =
     df.select(keyExpr.cast("string").cast("binary").as("key"),
       to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+
+  /** CDC wire form (the topic_db path DimApp/BaseDbApp consume —
+    * BaseSQLApp.java:55-68 / FlinkSourceUtil.java:23-58): Maxwell and
+    * Debezium publish the envelope JSON as the message BODY, so the
+    * record value is the raw envelope bytes (no re-wrapping) and the key
+    * carries the source row's PK for partition affinity. */
+  def envelopeToKafka(envs: DataFrame, keyExpr: Column): DataFrame =
+    envs.select(keyExpr.cast("string").cast("binary").as("key"),
+      col("envelope").cast("binary").as("value"))
+
+  /** The consumer half: value bytes → the envelope string column the
+    * app pipelines parse (SimpleStringSchema). */
+  def envelopeFromKafka(df: DataFrame): DataFrame =
+    df.select(col("value").cast("string").as("envelope"))
 }

@@ -46,6 +46,10 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
     * without the marker and readers skip it, the minimum crash-safety
     * slice of the lakehouse commit protocol (full ACID still needs the
     * real table format — see the class doc). */
+  /** Committed versions, exposed for the [[LakehouseTable]] seam's
+    * next-version bookkeeping. */
+  private[streaming] def committedVersions: Seq[Long] = versions
+
   private def versions: Seq[Long] =
     Option(new java.io.File(storeDir).listFiles())
       .getOrElse(Array.empty).toSeq

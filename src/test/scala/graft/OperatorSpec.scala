@@ -221,6 +221,24 @@ class OperatorSpec extends SparkSuite {
       .filter(col("ndv") =!= n).count() == 0)
   }
 
+  test("a22 bounce rate: rates bounded, sessions reconcile with a23") {
+    val r = q("a22_bounce_rate").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (sess, bounce) = (row.getLong(1), row.getLong(2))
+      assert(bounce >= 0 && bounce <= sess, s"bounce > sessions: $row")
+      val rate = row.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - bounce.toDouble / sess) < 1e-6)
+    }
+    // every session lands on exactly one channel: the per-channel
+    // session counts must sum to a23's corpus-wide session count
+    // (same 30-min-gap sessionization — the shared-core contract)
+    val total = r.map(_.getLong(1)).sum
+    val a23 = q("a23_session_funnel").head.getLong(0)
+    assert(total == a23, s"a22 sessions $total != a23 sessions $a23")
+  }
+
   test("j12 referential audit: counts partition, star schema is clean") {
     val r = q("j12_ref_integrity")
     assert(r.count() == 3)

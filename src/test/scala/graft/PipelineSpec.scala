@@ -191,6 +191,64 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("merge sink survives a mid-batch crash: restart replays idempotently (W10)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The reference runs 5 s EXACTLY_ONCE checkpoints (BaseApp.java:35);
+    // Spark's equivalent contract is checkpointed offsets + an idempotent
+    // per-batchId sink. Crash INJECTED at the worst moment: the merge has
+    // committed its version, the query dies before acknowledging the
+    // batch — restart must replay the same batchId onto the
+    // already-merged store and converge to the uninterrupted answer.
+    val store = tmp("crash_store")
+    val ck = tmp("crash_ck")
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    def mkSink() = new streaming.VersionedParquetMergeSink(
+      store, "id", "seq", "op", Seq("payload"))
+    @volatile var crashAfterMerge = false
+    def start() = source.toDF().toDF("id", "op", "payload", "seq")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        mkSink().merge(batch, id)
+        if (crashAfterMerge) {
+          crashAfterMerge = false
+          throw new RuntimeException("injected crash after merge commit")
+        }
+      }
+      .start()
+    val sq1 = start()
+    source.addData((1L, "upsert", 10.0, 1L), (2L, "upsert", 5.0, 2L))
+    sq1.processAllAvailable()
+    // batch 1 merges, then the query dies before the commit is acked
+    crashAfterMerge = true
+    source.addData((1L, "delete", 0.0, 3L), (2L, "upsert", 6.0, 4L),
+      (3L, "upsert", 7.0, 5L))
+    intercept[Exception] { sq1.processAllAvailable() }
+    sq1.stop()
+    // restart from the checkpoint: batch 1 is replayed with the SAME
+    // batchId onto a store that already contains its effects
+    val sq2 = start()
+    sq2.processAllAvailable(); sq2.stop()
+    val recovered = mkSink().current(spark)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // uninterrupted twin over the same two batches
+    val refStore = tmp("crash_ref")
+    val ref = new streaming.VersionedParquetMergeSink(
+      refStore, "id", "seq", "op", Seq("payload"))
+    ref.merge(Seq((1L, "upsert", 10.0, 1L), (2L, "upsert", 5.0, 2L))
+      .toDF("id", "op", "payload", "seq"), 0L)
+    ref.merge(Seq((1L, "delete", 0.0, 3L), (2L, "upsert", 6.0, 4L),
+      (3L, "upsert", 7.0, 5L)).toDF("id", "op", "payload", "seq"), 1L)
+    val want = ref.current(spark)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recovered == want,
+      s"post-crash store $recovered != uninterrupted $want")
+    assert(recovered == Map(2L -> 6.0, 3L -> 7.0))
+  }
+
   test("merge sink: never-seen column keeps its real type once produced") {
     import spark.implicits._
     import org.apache.spark.sql.types.DoubleType
@@ -219,6 +277,47 @@ class PipelineSpec extends SparkSuite {
     sink.merge(Seq((1L, "upsert", "a2", 4L)).toDF("id", "op", "name", "seq"),
       3L)
     assert(sink.current(spark).schema("score").dataType == DoubleType)
+  }
+
+  test("lakehouse seam: DeltaTable-shaped merge chain == direct sink merge") {
+    import spark.implicits._
+    val dir = tmp("lake")
+    val table: streaming.LakehouseTable =
+      new streaming.ParquetLakehouseTable(dir, "id", "seq", "op",
+        Seq("payload"))
+    // the exact foreachBatch body a Delta deployment would run —
+    // compiled against the trait, so the swap is re-binding `table`
+    def applyBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+      table.merge(batch, "target.id = source.id")
+        .whenMatchedDelete("source.op = 'delete'")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    applyBatch(Seq((1L, "upsert", 10.0, 1L), (2L, "upsert", 5.0, 2L))
+      .toDF("id", "op", "payload", "seq"))
+    applyBatch(Seq((1L, "delete", 0.0, 3L), (3L, "upsert", 7.0, 4L))
+      .toDF("id", "op", "payload", "seq"))
+    val got = table.toDF(spark)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 5.0, 3L -> 7.0), s"merge chain state: $got")
+    // time travel + vacuum ride the same seam
+    assert(table.versionAsOf(spark, 0L).count() == 2)
+    assert(table.vacuum(1).nonEmpty)
+    intercept[IllegalArgumentException] {
+      table.versionAsOf(spark, 0L).count()
+    }
+    // the seam is NARROWER than Delta, never wider: unsupported clause
+    // combinations fail upfront instead of silently meaning less
+    intercept[UnsupportedOperationException] {
+      table.merge(Seq((9L, "upsert", 1.0, 9L))
+          .toDF("id", "op", "payload", "seq"), "target.id = source.id")
+        .whenMatchedUpdateAll().execute()
+    }
+    intercept[IllegalArgumentException] {
+      table.merge(Seq((9L, "upsert", 1.0, 9L))
+        .toDF("id", "op", "payload", "seq"), "target.other = source.other")
+    }
   }
 
   test("p17 tombstone ledger: kept + purged = total, broadcast probe") {

@@ -168,8 +168,9 @@ class SketchSpec extends SparkSuite {
   }
 
   test("v18: probe-recall curve is monotone in nprobe per query") {
+    val ops = graft.operators.VectorOps
     val r = q("v18_probe_recall")
-    assert(r.count() == 30) // 10 queries x probes 1..3
+    assert(r.count() == 10L * ops.ivfProbeSweepMax) // queries x probes
     assert(r.filter(col("recall_ct") < 0 || col("recall_ct") > 5)
       .count() == 0)
     // searching MORE cells can only add candidates — recall is
@@ -182,6 +183,14 @@ class SketchSpec extends SparkSuite {
       assert(cts.sliding(2).forall(p => p(0) <= p(1)),
         s"recall not monotone: ${cts.toSeq}")
     }
+    // the SHIPPED setting (v3's ivfNprobe — one shared constant) sits
+    // inside the sweep, and the curve's aggregate recall AT that
+    // setting meets the serving contract OperatorSpec asserts for v3:
+    // retuning nprobe from this curve moves both together
+    assert(ops.ivfNprobe <= ops.ivfProbeSweepMax)
+    val atShipped = r.filter(col("nprobe") === ops.ivfNprobe)
+      .agg(sum(col("recall_ct"))).head.getLong(0)
+    assert(atShipped >= 10, s"recall@5 at shipped nprobe: $atShipped/50")
   }
 
   test("v17: DB index covers every vector, ratios positive") {

@@ -283,6 +283,60 @@ class StreamingSpec extends SparkSuite {
       "kafka-shaped source path != file-stream path")
   }
 
+  test("kafka-wire seam: BaseDbApp routes identically off the CDC wire format") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val app = graft.streaming.BaseDbApp
+    val envs = app.envelopes(spark, sf)
+    // CDC wire: value bytes ARE the Maxwell envelope (no re-wrapping),
+    // key = the source row's PK — the exact byte layout a broker-backed
+    // deployment consumes (BaseSQLApp.java:55-68 fidelity)
+    val wire = graft.streaming.KafkaSeam.envelopeToKafka(envs,
+        get_json_object(col("envelope"), "$.data.id"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Array[Byte], Array[Byte])]
+    source.addData(wire.toSeq)
+    val kafkaShaped = source.toDF().toDF("key", "value")
+    // MapType doesn't support set ops — compare on sorted entry lists
+    def comparable(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sink_table"),
+        array_sort(map_entries(col("data"))).as("data_kv"))
+    val viaKafka = comparable(runStream(app.routed(spark,
+      graft.streaming.KafkaSeam.envelopeFromKafka(kafkaShaped)),
+      "basedb_kafka", "append"))
+    val direct = comparable(app.routed(spark, envs))
+    assert(viaKafka.count() > 0)
+    assert(viaKafka.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaKafka).count() == 0,
+      "kafka-wire route store != direct path")
+  }
+
+  test("kafka-wire seam: DimApp parses identically off the CDC wire format") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val app = graft.streaming.DimApp
+    val envs = app.envelopes(spark, sf)
+    val wire = graft.streaming.KafkaSeam.envelopeToKafka(envs,
+        get_json_object(col("envelope"), "$.data.id"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Array[Byte], Array[Byte])]
+    source.addData(wire.toSeq)
+    val kafkaShaped = source.toDF().toDF("key", "value")
+    def comparable(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sink_table"), col("id"), col("op"), col("seq"),
+        array_sort(map_entries(col("data"))).as("data_kv"))
+    val viaKafka = comparable(runStream(app.parsedDims(spark,
+      graft.streaming.KafkaSeam.envelopeFromKafka(kafkaShaped)),
+      "dim_kafka", "append"))
+    val direct = comparable(app.parsedDims(spark, envs))
+    assert(viaKafka.count() > 0)
+    assert(viaKafka.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaKafka).count() == 0,
+      "kafka-wire dim rows != direct path")
+  }
+
   test("daily-first state survives across micro-batches (MemoryStream)") {
     import spark.implicits._
     import graft.streaming.StatefulStreams.{DailyFirst, UserEvent}
