@@ -578,6 +578,65 @@ object CurationOps extends QueryModule {
     fuzzyContaminationFor(d.filter(!isEval), d.filter(isEval), 0.5)
   }
 
+  /** c15: per-eval-doc decontamination report — the release-gate
+    * verdict table that composes BOTH lenses the GPT-3 appendix-C
+    * lineage runs: c5's exact 3-gram overlap (verbatim quotes) and
+    * c17's MinHash-LSH near-dup verify (paraphrased copies). One row
+    * per eval doc (dense — a missing row would read as "not checked"),
+    * with the train-doc hit count under each lens and the verdict:
+    * `exact` dominates `fuzzy` dominates `clean`. Scale: both inputs
+    * are the same shingle/band joins c5/c17 already pay (eval side
+    * tiny → broadcast); the report adds two |eval|-sized rollups and
+    * two left joins on eval_id. */
+  private def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    val train = d.filter(!isEval)
+    val ev = d.filter(isEval)
+    val exact = contaminationFor(train, ev, 3L)
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("e_ct"))
+    val fuzzy = fuzzyContaminationFor(train, ev, 0.5)
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("f_ct"))
+    ev.select(col("doc_id").as("eval_id"))
+      .join(exact, Seq("eval_id"), "left_outer")
+      .join(fuzzy, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"),
+        coalesce(col("e_ct"), lit(0L)).as("exact_ct"),
+        coalesce(col("f_ct"), lit(0L)).as("fuzzy_ct"),
+        when(coalesce(col("e_ct"), lit(0L)) > 0, "exact")
+          .when(coalesce(col("f_ct"), lit(0L)) > 0, "fuzzy")
+          .otherwise("clean").as("verdict"))
+  }
+
+  /** c21: data-constrained epoch plan — the repetition allocator from
+    * the data-constrained scaling recipe (Muennighoff et al., NeurIPS
+    * 2023: up to ~4 epochs of a constrained source are nearly as good
+    * as fresh tokens; beyond that returns decay): given a token budget
+    * of 2× the corpus and a uniform per-source target, each source
+    * plans epochs = min(4, target/available) and contributes
+    * min(target, 4×available) tokens, surfacing the unfilled remainder
+    * the mixer must re-allocate. All integer math except the epoch
+    * ratio (exact integer division per engine — `div`/`//` parity);
+    * one per-source aggregation + a broadcast 1-row total. */
+  private def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(tokenize(col("text"))).cast(LongType))
+        .as("src_tokens"))
+    val tot = t.agg(sum(col("src_tokens")).as("total"),
+      count(lit(1)).as("nsrc"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("(2 * total) div nsrc"))
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        round(least(lit(4.0), col("target_tokens").cast(DoubleType) /
+          col("src_tokens")), 6).as("epochs"),
+        least(col("target_tokens"), lit(4L) * col("src_tokens"))
+          .as("planned_tokens"),
+        greatest(lit(0L), col("target_tokens") -
+          lit(4L) * col("src_tokens")).as("unfilled_tokens"))
+  }
+
   /** c18: corpus snapshot diff — the release-to-release change report
     * every versioned dataset publishes (and the input to incremental
     * re-processing: only `added`+`changed` docs need re-embedding /
@@ -754,7 +813,9 @@ object CurationOps extends QueryModule {
     "c11_temperature_mix" -> temperatureMix,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
+    "c15_decontam_report" -> decontamReport,
     "c17_fuzzy_contamination" -> fuzzyContamination,
+    "c21_epoch_plan" -> epochPlan,
     "c18_snapshot_diff" -> snapshotDiff,
     "c19_curriculum_phases" -> curriculumPhases,
     "c20_release_manifest" -> releaseManifest,
@@ -1028,6 +1089,72 @@ object CurationOps extends QueryModule {
          |JOIN fsizes sb ON eval_id = sb.doc_id
          |WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct)
          |      >= 0.5""".stripMargin,
+    "c15_decontam_report" ->
+      s"""WITH ${DedupOps.candidateCte},
+         |sh0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |        FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 1) + 1),
+         |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+         |  FROM sh0),
+         |extr AS (SELECT doc_id AS train_id, shingle FROM sh
+         |         WHERE doc_id % 37 <> 0),
+         |exev AS (SELECT doc_id AS eval_id, shingle FROM sh
+         |         WHERE doc_id % 37 = 0),
+         |expairs AS (
+         |  SELECT train_id, eval_id FROM extr JOIN exev USING (shingle)
+         |  GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3),
+         |ect AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS e_ct
+         |        FROM expairs GROUP BY 1),
+         |ftr AS (SELECT doc_id AS train_id, band_no, band_sig FROM stacked
+         |        WHERE doc_id % 37 <> 0),
+         |fev AS (SELECT doc_id AS eval_id, band_no, band_sig FROM stacked
+         |        WHERE doc_id % 37 = 0),
+         |fcand AS (SELECT DISTINCT train_id, eval_id
+         |          FROM ftr JOIN fev USING (band_no, band_sig)),
+         |fsz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |fint AS (
+         |  SELECT train_id, eval_id, count(*) AS inter_ct
+         |  FROM fcand
+         |  JOIN toks ta ON train_id = ta.doc_id
+         |  JOIN toks tb ON eval_id = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY 1, 2),
+         |fct AS (
+         |  SELECT eval_id, CAST(count(*) AS BIGINT) AS f_ct
+         |  FROM fint
+         |  JOIN fsz sa ON train_id = sa.doc_id
+         |  JOIN fsz sb ON eval_id = sb.doc_id
+         |  WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) >= 0.5
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS eval_id,
+         |       coalesce(e_ct, 0) AS exact_ct,
+         |       coalesce(f_ct, 0) AS fuzzy_ct,
+         |       CASE WHEN coalesce(e_ct, 0) > 0 THEN 'exact'
+         |            WHEN coalesce(f_ct, 0) > 0 THEN 'fuzzy'
+         |            ELSE 'clean' END AS verdict
+         |FROM documents d
+         |LEFT JOIN ect ON d.doc_id = ect.eval_id
+         |LEFT JOIN fct ON d.doc_id = fct.eval_id
+         |WHERE d.doc_id % 37 = 0""".stripMargin,
+    "c21_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS src_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS nsrc FROM t)
+        |SELECT source, src_tokens,
+        |       CAST((2 * total) // nsrc AS BIGINT) AS target_tokens,
+        |       round(least(4.0,
+        |         CAST((2 * total) // nsrc AS DOUBLE) / src_tokens), 6)
+        |         AS epochs,
+        |       CAST(least((2 * total) // nsrc, 4 * src_tokens) AS BIGINT)
+        |         AS planned_tokens,
+        |       CAST(greatest(0, (2 * total) // nsrc - 4 * src_tokens)
+        |            AS BIGINT) AS unfilled_tokens
+        |FROM t CROSS JOIN tot""".stripMargin,
     "c5_contamination" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |            FROM documents),

@@ -348,6 +348,42 @@ object DedupOps extends QueryModule {
         round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
   }
 
+  /** d8: incremental crawl dedup, batch form — the oracle-checked twin
+    * of [[graft.streaming.IncrementalDedup]]'s new×store discipline:
+    * the lexicographically-last source plays "today's crawl"; its docs
+    * are signed by the SHARED banding stage ([[stackedBands]], native
+    * one-pass minhash) and candidates come from a cross-shard
+    * (band_no, band_sig) bucket join against the accumulated store
+    * shards ONLY — the new batch pays its own signature cost and its
+    * own collision work, never store×store. Exact unigram-Jaccard ≥ 0.8
+    * verify; per new doc, the dup count and its best store match
+    * (max rounded-jaccard, min store id on ties — a total order).
+    * At 100 TB the store side keeps a standing band table and each
+    * crawl day joins into it — exactly this plan with the store bands
+    * read instead of recomputed. */
+  private def crawlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val newSrc = d.agg(max(col("source")).as("new_src"))
+    val bands = stackedBands(d).crossJoin(broadcast(newSrc))
+    val newB = bands.filter(col("source") === col("new_src"))
+      .select(col("doc_id").as("a_id"), col("band_no"), col("band_sig"))
+    val oldB = bands.filter(col("source") =!= col("new_src"))
+      .select(col("doc_id").as("b_id"), col("band_no"), col("band_sig"))
+    val cand = newB.join(oldB, Seq("band_no", "band_sig"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val toks = d.select(col("doc_id"),
+      array_distinct(tokenize(col("text"))).as("elems"))
+    verifyByJaccard(cand, toks, "jaccard", jaccardThreshold)
+      .groupBy(col("a_id").as("new_id"))
+      .agg(count(lit(1)).as("dup_ct"),
+        max(struct(round(col("jaccard"), 6).as("j"),
+          (-col("b_id")).as("nb"))).as("best"))
+      .select(col("new_id"), col("dup_ct"),
+        col("best.j").as("best_jaccard"),
+        (-col("best.nb")).as("best_store_id"))
+  }
+
   /** d9: threshold-sweep curve — the tuning table for THE dedup knob:
     * exact unigram Jaccard for every LSH candidate (unthresholded),
     * bucketed to 0.1-wide bands with the count per band and the
@@ -389,6 +425,7 @@ object DedupOps extends QueryModule {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "d8_crawl_dedup" -> crawlDedup,
     "d9_threshold_sweep" -> thresholdSweep,
     "d7_minhash_estimate" -> minhashEstimate,
     "d1_exact_dup_groups" -> exactDupGroups,
@@ -466,6 +503,41 @@ object DedupOps extends QueryModule {
        |        >= $jaccardThreshold)""".stripMargin
 
   val oracles = Map(
+    "d8_crawl_dedup" ->
+      s"""WITH $candidateCte,
+         |ns AS (SELECT max(source) AS new_src FROM documents),
+         |cand8 AS (
+         |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+         |  FROM stacked l
+         |  JOIN stacked r ON l.band_no = r.band_no
+         |                AND l.band_sig = r.band_sig
+         |  CROSS JOIN ns
+         |  WHERE l.source = ns.new_src AND r.source <> ns.new_src),
+         |sz8 AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         |in8 AS (
+         |  SELECT a_id, b_id, count(*) AS inter_ct
+         |  FROM cand8
+         |  JOIN toks ta ON a_id = ta.doc_id
+         |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY 1, 2),
+         |ver8 AS (
+         |  SELECT a_id, b_id,
+         |         round(CAST(inter_ct AS DOUBLE)
+         |               / (sa.n + sb.n - inter_ct), 6) AS j
+         |  FROM in8
+         |  JOIN sz8 sa ON a_id = sa.doc_id
+         |  JOIN sz8 sb ON b_id = sb.doc_id
+         |  WHERE CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct)
+         |        >= $jaccardThreshold),
+         |best8 AS (
+         |  SELECT a_id, b_id, j, row_number() OVER
+         |    (PARTITION BY a_id ORDER BY j DESC, b_id) AS rn
+         |  FROM ver8),
+         |ct8 AS (SELECT a_id, CAST(count(*) AS BIGINT) AS dup_ct
+         |        FROM ver8 GROUP BY 1)
+         |SELECT ct8.a_id AS new_id, dup_ct, j AS best_jaccard,
+         |       b_id AS best_store_id
+         |FROM ct8 JOIN best8 ON ct8.a_id = best8.a_id AND rn = 1""".stripMargin,
     "d9_threshold_sweep" ->
       s"""WITH $candidateCte,
          |tsz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),

@@ -213,6 +213,64 @@ class CurationSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("c15 decontam report: dense over eval, verdicts reconcile with c5/c17") {
+    val r = q("c15_decontam_report")
+    // dense: one row per eval doc, clean or not
+    val evalCt = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(37L)) === 0).count()
+    assert(r.count() == evalCt)
+    // counts reconcile with the single-lens queries
+    val exact = q("c5_contamination").groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("want_e"))
+    assert(r.join(exact, Seq("eval_id"))
+      .filter(col("exact_ct") =!= col("want_e")).count() == 0)
+    val fuzzy = q("c17_fuzzy_contamination").groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("want_f"))
+    assert(r.join(fuzzy, Seq("eval_id"))
+      .filter(col("fuzzy_ct") =!= col("want_f")).count() == 0)
+    // verdict precedence: exact > fuzzy > clean
+    assert(r.filter(col("verdict") === "exact" && col("exact_ct") === 0)
+      .count() == 0)
+    assert(r.filter(col("verdict") === "fuzzy" &&
+      (col("fuzzy_ct") === 0 || col("exact_ct") > 0)).count() == 0)
+    assert(r.filter(col("verdict") === "clean" &&
+      (col("exact_ct") > 0 || col("fuzzy_ct") > 0)).count() == 0)
+  }
+
+  test("c21 epoch plan: caps honored, budget accounting closes") {
+    val r = q("c21_epoch_plan").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (src, target) = (row.getLong(1), row.getLong(2))
+      val epochs = row.getDouble(3)
+      val (planned, unfilled) = (row.getLong(4), row.getLong(5))
+      assert(epochs > 0 && epochs <= 4.0)
+      assert(planned == math.min(target, 4 * src))
+      // planned + unfilled covers the target exactly when capped
+      assert(planned + unfilled == math.max(target, planned))
+      assert(unfilled == math.max(0L, target - 4 * src))
+    }
+    // targets are equal across sources (uniform mix) up to int division
+    assert(r.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("d8 crawl dedup: new-shard discipline, d3 cross-shard agreement") {
+    val r = q("d8_crawl_dedup")
+    val newSrc = Tables(spark, sf, "documents")
+      .agg(max(col("source"))).head.getString(0)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+    // every reported new_id is in the crawl shard; every best match is
+    // in the store
+    assert(r.join(docs, col("new_id") === col("doc_id"))
+      .filter(col("source") =!= newSrc).count() == 0)
+    assert(r.join(docs, col("best_store_id") === col("doc_id"))
+      .filter(col("source") === newSrc).count() == 0)
+    assert(r.filter(col("best_jaccard") < 0.8 ||
+      col("best_jaccard") > 1.000001).count() == 0)
+    assert(r.filter(col("dup_ct") <= 0).count() == 0)
+  }
+
   test("c18 snapshot diff conserves documents and sees every class") {
     val r = q("c18_snapshot_diff")
     // union of the two snapshots per source = sum of the four classes
