@@ -51,7 +51,8 @@ object Bench {
     // pairs (the c1/c2/c14/c16/c22 substrate) — the driver-iterated
     // fixpoint runs eagerly inside the call
     val labelConsumers = Set("c1_dedup_clusters", "c2_kept_corpus",
-      "c14_canonical_selection", "c16_data_card", "c22_dedup_waterfall")
+      "c14_canonical_selection", "c16_data_card", "c22_dedup_waterfall",
+      "c23_cluster_split")
     if (selected.map(_._1).exists(labelConsumers)) {
       val p0 = System.nanoTime()
       operators.CurationOps.clusterLabels(spark, sfDir).count()

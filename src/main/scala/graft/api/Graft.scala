@@ -122,6 +122,43 @@ object Graft {
   def repetitionSignals(docs: DataFrame): DataFrame =
     graft.operators.QualityOps.repetitionSignalsFor(docs)
 
+  /** Gopher-style within-doc repetition gate per document over a
+    * (doc_id, text) frame: most-common-token count, duplicate 2-/3-gram
+    * counts, and the combined integer-only `flagged` verdict. */
+  def repetitionGate(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.repetitionGateFor(docs)
+
+  /** Vocabulary-coverage / OOV audit over a (source, text) frame: fixes
+    * the corpus vocabulary at the `vocabSize` most frequent tokens
+    * (count DESC, token total order) and reports per-source OOV token
+    * mass, distinct OOV types, and the OOV rate. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 500): DataFrame =
+    graft.operators.TextOps.vocabCoverageFor(docs, vocabSize)
+
+  /** Cluster-aware leakage-free split over a (doc_id, text) frame: docs
+    * are near-dup-paired (MinHash-LSH + exact Jaccard at `threshold`),
+    * components labeled, and the md5 split key is the COMPONENT label
+    * (singletons label themselves) — so an entire near-dup cluster
+    * lands in one split by construction. Returns the input plus
+    * `cluster_label` and `split`. */
+  def clusterAwareSplit(docs: DataFrame, threshold: Double = 0.8,
+      trainPct: Int = 70, valPct: Int = 15): DataFrame = {
+    val labels = componentLabels(
+      nearDupPairs(docs, threshold).select(col("a_id"), col("b_id")))
+    val labeled = docs
+      .join(labels, docs("doc_id") === labels("id"), "left_outer")
+      .drop("id")
+      .withColumn("cluster_label", coalesce(col("label"), col("doc_id")))
+      .drop("label")
+    hashSplit(labeled, col("cluster_label"), trainPct, valPct)
+  }
+
+  /** Trailing-28-day z-score anomaly flags over an arbitrary daily
+    * series (cur_date, amt DECIMAL(18,2)): exact DECIMAL window
+    * sums → fixed IEEE mean/var/z chain, `anomaly` = |z| > 2. */
+  def zscoreAnomalies(daily: DataFrame): DataFrame =
+    graft.operators.Serving.zscoreAnomalyFor(daily)
+
   // ---- generic relational patterns ---------------------------------------
 
   /** Top-k rows per group by `order` descending (ties broken by the

@@ -238,13 +238,45 @@ object CurationOps extends QueryModule {
     * stable under re-sharding, no RNG, leakage-free across engines. */
   /** md5 percent-bucket of doc_id — the ONE source of the c3/c6/c20
     * deterministic assignment (oracle twin: `hex4ToIntSql % 100`). */
-  private def md5Bucket: Column = pmod(
-    conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+  private def md5BucketOf(c: Column): Column = pmod(
+    conv(substring(md5(c.cast(StringType)), 1, 4), 16, 10)
       .cast(LongType), lit(100L))
+
+  private def md5Bucket: Column = md5BucketOf(col("doc_id"))
 
   /** The c3 split rule over that bucket (train <70, val <85, test). */
   private def splitOf(bucket: Column): Column =
     when(bucket < 70, "train").when(bucket < 85, "val").otherwise("test")
+
+  /** c23: cluster-aware leakage-free split — the fix for the failure
+    * mode c3's doc-level split cannot see: two NEAR-DUPLICATE documents
+    * hashing to different splits puts a paraphrase of a training doc in
+    * the test set (the train/test contamination c5/c17 would then have
+    * to catch after the fact). Here the split key is the near-dup
+    * COMPONENT label (the memoized c1 labels; singletons label
+    * themselves), so an entire near-dup cluster moves as one unit by
+    * construction — leakage is impossible rather than audited.
+    * `moved_ct` counts the docs whose cluster-level split disagrees
+    * with their c3 doc-level split: the price of safety, reported per
+    * split. Scale: one broadcast-sized label join over the memoized
+    * pair-graph labels (same family amortization as c14/c22) + one
+    * map-side bucket hash + one split-keyed rollup. */
+  private def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), size(tokenize(col("text")))
+        .cast(LongType).as("n_tokens"))
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .withColumn("glabel", coalesce(col("label"), col("doc_id")))
+      .withColumn("split", splitOf(md5BucketOf(col("glabel"))))
+      .withColumn("doc_split", splitOf(md5Bucket))
+    d.groupBy(col("split"))
+      .agg(count(lit(1)).as("doc_ct"),
+        countDistinct(col("glabel")).as("cluster_ct"),
+        sum(col("n_tokens")).as("tok_sum"),
+        sum(when(col("split") =!= col("doc_split"), 1L).otherwise(0L))
+          .as("moved_ct"))
+  }
 
   private def hashSplit(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
@@ -824,6 +856,7 @@ object CurationOps extends QueryModule {
     "c1_dedup_clusters" -> dedupClusters,
     "c2_kept_corpus" -> keptCorpus,
     "c3_hash_split" -> hashSplit,
+    "c23_cluster_split" -> clusterSplit,
     "c10_weighted_sample" -> weightedSample,
     "c4_topk_per_group" -> topkPerGroup,
     // the heap twin is oracle-checked against the SAME SQL as c4: two
@@ -1291,6 +1324,31 @@ object CurationOps extends QueryModule {
          |       count(*) AS doc_ct, CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
          |       count(DISTINCT source) AS source_ct
          |FROM b GROUP BY 1""".stripMargin,
+    "c23_cluster_split" ->
+      s"""WITH RECURSIVE $labelCte,
+         |d AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         coalesce(lab.label, doc_id) AS glabel
+         |  FROM documents LEFT JOIN lab ON documents.doc_id = lab.id),
+         |b AS (
+         |  SELECT doc_id, n_tokens, glabel,
+         |         ${hex4ToIntSql("CAST(glabel AS VARCHAR)")} % 100 AS gb,
+         |         ${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} % 100 AS db
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, n_tokens, glabel,
+         |         CASE WHEN gb < 70 THEN 'train'
+         |              WHEN gb < 85 THEN 'val' ELSE 'test' END AS split,
+         |         CASE WHEN db < 70 THEN 'train'
+         |              WHEN db < 85 THEN 'val' ELSE 'test' END AS doc_split
+         |  FROM b)
+         |SELECT split, count(*) AS doc_ct,
+         |       count(DISTINCT glabel) AS cluster_ct,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+         |       CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS moved_ct
+         |FROM sp GROUP BY 1""".stripMargin,
     "c4_topk_per_group" -> topkSql,
     "x3_topk_heap" -> topkSql,
     "c10_weighted_sample" ->

@@ -68,8 +68,10 @@ object ScalePatterns extends QueryModule {
     * is `repartitionByRange($"zval")` + write — a distributed range
     * sort, no global window. The interleave itself is four mask-shift
     * rounds (standard Morton magic numbers), pure codegen'd integer
-    * arithmetic, identical in both engines. */
-  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    * arithmetic, identical in both engines. This shared stage emits the
+    * per-row (layout, bucket, ck, dt) assignment; x4 aggregates spans
+    * from it and x8 prices the file skipping it buys. */
+  private def zorderBucketRows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     // 8-bit spread (Morton magic numbers). Both dimensions are first
@@ -99,14 +101,77 @@ object ScalePatterns extends QueryModule {
       spread(col("ckn")).bitwiseOR(shiftleft(spread(col("dtn")), 1)))
     val zb = ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey")))
     val db = ntile(32).over(Window.orderBy(col("dt"), col("o_orderkey")))
-    val both = z.select(lit("zorder").as("layout"), zb.as("bucket"),
+    z.select(lit("zorder").as("layout"), zb.as("bucket"),
         col("ck"), col("dt"))
       .unionAll(z.select(lit("bydate").as("layout"), db.as("bucket"),
         col("ck"), col("dt")))
-    both.groupBy(col("layout"), col("bucket"))
+  }
+
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    zorderBucketRows(s, dir)
+      .groupBy(col("layout"), col("bucket"))
       .agg(count(lit(1)).as("row_ct"),
         (max(col("ck")) - min(col("ck"))).as("ck_span"),
         (max(col("dt")) - min(col("dt"))).as("dt_span"))
+
+  /** x8: file-skipping estimator — the number x4's layout exercise is
+    * FOR: treat each of the 32 buckets as a file with (ck, dt) min-max
+    * extents (exactly the parquet footer stats a scan planner prunes
+    * on), sweep a 4×4 grid of two-dimensional predicates (customer
+    * quartile × date quartile, integer-exact bounds from the data
+    * domain), and count the files each layout actually reads (extent
+    * overlaps the predicate box) vs skips. The date-sorted layout
+    * prunes only the date dimension — its ck extents span the whole
+    * domain, so every date-matching file is read; the z-order layout
+    * keeps BOTH extents narrow and skips the off-quartile files. Dense
+    * over (layout × predicate); at 100 TB this is the same arithmetic
+    * over the real file-stats catalog — metadata-sized, never data. */
+  private def skipStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ext = zorderBucketRows(s, dir)
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("row_ct"),
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("dt")).as("dt_min"), max(col("dt")).as("dt_max"))
+    val dom = ext.agg(
+      min(col("ck_min")).as("cklo"), max(col("ck_max")).as("ckhi"),
+      min(col("dt_min")).as("dtlo"), max(col("dt_max")).as("dthi"))
+    def lo(q: Column, l: Column, step: Column): Column = l + q * step
+    def hi(q: Column, l: Column, h: Column, step: Column): Column =
+      when(q === 3, h).otherwise(l + (q + 1) * step - 1)
+    val grid = s.range(0, 4).select(col("id").as("ck_q"))
+      .crossJoin(s.range(0, 4).select(col("id").as("dt_q")))
+    val preds = grid.crossJoin(broadcast(dom))
+      .withColumn("ck_step", expr("(ckhi - cklo + 1) div 4"))
+      .withColumn("dt_step", expr("(dthi - dtlo + 1) div 4"))
+      .select(col("ck_q"), col("dt_q"),
+        lo(col("ck_q"), col("cklo"), col("ck_step")).as("pck_lo"),
+        hi(col("ck_q"), col("cklo"), col("ckhi"), col("ck_step"))
+          .as("pck_hi"),
+        lo(col("dt_q"), col("dtlo"), col("dt_step")).as("pdt_lo"),
+        hi(col("dt_q"), col("dtlo"), col("dthi"), col("dt_step"))
+          .as("pdt_hi"))
+    val read = broadcast(preds).join(ext,
+        col("ck_min") <= col("pck_hi") && col("ck_max") >= col("pck_lo") &&
+          col("dt_min") <= col("pdt_hi") && col("dt_max") >= col("pdt_lo"))
+      .groupBy(col("layout").as("r_layout"), col("ck_q").as("r_ckq"),
+        col("dt_q").as("r_dtq"))
+      .agg(count(lit(1)).as("buckets_read"),
+        sum(col("row_ct")).as("rows_read"))
+    val bcnt = ext.groupBy(col("layout"))
+      .agg(count(lit(1)).as("bucket_ct"))
+    bcnt.crossJoin(grid)
+      .join(read, col("layout") === col("r_layout") &&
+        col("ck_q") === col("r_ckq") && col("dt_q") === col("r_dtq"),
+        "left_outer")
+      .select(col("layout"), col("ck_q"), col("dt_q"), col("bucket_ct"),
+        coalesce(col("buckets_read"), lit(0L)).as("buckets_read"),
+        (col("bucket_ct") - coalesce(col("buckets_read"), lit(0L)))
+          .as("buckets_skipped"),
+        coalesce(col("rows_read"), lit(0L)).as("rows_read"),
+        round((col("bucket_ct") -
+            coalesce(col("buckets_read"), lit(0L))).cast("double") /
+          col("bucket_ct").cast("double"), 6).as("skip_frac"))
   }
 
   /** Double-hash inputs for the bloom sketch: two independent 32-bit
@@ -279,6 +344,7 @@ object ScalePatterns extends QueryModule {
     "x2_salted_distinct" -> saltedDistinct,
     "x5_bloom_prefilter" -> bloomPrefilter,
     "x6_compaction_plan" -> compactionPlan,
+    "x8_skip_stats" -> skipStats,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
@@ -350,43 +416,94 @@ object ScalePatterns extends QueryModule {
     "x2_salted_distinct" ->
       """SELECT event_type AS ch, count(DISTINCT user_id) AS uv_ct
         |FROM events GROUP BY 1""".stripMargin,
-    "x4_zorder_layout" -> {
-      // min-max normalize to 8 bits, three mask-shift rounds per
-      // dimension, then interleave — the exact twin of the Spark side
-      val sp =
-        """s1 AS (SELECT o_orderkey, ck, dt,
-          |  ((ckn | (ckn << 4)) & 3855) AS cka,
-          |  ((dtn | (dtn << 4)) & 3855) AS dta FROM n),
-          |s2 AS (SELECT *, ((cka | (cka << 2)) & 13107) AS ckb,
-          |  ((dta | (dta << 2)) & 13107) AS dtb FROM s1),
-          |s3 AS (SELECT *, ((ckb | (ckb << 1)) & 21845) AS ckd,
-          |  ((dtb | (dtb << 1)) & 21845) AS dtd FROM s2)""".stripMargin
-      s"""WITH b AS (
-         |  SELECT o_orderkey, o_custkey AS ck,
-         |         date_diff('day', DATE '1992-01-01', o_orderdate) AS dt
-         |  FROM orders),
-         |mm AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
-         |              min(dt) AS dt_min, max(dt) AS dt_max FROM b),
-         |n AS (
-         |  SELECT o_orderkey, ck, dt,
-         |    CAST(floor((ck - ck_min) * 255.0
-         |               / greatest(ck_max - ck_min, 1)) AS BIGINT) AS ckn,
-         |    CAST(floor((dt - dt_min) * 255.0
-         |               / greatest(dt_max - dt_min, 1)) AS BIGINT) AS dtn
-         |  FROM b CROSS JOIN mm),
-         |$sp,
-         |zd AS (SELECT o_orderkey, ck, dt,
-         |              (ckd | (dtd << 1)) AS zval FROM s3),
-         |lay AS (
-         |  SELECT 'zorder' AS layout,
-         |         ntile(32) OVER (ORDER BY zval, o_orderkey) AS bucket,
-         |         ck, dt FROM zd
-         |  UNION ALL
-         |  SELECT 'bydate' AS layout,
-         |         ntile(32) OVER (ORDER BY dt, o_orderkey) AS bucket,
-         |         ck, dt FROM zd)
+    "x4_zorder_layout" ->
+      s"""WITH $zorderLayCte
          |SELECT layout, bucket, count(*) AS row_ct,
          |       max(ck) - min(ck) AS ck_span, max(dt) - min(dt) AS dt_span
-         |FROM lay GROUP BY 1, 2""".stripMargin
-    })
+         |FROM lay GROUP BY 1, 2""".stripMargin,
+    "x8_skip_stats" ->
+      s"""WITH $zorderLayCte,
+         |ext AS (
+         |  SELECT layout, bucket, CAST(count(*) AS BIGINT) AS row_ct,
+         |         min(ck) AS ck_min, max(ck) AS ck_max,
+         |         min(dt) AS dt_min, max(dt) AS dt_max
+         |  FROM lay GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT min(ck_min) AS cklo, max(ck_max) AS ckhi,
+         |         min(dt_min) AS dtlo, max(dt_max) AS dthi
+         |  FROM ext),
+         |grid AS (
+         |  SELECT a.r AS ck_q, b.r AS dt_q
+         |  FROM range(0, 4) a(r) CROSS JOIN range(0, 4) b(r)),
+         |preds AS (
+         |  SELECT ck_q, dt_q,
+         |         cklo + ck_q * ((ckhi - cklo + 1) // 4) AS pck_lo,
+         |         CASE WHEN ck_q = 3 THEN ckhi
+         |              ELSE cklo + (ck_q + 1) * ((ckhi - cklo + 1) // 4) - 1
+         |         END AS pck_hi,
+         |         dtlo + dt_q * ((dthi - dtlo + 1) // 4) AS pdt_lo,
+         |         CASE WHEN dt_q = 3 THEN dthi
+         |              ELSE dtlo + (dt_q + 1) * ((dthi - dtlo + 1) // 4) - 1
+         |         END AS pdt_hi
+         |  FROM grid CROSS JOIN dom),
+         |rd AS (
+         |  SELECT layout AS r_layout, ck_q AS r_ckq, dt_q AS r_dtq,
+         |         CAST(count(*) AS BIGINT) AS buckets_read,
+         |         CAST(sum(row_ct) AS BIGINT) AS rows_read
+         |  FROM preds JOIN ext
+         |    ON ck_min <= pck_hi AND ck_max >= pck_lo
+         |   AND dt_min <= pdt_hi AND dt_max >= pdt_lo
+         |  GROUP BY 1, 2, 3),
+         |bcnt AS (
+         |  SELECT layout, CAST(count(*) AS BIGINT) AS bucket_ct
+         |  FROM ext GROUP BY 1)
+         |SELECT layout, CAST(ck_q AS BIGINT) AS ck_q,
+         |       CAST(dt_q AS BIGINT) AS dt_q, bucket_ct,
+         |       CAST(coalesce(buckets_read, 0) AS BIGINT) AS buckets_read,
+         |       bucket_ct - CAST(coalesce(buckets_read, 0) AS BIGINT)
+         |         AS buckets_skipped,
+         |       CAST(coalesce(rows_read, 0) AS BIGINT) AS rows_read,
+         |       round(CAST(bucket_ct - coalesce(buckets_read, 0) AS DOUBLE)
+         |             / bucket_ct, 6) AS skip_frac
+         |FROM bcnt CROSS JOIN grid
+         |LEFT JOIN rd ON layout = r_layout AND ck_q = r_ckq
+         |            AND dt_q = r_dtq""".stripMargin)
+
+  /** Shared oracle prefix for x4/x8: min-max normalize to 8 bits, three
+    * mask-shift rounds per dimension, interleave, ntile into the two
+    * layouts — the exact twin of [[zorderBucketRows]]. */
+  private lazy val zorderLayCte: String = {
+    val sp =
+      """s1 AS (SELECT o_orderkey, ck, dt,
+        |  ((ckn | (ckn << 4)) & 3855) AS cka,
+        |  ((dtn | (dtn << 4)) & 3855) AS dta FROM n),
+        |s2 AS (SELECT *, ((cka | (cka << 2)) & 13107) AS ckb,
+        |  ((dta | (dta << 2)) & 13107) AS dtb FROM s1),
+        |s3 AS (SELECT *, ((ckb | (ckb << 1)) & 21845) AS ckd,
+        |  ((dtb | (dtb << 1)) & 21845) AS dtd FROM s2)""".stripMargin
+    s"""b AS (
+       |  SELECT o_orderkey, o_custkey AS ck,
+       |         date_diff('day', DATE '1992-01-01', o_orderdate) AS dt
+       |  FROM orders),
+       |mm AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+       |              min(dt) AS dt_min, max(dt) AS dt_max FROM b),
+       |n AS (
+       |  SELECT o_orderkey, ck, dt,
+       |    CAST(floor((ck - ck_min) * 255.0
+       |               / greatest(ck_max - ck_min, 1)) AS BIGINT) AS ckn,
+       |    CAST(floor((dt - dt_min) * 255.0
+       |               / greatest(dt_max - dt_min, 1)) AS BIGINT) AS dtn
+       |  FROM b CROSS JOIN mm),
+       |$sp,
+       |zd AS (SELECT o_orderkey, ck, dt,
+       |              (ckd | (dtd << 1)) AS zval FROM s3),
+       |lay AS (
+       |  SELECT 'zorder' AS layout,
+       |         ntile(32) OVER (ORDER BY zval, o_orderkey) AS bucket,
+       |         ck, dt FROM zd
+       |  UNION ALL
+       |  SELECT 'bydate' AS layout,
+       |         ntile(32) OVER (ORDER BY dt, o_orderkey) AS bucket,
+       |         ck, dt FROM zd)""".stripMargin
+  }
 }

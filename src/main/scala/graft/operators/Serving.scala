@@ -168,7 +168,58 @@ object Serving extends QueryModule {
         den.cast(org.apache.spark.sql.types.DoubleType), 6).as("ewma"))
   }
 
+  /** a30 (beyond-reference): z-score anomaly flags on daily revenue —
+    * the metric-monitoring alarm a warehouse serving layer feeds ops
+    * dashboards from: each day scored against its own trailing 28-day
+    * window (ROWS 27 PRECEDING, so day one is its own baseline and the
+    * score warms up with history — no lookahead leakage). The window
+    * sum and sum-of-squares stay exact DECIMAL (amt² of DECIMAL(18,2)
+    * is exact at scale 4; 28 terms never approach the 38-digit cap),
+    * so mean/variance start from bit-identical numerators in any
+    * engine at any partitioning; the double math that follows
+    * (mean = s/n, var = s2/n − mean², z = (x − mean)/√var) is a fixed
+    * IEEE op order both engines replay. One global date-ordered window
+    * over an already-day-grouped series — the sort input is one row
+    * per day, bounded by the calendar, not the data. */
+  private def revenueAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    zscoreAnomalyFor(Tables(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("cur_date"))
+      .agg(sum(money(col("o_totalprice"))).cast(DecimalType(18, 2))
+        .as("amt")))
+  }
+
+  /** The a30 core over an ARBITRARY daily series (cur_date,
+    * amt DECIMAL(18,2)) — exposed through
+    * [[graft.api.Graft.zscoreAnomalies]]. */
+  private[graft] def zscoreAnomalyFor(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cur_date")).rowsBetween(-27, 0)
+    val scored = daily
+      .withColumn("amt2", (col("amt") * col("amt")).cast(DecimalType(38, 4)))
+      .withColumn("n28", count(lit(1)).over(w))
+      .withColumn("s28", sum(col("amt")).over(w).cast(DecimalType(28, 2)))
+      .withColumn("s228", sum(col("amt2")).over(w).cast(DecimalType(38, 4)))
+      .withColumn("mean28",
+        col("s28").cast(DoubleType) / col("n28").cast(DoubleType))
+      .withColumn("var28",
+        col("s228").cast(DoubleType) / col("n28").cast(DoubleType) -
+          col("mean28") * col("mean28"))
+      .withColumn("std28", sqrt(greatest(col("var28"), lit(0.0))))
+      .withColumn("z",
+        when(col("std28") > 0.0,
+          round((col("amt").cast(DoubleType) - col("mean28")) /
+            col("std28"), 6)).otherwise(lit(0.0)))
+    scored.select(col("cur_date"),
+      col("amt").cast(DoubleType).as("day_amount"),
+      col("n28"), round(col("mean28"), 6).as("mean28"),
+      round(col("std28"), 6).as("std28"), col("z"),
+      (abs(col("z")) > lit(2.0)).as("anomaly"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a30_revenue_anomaly" -> revenueAnomaly,
     "a25_ewma_revenue" -> ewmaRevenue,
     "a15_rank_suite" -> rankSuite,
     "a14_cohort_setops" -> cohortSetOps,
@@ -206,6 +257,41 @@ object Serving extends QueryModule {
   }
 
   val oracles = Map(
+    "a30_revenue_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+         |         CAST(sum(${Oracle.money("o_totalprice")})
+         |              AS DECIMAL(18,2)) AS amt
+         |  FROM orders GROUP BY 1),
+         |d2 AS (SELECT *, CAST(amt * amt AS DECIMAL(38,4)) AS amt2
+         |       FROM daily),
+         |win AS (
+         |  SELECT cur_date, amt,
+         |         count(*) OVER w AS n28,
+         |         CAST(sum(amt) OVER w AS DECIMAL(28,2)) AS s28,
+         |         CAST(sum(amt2) OVER w AS DECIMAL(38,4)) AS s228
+         |  FROM d2
+         |  WINDOW w AS (ORDER BY cur_date
+         |               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)),
+         |sc AS (
+         |  SELECT cur_date, amt, n28,
+         |         CAST(s28 AS DOUBLE) / CAST(n28 AS DOUBLE) AS mean28,
+         |         sqrt(greatest(
+         |           CAST(s228 AS DOUBLE) / CAST(n28 AS DOUBLE)
+         |             - (CAST(s28 AS DOUBLE) / CAST(n28 AS DOUBLE))
+         |               * (CAST(s28 AS DOUBLE) / CAST(n28 AS DOUBLE)),
+         |           CAST(0 AS DOUBLE))) AS std28
+         |  FROM win),
+         |z AS (
+         |  SELECT cur_date, amt, n28, mean28, std28,
+         |         CASE WHEN std28 > 0 THEN
+         |           round((CAST(amt AS DOUBLE) - mean28) / std28, 6)
+         |         ELSE CAST(0 AS DOUBLE) END AS z
+         |  FROM sc)
+         |SELECT cur_date, CAST(amt AS DOUBLE) AS day_amount, n28,
+         |       round(mean28, 6) AS mean28, round(std28, 6) AS std28,
+         |       z, abs(z) > 2 AS anomaly
+         |FROM z""".stripMargin,
     "a25_ewma_revenue" -> ewmaOracle,
     "a15_rank_suite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

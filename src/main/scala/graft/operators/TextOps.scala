@@ -573,7 +573,100 @@ object TextOps extends QueryModule {
       .orderBy(col("avg_nll"), col("doc_id")).limit(50)
   }
 
+  /** t21: the Gopher-style within-doc repetition GATE (Rae et al. 2021,
+    * §A1.1 lineage) — the decision layer over signals like
+    * [[QualityOps]] t10's (t10 reports dup-token fraction and the top
+    * bigram count; t21 adds the most-common-TOKEN share and the
+    * duplicate 2-gram AND 3-gram fractions, then combines them into
+    * one flag). Distinct from t14, whose duplicate grams are
+    * CORPUS-wide: a doc that endlessly repeats ITSELF passes t14 (its
+    * grams are rare globally) but fails these. The flag is pure
+    * integer arithmetic (ct·5 > n ⇔ share > 0.2 without a float ever
+    * crossing an engine). Scale shape: gram totals/distincts are
+    * higher-order array ops computed map-side per row (no gram ever
+    * shuffles); the top-token count is the one (doc,tok)-keyed
+    * two-level aggregation, map-side combinable, joined back on the
+    * doc key. */
+  private def repetitionRules(s: SparkSession, dir: String): DataFrame =
+    repetitionGateFor(Tables(s, dir, "documents"))
+
+  /** The t21 core over an ARBITRARY (doc_id, text) frame — exposed
+    * through [[graft.api.Graft.repetitionGate]]. */
+  private[graft] def repetitionGateFor(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id")).agg(max(col("ct")).as("top_tok_ct"))
+    def grams(n: Int): Column = {
+      val sz = size(col("toks"))
+      when(sz >= n,
+        transform(sequence(lit(1), sz - lit(n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + lit(k))): _*)))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    val gstats = base
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("g2")).cast(LongType).as("gram2_ct"),
+        (size(col("g2")) - size(array_distinct(col("g2"))))
+          .cast(LongType).as("dup2_ct"),
+        size(col("g3")).cast(LongType).as("gram3_ct"),
+        (size(col("g3")) - size(array_distinct(col("g3"))))
+          .cast(LongType).as("dup3_ct"))
+    gstats.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_ct"),
+        col("gram2_ct"), col("dup2_ct"), col("gram3_ct"), col("dup3_ct"),
+        (col("top_tok_ct") * 5 > col("n_tokens") ||
+          col("dup2_ct") * 5 > col("gram2_ct") ||
+          col("dup3_ct") * 10 > col("gram3_ct") * 3).as("flagged"))
+  }
+
+  /** t22 vocabulary size — top-N corpus tokens by (count DESC, token)
+    * total order; small enough to broadcast at any corpus size (a
+    * vocab is a few hundred thousand rows even for a 100 TB corpus). */
+  val vocabSize = 500
+
+  /** t22: vocabulary-coverage / OOV audit — the tokenizer-design gate:
+    * fix the corpus vocabulary at the [[vocabSize]] most frequent
+    * tokens and measure, per source, what fraction of token mass falls
+    * outside it (the OOV rate a fixed-vocab tokenizer would map to
+    * <unk>). A source with a high OOV rate under the shared vocab is
+    * the one that needs vocab budget (or its own merges) before
+    * training. Distinct from t15 (DSIR importance weights target
+    * RE-SAMPLING; this measures REPRESENTATION loss at a fixed vocab).
+    * Scale: one (tok)-keyed count + a top-N (TakeOrderedAndProject,
+    * partial per partition), vocab broadcasts back into a map-side
+    * probe of the exploded token stream, one source-keyed rollup —
+    * integer counts end to end, one final rounded division. */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageFor(Tables(s, dir, "documents"), vocabSize)
+
+  /** The t22 core over an ARBITRARY (source, text) frame — exposed
+    * through [[graft.api.Graft.vocabCoverage]]. */
+  private[graft] def vocabCoverageFor(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(tokenize(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("tok")).limit(n)
+      .select(col("tok").as("v_tok"))
+    toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("token_ct"),
+        sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("oov_ct"),
+        countDistinct(when(col("v_tok").isNull, col("tok")))
+          .as("oov_distinct_ct"))
+      .select(col("source"), col("token_ct"), col("oov_ct"),
+        col("oov_distinct_ct"),
+        round(col("oov_ct").cast(DoubleType) /
+          col("token_ct").cast(DoubleType), 6).as("oov_rate"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t22_vocab_coverage" -> vocabCoverage,
+    "t21_repetition_rules" -> repetitionRules,
     "t20_readability" -> readability,
     "t19_dup_span_extents" -> dupSpanExtents,
     "t18_bigram_perplexity" -> bigramPerplexity,
@@ -743,6 +836,52 @@ object TextOps extends QueryModule {
         |  FROM tf JOIN vocab ON tok = v_tok GROUP BY 1)
         |SELECT doc_id, n_tokens, dsir_score
         |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+    "t22_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |vc AS (SELECT tok, count(*) AS ct FROM tok GROUP BY 1),
+         |vocab AS (
+         |  SELECT tok AS v_tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY ct DESC, tok) AS rn
+         |    FROM vc) WHERE rn <= $vocabSize)
+         |SELECT source, count(*) AS token_ct,
+         |       CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS oov_ct,
+         |       count(DISTINCT CASE WHEN v_tok IS NULL THEN tok END)
+         |         AS oov_distinct_ct,
+         |       round(CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 6) AS oov_rate
+         |FROM tok LEFT JOIN vocab ON tok = v_tok
+         |GROUP BY 1""".stripMargin,
+    "t21_repetition_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tt AS (
+        |  SELECT doc_id, CAST(max(ct) AS BIGINT) AS top_tok_ct FROM (
+        |    SELECT doc_id, tok, count(*) AS ct
+        |    FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         list_transform(range(1, len(tk)),
+        |           i -> concat_ws(' ', tk[i], tk[i+1])) AS g2,
+        |         list_transform(range(1, len(tk) - 1),
+        |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS g3
+        |  FROM tk),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(len(g2) AS BIGINT) AS gram2_ct,
+        |         CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup2_ct,
+        |         CAST(len(g3) AS BIGINT) AS gram3_ct,
+        |         CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup3_ct
+        |  FROM g)
+        |SELECT c.doc_id, n_tokens, top_tok_ct, gram2_ct, dup2_ct,
+        |       gram3_ct, dup3_ct,
+        |       (top_tok_ct * 5 > n_tokens OR dup2_ct * 5 > gram2_ct
+        |        OR dup3_ct * 10 > gram3_ct * 3) AS flagged
+        |FROM c JOIN tt ON c.doc_id = tt.doc_id""".stripMargin,
     "t14_dup_ngram_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

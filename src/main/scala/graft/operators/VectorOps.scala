@@ -801,7 +801,190 @@ object VectorOps extends QueryModule {
           .as("recall"))
   }
 
+  /** v19 serving shape: probe [[rerankNprobe]] coarse cells, shortlist
+    * [[rerankShortlist]] by the cheap int8 score, exact-rerank only the
+    * shortlist. */
+  val rerankNprobe = 2
+  val rerankShortlist = 20
+
+  /** Quantize one component to the int8 grid with EXPLICIT
+    * round-half-up (`floor(x·127/s + 0.5)`) — floor is IEEE-exact and
+    * identical in every engine, unlike `round()` whose half-way rule
+    * differs across dialects. This is what lets v19 carry a full
+    * value-level oracle where v7 (builtin `round`) can only state a
+    * recall contract. */
+  private def q8(x: Column, maxAbs: Column): Column =
+    floor(x * lit(127.0) / maxAbs + lit(0.5)).cast(IntegerType)
+
+  /** v19: two-stage retrieval (the production IVF+SQ8+refine layout —
+    * the faiss `IVF,SQ8` index with exact re-ranking): queries probe
+    * their [[rerankNprobe]] nearest coarse cells; candidates in those
+    * cells are scored by the CHEAP int8 dot (4× less memory bandwidth —
+    * at 100 TB the float vectors stay in cold storage and only the
+    * shortlist's are fetched); the top-[[rerankShortlist]] shortlist is
+    * re-ranked by exact double cosine and the final top-5 is audited
+    * against brute force (recall@5, dense over queries). Every stage is
+    * a total order (ties → n_id), every float either exact-int-derived
+    * or a fixed IEEE op chain, so the WHOLE two-stage answer — not just
+    * a contract — replays bit-identically in the oracle. */
+  private def twoStageRerank(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cent = em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val rankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val ranked = em.join(broadcast(cent))
+      .withColumn("c_cos",
+        dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("crk", row_number().over(rankW))
+    val scaleDf = em.agg(
+      max(aggregate(col("emb"), lit(0.0),
+        (acc, v) => greatest(acc, abs(v)))).as("max_abs"))
+    val store = ranked.filter(col("crk") === 1)
+      .crossJoin(broadcast(scaleDf))
+      .select(col("vec_id").as("n_id"), col("c_id").as("n_cid"),
+        col("emb").as("n_emb"), col("nrm").as("n_nrm"),
+        transform(col("emb"), x => q8(x, col("max_abs"))).as("q"))
+      .withColumn("qn", sqrt(idot(col("q"), col("q")).cast(DoubleType)))
+    val qs = ranked.filter(col("vec_id") < 10 && col("crk") <= rerankNprobe)
+      .crossJoin(broadcast(scaleDf))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("c_id").as("q_cid"),
+        transform(col("emb"), x => q8(x, col("max_abs"))).as("q_q"))
+      .withColumn("q_qn", sqrt(idot(col("q_q"), col("q_q")).cast(DoubleType)))
+    val slW = Window.partitionBy(col("q_id"))
+      .orderBy(col("acos").desc, col("n_id"))
+    val shortlist = broadcast(qs).join(store,
+        col("n_cid") === col("q_cid") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (idot(col("q_q"), col("q")).cast(DoubleType) /
+          (col("q_qn") * col("qn"))).as("acos"),
+        col("q_emb"), col("q_nrm"), col("n_emb"), col("n_nrm"))
+      .withColumn("srk", row_number().over(slW))
+      .filter(col("srk") <= rerankShortlist)
+    val rrW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val top = shortlist
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(rrW))
+      .filter(col("rk") <= 5)
+    val brute = annBrute(s, dir)
+      .select(col("q_id").as("b_qid"), col("n_id").as("b_nid"))
+    val hits = top.join(brute,
+        col("q_id") === col("b_qid") && col("n_id") === col("b_nid"),
+        "left_outer")
+      .groupBy(col("q_id").as("h_qid"))
+      .agg(count(lit(1)).as("final_ct"),
+        sum(when(col("b_nid").isNotNull, 1L).otherwise(0L)).as("recall_ct"))
+    // dense query spine: a query whose probed cells hold no candidates
+    // must still report recall 0, not vanish
+    em.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(hits, col("q_id") === col("h_qid"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("final_ct"), lit(0L)).as("final_ct"),
+        coalesce(col("recall_ct"), lit(0L)).as("recall_ct"),
+        round(coalesce(col("recall_ct"), lit(0L)).cast(DoubleType) / 5.0, 6)
+          .as("recall"))
+  }
+
+  /** v20 MMR geometry: re-rank the top-[[mmrPool]] relevance shortlist
+    * into [[mmrK]] diversified picks at trade-off λ = 0.7. */
+  val mmrPool = 20
+  val mmrK = 5
+
+  /** v20: MMR-diversified top-k (Carbonell & Goldstein, SIGIR'98) — the
+    * RAG-serving de-redundancy step: after relevance retrieval, pick k
+    * results greedily by λ·rel − (1−λ)·max-sim-to-already-picked, so
+    * near-duplicate passages don't crowd the context window. The greedy
+    * loop is inherently sequential in k, but k is tiny and the pool is
+    * per-query bounded, so all [[mmrK]] steps UNROLL into one
+    * declarative plan (the c12/v12 pattern): the pool and its pairwise
+    * sims materialize once (localCheckpoint — pool×pool is ≤ 20² per
+    * query, never corpus²), then each step is an anti-join (drop
+    * picked) + max-sim aggregate + rank-1 pick. Similarities are
+    * quantized to 1e-6 INTEGERS up front and the MMR score is computed
+    * exactly in integer e-7 units (score_e7 = 7·rel_e6 − 3·msim_e6):
+    * λ = 0.7 times a 6-decimal value is a 7-decimal value — i.e. a
+    * built-in HALF-WAY case at the rounding digit on almost every row —
+    * and Spark (decimal-string HALF_UP) and DuckDB (binary) disagree
+    * exactly there, so the only skew-proof score is one that never
+    * rounds a float. Every pick is then a pure integer total order and
+    * the whole greedy trajectory value-oracles. */
+  private def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val qs = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // 1e-6-integer cosine: the last float rounding in the whole query
+    // (a raw cosine sits at a .5 micro-boundary with ~zero probability;
+    // every DERIVED quantity below stays integer)
+    def e6(c: Column): Column = round(c * lit(1e6), 0).cast(LongType)
+    val poolW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_e6").desc, col("n_id"))
+    val pool = broadcast(qs).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        e6(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+          .as("rel_e6"),
+        col("emb").as("n_emb"), col("nrm").as("n_nrm"))
+      .withColumn("rk", row_number().over(poolW))
+      .filter(col("rk") <= mmrPool).drop("rk")
+      // reused by all 5 unrolled steps + the pair stage: materialize
+      // once (cluster analog: a staged shortlist table)
+      .localCheckpoint(true)
+    val pa = pool.select(col("q_id"), col("n_id").as("a_id"),
+      col("n_emb").as("a_emb"), col("n_nrm").as("a_nrm"))
+    val pb = pool.select(col("q_id").as("qb"), col("n_id").as("b_id"),
+      col("n_emb").as("b_emb"), col("n_nrm").as("b_nrm"))
+    val pc = pa.join(pb, col("q_id") === col("qb") &&
+        col("a_id") =!= col("b_id"))
+      .select(col("q_id").as("pq"), col("a_id"), col("b_id"),
+        e6(dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm"))).as("pcos_e6"))
+      .localCheckpoint(true)
+    val poolSlim = pool.select(col("q_id"), col("n_id"), col("rel_e6"))
+    val scW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e7").desc, col("n_id"))
+    var sel = poolSlim
+      .select(col("q_id"), col("n_id"),
+        (lit(7L) * col("rel_e6")).as("score_e7"))
+      .withColumn("rk", row_number().over(scW))
+      .filter(col("rk") === 1).drop("rk")
+      .withColumn("mmr_step", lit(1L))
+    for (k <- 2 to mmrK) {
+      val selIds = sel.select(col("q_id").as("sq"), col("n_id").as("sn"))
+      val cand = poolSlim.join(selIds,
+        col("q_id") === col("sq") && col("n_id") === col("sn"), "left_anti")
+      val pick = cand.join(pc,
+          col("q_id") === col("pq") && col("n_id") === col("a_id"))
+        .join(selIds,
+          col("pq") === col("sq") && col("b_id") === col("sn"))
+        .groupBy(col("q_id"), col("n_id"), col("rel_e6"))
+        .agg(max(col("pcos_e6")).as("msim_e6"))
+        .select(col("q_id"), col("n_id"),
+          (lit(7L) * col("rel_e6") - lit(3L) * col("msim_e6"))
+            .as("score_e7"))
+        .withColumn("rk", row_number().over(scW))
+        .filter(col("rk") === 1).drop("rk")
+        .withColumn("mmr_step", lit(k.toLong))
+      sel = sel.unionByName(pick)
+    }
+    // score in natural units for the reader: exact integer / 1e7, the
+    // same IEEE division in both engines
+    sel.select(col("q_id"), col("n_id"), col("score_e7"),
+      (col("score_e7").cast(DoubleType) / lit(1e7)).as("score"),
+      col("mmr_step"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "v20_mmr_diversify" -> mmrDiversify,
+    "v19_two_stage_rerank" -> twoStageRerank,
     "v18_probe_recall" -> probeRecallCurve,
     "v17_davies_bouldin" -> daviesBouldin,
     "v16_hard_negatives" -> hardNegatives,
@@ -826,6 +1009,17 @@ object VectorOps extends QueryModule {
   private def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+
+  /** Oracle twin of [[idot]]: 1-indexed positional integer product,
+    * summed in list order (exact — no float until the caller divides). */
+  private def idotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, ${embDim + 1}), " +
+      s"i -> $a[i] * $b[i]), 'sum')"
+
+  /** Oracle twin of [[q8]] — the explicit floor-based half-up rounding
+    * both engines compute identically. */
+  private def q8Sql(x: String): String =
+    s"CAST(floor($x * 127.0 / max_abs + 0.5) AS BIGINT)"
 
   /** The plane constants as a DuckDB list literal (same values as
     * [[planes]] — one source of truth via planeSign). */
@@ -891,6 +1085,154 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v20_mmr_diversify" -> {
+      val steps = (2 to mmrK).map { k =>
+        val prev = k - 1
+        s"""cand$k AS (
+           |  SELECT p.q_id, p.n_id, p.rel_e6 FROM pool p
+           |  LEFT JOIN sel$prev s ON p.q_id = s.q_id AND p.n_id = s.n_id
+           |  WHERE s.n_id IS NULL),
+           |ms$k AS (
+           |  SELECT c.q_id, c.n_id, c.rel_e6, max(pc.pcos_e6) AS msim_e6
+           |  FROM cand$k c
+           |  JOIN pc ON c.q_id = pc.pq AND c.n_id = pc.a_id
+           |  JOIN sel$prev s ON pc.pq = s.q_id AND pc.b_id = s.n_id
+           |  GROUP BY 1, 2, 3),
+           |s$k AS (
+           |  SELECT q_id, n_id, score_e7, $k AS step FROM (
+           |    SELECT q_id, n_id, score_e7, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY score_e7 DESC, n_id) AS rk
+           |    FROM (SELECT q_id, n_id,
+           |            7 * rel_e6 - 3 * msim_e6 AS score_e7
+           |          FROM ms$k)) WHERE rk = 1),
+           |sel$k AS (SELECT q_id, n_id FROM sel$prev
+           |          UNION ALL SELECT q_id, n_id FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to mmrK).map(k => s"SELECT * FROM s$k")
+        .mkString(" UNION ALL ")
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM em),
+         |pool AS (
+         |  SELECT q_id, n_id, rel_e6, n_emb, n_nrm FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |           CAST(round(${dotSql("q.emb", "e.emb")}
+         |                      / (q.nrm * e.nrm) * 1e6, 0) AS BIGINT)
+         |             AS rel_e6,
+         |           e.emb AS n_emb, e.nrm AS n_nrm,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY CAST(round(${dotSql("q.emb", "e.emb")}
+         |                      / (q.nrm * e.nrm) * 1e6, 0) AS BIGINT)
+         |                      DESC, e.vec_id) AS rk
+         |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= $mmrPool),
+         |pc AS (
+         |  SELECT a.q_id AS pq, a.n_id AS a_id, b.n_id AS b_id,
+         |         CAST(round(${dotSql("a.n_emb", "b.n_emb")}
+         |               / (a.n_nrm * b.n_nrm) * 1e6, 0) AS BIGINT)
+         |           AS pcos_e6
+         |  FROM pool a JOIN pool b
+         |    ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+         |s1 AS (
+         |  SELECT q_id, n_id, score_e7, 1 AS step FROM (
+         |    SELECT q_id, n_id, score_e7, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY score_e7 DESC, n_id) AS rk
+         |    FROM (SELECT q_id, n_id, 7 * rel_e6 AS score_e7
+         |          FROM pool)) WHERE rk = 1),
+         |sel1 AS (SELECT q_id, n_id FROM s1),
+         |$steps
+         |SELECT q_id, n_id, CAST(score_e7 AS BIGINT) AS score_e7,
+         |       CAST(score_e7 AS DOUBLE) / 1e7 AS score,
+         |       CAST(step AS BIGINT) AS mmr_step
+         |FROM ($unionAll)""".stripMargin
+    },
+    "v19_two_stage_rerank" ->
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+         |  FROM em),
+         |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
+         |         FROM n WHERE vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT n.vec_id, n.emb, n.nrm, cent.c_id,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY ${dotSql("n.emb", "c_emb")}
+         |                    / (n.nrm * c_nrm) DESC, c_id) AS crk
+         |  FROM n CROSS JOIN cent),
+         |mx AS (
+         |  SELECT max(list_aggregate(
+         |           list_transform(emb, x -> abs(x)), 'max')) AS max_abs
+         |  FROM n),
+         |store AS (
+         |  SELECT vec_id AS n_id, c_id AS n_cid, emb AS n_emb,
+         |         nrm AS n_nrm,
+         |         list_transform(emb, x -> ${q8Sql("x")}) AS q
+         |  FROM ranked CROSS JOIN mx WHERE crk = 1),
+         |store2 AS (
+         |  SELECT *, sqrt(CAST(${idotSql("q", "q")} AS DOUBLE)) AS qn
+         |  FROM store),
+         |qt AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
+         |         c_id AS q_cid,
+         |         list_transform(emb, x -> ${q8Sql("x")}) AS q_q
+         |  FROM ranked CROSS JOIN mx
+         |  WHERE vec_id < 10 AND crk <= $rerankNprobe),
+         |qt2 AS (
+         |  SELECT *, sqrt(CAST(${idotSql("q_q", "q_q")} AS DOUBLE))
+         |              AS q_qn
+         |  FROM qt),
+         |cand AS (
+         |  SELECT q_id, n_id,
+         |         CAST(${idotSql("q_q", "q")} AS DOUBLE) / (q_qn * qn)
+         |           AS acos,
+         |         q_emb, q_nrm, n_emb, n_nrm
+         |  FROM qt2 JOIN store2 ON n_cid = q_cid AND n_id <> q_id),
+         |sl AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY acos DESC, n_id) AS srk
+         |    FROM cand) WHERE srk <= $rerankShortlist),
+         |rr AS (
+         |  SELECT q_id, n_id,
+         |         round(${dotSql("q_emb", "n_emb")} / (q_nrm * n_nrm), 6)
+         |           AS cos
+         |  FROM sl),
+         |fin AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rk
+         |    FROM rr) WHERE rk <= 5),
+         |brute AS (
+         |  SELECT vec_id AS bq_id, e_vid AS b_id FROM (
+         |    SELECT q.vec_id, e.vec_id AS e_vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(${dotSql("q.emb", "e.emb")}
+         |                      / (q.nrm * e.nrm), 6) DESC, e.vec_id)
+         |             AS rk
+         |    FROM n q JOIN n e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= 5),
+         |hits AS (
+         |  SELECT q_id AS h_qid, CAST(count(*) AS BIGINT) AS final_ct,
+         |         CAST(sum(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS recall_ct
+         |  FROM fin LEFT JOIN brute ON q_id = bq_id AND n_id = b_id
+         |  GROUP BY 1)
+         |SELECT vec_id AS q_id,
+         |       CAST(coalesce(final_ct, 0) AS BIGINT) AS final_ct,
+         |       CAST(coalesce(recall_ct, 0) AS BIGINT) AS recall_ct,
+         |       round(CAST(coalesce(recall_ct, 0) AS DOUBLE) / 5.0, 6)
+         |         AS recall
+         |FROM em LEFT JOIN hits ON vec_id = h_qid
+         |WHERE vec_id < 10""".stripMargin,
     "v18_probe_recall" ->
       s"""WITH em AS (
          |  SELECT vec_id,

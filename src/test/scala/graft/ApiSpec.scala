@@ -276,4 +276,63 @@ class ApiSpec extends SparkSuite {
       .select(Graft.cjkTokens(col("text")).as("t")).head.getSeq[String](0)
     assert(toks.contains("hello") && toks.contains("你好"))
   }
+
+  test("repetitionGate flags a degenerate doc and passes varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once in this sentence")
+    ).toDF("doc_id", "text")
+    val r = Graft.repetitionGate(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: one token repeated 10x -> top share 1.0, all grams dup
+    assert(r(1L).getAs[Long]("top_tok_ct") == 10L)
+    assert(r(1L).getAs[Long]("dup2_ct") == 8L)
+    assert(r(1L).getAs[Boolean]("flagged"))
+    // doc 2: 9 distinct tokens, zero duplicate grams
+    assert(r(2L).getAs[Long]("top_tok_ct") == 1L)
+    assert(r(2L).getAs[Long]("dup2_ct") == 0L)
+    assert(!r(2L).getAs[Boolean]("flagged"))
+  }
+
+  test("vocabCoverage counts OOV mass against the top-N vocab") {
+    val docs = Seq(
+      ("a", "common common common rare1"),
+      ("b", "common common rare2 rare3")
+    ).toDF("source", "text")
+    // vocab of 1 = {common}; a has 1/4 OOV, b has 2/4
+    val r = Graft.vocabCoverage(docs, vocabSize = 1).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("oov_ct") == 1L)
+    assert(r("b").getAs[Long]("oov_ct") == 2L)
+    assert(r("b").getAs[Long]("oov_distinct_ct") == 2L)
+    assert(r("a").getAs[Double]("oov_rate") == 0.25)
+  }
+
+  test("clusterAwareSplit keeps planted near-dups in one split") {
+    val r = Graft.clusterAwareSplit(corpus, threshold = 0.7)
+    assert(r.count() == corpus.count())
+    // docs 1 and 2 are the near-dup pair: same label, same split
+    val by = r.collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(by(1L).getAs[Long]("cluster_label") ==
+      by(2L).getAs[Long]("cluster_label"))
+    assert(by(1L).getAs[String]("split") == by(2L).getAs[String]("split"))
+    // singletons label themselves
+    assert(by(3L).getAs[Long]("cluster_label") == 3L)
+  }
+
+  test("zscoreAnomalies scores a user series and flags the spike") {
+    val daily = (1 to 40).map { i =>
+      val amt = if (i == 35) BigDecimal("900.00") else BigDecimal("100.00")
+      (f"2024-01-$i%02d", amt)
+    }.toDF("cur_date", "amt")
+      .select(col("cur_date"),
+        col("amt").cast("decimal(18,2)").as("amt"))
+    val r = Graft.zscoreAnomalies(daily)
+    assert(r.count() == 40)
+    val flagged = r.filter(col("anomaly")).collect()
+    assert(flagged.length == 1 && flagged.head.getString(0).endsWith("35"))
+    // constant stretches score zero
+    assert(r.filter(col("cur_date") < "2024-01-35")
+      .filter(col("z") =!= 0.0).count() == 0)
+  }
 }

@@ -385,4 +385,36 @@ class CurationSpec extends SparkSuite {
       .filter(col("p50") < col("mn") || col("p99") > col("mx"))
     assert(bad.count() == 0)
   }
+
+  test("c23: cluster split conserves docs, near-dup pairs never straddle splits") {
+    val r = q("c23_cluster_split")
+    val total = Tables(spark, sf, "documents").count()
+    assert(r.agg(sum(col("doc_ct"))).head.getLong(0) == total)
+    // doc totals match the doc-level split universe (same corpus)
+    assert(q("c3_hash_split").agg(sum(col("doc_ct"))).head.getLong(0)
+      == total)
+    // recompute each doc's cluster-level split with the same md5 rule
+    // and check (a) the rollup matches, (b) no verified near-dup pair
+    // crosses a split boundary
+    val labels = graft.operators.CurationOps.clusterLabels(spark, sf)
+    def splitCol(c: org.apache.spark.sql.Column) = {
+      val b = pmod(conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+      when(b < 70, "train").when(b < 85, "val").otherwise("test")
+    }
+    val perDoc = Tables(spark, sf, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        splitCol(coalesce(col("label"), col("doc_id"))).as("split"))
+    val counts = perDoc.groupBy(col("split"))
+      .agg(count(lit(1)).as("want_ct")).withColumnRenamed("split", "s2")
+    assert(r.join(counts, col("split") === col("s2"))
+      .filter(col("doc_ct") =!= col("want_ct")).count() == 0)
+    val pairs = q("d3_near_dup_pairs")
+    val sa = perDoc.select(col("doc_id").as("pa"), col("split").as("spa"))
+    val sb = perDoc.select(col("doc_id").as("pb"), col("split").as("spb"))
+    assert(pairs.join(sa, col("a_id") === col("pa"))
+      .join(sb, col("b_id") === col("pb"))
+      .filter(col("spa") =!= col("spb")).count() == 0)
+  }
 }

@@ -295,4 +295,40 @@ class OperatorSpec extends SparkSuite {
       .filter(col("epoch0_ct") + col("epoch1_ct") =!= col("n"))
       .count() == 0)
   }
+
+  test("a30: anomaly gate consistent, warm-up window sane, day one is its own baseline") {
+    val r = q("a30_revenue_anomaly")
+    val days = Tables(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd")).distinct().count()
+    assert(r.count() == days)
+    assert(r.filter(col("n28") < 1 || col("n28") > 28).count() == 0)
+    // flag is exactly the |z| > 2 predicate
+    assert(r.filter(col("anomaly") =!= (abs(col("z")) > 2.0)).count() == 0)
+    // the first day sees only itself: zero variance, zero score
+    val first = r.orderBy(col("cur_date")).limit(1).head
+    assert(first.getLong(2) == 1L)
+    assert(first.getDouble(5) == 0.0)
+    assert(math.abs(first.getDouble(3) - first.getDouble(1)) < 1e-6)
+    // past the warm-up every window is full
+    assert(r.orderBy(col("cur_date")).collect().drop(27)
+      .forall(_.getLong(2) == 28L))
+  }
+
+  test("x8: skip accounting closes and z-order skips at least as much as date sort") {
+    val r = q("x8_skip_stats")
+    assert(r.count() == 32) // 2 layouts x 4x4 predicate grid
+    assert(r.filter(col("buckets_read") + col("buckets_skipped") =!=
+      col("bucket_ct")).count() == 0)
+    // every predicate box lies inside the data domain: something is read
+    assert(r.filter(col("buckets_read") < 1).count() == 0)
+    assert(r.filter(col("rows_read") <= 0).count() == 0)
+    // the point of z-order: across the 2-D predicate grid it reads no
+    // more files than the single-dimension sort, and strictly fewer in
+    // total (the date layout cannot prune the custkey dimension)
+    val tot = r.groupBy(col("layout"))
+      .agg(sum(col("buckets_read")).as("rd")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tot("zorder") < tot("bydate"),
+      s"zorder read ${tot("zorder")} vs bydate ${tot("bydate")}")
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.QualityOps
+import org.apache.spark.sql.types.LongType
+import graft.operators.{QualityOps, TextOps}
 
 /** Invariants of the corpus-quality operators beyond the oracle hash:
   * redaction is complete (no pattern survives), repetition signals stay
@@ -105,7 +106,7 @@ class QualityOpsSpec extends SparkSuite {
       .select(col("vec_id"), VectorOps.sqDist(col("emb"), col("c_emb")).as("d2"))
       .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
       .agg(sum(col("d2"))).head.getDouble(0)
-    val d1 = r.agg(sum(col("sum_sqdist"))).head.getDecimal(0).doubleValue()
+    val d1 = r.agg(sum(col("sum_sqdist"))).head.getDouble(0)
     assert(d1 <= d0 + 1e-3, s"Lloyd step increased distortion: $d1 > $d0")
   }
 
@@ -318,5 +319,59 @@ class QualityOpsSpec extends SparkSuite {
     // the fixture generates real collisions: some canonical target has
     // multiple raw variants
     assert(r.filter(col("variant_ct") >= 2).count() > 0)
+  }
+
+  test("t21: gram accounting exact, gate replays from its own columns, t10 agreement") {
+    val r = q("t21_repetition_rules")
+    assert(r.count() == Tables(spark, sf, "documents").count())
+    // gram totals are determined by the token count
+    assert(r.filter(col("gram2_ct") =!=
+      greatest(col("n_tokens") - 1, lit(0L))).count() == 0)
+    assert(r.filter(col("gram3_ct") =!=
+      greatest(col("n_tokens") - 2, lit(0L))).count() == 0)
+    // dup counts bounded, top token sane
+    assert(r.filter(col("dup2_ct") < 0 || col("dup2_ct") > col("gram2_ct"))
+      .count() == 0)
+    assert(r.filter(col("dup3_ct") < 0 || col("dup3_ct") > col("gram3_ct"))
+      .count() == 0)
+    assert(r.filter(col("top_tok_ct") < 1 ||
+      col("top_tok_ct") > col("n_tokens")).count() == 0)
+    // the flag is a pure function of the reported columns
+    val want = col("top_tok_ct") * 5 > col("n_tokens") ||
+      col("dup2_ct") * 5 > col("gram2_ct") ||
+      col("dup3_ct") * 10 > col("gram3_ct") * 3
+    assert(r.filter(col("flagged") =!= want).count() == 0)
+    // t10's top bigram appearing k times forces >= k-1 within-doc
+    // duplicate 2-grams (t10 lowercases; duplicates only merge further)
+    val t10 = q("t10_repetition_signals")
+      .select(col("doc_id").as("d10"), col("top_bigram_ct"))
+    assert(r.join(t10, col("doc_id") === col("d10"))
+      .filter(col("top_bigram_ct") >= 2 &&
+        col("dup2_ct") < col("top_bigram_ct") - 1).count() == 0)
+  }
+
+  test("t22: OOV accounting closes against the raw token stream") {
+    val r = q("t22_vocab_coverage")
+    val srcs = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(r.count() == srcs)
+    // token mass conserved vs an independent recount
+    val want = Tables(spark, sf, "documents")
+      .select(col("source"),
+        size(TextOps.tokenize(col("text"))).cast(LongType).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("want_ct"))
+      .withColumnRenamed("source", "s2")
+    assert(r.join(want, col("source") === col("s2"))
+      .filter(col("token_ct") =!= col("want_ct")).count() == 0)
+    assert(r.filter(col("oov_ct") < 0 ||
+      col("oov_ct") > col("token_ct")).count() == 0)
+    assert(r.filter(col("oov_distinct_ct") > col("oov_ct")).count() == 0)
+    // rate is exactly the reported ratio
+    assert(r.filter(col("oov_rate") =!=
+      round(col("oov_ct").cast("double") / col("token_ct").cast("double"),
+        6)).count() == 0)
+    // a 500-token vocab on a zipfy corpus must cover SOME mass:
+    // not every token is OOV in every source
+    assert(r.filter(col("oov_ct") === col("token_ct")).count() == 0)
   }
 }

@@ -214,4 +214,47 @@ class SketchSpec extends SparkSuite {
       .map(_.getDouble(1)).toSeq
     assert(a == b)
   }
+
+  test("v19: dense two-stage audit, rank/recall accounting, recall floor") {
+    val ops = graft.operators.VectorOps
+    val r = q("v19_two_stage_rerank")
+    assert(r.count() == 10)
+    assert(r.filter(col("final_ct") < 0 || col("final_ct") > 5).count() == 0)
+    assert(r.filter(col("recall_ct") > col("final_ct")).count() == 0)
+    assert(r.filter(col("recall") =!=
+      round(col("recall_ct").cast("double") / 5.0, 6)).count() == 0)
+    // the shortlist is deep enough that exact re-ranking recovers real
+    // recall (same floor the v3/v18 serving contract states)
+    val total = r.agg(sum(col("recall_ct"))).head.getLong(0)
+    assert(total >= 10, s"two-stage recall@5: $total/50")
+    // probing 2 cells with a 20-deep shortlist must not do WORSE than
+    // the v18 curve at nprobe=1 in aggregate (strictly more candidates
+    // reach the exact re-ranker than v3's single-cell top-5)
+    val v18 = q("v18_probe_recall").filter(col("nprobe") === 1)
+      .agg(sum(col("recall_ct"))).head.getLong(0)
+    assert(total >= v18, s"two-stage $total < v18@p1 $v18")
+  }
+
+  test("v20: MMR trajectory is a valid greedy selection over the pool") {
+    val r = q("v20_mmr_diversify")
+    assert(r.count() == 50) // 10 queries x 5 steps
+    // exactly one pick per (query, step); no document picked twice
+    assert(r.groupBy(col("q_id"), col("mmr_step")).count()
+      .filter(col("count") =!= 1).count() == 0)
+    assert(r.groupBy(col("q_id"), col("n_id")).count()
+      .filter(col("count") =!= 1).count() == 0)
+    // step 1 is pure relevance: it must equal the brute-force top-1
+    val top1 = q("v1_ann_brute_topk").filter(col("rk") === 1)
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+    assert(r.filter(col("mmr_step") === 1)
+      .join(top1, col("q_id") === col("bq"))
+      .filter(col("n_id") =!= col("bn")).count() == 0)
+    // diversification bites on random embeddings: at least one query's
+    // selection departs from the pure-relevance top-5
+    val top5 = q("v1_ann_brute_topk")
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+    val overlap = r.join(top5,
+      col("q_id") === col("bq") && col("n_id") === col("bn")).count()
+    assert(overlap < 50, s"MMR == brute top-5 everywhere ($overlap/50)")
+  }
 }
