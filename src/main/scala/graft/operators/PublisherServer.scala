@@ -1,0 +1,166 @@
+package graft.operators
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The publisher's HTTP shell: the reference exposes its serving
+  * queries as Spring REST controllers
+  * (`gmall2024-publisher/.../TradeStatsController.java:24-56` `/gmv`,
+  * `/province`; `TrafficStatsController.java:26-47` `/ch`). Here the
+  * same three endpoints — same paths, same query params, same
+  * status/data JSON envelopes — run on the JDK's built-in
+  * `com.sun.net.httpserver` (public Java SE API, zero dependencies)
+  * over [[ServingApi]]'s partition-pruned store queries.
+  *
+  * Design choices, and why they hold at scale:
+  *  - The server is a THIN shell: every endpoint is parse-params →
+  *    one [[ServingApi]]/[[PublisherServer.chUv]] DataFrame → a
+  *    bounded `collect` (1 row for /gmv, ≤ #provinces for /province,
+  *    ≤ limit for /ch). The driver-side loop is over an
+  *    already-aggregated, cardinality-bounded result — the reference's
+  *    controllers do exactly the same over their mapper rows — so the
+  *    100 TB story lives in the store queries (day-partition pruning,
+  *    asserted in ServingApiSpec), not in the shell.
+  *  - `date=0`/absent defaults to the newest day in the store — the
+  *    analog of the reference's `DateFormatUtil.now()` fallback
+  *    (`TradeStatsController.java:26-29`) against a store whose "today"
+  *    is its latest partition.
+  *  - Responses reproduce the reference's envelopes structurally
+  *    (`{"status":0,"data":…}`, `mapData`/`categories`/`series`); the
+  *    display labels are neutral English stand-ins for the reference's
+  *    Chinese literals.
+  */
+object PublisherServer {
+
+  /** Traffic-side store: per (cur_date, ch) UV, day-partitioned — the
+    * `dws_traffic_*_page_view_window` table the `/ch` mapper reads
+    * (`TrafficStatsMapper.java:16-18`). */
+  def buildTrafficStore(s: SparkSession, dir: String,
+      storeDir: String): Unit =
+    graft.Tables(s, dir, "events")
+      .select(graft.functions.Fns.curDate(
+          graft.functions.Fns.nsToSec(col("ts"))).as("cur_date"),
+        col("event_type").as("ch"), col("user_id"))
+      .groupBy(col("cur_date"), col("ch"))
+      .agg(countDistinct(col("user_id")).as("uv_ct"))
+      .write.mode("overwrite").partitionBy("cur_date").parquet(storeDir)
+
+  /** `/ch` query: one pruned day, top-N channels by UV
+    * (`TrafficStatsMapper.java:16-18` ORDER BY uv_ct DESC LIMIT n,
+    * tie-broken on ch for determinism). */
+  def chUv(s: SparkSession, storeDir: String, date: String,
+      limit: Int): DataFrame =
+    s.read.parquet(storeDir)
+      .filter(col("cur_date") === date)
+      .groupBy(col("ch"))
+      .agg(sum(col("uv_ct")).as("uv_ct"))
+      .orderBy(col("uv_ct").desc, col("ch"))
+      .limit(limit)
+
+  /** Minimal JSON string escape for the values we serialize (nation
+    * names / event types are tame, but the shell shouldn't trust that). */
+  private def esc(v: String): String =
+    v.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+
+  /** A running publisher; close with [[stop]]. */
+  final class Publisher private[PublisherServer] (
+      server: HttpServer) {
+    /** Bound port (useful when started on an ephemeral port 0). */
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Start the publisher over an orders store ([[ServingApi.buildStore]])
+    * and a traffic store ([[buildTrafficStore]]). `port = 0` binds an
+    * ephemeral port (see [[Publisher.port]]). */
+  def start(s: SparkSession, orderStore: String, trafficStore: String,
+      port: Int): Publisher = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def latestDay(store: String): String =
+      s.read.parquet(store)
+        .agg(max(col("cur_date").cast("string"))).head.getString(0)
+
+    def param(ex: HttpExchange, name: String): Option[String] =
+      Option(ex.getRequestURI.getRawQuery).toSeq
+        .flatMap(_.split("&").toSeq)
+        .map(_.split("=", 2))
+        .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
+
+    def dateOf(ex: HttpExchange, store: String): String =
+      param(ex, "date").filter(_ != "0").getOrElse(latestDay(store))
+
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/json; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+      ex.close()
+    }
+
+    def endpoint(path: String)(render: HttpExchange => String): Unit =
+      server.createContext(path, (ex: HttpExchange) =>
+        try {
+          // exact-path match: HttpServer contexts are prefix-routed,
+          // but the publisher has no sub-paths
+          if (ex.getRequestURI.getPath != path) reply(ex, 404,
+            """{"status":1,"msg":"not found"}""")
+          else reply(ex, 200, render(ex))
+        } catch {
+          case e: Exception =>
+            reply(ex, 500,
+              s"""{"status":1,"msg":"${esc(String.valueOf(e.getMessage))}"}""")
+        })
+
+    // GET /gmv?date=yyyy-MM-dd → {"status":0,"data":<gmv>}
+    // (TradeStatsController.java:24-36)
+    endpoint("/gmv") { ex =>
+      val day = dateOf(ex, orderStore)
+      val gmv = ServingApi.gmv(s, orderStore, day).head
+      val v = if (gmv.isNullAt(0)) "0" else gmv.getDouble(0).toString
+      s"""{"status":0,"data":$v}"""
+    }
+
+    // GET /province?date=… → mapData envelope
+    // (TradeStatsController.java:38-56)
+    endpoint("/province") { ex =>
+      val day = dateOf(ex, orderStore)
+      val rows = ServingApi.province(s, orderStore, day)
+        .orderBy(col("order_amount").desc, col("province_name"))
+        .collect()
+      val mapData = rows.map(r =>
+        s"""{"name":"${esc(r.getString(0))}","value":${r.getDouble(1)}}""")
+        .mkString(",")
+      s"""{"status":0,"data":{"mapData":[$mapData],"valueName":"order_amount"}}"""
+    }
+
+    // GET /ch?date=…&limit=N → categories/series envelope
+    // (TrafficStatsController.java:26-47)
+    endpoint("/ch") { ex =>
+      val day = dateOf(ex, trafficStore)
+      val limit = param(ex, "limit").map(_.toInt).getOrElse(10)
+      val rows = chUv(s, trafficStore, day, limit).collect()
+      val cats = rows.map(r => s""""${esc(r.getString(0))}"""").mkString(",")
+      val data = rows.map(_.getLong(1)).mkString(",")
+      s"""{"status":0,"data":{"categories":[$cats],""" +
+        s""""series":[{"name":"ch","data":[$data]}]}}"""
+    }
+
+    server.setExecutor(null) // serve on the dispatch thread; callers
+    // needing concurrency pass their own executor-backed server
+    server.start()
+    new Publisher(server)
+  }
+}
