@@ -838,10 +838,54 @@ object CurationOps extends QueryModule {
           .cast(DoubleType) / count(lit(1)), 6).as("quality_mean"))
   }
 
+  /** c24: cross-source exact-duplicate overlap matrix — the provenance
+    * audit behind source weighting and dedup planning ("which sources
+    * copy from which, and how much"). Per-source DISTINCT fingerprints
+    * first (one shuffle on (source, fp)), then the distinct spine
+    * equi-joins ITSELF on fp with src_a < src_b — each fingerprint
+    * contributes at most C(#sources, 2) pairs, so join output is bounded
+    * by #distinct_fp × a small constant, never doc × doc. Overlap is
+    * normalized by the smaller side's distinct count (the overlap /
+    * containment coefficient), so a small source fully swallowed by a
+    * large one reads 1.0 rather than being diluted. The output is the
+    * FULL pair matrix including zero-overlap rows — "A does not copy
+    * from B" is a finding the audit must state, not an absent row (and
+    * the driver's testdata plants dups within-source only, so the
+    * all-zero column is the true answer there).
+    * At 100 TB: one fp-keyed shuffle for the shared counts; the pair
+    * spine is #sources × #sources rows built from two broadcast copies
+    * of the per-source totals — the big table is scanned once. */
+  private def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val sf = d.select(col("source"), fingerprint(col("text")).as("fp"))
+      .distinct()
+    val perSrc = sf.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val shared = sf.select(col("source").as("sa"), col("fp"))
+      .join(sf.select(col("source").as("sb"), col("fp").as("fp_b")),
+        col("fp") === col("fp_b") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("shared_ct"))
+    perSrc.select(col("source").as("src_a"),
+        col("n_distinct").as("a_distinct"))
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("n_distinct").as("b_distinct"))),
+        col("src_a") < col("src_b"))
+      .join(broadcast(shared),
+        col("src_a") === col("sa") && col("src_b") === col("sb"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared_ct"), lit(0L)).as("shared_fp_ct"),
+        col("a_distinct"), col("b_distinct"),
+        round(coalesce(col("shared_ct"), lit(0L)).cast(DoubleType) /
+          least(col("a_distinct"), col("b_distinct")).cast(DoubleType), 6)
+          .as("overlap_coef"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "c16_data_card" -> dataCard,
     "c14_canonical_selection" -> canonicalSelection,
     "c12_pagerank_authority" -> pagerankAuthority,
+    "c24_cross_source_overlap" -> crossSourceOverlap,
     "c11_temperature_mix" -> temperatureMix,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
@@ -886,6 +930,26 @@ object CurationOps extends QueryModule {
        |           * (CAST(1 AS BIGINT) << (4 * (4 - i)))), 'sum') AS BIGINT)""".stripMargin
 
   val oracles = Map(
+    "c24_cross_source_overlap" ->
+      """WITH sf AS (
+        |  SELECT DISTINCT source,
+        |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+        |           AS fp
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n_distinct FROM sf GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS shared_ct
+        |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS src_a, pb.source AS src_b,
+        |       CAST(COALESCE(pr.shared_ct, 0) AS BIGINT) AS shared_fp_ct,
+        |       pa.n_distinct AS a_distinct, pb.n_distinct AS b_distinct,
+        |       round(CAST(COALESCE(pr.shared_ct, 0) AS DOUBLE) /
+        |             least(pa.n_distinct, pb.n_distinct), 6)
+        |         AS overlap_coef
+        |FROM ps pa
+        |JOIN ps pb ON pa.source < pb.source
+        |LEFT JOIN pr ON pr.sa = pa.source AND pr.sb = pb.source""".stripMargin,
     "c12_pagerank_authority" -> {
       // DuckDB numeric literals are DECIMAL — every scalar is cast to
       // DOUBLE so the recurrence replays Spark's IEEE ops bit-for-bit

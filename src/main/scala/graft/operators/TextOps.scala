@@ -664,7 +664,42 @@ object TextOps extends QueryModule {
           col("token_ct").cast(DoubleType), 6).as("oov_rate"))
   }
 
+  /** t23: code-vs-prose gate — symbol-character density (braces,
+    * semicolons, operators) and digit density, the cheap surface signals
+    * code-detection filters key on before any classifier sees the doc
+    * (natural-language corpora sit near zero on both; source files
+    * spike). Char-class counting is keep-only regexp_replace + length
+    * with the IDENTICAL regex in both engines, so the oracle replays the
+    * computation rather than stating planted expectations (organic rows
+    * crossing a threshold at larger SF stay in agreement by
+    * construction). Per-doc flags roll up per (source, lang) with
+    * integer sums only; the two doubles are final one-shot divisions —
+    * order-independent at any parallelism. One scan, one hash aggregate,
+    * everything inside whole-stage codegen. */
+  private def codeFraction(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val symCt = length(regexp_replace(col("text"), "[^{}();=\\[\\]<>]", ""))
+    val digCt = length(regexp_replace(col("text"), "[^0-9]", ""))
+    d.select(col("source"), col("lang"),
+        length(col("text")).as("n"), symCt.as("sym_ct"),
+        digCt.as("dig_ct"))
+      .withColumn("is_code",
+        col("sym_ct").cast(DoubleType) / col("n") > 0.02 ||
+          col("dig_ct").cast(DoubleType) / col("n") > 0.3)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("code_ct"),
+        sum(col("sym_ct")).cast(LongType).as("sym_sum"),
+        sum(col("n")).cast(LongType).as("char_sum"))
+      .select(col("source"), col("lang"), col("doc_ct"), col("code_ct"),
+        round(col("code_ct").cast(DoubleType) / col("doc_ct"), 6)
+          .as("code_frac"),
+        round(col("sym_sum").cast(DoubleType) / col("char_sum"), 6)
+          .as("sym_density"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t23_code_fraction" -> codeFraction,
     "t22_vocab_coverage" -> vocabCoverage,
     "t21_repetition_rules" -> repetitionRules,
     "t20_readability" -> readability,
@@ -717,6 +752,26 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t23_code_fraction" ->
+      """WITH per AS (
+        |  SELECT source, lang, length(text) AS n,
+        |         length(regexp_replace(text, '[^{}();=\[\]<>]', '', 'g'))
+        |           AS sym_ct,
+        |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig_ct
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, lang, n, sym_ct,
+        |         CASE WHEN CAST(sym_ct AS DOUBLE) / n > 0.02
+        |               OR CAST(dig_ct AS DOUBLE) / n > 0.3
+        |              THEN 1 ELSE 0 END AS is_code
+        |  FROM per)
+        |SELECT source, lang, count(*) AS doc_ct,
+        |       CAST(sum(is_code) AS BIGINT) AS code_ct,
+        |       round(CAST(sum(is_code) AS DOUBLE) / count(*), 6)
+        |         AS code_frac,
+        |       round(CAST(sum(sym_ct) AS DOUBLE) / sum(n), 6)
+        |         AS sym_density
+        |FROM f GROUP BY 1, 2""".stripMargin,
     "t20_readability" ->
       """WITH m AS (
         |  SELECT doc_id,

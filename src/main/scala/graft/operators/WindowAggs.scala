@@ -379,7 +379,55 @@ object WindowAggs extends QueryModule {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** W6 (late-data drop, upgraded from spec-only to oracle-checked): a
+    * deterministic batch replay of the watermark drop rule the streaming
+    * apps run live (StreamingSpec's closed-window assert). The testdata
+    * has no arrival timestamps (event_id is perfectly event-time-ordered
+    * — a stream with zero disorder never drops anything), so arrival is
+    * modeled as event time + a deterministic network delay of
+    * (event_id % 13) × 15 s, and ingest is chunked into 60 s ARRIVAL-time
+    * micro-batches (the trigger-interval analog). Structured Streaming
+    * advances the watermark from data seen in PRIOR batches, so the
+    * watermark in force during batch k is max(event time over batches
+    * < k) − 3 s (the W2 delay, KeywordApp.scala); an event whose 10 s
+    * window END is ≤ that watermark arrives after its window closed and
+    * is dropped. Output: per-window arrived/late/kept counts — the audit
+    * a pipeline owner reads to size the delay (here ~4% of events at
+    * sf0.01, because the ±3 min disorder dwarfs the 3 s allowance).
+    * Scale shape: the per-batch max is a map-side-combined aggregate down
+    * to #micro-batches rows; the running max runs over THAT tiny spine
+    * (its size is wall-clock-span / 60 s — independent of data volume),
+    * which then broadcasts back onto the events scan; the big table pays
+    * one scan and one window-keyed hash aggregate. */
+  private def lateAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val delayUs = 3000000L // W2 watermark delay: 3 s
+    val winUs = 10000000L  // W3 window width: 10 s
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), nsToUs(col("ts")).as("us"))
+      .withColumn("blk", divFloor(
+        col("us") + (col("event_id") % 13) * lit(15000000L), 60000000L))
+    val wmW = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = e.groupBy(col("blk")).agg(max(col("us")).as("blk_max_us"))
+      .withColumn("wm_us", max(col("blk_max_us")).over(wmW) - delayUs)
+      .select(col("blk").as("b_blk"), col("wm_us"))
+    e.join(broadcast(blocks), col("blk") === col("b_blk"))
+      .withColumn("ws_sec", divFloor(col("us"), winUs) * lit(10L))
+      .withColumn("late",
+        col("wm_us").isNotNull &&
+          (divFloor(col("us"), winUs) + 1) * winUs <= col("wm_us"))
+      .groupBy(col("ws_sec"))
+      .agg(count(lit(1)).as("arrived_ct"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("late_ct"))
+      .select(stt(col("ws_sec")).as("stt"),
+        edt(col("ws_sec"), 10L).as("edt"),
+        col("arrived_ct"), col("late_ct"),
+        (col("arrived_ct") - col("late_ct")).as("kept_ct"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "w6_late_audit" -> lateAudit,
     "a22_bounce_rate" -> bounceRate,
     "a29_top_paths" -> topPaths,
     "a28_rolling_wau" -> rollingWau,
@@ -396,6 +444,31 @@ object WindowAggs extends QueryModule {
     "a3_pricing_summary" -> pricingSummary)
 
   val oracles = Map(
+    "w6_late_audit" ->
+      s"""WITH e AS (
+         |  SELECT (epoch_us(ts) + (event_id % 13) * 15000000) // 60000000
+         |           AS blk,
+         |         epoch_us(ts) AS us
+         |  FROM events),
+         |b AS (SELECT blk, max(us) AS blk_max_us FROM e GROUP BY 1),
+         |w AS (
+         |  SELECT blk,
+         |         max(blk_max_us) OVER (ORDER BY blk
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           - 3000000 AS wm_us
+         |  FROM b),
+         |f AS (
+         |  SELECT e.us // 10000000 AS win,
+         |         CASE WHEN w.wm_us IS NOT NULL
+         |               AND (e.us // 10000000 + 1) * 10000000 <= w.wm_us
+         |              THEN 1 ELSE 0 END AS late
+         |  FROM e JOIN w ON e.blk = w.blk)
+         |SELECT ${Oracle.fmtTs("win * 10")} AS stt,
+         |       ${Oracle.fmtTs("win * 10 + 10")} AS edt,
+         |       count(*) AS arrived_ct,
+         |       CAST(sum(late) AS BIGINT) AS late_ct,
+         |       CAST(count(*) - sum(late) AS BIGINT) AS kept_ct
+         |FROM f GROUP BY 1, 2""".stripMargin,
     "a24_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -417,4 +417,33 @@ class CurationSpec extends SparkSuite {
       .join(sb, col("b_id") === col("pb"))
       .filter(col("spa") =!= col("spb")).count() == 0)
   }
+
+  test("c24: full pair matrix, bounded overlap, totals reconcile") {
+    val r = q("c24_cross_source_overlap")
+    val srcs = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    // one row per unordered source pair, lexicographically oriented
+    assert(r.count() == srcs * (srcs - 1) / 2)
+    assert(r.filter(col("src_a") >= col("src_b")).count() == 0)
+    // shared mass can't exceed either side's distinct universe, and the
+    // coefficient is exactly the reported ratio in [0, 1]
+    assert(r.filter(col("shared_fp_ct") >
+      least(col("a_distinct"), col("b_distinct"))).count() == 0)
+    assert(r.filter(col("overlap_coef") < 0 ||
+      col("overlap_coef") > 1).count() == 0)
+    assert(r.filter(col("overlap_coef") =!=
+      round(col("shared_fp_ct").cast("double") /
+        least(col("a_distinct"), col("b_distinct")).cast("double"), 6))
+      .count() == 0)
+    // per-source distinct totals match an independent recount
+    val want = Tables(spark, sf, "documents")
+      .select(col("source"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .distinct().groupBy(col("source"))
+      .agg(count(lit(1)).as("want_ct")).withColumnRenamed("source", "s2")
+    assert(r.join(want, col("src_a") === col("s2"))
+      .filter(col("a_distinct") =!= col("want_ct")).count() == 0)
+    assert(r.join(want, col("src_b") === col("s2"))
+      .filter(col("b_distinct") =!= col("want_ct")).count() == 0)
+  }
 }

@@ -331,4 +331,24 @@ class OperatorSpec extends SparkSuite {
     assert(tot("zorder") < tot("bydate"),
       s"zorder read ${tot("zorder")} vs bydate ${tot("bydate")}")
   }
+
+  test("w6: late accounting closes, every event lands once, drops exist") {
+    val r = q("w6_late_audit")
+    // per-window closure and non-negativity
+    assert(r.filter(col("arrived_ct") =!=
+      col("late_ct") + col("kept_ct")).count() == 0)
+    assert(r.filter(col("late_ct") < 0 ||
+      col("late_ct") > col("arrived_ct")).count() == 0)
+    // conservation: the audit neither drops nor double-counts events
+    val total = r.agg(sum(col("arrived_ct"))).head.getLong(0)
+    assert(total == Tables(spark, sf, "events").count())
+    // windows are unique keys
+    assert(r.select(col("stt")).distinct().count() == r.count())
+    // the disorder model must actually exercise the drop rule — a
+    // zero-late audit would silently assert nothing (the raw testdata is
+    // perfectly ordered; the jittered arrival is what makes W6 testable)
+    val late = r.agg(sum(col("late_ct"))).head.getLong(0)
+    assert(late > 0, "no late events: disorder model degenerate")
+    assert(late < total, "everything late: watermark model broken")
+  }
 }

@@ -374,4 +374,25 @@ class QualityOpsSpec extends SparkSuite {
     // not every token is OOV in every source
     assert(r.filter(col("oov_ct") === col("token_ct")).count() == 0)
   }
+
+  test("t23: code gate partitions the corpus and densities are ratios") {
+    val r = q("t23_code_fraction")
+    // every (source, lang) cell present exactly once; doc mass conserved
+    val cells = Tables(spark, sf, "documents")
+      .select(col("source"), col("lang")).distinct().count()
+    assert(r.count() == cells)
+    val total = r.agg(sum(col("doc_ct"))).head.getLong(0)
+    assert(total == Tables(spark, sf, "documents").count())
+    assert(r.filter(col("code_ct") < 0 ||
+      col("code_ct") > col("doc_ct")).count() == 0)
+    assert(r.filter(col("code_frac") =!=
+      round(col("code_ct").cast("double") / col("doc_ct"), 6))
+      .count() == 0)
+    // symbol density is a per-char ratio: strictly inside [0, 1]
+    assert(r.filter(col("sym_density") < 0 ||
+      col("sym_density") > 1).count() == 0)
+    // prose corpus sanity: the whitespace-word testdata sits near zero
+    // symbol density, so the gate must not fire on everything
+    assert(r.filter(col("code_frac") === 1.0).count() < cells)
+  }
 }
