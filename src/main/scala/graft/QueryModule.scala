@@ -27,8 +27,29 @@ trait QueryModule {
 
 /** Parquet table loader for the driver-generated testdata star schema. */
 object Tables {
+  import org.apache.spark.sql.functions.{col, lit, unix_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampType}
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The library-wide contract is `events.ts: LongType` epoch-nanos (see
+    * functions.Fns). The generated parquet has carried that column as
+    * either TIMESTAMP(NANOS) (read as LongType via the nanosAsLong flag)
+    * or TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); normalize the latter
+    * here — one projection at the scan, inside codegen, zero shuffle —
+    * so every consumer keeps exact integer epoch math. The micros→nanos
+    * ×1000 stays exact in LongType until year ~2262, and the DuckDB
+    * oracles' `epoch_us(ts)` equals `nsToUs(ts)` under both layouts. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
 }

@@ -37,7 +37,10 @@ object StatefulStreams {
   def eventStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // glob form: the file-stream source requires a directory/glob basePath
-    s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    // (ts normalized to the library-wide epoch-nanos LongType contract,
+    // same seam as the batch Tables loader)
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
   }
 
   /** W4: processing-time tumbling window — the reference's
