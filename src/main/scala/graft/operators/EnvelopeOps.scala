@@ -328,7 +328,61 @@ object EnvelopeOps extends QueryModule {
         max(col("k")).as("k_max"),
         countDistinct(col("k")).as("k_distinct"))
 
+  /** K8: incremental aggregate maintenance — the real-time-DWS claim
+    * stated as algebra. A maintained rollup must be updatable from the
+    * CDC delta stream alone: per op transition on a key, emit -old into
+    * the old group and +new into the new group (UPDATE semantics when
+    * the grouping column itself changes), +new for an insert, -old for
+    * a delete. Summing the deltas per group must equal a full recompute
+    * over the final merged snapshot. The ENGINE computes only the delta
+    * path — one lag() window over the op log (the same entity-key
+    * Exchange the k5 merge itself needs) plus one grouped DECIMAL sum —
+    * which is what a streaming maintainer pays per batch; the ORACLE
+    * recomputes from the k5 last-op-wins snapshot, a different
+    * algorithm whose agreement proves the maintenance converges.
+    * DECIMAL deltas keep retractions exact (+x then -x cancels to zero
+    * bit-for-bit; a double sum would drift under cancellation at
+    * scale). Same op log as k5: lineitem keyed by l_orderkey, apply
+    * order l_linenumber (full-payload tie-break for a total order),
+    * returnflag R plays delete; group = l_partkey mod 7. */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val ops = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("id"),
+      (col("l_returnflag") === "R").as("is_del"),
+      pmod(col("l_partkey"), lit(7)).cast(LongType).as("g"),
+      money(col("l_extendedprice")).as("v"),
+      col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val deltas = ops
+      .withColumn("p_del", lag(col("is_del"), 1).over(w))
+      .withColumn("p_g", lag(col("g"), 1).over(w))
+      .withColumn("p_v", lag(col("v"), 1).over(w))
+      // retraction of the previous op's contribution + assertion of this
+      // op's: nulls (first op per key / delete side) drop below
+      .select(explode(array(
+        struct(
+          when(col("p_del") === false, col("p_g")).as("dg"),
+          when(col("p_del") === false, -col("p_v")).as("dv"),
+          when(col("p_del") === false, lit(-1L)).as("dn")),
+        struct(
+          when(!col("is_del"), col("g")).as("dg"),
+          when(!col("is_del"), col("v")).as("dv"),
+          when(!col("is_del"), lit(1L)).as("dn")))).as("d"))
+      .select(col("d.dg").as("g"), col("d.dv").as("dv"), col("d.dn").as("dn"))
+      .filter(col("g").isNotNull)
+    deltas.groupBy(col("g"))
+      .agg(sum(col("dv")).cast("double").as("amount_sum"),
+        sum(col("dn")).as("live_ct"))
+      .filter(col("live_ct") > 0)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "k8_incremental_agg" -> incrementalAgg,
     "p18_props_json" -> propsJsonExtract,
     "p14_dq_audit" -> dqAudit,
     "k6_scd2_history" -> scd2History,
@@ -342,6 +396,23 @@ object EnvelopeOps extends QueryModule {
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
   val oracles = Map(
+    // k8's oracle is deliberately a DIFFERENT algorithm: full recompute
+    // over the last-op-wins snapshot (k5's rule), not a replay of the
+    // delta stream — agreement proves the incremental maintenance
+    // converges to the batch truth.
+    "k8_incremental_agg" ->
+      """WITH snap AS (
+        |  SELECT l_partkey % 7 AS g,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY l_orderkey ORDER BY l_linenumber DESC,
+        |           l_returnflag DESC, l_extendedprice DESC, l_partkey DESC,
+        |           l_suppkey DESC, l_quantity DESC) AS rn
+        |        FROM lineitem)
+        |  WHERE rn = 1 AND l_returnflag <> 'R')
+        |SELECT g, CAST(sum(v) AS DOUBLE) AS amount_sum,
+        |       count(*) AS live_ct
+        |FROM snap GROUP BY g""".stripMargin,
     "p18_props_json" ->
       """SELECT event_type, count(*) AS event_ct,
         |       count(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -338,6 +338,65 @@ object ScalePatterns extends QueryModule {
         ("o_totalprice", col("o_totalprice")
           .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
 
+  /** x9: dynamic partition pruning, exercised against a REAL partitioned
+    * store (x4/x8 reason over layout arithmetic; this one makes Catalyst
+    * do the pruning). The fact side is the orders rollup written
+    * `partitionBy(order_month)` (80 partitions, one compacted file each
+    * via a pre-write repartition on the partition key); the dim side —
+    * the top-3 months by urgent-order count — is only knowable at
+    * runtime, so static partition pruning is impossible and Catalyst
+    * injects a `dynamicpruning` subquery on the fact scan's partition
+    * column (asserted in PerfSpec): the scan opens 3 of 80 partition
+    * directories. At 100 TB this is THE difference between touching
+    * ~4 TB and touching all of it — the join itself broadcasts the
+    * 3-row dim. The memoized store build is charged to the first x9
+    * call (its own timing, like every memoized family build). */
+  private val dppMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[operators] def dppStoreDir(s: SparkSession, dir: String): String =
+    dppMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x9_store_").toString
+      Tables(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          col("o_orderkey"), money(col("o_totalprice")).as("amount"))
+        .repartition(col("order_month")) // one compacted file per partition
+        .write.mode("overwrite").partitionBy("order_month").parquet(sd)
+      sd
+    })
+
+  /** The runtime-only dim: months ranked by urgent-order count. */
+  private[operators] def dppTopMonths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("urgent_ct"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("urgent_ct").desc, col("order_month"))))
+      .filter(col("rk") <= 3)
+      .select(col("order_month"), col("urgent_ct"))
+  }
+
+  private def dppPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dppStoreDir(s, dir))
+      .join(broadcast(dppTopMonths(s, dir)), "order_month")
+      .groupBy(col("order_month"), col("urgent_ct"))
+      .agg(count(lit(1)).as("order_ct"),
+        sum(col("amount")).cast("double").as("amount_sum"))
+
+  override def release(): Unit = {
+    dppMemo.values.foreach { sd =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(sd))
+    }
+    dppMemo.clear()
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x7_table_stats" -> tableStats,
     "x1_salted_agg" -> saltedAgg,
@@ -345,9 +404,31 @@ object ScalePatterns extends QueryModule {
     "x5_bloom_prefilter" -> bloomPrefilter,
     "x6_compaction_plan" -> compactionPlan,
     "x8_skip_stats" -> skipStats,
+    "x9_dpp_prune" -> dppPrune,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    // x9's store is a byte-identical re-layout of the orders rollup, so
+    // the oracle reads the raw table directly — any pruning defect
+    // (a partition wrongly skipped) shows up as missing rows here.
+    "x9_dpp_prune" ->
+      """WITH f AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+        |  FROM orders),
+        |u AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |         count(*) AS urgent_ct
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |t AS (
+        |  SELECT order_month, urgent_ct
+        |  FROM (SELECT *, row_number() OVER
+        |          (ORDER BY urgent_ct DESC, order_month) AS rk FROM u)
+        |  WHERE rk <= 3)
+        |SELECT f.order_month, urgent_ct, count(*) AS order_ct,
+        |       CAST(sum(amount) AS DOUBLE) AS amount_sum
+        |FROM f JOIN t ON f.order_month = t.order_month
+        |GROUP BY 1, 2""".stripMargin,
     "x7_table_stats" -> {
       val cols = Seq(
         ("o_orderkey", "o_orderkey"),

