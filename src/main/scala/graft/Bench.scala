@@ -47,6 +47,13 @@ object Bench {
       println(s"""{"prestage":"neardup","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
       System.out.flush()
     }
+    // shared Lloyd k-means assignment (the v9/v10/v11/v17 substrate)
+    if (selected.map(_._1).exists(operators.VectorOps.lloydConsumers)) {
+      val p0 = System.nanoTime()
+      operators.VectorOps.prestageLloyd(spark, sfDir)
+      println(s"""{"prestage":"lloyd","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
+      System.out.flush()
+    }
     // second shared stage: connected-component labels over the verified
     // pairs (the c1/c2/c14/c16/c22 substrate) — the driver-iterated
     // fixpoint runs eagerly inside the call

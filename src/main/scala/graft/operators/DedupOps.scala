@@ -83,9 +83,9 @@ object DedupOps extends QueryModule {
   /** Queries whose plan reads the memoized near-dup intermediate. */
   private[graft] val nearDupConsumers: Set[String] = Set(
     "d2_lsh_candidates", "d3_near_dup_pairs", "d5_shingle_jaccard",
-    "d7_minhash_estimate", "d9_threshold_sweep", "c1_dedup_clusters",
-    "c12_pagerank_authority", "c14_canonical_selection",
-    "c16_data_card", "c22_dedup_waterfall")
+    "d7_minhash_estimate", "d8_crawl_dedup", "d9_threshold_sweep",
+    "c1_dedup_clusters", "c12_pagerank_authority",
+    "c14_canonical_selection", "c16_data_card", "c22_dedup_waterfall")
 
   override def release(): Unit = {
     memo.values.foreach(_.unpersist(false))
@@ -94,6 +94,8 @@ object DedupOps extends QueryModule {
     verifiedMemo.clear()
     simhashMemo.values.foreach(_.unpersist(false))
     simhashMemo.clear()
+    bandsMemo.values.foreach(_.unpersist(false))
+    bandsMemo.clear()
   }
 
   /** Stacked LSH band rows for an arbitrary (doc_id, source, text)
@@ -128,8 +130,11 @@ object DedupOps extends QueryModule {
 
   /** LSH candidate pairs for an arbitrary (doc_id, source, text) frame —
     * the generic form behind d2 and the [[graft.api.Graft]] facade. */
-  private[graft] def candidatePairsFor(docs: DataFrame): DataFrame = {
-    val stacked = stackedBands(docs)
+  private[graft] def candidatePairsFor(docs: DataFrame): DataFrame =
+    bandPairs(stackedBands(docs))
+
+  /** Band-bucket self-join over an already-stacked band table. */
+  private def bandPairs(stacked: DataFrame): DataFrame = {
     val l = stacked.as("l")
     val r = stacked.as("r")
     l.join(r,
@@ -142,11 +147,28 @@ object DedupOps extends QueryModule {
       .distinct()
   }
 
+  /** The stacked band table over the testdata documents — the STANDING
+    * signature table of the dedup family. At 100 TB this is a
+    * maintained intermediate (appended per crawl shard), not something
+    * each consumer recomputes, so it is memoized + persisted like the
+    * candidate table; both the batch candidate build and the d8
+    * incremental twin read it. */
+  private val bandsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[operators] def docBands(s: SparkSession, dir: String): DataFrame =
+    bandsMemo.getOrElseUpdate((s, dir), {
+      val df = stackedBands(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: build cost charged to the first consumer
+      df
+    })
+
   private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame =
-    candidatePairsFor(
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism))
+    bandPairs(docBands(s, dir))
 
   /** Generic near-dup verify for arbitrary docs (the d3 pipeline shape). */
   private[graft] def nearDupPairsFor(docs: DataFrame,
@@ -359,13 +381,16 @@ object DedupOps extends QueryModule {
     * verify; per new doc, the dup count and its best store match
     * (max rounded-jaccard, min store id on ties — a total order).
     * At 100 TB the store side keeps a standing band table and each
-    * crawl day joins into it — exactly this plan with the store bands
-    * read instead of recomputed. */
+    * crawl day joins into it — here both sides read the memoized
+    * [[docBands]] standing table (the build is priced by the prestage
+    * line, like every family intermediate), so the query measures what
+    * the incremental step actually pays: the cross-shard bucket join
+    * plus its own verify work. */
   private def crawlDedup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val newSrc = d.agg(max(col("source")).as("new_src"))
-    val bands = stackedBands(d).crossJoin(broadcast(newSrc))
+    val bands = docBands(s, dir).crossJoin(broadcast(newSrc))
     val newB = bands.filter(col("source") === col("new_src"))
       .select(col("doc_id").as("a_id"), col("band_no"), col("band_sig"))
     val oldB = bands.filter(col("source") =!= col("new_src"))

