@@ -218,7 +218,49 @@ object Serving extends QueryModule {
       (abs(col("z")) > lit(2.0)).as("anomaly"))
   }
 
+  /** a31 (beyond-reference): calendar-spine gap filling with
+    * last-observation-carried-forward — the serving-layer shape every
+    * dashboard needs (a day with no orders must RENDER as a zero/flat
+    * point, not silently vanish from the series). The spine is the
+    * global [min, max] order-date range (one calendar for every
+    * series), crossed with the priority dim — spine × 5 rows, bounded
+    * by the calendar, never by the data — left-joined to the daily
+    * DECIMAL rollup; LOCF is one `last(ignoreNulls)` running window
+    * per series (the same (priority)-keyed sort a25 already pays).
+    * Exactness: amounts stay DECIMAL until the final double rendering,
+    * and LOCF copies values (no arithmetic), so both engines render
+    * bit-identical series. At 100 TB the spine is still just
+    * days × groups — metadata-sized — and the one shuffle is the
+    * group-keyed window sort over one row per (group, day). */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val o = Tables(s, dir, "orders")
+    val daily = o
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(money(col("o_totalprice"))).cast(DecimalType(18, 2))
+        .as("amt"))
+    val spine = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val priorities = o.select(col("o_orderpriority").as("priority"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    spine.crossJoin(broadcast(priorities))
+      .join(daily, Seq("priority", "d"), "left")
+      .withColumn("locf", last(col("amt"), ignoreNulls = true).over(w))
+      .select(col("priority"),
+        date_format(col("d"), "yyyy-MM-dd").as("cur_date"),
+        col("amt").isNotNull.as("observed"),
+        coalesce(col("amt"), lit(0)).cast(DoubleType).as("day_amount"),
+        coalesce(col("locf"), lit(0)).cast(DoubleType).as("locf_amount"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "a31_gap_fill" -> gapFill,
     "a30_revenue_anomaly" -> revenueAnomaly,
     "a25_ewma_revenue" -> ewmaRevenue,
     "a15_rank_suite" -> rankSuite,
@@ -257,6 +299,35 @@ object Serving extends QueryModule {
   }
 
   val oracles = Map(
+    "a31_gap_fill" ->
+      s"""WITH b AS (
+         |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         |         CAST(max(o_orderdate) AS DATE) AS hi
+         |  FROM orders),
+         |sp AS (
+         |  SELECT CAST(unnest(generate_series(lo, hi,
+         |           INTERVAL '1' DAY)) AS DATE) AS d
+         |  FROM b),
+         |pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+         |daily AS (
+         |  SELECT o_orderpriority AS priority,
+         |         CAST(o_orderdate AS DATE) AS d,
+         |         CAST(sum(${Oracle.money("o_totalprice")})
+         |              AS DECIMAL(18,2)) AS amt
+         |  FROM orders GROUP BY 1, 2),
+         |f AS (
+         |  SELECT pr.priority, sp.d, daily.amt
+         |  FROM sp CROSS JOIN pr
+         |  LEFT JOIN daily ON daily.priority = pr.priority
+         |                 AND daily.d = sp.d)
+         |SELECT priority, strftime(d, '%Y-%m-%d') AS cur_date,
+         |       amt IS NOT NULL AS observed,
+         |       CAST(coalesce(amt, 0) AS DOUBLE) AS day_amount,
+         |       CAST(coalesce(last_value(amt IGNORE NULLS) OVER
+         |         (PARTITION BY priority ORDER BY d
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |         AS DOUBLE) AS locf_amount
+         |FROM f""".stripMargin,
     "a30_revenue_anomaly" ->
       s"""WITH daily AS (
          |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,

@@ -315,6 +315,36 @@ class OperatorSpec extends SparkSuite {
       && r.getLong(2) > 0))
   }
 
+  test("a31: spine is dense, observed days reconcile, LOCF copies the last observation") {
+    val r = q("a31_gap_fill").collect()
+    val o = Tables(spark, sf, "orders")
+    val span = o.agg((datediff(max(to_date(col("o_orderdate"))),
+      min(to_date(col("o_orderdate")))) + 1).as("days")).head.getInt(0)
+    val groups = o.select(col("o_orderpriority")).distinct().count()
+    // every (priority, calendar day) appears exactly once
+    assert(r.length == span * groups, s"${r.length} vs $span*$groups")
+    // observed rows = the actual (priority, day) pairs with orders
+    val observed = o.groupBy(col("o_orderpriority"),
+      to_date(col("o_orderdate"))).count().count()
+    assert(r.count(_.getBoolean(2)) == observed)
+    // on observed days LOCF equals the day amount; unobserved days are 0
+    assert(r.filter(_.getBoolean(2))
+      .forall(x => x.getDouble(3) == x.getDouble(4)))
+    assert(r.filter(!_.getBoolean(2)).forall(_.getDouble(3) == 0.0))
+    // LOCF never invents values: per series it is monotone in history —
+    // an unobserved day repeats SOME earlier day's amount (or 0 before
+    // the first observation)
+    val byPr = r.groupBy(_.getString(0))
+    byPr.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getString(1))
+      var lastSeen = 0.0
+      sorted.foreach { x =>
+        if (x.getBoolean(2)) lastSeen = x.getDouble(3)
+        assert(x.getDouble(4) == lastSeen, s"locf broke at ${x.getString(1)}")
+      }
+    }
+  }
+
   test("a30: anomaly gate consistent, warm-up window sane, day one is its own baseline") {
     val r = q("a30_revenue_anomaly")
     val days = Tables(spark, sf, "orders")
