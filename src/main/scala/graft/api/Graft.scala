@@ -159,6 +159,22 @@ object Graft {
   def zscoreAnomalies(daily: DataFrame): DataFrame =
     graft.operators.Serving.zscoreAnomalyFor(daily)
 
+  /** Calendar gap filling + LOCF over an arbitrary daily series
+    * (g group key, d DATE, amt DECIMAL): dense global-calendar spine ×
+    * groups, unobserved days as explicit zeros, and a
+    * last-observation-carried-forward column per series. */
+  def gapFillLocf(daily: DataFrame): DataFrame =
+    graft.operators.Serving.gapFillFor(daily)
+
+  /** Incremental aggregate maintenance over an arbitrary keyed op log
+    * (id entity key, is_del BOOLEAN, g group key, v DECIMAL value;
+    * `orderCols` a total order of each id's ops): sums the per-op
+    * delta stream (+new/-old, group-move-safe) into per-group
+    * (amount_sum, live_ct) — equal to a full recompute over the final
+    * last-op-wins snapshot, without rescanning the aggregate store. */
+  def maintainRollup(ops: DataFrame, orderCols: Seq[Column]): DataFrame =
+    graft.operators.EnvelopeOps.deltaMaintainFor(ops, orderCols)
+
   // ---- generic relational patterns ---------------------------------------
 
   /** Top-k rows per group by `order` descending (ties broken by the

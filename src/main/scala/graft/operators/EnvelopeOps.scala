@@ -345,19 +345,28 @@ object EnvelopeOps extends QueryModule {
     * scale). Same op log as k5: lineitem keyed by l_orderkey, apply
     * order l_linenumber (full-payload tie-break for a total order),
     * returnflag R plays delete; group = l_partkey mod 7. */
-  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("l_linenumber"), col("l_returnflag"),
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame =
+    deltaMaintainFor(
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey").as("id"),
+        (col("l_returnflag") === "R").as("is_del"),
+        pmod(col("l_partkey"), lit(7)).cast(LongType).as("g"),
+        money(col("l_extendedprice")).as("v"),
+        col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+      Seq(col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"))
-    val ops = Tables(s, dir, "lineitem").select(
-      col("l_orderkey").as("id"),
-      (col("l_returnflag") === "R").as("is_del"),
-      pmod(col("l_partkey"), lit(7)).cast(LongType).as("g"),
-      money(col("l_extendedprice")).as("v"),
-      col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"),
-      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        col("l_quantity")))
+
+  /** The k8 core over an ARBITRARY op log — exposed through
+    * [[graft.api.Graft.maintainRollup]]. `ops` must carry `id` (entity
+    * key), `is_del` BOOLEAN, `g` (group key), `v` (DECIMAL value), plus
+    * whatever columns `orderCols` needs; `orderCols` must be a TOTAL
+    * order of each id's ops (ties must be value-identical rows). */
+  private[graft] def deltaMaintainFor(ops: DataFrame,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(orderCols: _*)
     val deltas = ops
       .withColumn("p_del", lag(col("is_del"), 1).over(w))
       .withColumn("p_g", lag(col("g"), 1).over(w))

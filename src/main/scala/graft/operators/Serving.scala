@@ -233,26 +233,32 @@ object Serving extends QueryModule {
     * days × groups — metadata-sized — and the one shuffle is the
     * group-keyed window sort over one row per (group, day). */
   private def gapFill(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val o = Tables(s, dir, "orders")
-    val daily = o
-      .groupBy(col("o_orderpriority").as("priority"),
+    import org.apache.spark.sql.types.DecimalType
+    gapFillFor(Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"),
         to_date(col("o_orderdate")).as("d"))
       .agg(sum(money(col("o_totalprice"))).cast(DecimalType(18, 2))
-        .as("amt"))
-    val spine = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
-        max(to_date(col("o_orderdate"))).as("hi"))
+        .as("amt")))
+      .withColumnRenamed("g", "priority")
+  }
+
+  /** The a31 core over an ARBITRARY daily series (g group key, d DATE,
+    * amt DECIMAL) — exposed through [[graft.api.Graft.gapFillLocf]].
+    * The spine is the global [min(d), max(d)] calendar crossed with the
+    * distinct groups, so every series renders every day. */
+  private[graft] def gapFillFor(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
-    val priorities = o.select(col("o_orderpriority").as("priority"))
-      .distinct()
+    val groups = daily.select(col("g")).distinct()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("priority")).orderBy(col("d"))
+      .partitionBy(col("g")).orderBy(col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    spine.crossJoin(broadcast(priorities))
-      .join(daily, Seq("priority", "d"), "left")
+    spine.crossJoin(broadcast(groups))
+      .join(daily, Seq("g", "d"), "left")
       .withColumn("locf", last(col("amt"), ignoreNulls = true).over(w))
-      .select(col("priority"),
+      .select(col("g"),
         date_format(col("d"), "yyyy-MM-dd").as("cur_date"),
         col("amt").isNotNull.as("observed"),
         coalesce(col("amt"), lit(0)).cast(DoubleType).as("day_amount"),

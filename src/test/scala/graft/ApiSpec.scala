@@ -320,6 +320,48 @@ class ApiSpec extends SparkSuite {
     assert(by(3L).getAs[Long]("cluster_label") == 3L)
   }
 
+  test("gapFillLocf renders every calendar day and carries the last observation") {
+    val daily = Seq(
+      ("a", "2024-03-01", BigDecimal("10.00")),
+      ("a", "2024-03-04", BigDecimal("40.00")),
+      ("b", "2024-03-02", BigDecimal("7.00")))
+      .toDF("g", "d", "amt")
+      .select(col("g"), to_date(col("d")).as("d"),
+        col("amt").cast("decimal(18,2)").as("amt"))
+    val r = Graft.gapFillLocf(daily).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getBoolean(2),
+        x.getDouble(3), x.getDouble(4))).sortBy(t => (t._1, t._2))
+    // spine = 4 days × 2 groups
+    assert(r.length == 8)
+    assert(r.filter(_._3).length == 3)
+    // series a: 10 observed, carried through the gap, then 40
+    val a = r.filter(_._1 == "a").map(t => (t._4, t._5)).toSeq
+    assert(a == Seq((10.0, 10.0), (0.0, 10.0), (0.0, 10.0), (40.0, 40.0)))
+    // series b: zero before first observation, then carried 7s
+    val b = r.filter(_._1 == "b").map(t => (t._4, t._5)).toSeq
+    assert(b == Seq((0.0, 0.0), (7.0, 7.0), (0.0, 7.0), (0.0, 7.0)))
+  }
+
+  test("maintainRollup delta stream equals the snapshot recompute, group moves included") {
+    // key 1: insert in g0, update MOVES it to g1 (retract g0, assert g1)
+    // key 2: insert then delete (nets out entirely)
+    // key 3: plain insert in g1
+    val ops = Seq(
+      (1L, false, 0L, BigDecimal("5.00"), 1),
+      (1L, false, 1L, BigDecimal("6.00"), 2),
+      (2L, false, 0L, BigDecimal("9.00"), 1),
+      (2L, true, 0L, BigDecimal("9.00"), 2),
+      (3L, false, 1L, BigDecimal("4.00"), 1))
+      .toDF("id", "is_del", "g", "v", "seq")
+      .select(col("id"), col("is_del"), col("g"),
+        col("v").cast("decimal(18,2)").as("v"), col("seq"))
+    val r = Graft.maintainRollup(ops, Seq(col("seq"))).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    // g0 has no live keys (key 1 moved away, key 2 deleted) -> absent
+    assert(!r.contains(0L), r.toString)
+    assert(r(1L) == (10.0, 2L), r.toString)
+  }
+
   test("zscoreAnomalies scores a user series and flags the spike") {
     val daily = (1 to 40).map { i =>
       val amt = if (i == 35) BigDecimal("900.00") else BigDecimal("100.00")
