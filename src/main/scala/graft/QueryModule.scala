@@ -27,7 +27,7 @@ trait QueryModule {
 
 /** Parquet table loader for the driver-generated testdata star schema. */
 object Tables {
-  import org.apache.spark.sql.functions.{col, lit, unix_micros}
+  import org.apache.spark.sql.functions.{col, from_utc_timestamp, lit, unix_micros}
   import org.apache.spark.sql.types.{LongType, TimestampType}
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -45,11 +45,24 @@ object Tables {
     * here — one projection at the scan, inside codegen, zero shuffle —
     * so every consumer keeps exact integer epoch math. The micros→nanos
     * ×1000 stays exact in LongType until year ~2262, and the DuckDB
-    * oracles' `epoch_us(ts)` equals `nsToUs(ts)` under both layouts. */
+    * oracles' `epoch_us(ts)` equals `nsToUs(ts)` under both layouts.
+    *
+    * The NTZ column carries a zone-less wall-clock; the epoch contract
+    * reads that wall-clock AS UTC (DuckDB's epoch_us does the same).
+    * cast-to-TIMESTAMP interprets it in the SESSION zone, so undo that
+    * zone's offset with from_utc_timestamp — an identity in the UTC
+    * sessions every graft entry point builds (Verify.session), and the
+    * correct shift for a library user's non-UTC session (exact up to
+    * DST-ambiguous wall times, which an event-time column ordered by
+    * arrival never dwells on). */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df
-      case _ => df.withColumn(
-        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ =>
+        val sessionTz =
+          df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        df.withColumn("ts",
+          unix_micros(from_utc_timestamp(
+            col("ts").cast(TimestampType), sessionTz)) * lit(1000L))
     }
 }

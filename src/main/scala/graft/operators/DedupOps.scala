@@ -80,12 +80,26 @@ object DedupOps extends QueryModule {
     ()
   }
 
-  /** Queries whose plan reads the memoized near-dup intermediate. */
+  /** Queries whose plan reads the memoized candidate/verified-pair
+    * intermediate (NOT d8 — it reads only the band table below). */
   private[graft] val nearDupConsumers: Set[String] = Set(
     "d2_lsh_candidates", "d3_near_dup_pairs", "d5_shingle_jaccard",
-    "d7_minhash_estimate", "d8_crawl_dedup", "d9_threshold_sweep",
-    "c1_dedup_clusters", "c12_pagerank_authority",
-    "c14_canonical_selection", "c16_data_card", "c22_dedup_waterfall")
+    "d7_minhash_estimate", "d9_threshold_sweep", "c1_dedup_clusters",
+    "c12_pagerank_authority", "c14_canonical_selection",
+    "c16_data_card", "c22_dedup_waterfall")
+
+  /** Queries whose plan reads the memoized band table — the candidate
+    * consumers reach it transitively (candidatePairsUncached reads the
+    * memo), d8 reads it directly without needing the pair build. */
+  private[graft] val bandConsumers: Set[String] =
+    nearDupConsumers + "d8_crawl_dedup"
+
+  /** Materialize just the standing band table (the d8 dependency, and
+    * the first stage of the candidate build). */
+  private[graft] def prestageBands(s: SparkSession, dir: String): Unit = {
+    docBands(s, dir)
+    ()
+  }
 
   override def release(): Unit = {
     memo.values.foreach(_.unpersist(false))

@@ -358,6 +358,10 @@ object ScalePatterns extends QueryModule {
     dppMemo.getOrElseUpdate((s, dir), {
       val sd = java.nio.file.Files
         .createTempDirectory("graft_x9_store_").toString
+      // Bench releases the store at the family boundary; Verify and the
+      // specs never call release(), so a shutdown hook keeps those JVMs
+      // from stranding a full orders-rollup copy under /tmp.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
       Tables(s, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
           col("o_orderkey"), money(col("o_totalprice")).as("amount"))
@@ -365,6 +369,14 @@ object ScalePatterns extends QueryModule {
         .write.mode("overwrite").partitionBy("order_month").parquet(sd)
       sd
     })
+
+  private def rmTree(sd: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(sd))
+  }
 
   /** The runtime-only dim: months ranked by urgent-order count. */
   private[operators] def dppTopMonths(s: SparkSession, dir: String): DataFrame = {
@@ -387,13 +399,7 @@ object ScalePatterns extends QueryModule {
         sum(col("amount")).cast("double").as("amount_sum"))
 
   override def release(): Unit = {
-    dppMemo.values.foreach { sd =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(sd))
-    }
+    dppMemo.values.foreach(rmTree)
     dppMemo.clear()
   }
 

@@ -105,6 +105,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeEventTs is session-timezone independent on NTZ data") {
+    val spark = Verify.session("local[4]", "4")
+    val sf = "/root/testdata/sf0.001"
+    val utc = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts"))
+      .orderBy("event_id").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a library user's session in another zone must read the same epochs
+    val shifted = spark.newSession()
+    shifted.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try {
+      val cn = Tables(shifted, sf, "events")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("ts"))
+        .orderBy("event_id").limit(50).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cn == utc, "epoch-nanos differ across session timezones")
+    } finally shifted.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("minhash jaccard estimate correlates with exact jaccard") {
     import spark.implicits._
     // two docs sharing half their tokens → signature agreement ≈ 1/3..2/3
