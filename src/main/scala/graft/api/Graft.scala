@@ -132,19 +132,28 @@ object Graft {
     * the corpus vocabulary at the `vocabSize` most frequent tokens
     * (count DESC, token total order) and reports per-source OOV token
     * mass, distinct OOV types, and the OOV rate. */
-  def vocabCoverage(docs: DataFrame, vocabSize: Int = 500): DataFrame =
+  def vocabCoverage(docs: DataFrame,
+      vocabSize: Int = graft.operators.TextOps.vocabSize): DataFrame =
     graft.operators.TextOps.vocabCoverageFor(docs, vocabSize)
 
-  /** Cluster-aware leakage-free split over a (doc_id, text) frame: docs
-    * are near-dup-paired (MinHash-LSH + exact Jaccard at `threshold`),
-    * components labeled, and the md5 split key is the COMPONENT label
-    * (singletons label themselves) — so an entire near-dup cluster
-    * lands in one split by construction. Returns the input plus
-    * `cluster_label` and `split`. */
+  /** Cluster-aware leakage-free split over a (doc_id, text[, source])
+    * frame: docs are near-dup-paired (MinHash-LSH + exact Jaccard at
+    * `threshold`), components labeled, and the md5 split key is the
+    * COMPONENT label (singletons label themselves) — so an entire
+    * near-dup cluster lands in one split by construction. A `source`
+    * column, when present, is DROPPED for the pairing: split leakage is
+    * a corpus-wide property, so dedup blocking by source here would
+    * let a cross-source duplicate straddle train/test — the exact
+    * leak this function exists to forbid. (Use [[nearDupPairs]]
+    * directly when source-blocked pairing is what you want.) Returns
+    * the input plus `cluster_label` and `split`. */
   def clusterAwareSplit(docs: DataFrame, threshold: Double = 0.8,
       trainPct: Int = 70, valPct: Int = 15): DataFrame = {
+    val unblocked = docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("source", lit(""))
     val labels = componentLabels(
-      nearDupPairs(docs, threshold).select(col("a_id"), col("b_id")))
+      nearDupPairs(unblocked, threshold).select(col("a_id"), col("b_id")))
     val labeled = docs
       .join(labels, docs("doc_id") === labels("id"), "left_outer")
       .drop("id")

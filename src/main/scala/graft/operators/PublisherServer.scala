@@ -87,9 +87,18 @@ object PublisherServer {
       port: Int): Publisher = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+    // The store is written partitionBy("cur_date"), so the newest day is
+    // in the partition directory names — answer the default-date path
+    // from the listing instead of running a full scan-and-aggregate
+    // Spark job per request.
     def latestDay(store: String): String =
-      s.read.parquet(store)
-        .agg(max(col("cur_date").cast("string"))).head.getString(0)
+      Option(new java.io.File(store)
+          .listFiles(f => f.isDirectory && f.getName.startsWith("cur_date=")))
+        .getOrElse(Array.empty)
+        .map(_.getName.stripPrefix("cur_date="))
+        .reduceOption((a, b) => if (a >= b) a else b)
+        .getOrElse(s.read.parquet(store)
+          .agg(max(col("cur_date").cast("string"))).head.getString(0))
 
     def param(ex: HttpExchange, name: String): Option[String] =
       Option(ex.getRequestURI.getRawQuery).toSeq

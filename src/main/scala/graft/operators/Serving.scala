@@ -196,7 +196,14 @@ object Serving extends QueryModule {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cur_date")).rowsBetween(-27, 0)
-    val scored = daily
+    // The ROWS frame needs exactly one row per date: an arbitrary API
+    // frame may carry duplicate cur_date rows (multi-group series),
+    // which would make the "28-day" window a nondeterministic 28-ROW
+    // window. Collapse defensively — exact DECIMAL sum, a no-op on the
+    // already-daily series the demo query passes.
+    val uniq = daily.groupBy(col("cur_date"))
+      .agg(sum(col("amt")).cast(DecimalType(18, 2)).as("amt"))
+    val scored = uniq
       .withColumn("amt2", (col("amt") * col("amt")).cast(DecimalType(38, 4)))
       .withColumn("n28", count(lit(1)).over(w))
       .withColumn("s28", sum(col("amt")).over(w).cast(DecimalType(28, 2)))

@@ -308,14 +308,21 @@ class ApiSpec extends SparkSuite {
     assert(r("a").getAs[Double]("oov_rate") == 0.25)
   }
 
-  test("clusterAwareSplit keeps planted near-dups in one split") {
+  test("clusterAwareSplit keeps planted near-dups in one split, across sources") {
     val r = Graft.clusterAwareSplit(corpus, threshold = 0.7)
     assert(r.count() == corpus.count())
-    // docs 1 and 2 are the near-dup pair: same label, same split
     val by = r.collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // docs 1 and 2 are the near-dup pair: same label, same split
     assert(by(1L).getAs[Long]("cluster_label") ==
       by(2L).getAs[Long]("cluster_label"))
     assert(by(1L).getAs[String]("split") == by(2L).getAs[String]("split"))
+    // doc 4 is byte-identical to doc 1 but in ANOTHER source: split
+    // leakage is corpus-wide, so the split pairing ignores the source
+    // blocking (unlike nearDupPairs above, where source is the LSH
+    // blocking key) and 4 must ride with 1's cluster
+    assert(by(4L).getAs[Long]("cluster_label") ==
+      by(1L).getAs[Long]("cluster_label"))
+    assert(by(4L).getAs[String]("split") == by(1L).getAs[String]("split"))
     // singletons label themselves
     assert(by(3L).getAs[Long]("cluster_label") == 3L)
   }
