@@ -63,18 +63,15 @@ object Bench {
     // second shared stage: connected-component labels over the verified
     // pairs (the c1/c2/c14/c16/c22 substrate) — the driver-iterated
     // fixpoint runs eagerly inside the call
-    val labelConsumers = Set("c1_dedup_clusters", "c2_kept_corpus",
-      "c14_canonical_selection", "c16_data_card", "c22_dedup_waterfall",
-      "c23_cluster_split")
-    if (selected.map(_._1).exists(labelConsumers)) {
+    if (selected.map(_._1).exists(operators.CurationOps.labelConsumers)) {
       val p0 = System.nanoTime()
       operators.CurationOps.clusterLabels(spark, sfDir).count()
       println(s"""{"prestage":"labels","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
       System.out.flush()
     }
     // key = LAST query (sorted order) reading each module's memoized
-    // intermediate: labels after c2; candidate+simhash memos after d6;
-    // parsed envelopes after s2_debezium (its users are p4/p9/s2_*)
+    // intermediate: labels after c2; band/candidate/simhash memos after
+    // d9; parsed envelopes after s2_debezium (its users are p4/p9/s2_*)
     val releaseAfter: Map[String, QueryModule] = Map(
       "c2_kept_corpus" -> operators.CurationOps,
       // d9 > d7 > d6 in sort order and d9 reads the candidate memo —

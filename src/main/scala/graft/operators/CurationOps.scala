@@ -84,6 +84,14 @@ object CurationOps extends QueryModule {
       componentLabels(s,
         DedupOps.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))))
 
+  /** Queries whose plan reads the memoized component labels — lives
+    * next to [[clusterLabels]] (like DedupOps.nearDupConsumers next to
+    * its prestage) so adding a label-reading query and updating the
+    * prestage trigger are one edit, not two. */
+  private[graft] val labelConsumers: Set[String] = Set(
+    "c1_dedup_clusters", "c2_kept_corpus", "c14_canonical_selection",
+    "c16_data_card", "c22_dedup_waterfall", "c23_cluster_split")
+
   /** Connected-component labels for an ARBITRARY symmetric pair frame
     * (a_id, b_id) — the generic core behind c1 and the
     * [[graft.api.Graft]] facade. Label = min node id of the component. */

@@ -51,7 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_sig(hashes[, k]) - k-permutation minhash signature of " +
           "an ARRAY<BIGINT> in one pass (k defaults to " +
           s"${MinhashSignature.DefaultK})"),
-      (children: Seq[Expression]) => MinhashSignature(children.head,
-        MinhashSignature.resolveK(children))))
+      (children: Seq[Expression]) => {
+        // resolveK first: its arity message beats children.head's raw
+        // NoSuchElementException on a zero-argument call
+        val k = MinhashSignature.resolveK(children)
+        MinhashSignature(children.head, k)
+      }))
   }
 }

@@ -133,7 +133,7 @@ object MinhashSignature {
       "minhash_sig needs at least one argument: minhash_sig(hashes[, k])")
     if (exprs.length == 1) default
     else exprs(1).eval() match {
-      case i: java.lang.Integer => i.intValue()
+      case i: java.lang.Integer if i >= 1 => i.intValue()
       case l: java.lang.Long
           if l >= 1 && l <= Int.MaxValue => l.intValue()
       case other => throw new IllegalArgumentException(
@@ -148,7 +148,10 @@ object MinhashSignature {
   def register(spark: SparkSession, numHashes: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinhashSignature(exprs.head, resolveK(exprs, numHashes)),
+      // resolveK first: its arity message beats exprs.head's raw
+      // NoSuchElementException on a zero-argument call
+      exprs => { val k = resolveK(exprs, numHashes)
+        MinhashSignature(exprs.head, k) },
       "built-in")
 
   def minhashSig(spark: SparkSession, hs: Column, numHashes: Int): Column = {

@@ -78,8 +78,17 @@ class ParquetLakehouseTable(storeDir: String, keyCol: String,
 
   override def toDF(s: SparkSession): DataFrame = sink.current(s)
 
-  override def versionAsOf(s: SparkSession, version: Long): DataFrame =
+  override def versionAsOf(s: SparkSession, version: Long): DataFrame = {
+    // Strict version match: snapshotAt's as-of semantics ("latest
+    // committed <= v") are WIDER than DeltaTable.versionAsOf, which
+    // throws on a version that was never committed — and the seam
+    // contract is strictly-narrower-never-wider, so a call that works
+    // on the stand-in must not change meaning after the swap.
+    require(sink.committedVersions.contains(version),
+      s"version $version was never committed " +
+        s"(committed: ${sink.committedVersions.sorted.mkString(",")})")
     sink.snapshotAt(s, version)
+  }
 
   override def vacuum(retain: Int): Seq[Long] = sink.expireVersions(retain)
 

@@ -197,5 +197,24 @@ class PropertySpec extends AnyFunSuite {
       spark.sql("SELECT minhash_sig(array(CAST(7 AS BIGINT)), 'x')")
         .collect()
     }
+    // k <= 0 errors for INT literals exactly like it does for BIGINT —
+    // never a silent empty signature (which would make every pair of
+    // docs "identical" downstream)
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(CAST(7 AS BIGINT)), 0)")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(CAST(7 AS BIGINT)), -3)")
+        .collect()
+    }
+    // zero-argument call gets the crafted arity message, not a raw
+    // NoSuchElementException from children.head
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig()").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("at least one argument"),
+      s"wrong zero-arg error: ${e.getMessage}")
   }
 }
