@@ -573,22 +573,50 @@ object CurationOps extends QueryModule {
     * equi-join, and every candidate is verified by exact distinct-token
     * Jaccard ≥ threshold. Never corpus×corpus at any stage. */
   private[graft] def fuzzyContaminationFor(train: DataFrame,
-      eval: DataFrame, threshold: Double): DataFrame = {
-    val trainBands = DedupOps.stackedBands(train)
+      eval: DataFrame, threshold: Double): DataFrame =
+    fuzzyContaminationCore(DedupOps.stackedBands(train),
+      DedupOps.stackedBands(eval), train, eval, threshold)
+
+  /** The c17 pipeline downstream of the signature stage, for callers
+    * that already hold band tables (the in-repo entry points split the
+    * STANDING [[DedupOps.docBands]] table by the eval predicate instead
+    * of re-signing both sides — signatures are per-doc, so the filter
+    * is identical, and at 100 TB the maintained signature table is the
+    * input a decontamination job would actually read). */
+  private def fuzzyContaminationCore(trainBands0: DataFrame,
+      evalBands0: DataFrame, train: DataFrame, eval: DataFrame,
+      threshold: Double): DataFrame = {
+    val trainBands = trainBands0
       .select(col("doc_id").as("train_id"), col("band_no"), col("band_sig"))
-    val evalBands = DedupOps.stackedBands(eval)
+    val evalBands = evalBands0
       .select(col("doc_id").as("eval_id"), col("band_no"), col("band_sig"))
+    // The (small, band-collision-bounded) candidate list feeds THREE
+    // consumers below — both semi-join prunes and the final verify
+    // join. localCheckpoint materializes it once so the band-bucket
+    // join isn't replayed per consumer (same plan-reuse cut as c12's
+    // edge list; cluster analog: a staging table).
     val cand = trainBands.join(evalBands, Seq("band_no", "band_sig"))
       .select(col("train_id"), col("eval_id")).distinct()
+      .localCheckpoint(true)
     // per-SIDE token tables: the two frames may use overlapping doc_id
     // spaces (each corpus its own id sequence), so a unioned table
     // keyed on doc_id alone would join each candidate against BOTH
-    // sides' text and emit duplicate, wrong-jaccard rows
-    def toksOf(df: DataFrame) = df.select(col("doc_id"),
-      array_distinct(tokenize(col("text"))).as("elems"))
+    // sides' text and emit duplicate, wrong-jaccard rows. Each side is
+    // semi-join pruned to the docs that actually appear in a candidate
+    // pair BEFORE tokenizing: the verify stage pays tokenize+md5 only
+    // on the (band-collision-bounded) candidate sliver, not the whole
+    // train corpus — at 100 TB that is the difference between re-reading
+    // a few GB and re-tokenizing the full corpus a second time. AQE
+    // turns the id-set semi joins into broadcasts at runtime.
+    def toksOf(df: DataFrame, ids: DataFrame) = df
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(tokenize(col("text"))).as("elems"))
+    val trainToks = toksOf(train, cand.select(col("train_id").as("doc_id")))
+    val evalToks = toksOf(eval, cand.select(col("eval_id").as("doc_id")))
     cand
-      .join(toksOf(train).as("fta"), col("train_id") === col("fta.doc_id"))
-      .join(toksOf(eval).as("fte"), col("eval_id") === col("fte.doc_id"))
+      .join(trainToks.as("fta"), col("train_id") === col("fta.doc_id"))
+      .join(evalToks.as("fte"), col("eval_id") === col("fte.doc_id"))
       .select(col("train_id"), col("eval_id"),
         size(array_intersect(col("fta.elems"), col("fte.elems")))
           .as("inter_ct"),
@@ -615,7 +643,9 @@ object CurationOps extends QueryModule {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val isEval = pmod(col("doc_id"), lit(37L)) === 0
-    fuzzyContaminationFor(d.filter(!isEval), d.filter(isEval), 0.5)
+    val bands = DedupOps.docBands(s, dir)
+    fuzzyContaminationCore(bands.filter(!isEval), bands.filter(isEval),
+      d.filter(!isEval), d.filter(isEval), 0.5)
   }
 
   /** c15: per-eval-doc decontamination report — the release-gate
@@ -636,7 +666,9 @@ object CurationOps extends QueryModule {
     val ev = d.filter(isEval)
     val exact = contaminationFor(train, ev, 3L)
       .groupBy(col("eval_id")).agg(count(lit(1)).as("e_ct"))
-    val fuzzy = fuzzyContaminationFor(train, ev, 0.5)
+    val bands = DedupOps.docBands(s, dir)
+    val fuzzy = fuzzyContaminationCore(bands.filter(!isEval),
+        bands.filter(isEval), train, ev, 0.5)
       .groupBy(col("eval_id")).agg(count(lit(1)).as("f_ct"))
     ev.select(col("doc_id").as("eval_id"))
       .join(exact, Seq("eval_id"), "left_outer")

