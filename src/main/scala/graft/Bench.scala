@@ -69,6 +69,13 @@ object Bench {
       println(s"""{"prestage":"labels","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
       System.out.flush()
     }
+    // the shared c15/c17 decontam candidate list (reads the band memo)
+    if (selected.map(_._1).exists(operators.CurationOps.decontamConsumers)) {
+      val p0 = System.nanoTime()
+      operators.CurationOps.prestageDecontamCandidates(spark, sfDir)
+      println(s"""{"prestage":"decontam_cand","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
+      System.out.flush()
+    }
     // the x9 month-partitioned store: a standing table the DPP query
     // reads — its one-time write is infrastructure, not query work
     if (selected.map(_._1).contains("x9_dpp_prune")) {

@@ -169,6 +169,8 @@ object CurationOps extends QueryModule {
   override def release(): Unit = {
     labelMemo.values.foreach(_.unpersist(false))
     labelMemo.clear()
+    decontamCandMemo.values.foreach(_.unpersist(false))
+    decontamCandMemo.clear()
   }
 
   /** c1: near-duplicate clusters — connected components of the verified
@@ -571,47 +573,78 @@ object CurationOps extends QueryModule {
     * signed independently (the small eval side pays only its own
     * signature cost), candidates come from a (band_no, band_sig) bucket
     * equi-join, and every candidate is verified by exact distinct-token
-    * Jaccard ≥ threshold. Never corpus×corpus at any stage. */
+    * Jaccard ≥ threshold. Never corpus×corpus at any stage. Fully LAZY
+    * like every other facade entry point — nothing runs until the
+    * caller takes an action. */
   private[graft] def fuzzyContaminationFor(train: DataFrame,
       eval: DataFrame, threshold: Double): DataFrame =
-    fuzzyContaminationCore(DedupOps.stackedBands(train),
-      DedupOps.stackedBands(eval), train, eval, threshold)
+    fuzzyVerify(
+      bandCandidates(DedupOps.stackedBands(train),
+        DedupOps.stackedBands(eval)),
+      train, eval, threshold, pruneToks = false)
 
-  /** The c17 pipeline downstream of the signature stage, for callers
-    * that already hold band tables (the in-repo entry points split the
-    * STANDING [[DedupOps.docBands]] table by the eval predicate instead
-    * of re-signing both sides — signatures are per-doc, so the filter
-    * is identical, and at 100 TB the maintained signature table is the
-    * input a decontamination job would actually read). */
-  private def fuzzyContaminationCore(trainBands0: DataFrame,
-      evalBands0: DataFrame, train: DataFrame, eval: DataFrame,
-      threshold: Double): DataFrame = {
-    val trainBands = trainBands0
+  /** (train_id, eval_id) LSH candidates from two band tables — a
+    * (band_no, band_sig) bucket equi-join, never train×eval. */
+  private def bandCandidates(trainBands: DataFrame,
+      evalBands: DataFrame): DataFrame =
+    trainBands
       .select(col("doc_id").as("train_id"), col("band_no"), col("band_sig"))
-    val evalBands = evalBands0
-      .select(col("doc_id").as("eval_id"), col("band_no"), col("band_sig"))
-    // The (small, band-collision-bounded) candidate list feeds THREE
-    // consumers below — both semi-join prunes and the final verify
-    // join. localCheckpoint materializes it once so the band-bucket
-    // join isn't replayed per consumer (same plan-reuse cut as c12's
-    // edge list; cluster analog: a staging table).
-    val cand = trainBands.join(evalBands, Seq("band_no", "band_sig"))
+      .join(evalBands
+        .select(col("doc_id").as("eval_id"), col("band_no"), col("band_sig")),
+        Seq("band_no", "band_sig"))
       .select(col("train_id"), col("eval_id")).distinct()
-      .localCheckpoint(true)
-    // per-SIDE token tables: the two frames may use overlapping doc_id
-    // spaces (each corpus its own id sequence), so a unioned table
-    // keyed on doc_id alone would join each candidate against BOTH
-    // sides' text and emit duplicate, wrong-jaccard rows. Each side is
-    // semi-join pruned to the docs that actually appear in a candidate
-    // pair BEFORE tokenizing: the verify stage pays tokenize+md5 only
-    // on the (band-collision-bounded) candidate sliver, not the whole
-    // train corpus — at 100 TB that is the difference between re-reading
-    // a few GB and re-tokenizing the full corpus a second time. AQE
-    // turns the id-set semi joins into broadcasts at runtime.
-    def toksOf(df: DataFrame, ids: DataFrame) = df
-      .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
+
+  /** The SHARED c15/c17 candidate list: the standing [[DedupOps
+    * .docBands]] table split by the eval predicate (signatures are
+    * per-doc, so the filter is identical to re-signing each side) and
+    * bucket-joined. Memoized + persisted like the module's label
+    * memo — both decontamination queries read one build (at 100 TB: a
+    * staging table maintained next to the signature table), and the
+    * candidate plan stays visible to the PerfSpec band-bucket guard
+    * inside the cached relation. Released at the family boundary. */
+  private val decontamCandMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def decontamCandidates(s: SparkSession, dir: String): DataFrame =
+    decontamCandMemo.getOrElseUpdate((s, dir), {
+      val bands = DedupOps.docBands(s, dir)
+      val isEval = pmod(col("doc_id"), lit(37L)) === 0
+      val df = bandCandidates(bands.filter(!isEval), bands.filter(isEval))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: build cost charged to the prestage/first toucher
+      df
+    })
+
+  /** Queries whose plan reads the memoized decontam candidates. */
+  private[graft] val decontamConsumers: Set[String] =
+    Set("c15_decontam_report", "c17_fuzzy_contamination")
+
+  private[graft] def prestageDecontamCandidates(s: SparkSession,
+      dir: String): Unit = {
+    decontamCandidates(s, dir)
+    ()
+  }
+
+  /** Exact-Jaccard verify over a candidate list. Per-SIDE token
+    * tables: the two frames may use overlapping doc_id spaces (each
+    * corpus its own id sequence), so a unioned table keyed on doc_id
+    * alone would join each candidate against BOTH sides' text and emit
+    * duplicate, wrong-jaccard rows. With `pruneToks` each side is
+    * semi-join pruned to the docs that actually appear in a candidate
+    * pair BEFORE tokenizing — the verify stage pays tokenize+md5 only
+    * on the (band-collision-bounded) candidate sliver, not the whole
+    * train corpus; at 100 TB that is the difference between re-reading
+    * a few GB and re-tokenizing the full corpus a second time. AQE
+    * turns the id-set semi joins into broadcasts at runtime. Used with
+    * pruneToks only when `cand` is a materialized (memoized) table, so
+    * the prune doesn't replay the candidate build per consumer. */
+  private def fuzzyVerify(cand: DataFrame, train: DataFrame,
+      eval: DataFrame, threshold: Double, pruneToks: Boolean): DataFrame = {
+    def toksOf(df: DataFrame, ids: DataFrame) = {
+      val src = if (pruneToks) df.join(ids, Seq("doc_id"), "left_semi") else df
+      src.select(col("doc_id"),
         array_distinct(tokenize(col("text"))).as("elems"))
+    }
     val trainToks = toksOf(train, cand.select(col("train_id").as("doc_id")))
     val evalToks = toksOf(eval, cand.select(col("eval_id").as("doc_id")))
     cand
@@ -643,9 +676,8 @@ object CurationOps extends QueryModule {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val isEval = pmod(col("doc_id"), lit(37L)) === 0
-    val bands = DedupOps.docBands(s, dir)
-    fuzzyContaminationCore(bands.filter(!isEval), bands.filter(isEval),
-      d.filter(!isEval), d.filter(isEval), 0.5)
+    fuzzyVerify(decontamCandidates(s, dir),
+      d.filter(!isEval), d.filter(isEval), 0.5, pruneToks = true)
   }
 
   /** c15: per-eval-doc decontamination report — the release-gate
@@ -666,9 +698,8 @@ object CurationOps extends QueryModule {
     val ev = d.filter(isEval)
     val exact = contaminationFor(train, ev, 3L)
       .groupBy(col("eval_id")).agg(count(lit(1)).as("e_ct"))
-    val bands = DedupOps.docBands(s, dir)
-    val fuzzy = fuzzyContaminationCore(bands.filter(!isEval),
-        bands.filter(isEval), train, ev, 0.5)
+    val fuzzy = fuzzyVerify(decontamCandidates(s, dir), train, ev, 0.5,
+        pruneToks = true)
       .groupBy(col("eval_id")).agg(count(lit(1)).as("f_ct"))
     ev.select(col("doc_id").as("eval_id"))
       .join(exact, Seq("eval_id"), "left_outer")

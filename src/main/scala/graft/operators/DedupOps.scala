@@ -413,14 +413,16 @@ object DedupOps extends QueryModule {
       .select(col("doc_id").as("a_id"), col("band_no"), col("band_sig"))
     val oldB = bands.filter(col("source") =!= col("new_src"))
       .select(col("doc_id").as("b_id"), col("band_no"), col("band_sig"))
-    // Candidates feed two consumers (the id prune and the verify join):
-    // materialize the small list once. The token table is then
-    // semi-join pruned to docs that actually appear in a candidate —
-    // the incremental step tokenizes the collision sliver, not the
-    // whole store (at 100 TB the store text is never re-read in full).
+    // The token table is semi-join pruned to docs that actually appear
+    // in a candidate — the incremental step tokenizes the collision
+    // sliver, not the whole store (at 100 TB the store text is never
+    // re-read in full). The candidate subtree is referenced twice (id
+    // prune + verify join) and re-derives from the PERSISTED band
+    // memo both times — cheap, and it keeps the whole plan visible to
+    // the PerfSpec band-bucket guard with no stray checkpoint blocks
+    // outliving the family release.
     val cand = newB.join(oldB, Seq("band_no", "band_sig"))
       .select(col("a_id"), col("b_id")).distinct()
-      .localCheckpoint(true)
     val ids = cand.select(explode(array(col("a_id"), col("b_id")))
       .as("doc_id"))
     val toks = d.join(ids, Seq("doc_id"), "left_semi")
