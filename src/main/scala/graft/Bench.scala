@@ -69,6 +69,13 @@ object Bench {
       println(s"""{"prestage":"labels","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
       System.out.flush()
     }
+    // the d8 cross-shard candidate list (reads the band memo)
+    if (selected.map(_._1).contains("d8_crawl_dedup")) {
+      val p0 = System.nanoTime()
+      operators.DedupOps.prestageCrawlCandidates(spark, sfDir)
+      println(s"""{"prestage":"crawl_cand","sec":${fmt((System.nanoTime() - p0) / 1e9)}}""")
+      System.out.flush()
+    }
     // the shared c15/c17 decontam candidate list (reads the band memo)
     if (selected.map(_._1).exists(operators.CurationOps.decontamConsumers)) {
       val p0 = System.nanoTime()

@@ -97,7 +97,11 @@ object Graft {
     * — catches paraphrased/reformatted eval copies that share few
     * exact shingles (run alongside [[contamination]], which catches
     * verbatim quotes). Both inputs are (doc_id, source, text) frames;
-    * never train×eval at any stage. */
+    * never train×eval at any stage. Construction is fully lazy, and
+    * the one-shot plan tokenizes the train frame twice (signatures +
+    * verify); a production pipeline that re-runs decontamination
+    * should materialize its band/candidate tables as standing staged
+    * tables instead — the shape the in-repo c15/c17 queries use. */
   def fuzzyContamination(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.5): DataFrame =
     graft.operators.CurationOps.fuzzyContaminationFor(train, eval,

@@ -532,6 +532,13 @@ object CurationOps extends QueryModule {
         .orderBy(col("n_chars").desc, col("doc_id"))))
   }
 
+  /** The ONE definition of the held-out eval slice (doc_id ≡ 0 mod
+    * 37) shared by every decontamination entry point (c5, c15, c17 and
+    * the memoized candidate build) — the candidate-side and token-side
+    * splits MUST agree or the verify inner joins silently drop pairs,
+    * so the predicate is defined exactly once. */
+  private def isEvalDoc: Column = pmod(col("doc_id"), lit(37L)) === 0
+
   /** c5: benchmark-contamination check — the decontamination pass every
     * pretraining pipeline runs before training: flag training docs that
     * share ≥ 3 distinct word 3-grams with any held-out eval doc
@@ -563,7 +570,7 @@ object CurationOps extends QueryModule {
 
   private def contamination(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    val isEval = isEvalDoc
     contaminationFor(d.filter(!isEval), d.filter(isEval), 3L)
   }
 
@@ -608,7 +615,7 @@ object CurationOps extends QueryModule {
   private def decontamCandidates(s: SparkSession, dir: String): DataFrame =
     decontamCandMemo.getOrElseUpdate((s, dir), {
       val bands = DedupOps.docBands(s, dir)
-      val isEval = pmod(col("doc_id"), lit(37L)) === 0
+      val isEval = isEvalDoc
       val df = bandCandidates(bands.filter(!isEval), bands.filter(isEval))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // eager: build cost charged to the prestage/first toucher
@@ -675,7 +682,7 @@ object CurationOps extends QueryModule {
   private def fuzzyContamination(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    val isEval = isEvalDoc
     fuzzyVerify(decontamCandidates(s, dir),
       d.filter(!isEval), d.filter(isEval), 0.5, pruneToks = true)
   }
@@ -693,7 +700,7 @@ object CurationOps extends QueryModule {
   private def decontamReport(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val isEval = pmod(col("doc_id"), lit(37L)) === 0
+    val isEval = isEvalDoc
     val train = d.filter(!isEval)
     val ev = d.filter(isEval)
     val exact = contaminationFor(train, ev, 3L)
