@@ -798,6 +798,60 @@ object CurationOps extends QueryModule {
             .otherwise(col("text")).as("text")))
   }
 
+  /** c25: incremental reprocessing plan — the work-list c18's diff
+    * exists to feed: per source (the recompute partition unit), how
+    * many new-snapshot docs there are, how many changes of ANY kind
+    * dirty the partition (added/changed/removed all invalidate derived
+    * aggregates — a removed doc must be SUBTRACTED, which is exactly
+    * the retraction k8's incremental maintenance consumes), the token
+    * mass that actually needs re-running (added+changed docs only —
+    * unchanged docs' derived rows are still valid), and the
+    * skip/recompute verdict. At 100 TB this plan is what turns a crawl
+    * refresh from a full re-run into touching only dirty partitions:
+    * the diff join is fingerprint-keyed on doc_id (text never enters
+    * the join), the plan output is partition-count-sized. Same
+    * snapshot fixture as c18, so the two reports reconcile row by
+    * row. */
+  private[graft] def reprocessPlanFor(oldSnap: DataFrame,
+      newSnap: DataFrame): DataFrame = {
+    val old = oldSnap.select(col("doc_id").as("o_id"),
+      col("source").as("o_src"), fingerprint(col("text")).as("o_fp"))
+    val nw = newSnap.select(col("doc_id").as("n_id"),
+      col("source").as("n_src"), fingerprint(col("text")).as("n_fp"),
+      size(tokenize(col("text"))).cast(LongType).as("n_tokens"))
+    old.join(nw, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_src"), col("n_src")).as("source"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_fp") =!= col("n_fp"), "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("change") =!= "removed", 1L).otherwise(0L))
+          .as("new_doc_ct"),
+        sum(when(col("change").isin("added", "changed", "removed"), 1L)
+          .otherwise(0L)).as("dirty_ct"),
+        sum(when(col("change").isin("added", "changed"), col("n_tokens"))
+          .otherwise(0L)).as("reprocess_tokens"))
+      .select(col("source"), col("new_doc_ct"), col("dirty_ct"),
+        col("reprocess_tokens"),
+        when(col("dirty_ct") > 0, "recompute").otherwise("skip")
+          .as("verdict"))
+  }
+
+  private def reprocessPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    reprocessPlanFor(
+      d.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(11L)) === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text")))
+  }
+
   /** c6: deterministic stratified sampling — per-source keep rates
     * applied via the same md5 bucket as c3 (leakage-free, re-shard- and
     * engine-stable; rates derived from the source name so the config
@@ -971,6 +1025,7 @@ object CurationOps extends QueryModule {
     "c17_fuzzy_contamination" -> fuzzyContamination,
     "c21_epoch_plan" -> epochPlan,
     "c18_snapshot_diff" -> snapshotDiff,
+    "c25_reprocess_plan" -> reprocessPlan,
     "c19_curriculum_phases" -> curriculumPhases,
     "c20_release_manifest" -> releaseManifest,
     "c22_dedup_waterfall" -> dedupWaterfall,
@@ -1211,6 +1266,43 @@ object CurationOps extends QueryModule {
         |       round(CAST(sum(CAST(round(q, 9) AS DECIMAL(28,9)))
         |                  AS DOUBLE) / count(*), 6) AS mean_quality
         |FROM ph GROUP BY 1""".stripMargin,
+    "c25_reprocess_plan" ->
+      """WITH o AS (
+        |  SELECT doc_id AS o_id, source AS o_src,
+        |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+        |           AS o_fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |n0 AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id AS n_id, source AS n_src,
+        |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+        |           AS n_fp,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM n0),
+        |cl AS (
+        |  SELECT coalesce(o_src, n_src) AS source,
+        |         CASE WHEN o_id IS NULL THEN 'added'
+        |              WHEN n_id IS NULL THEN 'removed'
+        |              WHEN o_fp <> n_fp THEN 'changed'
+        |              ELSE 'unchanged' END AS change,
+        |         coalesce(n_tokens, 0) AS n_tokens
+        |  FROM o FULL OUTER JOIN n ON o_id = n_id)
+        |SELECT source,
+        |       CAST(sum(CASE WHEN change <> 'removed' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS new_doc_ct,
+        |       CAST(sum(CASE WHEN change IN ('added','changed','removed')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS dirty_ct,
+        |       CAST(sum(CASE WHEN change IN ('added','changed')
+        |                     THEN n_tokens ELSE 0 END) AS BIGINT)
+        |         AS reprocess_tokens,
+        |       CASE WHEN sum(CASE WHEN change IN ('added','changed',
+        |                          'removed') THEN 1 ELSE 0 END) > 0
+        |            THEN 'recompute' ELSE 'skip' END AS verdict
+        |FROM cl GROUP BY 1""".stripMargin,
     "c18_snapshot_diff" ->
       """WITH f AS (
         |  SELECT doc_id, source,

@@ -56,6 +56,40 @@ object ScalePatterns extends QueryModule {
       .agg(sum(col("uv_part")).as("uv_ct")) // salts partition users → sum is exact
   }
 
+  /** x10: shuffle-key skew diagnosis — the report that DECIDES when x1's
+    * salting (or AQE skew-join splitting) is worth turning on, instead
+    * of guessing: for each shuffle-key candidate, total rows, distinct
+    * keys, the hottest key's row count, its share of the table, and the
+    * skew factor (hottest ÷ average — 1.0 means perfectly uniform; the
+    * events.event_type row shows the 5-key hot space x1 exists for,
+    * user_id/l_suppkey show healthy high-cardinality keys). Cost: one
+    * map-side-combinable count per key column and a 1-row rollup each —
+    * at 100 TB this is the cheap ANALYZE-style pass a platform runs
+    * before picking partition counts and salt buckets; output is
+    * O(columns audited). Integer counts with two final one-shot
+    * divisions (engine-exact). */
+  private def skewReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    def rowFor(label: String, df: org.apache.spark.sql.DataFrame,
+        key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("ct"))
+        .agg(sum(col("ct")).cast(LongType).as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("ct")).as("max_key_ct"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_ct"))
+    rowFor("events.event_type", Tables(s, dir, "events"), col("event_type"))
+      .unionByName(rowFor("events.user_id",
+        Tables(s, dir, "events"), col("user_id")))
+      .unionByName(rowFor("lineitem.l_suppkey",
+        Tables(s, dir, "lineitem"), col("l_suppkey")))
+      .select(col("key_col"), col("n_rows"), col("n_keys"),
+        col("max_key_ct"),
+        round(col("max_key_ct").cast(DoubleType) / col("n_rows"), 6)
+          .as("top1_share"),
+        round(col("max_key_ct").cast(DoubleType) * col("n_keys")
+          / col("n_rows"), 6).as("skew_factor"))
+  }
+
   /** x4: Z-order (Morton-curve) layout clustering — the multi-dimensional
     * file-layout lever behind Delta/Iceberg `OPTIMIZE ZORDER BY`: rows
     * sorted by the bit-interleave of (o_custkey, o_orderdate-days) land
@@ -416,6 +450,7 @@ object ScalePatterns extends QueryModule {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x7_table_stats" -> tableStats,
     "x1_salted_agg" -> saltedAgg,
+    "x10_skew_report" -> skewReport,
     "x2_salted_distinct" -> saltedDistinct,
     "x5_bloom_prefilter" -> bloomPrefilter,
     "x6_compaction_plan" -> compactionPlan,
@@ -424,6 +459,27 @@ object ScalePatterns extends QueryModule {
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    "x10_skew_report" ->
+      """SELECT 'events.event_type' AS key_col,
+        |       CAST(sum(ct) AS BIGINT) AS n_rows,
+        |       count(*) AS n_keys,
+        |       CAST(max(ct) AS BIGINT) AS max_key_ct,
+        |       round(CAST(max(ct) AS DOUBLE) / sum(ct), 6) AS top1_share,
+        |       round(CAST(max(ct) AS DOUBLE) * count(*) / sum(ct), 6)
+        |         AS skew_factor
+        |FROM (SELECT count(*) AS ct FROM events GROUP BY event_type)
+        |UNION ALL
+        |SELECT 'events.user_id',
+        |       CAST(sum(ct) AS BIGINT), count(*), CAST(max(ct) AS BIGINT),
+        |       round(CAST(max(ct) AS DOUBLE) / sum(ct), 6),
+        |       round(CAST(max(ct) AS DOUBLE) * count(*) / sum(ct), 6)
+        |FROM (SELECT count(*) AS ct FROM events GROUP BY user_id)
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey',
+        |       CAST(sum(ct) AS BIGINT), count(*), CAST(max(ct) AS BIGINT),
+        |       round(CAST(max(ct) AS DOUBLE) / sum(ct), 6),
+        |       round(CAST(max(ct) AS DOUBLE) * count(*) / sum(ct), 6)
+        |FROM (SELECT count(*) AS ct FROM lineitem GROUP BY l_suppkey)""".stripMargin,
     // x9's store is a byte-identical re-layout of the orders rollup, so
     // the oracle reads the raw table directly — any pruning defect
     // (a partition wrongly skipped) shows up as missing rows here.

@@ -698,7 +698,37 @@ object TextOps extends QueryModule {
           .as("sym_density"))
   }
 
+  /** t24: tokenizer fertility audit — the tokenizer-choice table every
+    * LLM data team builds before committing a vocabulary: per
+    * (source, lang), subword fertility (BPE-ish tokens per whitespace
+    * word — the multilingual-cost metric; ~1 for well-covered English,
+    * inflating for under-represented scripts) and compression
+    * (chars per token — the context-window budget). Integer sums per
+    * group with two final one-shot divisions (t23's discipline), so the
+    * result is order-independent at any parallelism; one scan, one
+    * hash aggregate, all inside whole-stage codegen. Complements t22's
+    * OOV mass (vocabulary coverage) with the cost-per-word lens. */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("source"), col("lang"), col("n_chars"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+          .cast(LongType).as("bpe_ct"),
+        size(tokenize(col("text"))).cast(LongType).as("ws_ct"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("n_chars")).cast(LongType).as("char_sum"),
+        sum(col("bpe_ct")).cast(LongType).as("bpe_sum"),
+        sum(col("ws_ct")).cast(LongType).as("ws_sum"))
+      .select(col("source"), col("lang"), col("doc_ct"), col("char_sum"),
+        col("bpe_sum"), col("ws_sum"),
+        round(col("bpe_sum").cast(DoubleType) / col("ws_sum"), 6)
+          .as("fertility"),
+        round(col("char_sum").cast(DoubleType) / col("bpe_sum"), 6)
+          .as("chars_per_token"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t24_tokenizer_fertility" -> tokenizerFertility,
     "t23_code_fraction" -> codeFraction,
     "t22_vocab_coverage" -> vocabCoverage,
     "t21_repetition_rules" -> repetitionRules,
@@ -752,6 +782,22 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t24_tokenizer_fertility" ->
+      """WITH per AS (
+        |  SELECT source, lang, n_chars,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+        |              AS BIGINT) AS bpe_ct,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_ct
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS doc_ct,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+        |       CAST(sum(bpe_ct) AS BIGINT) AS bpe_sum,
+        |       CAST(sum(ws_ct) AS BIGINT) AS ws_sum,
+        |       round(CAST(sum(bpe_ct) AS DOUBLE) / sum(ws_ct), 6)
+        |         AS fertility,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / sum(bpe_ct), 6)
+        |         AS chars_per_token
+        |FROM per GROUP BY 1, 2""".stripMargin,
     "t23_code_fraction" ->
       """WITH per AS (
         |  SELECT source, lang, length(text) AS n,

@@ -289,6 +289,26 @@ class CurationSpec extends SparkSuite {
       s"class $i empty"))
   }
 
+  test("c25 reprocess plan reconciles with the c18 diff row by row") {
+    val plan = q("c25_reprocess_plan")
+    val diff = q("c18_snapshot_diff")
+      .withColumnRenamed("source", "s2")
+    val j = plan.join(diff, col("source") === col("s2"))
+    // dirty = any change class; new docs = everything still present
+    assert(j.filter(col("dirty_ct") =!= col("added_ct") +
+      col("changed_ct") + col("removed_ct")).count() == 0)
+    assert(j.filter(col("new_doc_ct") =!= col("added_ct") +
+      col("changed_ct") + col("unchanged_ct")).count() == 0)
+    // verdict is the dirty_ct predicate, and both verdicts occur is NOT
+    // guaranteed (all sources have planted edits) — but recompute must
+    assert(plan.filter((col("dirty_ct") > 0) =!=
+      (col("verdict") === "recompute")).count() == 0)
+    assert(plan.filter(col("verdict") === "recompute").count() > 0)
+    // token mass to re-run is positive wherever something was added or
+    // changed, and never exceeds the snapshot's total token mass
+    assert(plan.filter(col("reprocess_tokens") < 0).count() == 0)
+  }
+
   test("d7 estimator audit: band floor, ranges, d3 agreement") {
     val r = q("d7_minhash_estimate")
     assert(r.count() > 0)

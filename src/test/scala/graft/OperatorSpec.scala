@@ -221,6 +221,27 @@ class OperatorSpec extends SparkSuite {
       .filter(col("ndv") =!= n).count() == 0)
   }
 
+  test("x10 skew report: totals reconcile, hot key diagnosed, ratios consistent") {
+    val r = q("x10_skew_report")
+    assert(r.count() == 3)
+    val nEvents = Tables(spark, sf, "events").count()
+    // both events rows account for every event row exactly once
+    assert(r.filter(col("key_col").startsWith("events."))
+      .filter(col("n_rows") =!= nEvents).count() == 0)
+    // internal consistency: max <= rows, keys <= rows, shares bounded
+    assert(r.filter(col("max_key_ct") > col("n_rows") ||
+      col("n_keys") > col("n_rows") ||
+      col("top1_share") <= 0 || col("top1_share") > 1).count() == 0)
+    // hottest-vs-average can never be below uniform (tolerate rounding)
+    assert(r.filter(col("skew_factor") < 0.999999).count() == 0)
+    // the 5-key event_type space is the documented hot case: far fewer
+    // keys and a far larger top-1 share than the user_id key
+    val byKey = r.collect().map(row =>
+      row.getString(0) -> (row.getLong(2), row.getDouble(4))).toMap
+    assert(byKey("events.event_type")._1 < byKey("events.user_id")._1)
+    assert(byKey("events.event_type")._2 > byKey("events.user_id")._2)
+  }
+
   test("a22 bounce rate: rates bounded, sessions reconcile with a23") {
     val r = q("a22_bounce_rate").collect()
     assert(r.nonEmpty)

@@ -375,6 +375,29 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.filter(col("oov_ct") === col("token_ct")).count() == 0)
   }
 
+  test("t24: fertility cells conserved, sums positive, ratios replayed") {
+    val r = q("t24_tokenizer_fertility")
+    val cells = Tables(spark, sf, "documents")
+      .select(col("source"), col("lang")).distinct().count()
+    assert(r.count() == cells)
+    assert(r.agg(sum(col("doc_ct"))).head.getLong(0) ==
+      Tables(spark, sf, "documents").count())
+    assert(r.filter(col("bpe_sum") <= 0 || col("ws_sum") <= 0 ||
+      col("char_sum") <= 0).count() == 0)
+    // the reported ratios are exactly the one-shot divisions
+    assert(r.filter(col("fertility") =!=
+      round(col("bpe_sum").cast("double") / col("ws_sum"), 6))
+      .count() == 0)
+    assert(r.filter(col("chars_per_token") =!=
+      round(col("char_sum").cast("double") / col("bpe_sum"), 6))
+      .count() == 0)
+    // a token has at least one char, and tokens-per-word stays within
+    // sane bounds on a whitespace corpus (each word splits into >= 1
+    // run, never more runs than characters)
+    assert(r.filter(col("chars_per_token") < 1.0).count() == 0)
+    assert(r.filter(col("fertility") < 1.0).count() == 0)
+  }
+
   test("t23: code gate partitions the corpus and densities are ratios") {
     val r = q("t23_code_fraction")
     // every (source, lang) cell present exactly once; doc mass conserved
