@@ -91,6 +91,17 @@ object Graft {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     graft.operators.CurationOps.snapshotDiffFor(oldSnap, newSnap)
 
+  /** Incremental reprocessing plan over the same snapshot pair
+    * [[snapshotDiff]] compares: per source, docs still present, the
+    * count of changes of ANY kind (added/changed/removed — removals
+    * retract derived aggregates), the token mass that actually needs
+    * re-running (added+changed docs only), and a skip/recompute
+    * verdict. The work-list that turns a corpus refresh into touching
+    * only dirty partitions. Inputs are (doc_id, source, text)
+    * frames. */
+  def reprocessPlan(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    graft.operators.CurationOps.reprocessPlanFor(oldSnap, newSnap)
+
   /** Fuzzy benchmark decontamination: (train_id, eval_id, jaccard)
     * near-duplicate pairs across the split, found by MinHash-LSH
     * banding and verified by exact distinct-token Jaccard >= threshold

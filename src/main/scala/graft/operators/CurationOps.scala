@@ -761,20 +761,34 @@ object CurationOps extends QueryModule {
     * dominate. */
   /** The c18 core over ARBITRARY old/new (doc_id, source, text) frames —
     * exposed through [[graft.api.Graft.snapshotDiff]]. */
-  private[graft] def snapshotDiffFor(oldSnap: DataFrame,
+  /** The ONE per-row classified-diff stage both c18 and c25 aggregate
+    * from (the reconciliation between the two reports is structural,
+    * not copy-maintained): full-outer fingerprint join on doc_id, one
+    * row per (source, change ∈ added/removed/changed/unchanged) with
+    * the NEW-side token count (0 for removed rows). Text never enters
+    * the join; Catalyst prunes the tokenize column for consumers that
+    * don't read it (c18). */
+  private def classifiedDiff(oldSnap: DataFrame,
       newSnap: DataFrame): DataFrame = {
     val old = oldSnap
       .select(col("doc_id").as("o_id"), col("source").as("o_src"),
         fingerprint(col("text")).as("o_fp"))
     val nw = newSnap
       .select(col("doc_id").as("n_id"), col("source").as("n_src"),
-        fingerprint(col("text")).as("n_fp"))
+        fingerprint(col("text")).as("n_fp"),
+        size(tokenize(col("text"))).cast(LongType).as("nt"))
     old.join(nw, col("o_id") === col("n_id"), "full_outer")
       .select(coalesce(col("o_src"), col("n_src")).as("source"),
         when(col("o_id").isNull, "added")
           .when(col("n_id").isNull, "removed")
           .when(col("o_fp") =!= col("n_fp"), "changed")
-          .otherwise("unchanged").as("change"))
+          .otherwise("unchanged").as("change"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"))
+  }
+
+  private[graft] def snapshotDiffFor(oldSnap: DataFrame,
+      newSnap: DataFrame): DataFrame =
+    classifiedDiff(oldSnap, newSnap)
       .groupBy(col("source"))
       .agg(sum(when(col("change") === "added", 1L).otherwise(0L))
         .as("added_ct"),
@@ -784,18 +798,26 @@ object CurationOps extends QueryModule {
           .as("changed_ct"),
         sum(when(col("change") === "unchanged", 1L).otherwise(0L))
           .as("unchanged_ct"))
-  }
 
-  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+  /** The shared c18/c25 synthetic two-snapshot fixture: old = docs not
+    * ≡0 mod 5, new = docs not ≡0 mod 7 with an edit planted on ≡0 mod
+    * 11 — one definition so the two reports diff the SAME pair of
+    * snapshots by construction. */
+  private def snapshotFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    snapshotDiffFor(
-      d.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+    (d.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
       d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
         .select(col("doc_id"), col("source"),
           when(pmod(col("doc_id"), lit(11L)) === 0,
             concat(col("text"), lit(" rev2")))
             .otherwise(col("text")).as("text")))
+  }
+
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (oldSnap, newSnap) = snapshotFixture(s, dir)
+    snapshotDiffFor(oldSnap, newSnap)
   }
 
   /** c25: incremental reprocessing plan — the work-list c18's diff
@@ -813,19 +835,8 @@ object CurationOps extends QueryModule {
     * snapshot fixture as c18, so the two reports reconcile row by
     * row. */
   private[graft] def reprocessPlanFor(oldSnap: DataFrame,
-      newSnap: DataFrame): DataFrame = {
-    val old = oldSnap.select(col("doc_id").as("o_id"),
-      col("source").as("o_src"), fingerprint(col("text")).as("o_fp"))
-    val nw = newSnap.select(col("doc_id").as("n_id"),
-      col("source").as("n_src"), fingerprint(col("text")).as("n_fp"),
-      size(tokenize(col("text"))).cast(LongType).as("n_tokens"))
-    old.join(nw, col("o_id") === col("n_id"), "full_outer")
-      .select(coalesce(col("o_src"), col("n_src")).as("source"),
-        when(col("o_id").isNull, "added")
-          .when(col("n_id").isNull, "removed")
-          .when(col("o_fp") =!= col("n_fp"), "changed")
-          .otherwise("unchanged").as("change"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      newSnap: DataFrame): DataFrame =
+    classifiedDiff(oldSnap, newSnap)
       .groupBy(col("source"))
       .agg(
         sum(when(col("change") =!= "removed", 1L).otherwise(0L))
@@ -838,18 +849,10 @@ object CurationOps extends QueryModule {
         col("reprocess_tokens"),
         when(col("dirty_ct") > 0, "recompute").otherwise("skip")
           .as("verdict"))
-  }
 
   private def reprocessPlan(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-    reprocessPlanFor(
-      d.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
-      d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
-        .select(col("doc_id"), col("source"),
-          when(pmod(col("doc_id"), lit(11L)) === 0,
-            concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")).as("text")))
+    val (oldSnap, newSnap) = snapshotFixture(s, dir)
+    reprocessPlanFor(oldSnap, newSnap)
   }
 
   /** c6: deterministic stratified sampling — per-source keep rates

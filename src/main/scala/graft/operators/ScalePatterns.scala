@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.{QueryModule, Tables}
 import graft.functions.{Fns, Oracle}
 
@@ -69,10 +69,8 @@ object ScalePatterns extends QueryModule {
     * O(columns audited). Integer counts with two final one-shot
     * divisions (engine-exact). */
   private def skewReport(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    def rowFor(label: String, df: org.apache.spark.sql.DataFrame,
-        key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-      df.groupBy(key.as("k")).agg(count(lit(1)).as("ct"))
+    def rowFor(label: String, df: DataFrame, key: Column): DataFrame =
+      df.groupBy(key).agg(count(lit(1)).as("ct"))
         .agg(sum(col("ct")).cast(LongType).as("n_rows"),
           count(lit(1)).as("n_keys"), max(col("ct")).as("max_key_ct"))
         .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),

@@ -175,6 +175,14 @@ class ApiSpec extends SparkSuite {
     assert(r.getLong(r.fieldIndex("removed_ct")) == 1L)
     assert(r.getLong(r.fieldIndex("changed_ct")) == 1L)
     assert(r.getLong(r.fieldIndex("unchanged_ct")) == 1L)
+    // the reprocess plan over the SAME pair: 3 docs still present, 3
+    // dirtying changes (add+edit+remove), token mass = the added (5
+    // tokens) + edited (4 tokens) new-side docs, verdict recompute
+    val p = Graft.reprocessPlan(old, nw).head
+    assert(p.getLong(p.fieldIndex("new_doc_ct")) == 3L)
+    assert(p.getLong(p.fieldIndex("dirty_ct")) == 3L)
+    assert(p.getLong(p.fieldIndex("reprocess_tokens")) == 9L)
+    assert(p.getString(p.fieldIndex("verdict")) == "recompute")
   }
 
   test("tableStats and refIntegrityAudit work on user frames") {

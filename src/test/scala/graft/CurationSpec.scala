@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.TextOps
 
 /** Invariants for the curation layer (CurationOps) and the new DWD SQL
   * apps — structural properties the oracle value-compare can't state. */
@@ -294,19 +295,34 @@ class CurationSpec extends SparkSuite {
     val diff = q("c18_snapshot_diff")
       .withColumnRenamed("source", "s2")
     val j = plan.join(diff, col("source") === col("s2"))
+    // the join covers BOTH reports completely — a source lost by
+    // either side would otherwise drop out and pass vacuously
+    assert(j.count() == plan.count() && j.count() == diff.count())
     // dirty = any change class; new docs = everything still present
     assert(j.filter(col("dirty_ct") =!= col("added_ct") +
       col("changed_ct") + col("removed_ct")).count() == 0)
     assert(j.filter(col("new_doc_ct") =!= col("added_ct") +
       col("changed_ct") + col("unchanged_ct")).count() == 0)
-    // verdict is the dirty_ct predicate, and both verdicts occur is NOT
-    // guaranteed (all sources have planted edits) — but recompute must
+    // verdict is exactly the dirty_ct predicate, and the planted edits
+    // guarantee at least one recompute row exists
     assert(plan.filter((col("dirty_ct") > 0) =!=
       (col("verdict") === "recompute")).count() == 0)
     assert(plan.filter(col("verdict") === "recompute").count() > 0)
-    // token mass to re-run is positive wherever something was added or
-    // changed, and never exceeds the snapshot's total token mass
-    assert(plan.filter(col("reprocess_tokens") < 0).count() == 0)
+    // token mass to re-run: positive wherever something was added or
+    // changed (every doc has >= 1 token) and bounded by the new
+    // snapshot's own per-source token mass
+    assert(j.filter(col("added_ct") + col("changed_ct") > 0 &&
+      col("reprocess_tokens") <= 0).count() == 0)
+    val newMass = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("source"),
+        (size(TextOps.tokenize(col("text"))) +
+          when(pmod(col("doc_id"), lit(11L)) === 0, 1L).otherwise(0L))
+          .cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("mass"))
+      .withColumnRenamed("source", "s3")
+    assert(plan.join(newMass, col("source") === col("s3"))
+      .filter(col("reprocess_tokens") > col("mass")).count() == 0)
   }
 
   test("d7 estimator audit: band floor, ranges, d3 agreement") {

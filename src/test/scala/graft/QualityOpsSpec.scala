@@ -391,11 +391,11 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.filter(col("chars_per_token") =!=
       round(col("char_sum").cast("double") / col("bpe_sum"), 6))
       .count() == 0)
-    // a token has at least one char, and tokens-per-word stays within
-    // sane bounds on a whitespace corpus (each word splits into >= 1
-    // run, never more runs than characters)
+    // BPE-ish runs are disjoint non-empty substrings of the text, so
+    // the corpus can never hold more runs than characters (structural
+    // at ANY testdata shape; no lower bound on fertility — a word of
+    // punctuation or non-ASCII has zero [a-z0-9] runs)
     assert(r.filter(col("chars_per_token") < 1.0).count() == 0)
-    assert(r.filter(col("fertility") < 1.0).count() == 0)
   }
 
   test("t23: code gate partitions the corpus and densities are ratios") {
