@@ -347,6 +347,27 @@ class PerfSpec extends SparkSuite {
       v16.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-9 ops keep their scale shapes") {
+    // t24: one scan, one hash aggregate — zero joins, zero windows
+    val t24 = plan("t24_tokenizer_fertility")
+    assert(!t24.contains("Join") && !t24.contains("Window"),
+      s"fertility must be a single scan+aggregate:\n$t24")
+    // c25: the diff join is fingerprint-keyed — the text attribute
+    // must never appear in any Exchange (only its md5/size projections
+    // shuffle); a nested loop means the diff regressed to doc×doc
+    val c25 = plan("c25_reprocess_plan")
+    assert(!c25.contains("BroadcastNestedLoopJoin") &&
+      !c25.contains("CartesianProduct"))
+    assert("Exchange[^\\n]*\\btext\\b".r.findFirstIn(c25).isEmpty,
+      s"document text must not shuffle in the reprocess plan:\n$c25")
+    // x10: every per-key count is map-side combinable (a partial_count
+    // below each exchange), and there is no join at all
+    val x10 = plan("x10_skew_report")
+    assert(!x10.contains("Join"), s"skew report must not join:\n$x10")
+    assert(x10.contains("partial_count") || x10.contains("partial count"),
+      s"per-key counts must combine map-side:\n$x10")
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     val e = Tables(spark, sf, "events")
     val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
