@@ -450,6 +450,104 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), (col("hits") >= 3).as("pq_ok"))
   }
 
+  /** IVFADC shortlist depth — deliberately SMALLER than a typical coarse
+    * cell (~50 members at sf0.01) so the PQ approximation genuinely
+    * selects the shortlist; at [[pqShortlist]]-deep the ADC stage would
+    * cover whole cells and degenerate to v3's exact in-cell scan. */
+  val ivfpqShortlist = 30
+
+  /** v21: IVFADC — the combined IVF + product-quantization index (Jégou,
+    * Douze, Schmid, "Product quantization for nearest neighbor search",
+    * TPAMI'11), i.e. the layout billion-scale ANN services actually
+    * deploy: a coarse quantizer routes each vector to a cell (v3's
+    * inverted lists) and the RESIDUAL vector (emb − cell centroid) is
+    * PQ-encoded to [[pqSubspaces]] byte codes (v8's codebook mechanics,
+    * trained here on residuals). A query probes its [[ivfNprobe]]
+    * nearest cells and scores candidates by asymmetric distance — exact
+    * query residual vs reconstructed candidate residual — then the
+    * [[ivfpqShortlist]] survivors are re-ranked by true cosine.
+    *
+    * Scale: the cell assignment and code assignment are map-side argmin
+    * aggregations against broadcast centroid/codeword sets (shuffle
+    * carries one row per vector — the v9 idiom); the probe join is a
+    * cell-id equi-join (never corpus × corpus); the exact re-rank
+    * touches only shortlist × queries rows. Every float is an IEEE
+    * double accumulated in array order, so the whole trajectory —
+    * assignment, codes, ADC, final ranks — replays bit-exactly in the
+    * SQL oracle (unlike v8's spec-only contract, this one value-oracles
+    * end to end). */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    def sub(c: Column, m: Int) = slice(c, m * pqSubDim + 1, pqSubDim)
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+    val cent = em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    // nearest coarse cell by L2, struct-min argmin (partial-agg
+    // combinable; tie-break c_id is total because centroid ids are
+    // distinct) — residual computed once at assignment
+    val assigned = em.join(broadcast(cent))
+      .select(col("vec_id"),
+        struct(sqDist(col("emb"), col("c_emb")).as("d2"),
+          col("c_id").as("c_id"), col("emb").as("emb"),
+          col("c_emb").as("c_emb")).as("cand"))
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        col("best.emb").as("emb"),
+        zip_with(col("best.emb"), col("best.c_emb"),
+          (x, y) => x - y).as("resid"))
+    // PQ codebook TRAINED ON RESIDUALS (the IVFADC detail that matters:
+    // residuals are centered around 0, so one shared codebook serves all
+    // cells) — deterministic public-knowledge stand-in like v8's: the
+    // first [[pqCodebookSize]] vectors' residual subvectors
+    val cb = assigned.filter(col("vec_id") < pqCodebookSize)
+      .select(col("vec_id").as("cw_id") +:
+        (0 until pqSubspaces).map(m => sub(col("resid"), m).as(s"cw$m")): _*)
+    val withSubs = assigned.select(col("vec_id"), col("c_id"), col("resid"))
+    val codeAggs = (0 until pqSubspaces).map { m =>
+      min(struct(l2(sub(col("resid"), m), col(s"cw$m")).as("d"),
+        col("cw_id").as("c"))).getField("c").as(s"code$m")
+    }
+    val codes = withSubs.crossJoin(broadcast(cb))
+      .groupBy(col("vec_id"), col("c_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    // candidate reconstruction: codes → codeword subvectors → flattened
+    // approximate residual (what the inverted list stores, 8 bytes/vec)
+    val recon = (0 until pqSubspaces).foldLeft(codes.drop("c_id")) {
+      (df, m) =>
+        df.join(broadcast(cb.select(col("cw_id").as(s"rc$m"),
+          col(s"cw$m"))), col(s"code$m") === col(s"rc$m"))
+    }.select(col("vec_id").as("r_id"),
+      flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
+        .as("rresid"))
+    val lists = codes.select(col("vec_id").as("n_id"), col("c_id"))
+      .join(recon, col("n_id") === col("r_id")).drop("r_id")
+    // queries probe their own nearest cell (nprobe = ivfNprobe = 1, the
+    // serving constant v18's sweep justifies); the query residual is
+    // exact — ADC's asymmetry
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_cid"),
+        col("emb").as("q_emb"), col("resid").as("q_resid"))
+    val slW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("n_id"))
+    val shortlist = broadcast(q).join(lists,
+        col("c_id") === col("q_cid") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("n_id"),
+        sqDist(col("q_resid"), col("rresid")).as("adc"))
+      .withColumn("slrk", row_number().over(slW))
+      .filter(col("slrk") <= ivfpqShortlist)
+    val exW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    shortlist
+      .join(em.select(col("vec_id").as("e_id"), col("emb").as("n_emb")),
+        col("n_id") === col("e_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_emb"), col("n_emb")) /
+          (norm(col("q_emb")) * norm(col("n_emb"))), 6).as("cos"))
+      .withColumn("rk", row_number().over(exW))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
   /** v11: SemDeDup (Abbas, Tirumala, Simig, Ganguli, Morcos, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540) — semantic near-dup pruning with
@@ -1011,6 +1109,7 @@ object VectorOps extends QueryModule {
     "v9_kmeans_assign" -> kmeansAssign,
     "v10_embed_outliers" -> embedOutliers,
     "v8_ann_pq_topk" -> annPq,
+    "v21_ivfpq_topk" -> annIvfPq,
     "v7_ann_int8_topk" -> annInt8,
     "v6_ann_signlsh_topk" -> annSignLsh,
     "v1_ann_brute_topk" -> annBrute,
@@ -1100,6 +1199,76 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    // v21 replays the full IVFADC trajectory — cell argmin → residuals →
+    // residual-trained codebook → per-subspace code argmin → codeword
+    // reconstruction → asymmetric distance → shortlist → exact re-rank —
+    // every float an IEEE double accumulated in array order, so the
+    // hash compare covers the whole index, not just the final ranks.
+    "v21_ivfpq_topk" -> {
+      val sd = pqSubDim
+      s"""WITH em AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM em
+         |         WHERE vec_id % 50 = 0),
+         |ac AS (SELECT vec_id, emb, c_id, c_emb,
+         |              ${d2Sql("emb", "c_emb")} AS d2
+         |       FROM em CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, c_id, emb,
+         |         list_transform(range(1, ${embDim + 1}),
+         |           i -> emb[i] - c_emb[i]) AS resid
+         |  FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
+         |        FROM ac) WHERE rk = 1),
+         |cb AS (SELECT vec_id AS cw_id, resid AS cw_resid FROM assigned
+         |       WHERE vec_id < $pqCodebookSize),
+         |sc AS (
+         |  SELECT a.vec_id, a.c_id, t.m, cb.cw_id,
+         |         list_aggregate(list_transform(range(1, ${sd + 1}),
+         |           i -> (a.resid[t.m * $sd + i] - cb.cw_resid[t.m * $sd + i])
+         |              * (a.resid[t.m * $sd + i] - cb.cw_resid[t.m * $sd + i])),
+         |           'sum') AS d
+         |  FROM assigned a CROSS JOIN range(0, $pqSubspaces) t(m)
+         |  CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, c_id, m, cw_id AS code FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id, m ORDER BY d, cw_id) AS rk
+         |    FROM sc) WHERE rk = 1),
+         |recon AS (
+         |  SELECT codes.vec_id AS n_id, any_value(codes.c_id) AS c_id,
+         |         flatten(list(list_transform(range(1, ${sd + 1}),
+         |           i -> cb.cw_resid[codes.m * $sd + i])
+         |           ORDER BY codes.m)) AS rresid
+         |  FROM codes JOIN cb ON cb.cw_id = codes.code
+         |  GROUP BY codes.vec_id),
+         |q AS (SELECT vec_id AS q_id, c_id AS q_cid, emb AS q_emb,
+         |             resid AS q_resid
+         |      FROM assigned WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q_id, n_id, q_emb,
+         |         list_aggregate(list_transform(range(1, ${embDim + 1}),
+         |           i -> (q_resid[i] - rresid[i])
+         |              * (q_resid[i] - rresid[i])), 'sum') AS adc
+         |  FROM q JOIN recon ON recon.c_id = q_cid AND n_id <> q_id),
+         |sl AS (SELECT q_id, n_id, q_emb FROM (
+         |        SELECT *, row_number() OVER
+         |          (PARTITION BY q_id ORDER BY adc, n_id) AS slrk
+         |        FROM pairs) WHERE slrk <= $ivfpqShortlist),
+         |rr AS (
+         |  SELECT q_id, n_id,
+         |         round(${dotSql("q_emb", "n_emb")}
+         |               / (sqrt(${dotSql("q_emb", "q_emb")})
+         |                  * sqrt(${dotSql("n_emb", "n_emb")})), 6) AS cos
+         |  FROM sl JOIN (SELECT vec_id AS e_id, emb AS n_emb FROM em) e
+         |    ON n_id = e_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM rr) WHERE rk <= 5""".stripMargin
+    },
     "v20_mmr_diversify" -> {
       val steps = (2 to mmrK).map { k =>
         val prev = k - 1

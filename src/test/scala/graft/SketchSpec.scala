@@ -193,6 +193,31 @@ class SketchSpec extends SparkSuite {
     assert(atShipped >= 10, s"recall@5 at shipped nprobe: $atShipped/50")
   }
 
+  test("v21: IVFADC ranks dense, cosines bounded, recall holds") {
+    val r = q("v21_ivfpq_topk")
+    assert(r.count() == 50) // 10 queries x exact top-5
+    val perQ = r.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("mx"))
+    assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0,
+      "ranks must be dense 1..5 per query")
+    assert(r.filter(col("cos") < -1.0 || col("cos") > 1.0).count() == 0)
+    // the ADC shortlist is 30-deep inside a ~50-member cell, so the PQ
+    // approximation genuinely selects; it should still retain most of
+    // the exact in-cell top-5 (v3 probes by centroid cosine, v21 by
+    // residual L2 — cell skew accounts for a small gap) and the same
+    // recall class vs brute force that v3's own contract asserts
+    val v3 = q("v3_ann_ivf_topk")
+      .select(col("q_id").as("vq"), col("n_id").as("vn"))
+    val vsIvf = r.join(v3,
+      col("q_id") === col("vq") && col("n_id") === col("vn")).count()
+    assert(vsIvf >= 30, s"IVFADC vs in-cell exact: $vsIvf/50")
+    val brute = q("v1_ann_brute_topk")
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+    val vsBrute = r.join(brute,
+      col("q_id") === col("bq") && col("n_id") === col("bn")).count()
+    assert(vsBrute >= 8, s"IVFADC recall@5 vs brute: $vsBrute/50")
+  }
+
   test("v17: DB index covers every vector, ratios positive") {
     val r = q("v17_davies_bouldin")
     assert(r.count() > 1)
