@@ -633,6 +633,12 @@ object VectorOps extends QueryModule {
         .agg(sum(round(col("c") * col("p"), 6).cast(DecimalType(28, 6)))
           .cast(DoubleType).as("w"))
       val mx = w.agg(max(abs(col("w"))).as("mx"))
+      // NOTE the unrolled steps deliberately do NOT checkpoint the
+      // iterate: the re-embedded subtrees all hang off the checkpointed
+      // `cent` relation, so runtime exchange reuse already dedupes the
+      // physical work, and measured per-step eager cuts COST ~1.5 s at
+      // sf0.1 (they serialize the pipeline) for no executed-work win —
+      // unlike v20, whose growing frontier genuinely doubles the plan
       w.crossJoin(broadcast(mx))
         .select(col("j"), round(col("w") / col("mx"), 9).as("vj"))
     }
@@ -810,6 +816,11 @@ object VectorOps extends QueryModule {
       .groupBy(col("c_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x("m")).as("mu"))
+      // k rows; read by the scatter join AND both sides of the k×k
+      // separation join — checkpoint so the two-aggregation centroid
+      // subtree plans once, not three times (budget ledger: 79
+      // exchanges before the cut)
+      .localCheckpoint(true)
     val scat = memb.join(mu.withColumnRenamed("c_id", "m_cid"),
         col("c_id") === col("m_cid"))
       .select(col("c_id"),
@@ -818,6 +829,8 @@ object VectorOps extends QueryModule {
       .agg(count(lit(1)).as("member_ct"),
         round(sum(round(col("dist"), 9).cast(DecimalType(28, 9)))
           .cast(DoubleType) / count(lit(1)), 6).as("scatter"))
+      // k rows, read three times (s_i side, s_j side, final join)
+      .localCheckpoint(true)
     // k×k centroid pairs with the (tiny, k-row) right side broadcast —
     // the separation join is bounded by centroid count, never n
     val dij = mu.as("ma").join(broadcast(mu.as("mb")),
@@ -1086,7 +1099,13 @@ object VectorOps extends QueryModule {
         .withColumn("rk", row_number().over(scW))
         .filter(col("rk") === 1).drop("rk")
         .withColumn("mmr_step", lit(k.toLong))
-      sel = sel.unionByName(pick)
+      // the growing pick set is referenced THREE times next step (anti-
+      // join probe + max-sim join + the union) — without cutting the
+      // lineage here the plan doubles per step (the budget ledger
+      // measured 361 exchanges for the 5-step unroll); checkpointing
+      // ≤ mmrK·10 rows per step keeps the plan constant-size (cluster
+      // analog: the greedy frontier is a tiny staged table)
+      sel = sel.unionByName(pick).localCheckpoint(true)
     }
     // score in natural units for the reader: exact integer / 1e7, the
     // same IEEE division in both engines

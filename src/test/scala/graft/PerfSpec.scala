@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Plan-shape assertions: the properties that decide 100 TB behavior —
   * pushdown, pruning, broadcast choice, bucketed co-location, salt
@@ -37,6 +38,33 @@ class PerfSpec extends SparkSuite {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
         s"$name degenerated into a cartesian product")
+    }
+  }
+
+  test("every query stays within its committed shuffle budget") {
+    // PLAN_BUDGET.tsv is the machine-checked digest of PLANS.md: the
+    // recorded shuffle-exchange (and BroadcastNestedLoopJoin) count per
+    // query, taken in the same warm-memo state the bench measures. A
+    // code change that silently adds an Exchange — a lost broadcast, an
+    // accidental distinct, a window without a co-partitioned parent —
+    // fails here instead of shipping as a terabyte re-sort at 100 TB.
+    val budget = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/root/repo/PLAN_BUDGET.tsv"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filterNot(l => l.startsWith("#") || l.isBlank)
+      .map { l => val a = l.split("\t"); a(0) -> ((a(1).toInt, a(2).toInt)) }
+      .toMap
+    Prestage.warmAll(spark, sf)
+    val missing = SparkEntry.queries.keys.filterNot(budget.contains)
+    assert(missing.isEmpty, s"queries without a recorded plan budget " +
+      s"(run sbt 'runMain graft.PlanBudget'): ${missing.toSeq.sorted}")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = PlanBudget.planString(spark, sf, name)
+      val (bsh, bbn) = budget(name)
+      val sh = PlanBudget.shuffleCount(p)
+      val bn = PlanBudget.bnljCount(p)
+      assert(sh <= bsh, s"$name shuffle count regressed: $sh > $bsh")
+      assert(bn <= bbn, s"$name nested-loop joins regressed: $bn > $bbn")
     }
   }
 
