@@ -71,6 +71,25 @@ object StatefulStreams {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"))
 
+  /** A7 via the engine-native streaming dedup
+    * (`dropDuplicatesWithinWatermark`, Spark 3.5+): per-key dedup state
+    * is retained only within the watermark horizon and evicted by the
+    * ENGINE — the bounded-state form of the reference's
+    * first-wins ValueState dedup with its TTL timer
+    * (W7/W8; TableProcessFunction-style keyed state), with eviction a
+    * property of the operator instead of user timer code. Which
+    * duplicate survives depends on arrival order (exactly like the
+    * reference's first-wins state), so the deterministic contract is
+    * the KEY SET (StreamingSpec); `a7_dedup_last` remains the
+    * value-deterministic twin. At 100 TB this is the preferred
+    * streaming-dedup form: state size is bounded by keys-per-horizon,
+    * not keys-ever-seen. */
+  def dedupWithinWatermark(s: SparkSession, dir: String): DataFrame =
+    eventStream(s, dir)
+      .withColumn("et", timestamp_seconds(nsToSec(col("ts"))))
+      .withWatermark("et", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** W5+ streaming session windows: 30-minute-gap sessions per user —
     * the stateful merge (touching sessions coalesce as events arrive)
     * that the batch w5_session_window computes in one pass; append mode

@@ -394,6 +394,73 @@ class StreamingSpec extends SparkSuite {
       s"rule application wrong: $got")
   }
 
+  test("engine-native streaming dedup covers exactly the batch key set") {
+    // dropDuplicatesWithinWatermark: engine-evicted bounded dedup
+    // state. The single-file source arrives as one micro-batch, so no
+    // state eviction can occur mid-input and the surviving key set must
+    // equal the batch distinct exactly (which duplicate ROW survives is
+    // arrival order, like the reference's first-wins ValueState — the
+    // value-deterministic twin is a7_dedup_last)
+    val streamed = runStream(
+      graft.streaming.StatefulStreams.dedupWithinWatermark(spark, sf),
+      "dedup_wm", "append").select(col("user_id"), col("event_type"))
+    val batch = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(streamed.count() == streamed.distinct().count(),
+      "dedup emitted a duplicate key")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("Trigger.AvailableNow catch-up run equals the continuous result") {
+    // the cost-efficient production mode for periodic catch-up over a
+    // growing source: process everything available, then terminate —
+    // results must be identical to the always-on run over the same
+    // bounded input
+    val sq = StatefulStreams.windowedCounts(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("win_avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(sq.awaitTermination(120000), "AvailableNow did not terminate")
+    val avnow = spark.table("win_avnow")
+    val cont = runStream(
+      StatefulStreams.windowedCounts(spark, sf), "win_cont", "append")
+    assert(avnow.exceptAll(cont).count() == 0 &&
+      cont.exceptAll(avnow).count() == 0)
+  }
+
+  test("watermark drop is counted by the engine's own state metrics") {
+    // W6 via the engine's ledger, not output inspection: a row older
+    // than the advanced watermark must be dropped AND counted in
+    // numRowsDroppedByWatermark (what a 100 TB pipeline alerts on —
+    // the w6_late_audit batch query is the replayable twin)
+    import spark.implicits._
+    import graft.streaming.StatefulStreams.UserEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val counts = source.toDF()
+      .withColumn("et", timestamp_seconds(col("sec")))
+      .withWatermark("et", "0 seconds")
+      .groupBy(window(col("et"), "10 seconds"))
+      .agg(count(lit(1)).as("ct"))
+    val sq = counts.writeStream.outputMode("append").format("memory")
+      .queryName("wm_drop").start()
+    source.addData(UserEvent(1L, 100L, 1L, "view", 1.0),
+      UserEvent(2L, 205L, 2L, "view", 1.0)) // watermark → 205
+    sq.processAllAvailable()
+    source.addData(UserEvent(3L, 101L, 3L, "view", 1.0)) // late: < 205
+    sq.processAllAvailable()
+    sq.stop()
+    val dropped = sq.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped >= 1L, s"late row not counted as dropped: $dropped")
+    // and the dropped row never surfaced: only the closed first window
+    val rows = spark.table("wm_drop").collect()
+    assert(rows.forall(_.getLong(1) == 1L),
+      s"late row leaked into a window: ${rows.mkString(",")}")
+  }
+
   test("last-seen state agrees with a7 batch dedup") {
     val streamed = runStream(
       StatefulStreams.lastSeenStream(spark, sf), "last_seen", "update")
