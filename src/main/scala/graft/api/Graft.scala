@@ -296,4 +296,19 @@ object Graft {
     * collected to the driver. */
   def pcaTopComponent(em: DataFrame): DataFrame =
     graft.operators.VectorOps.pcaPowerFor(em)
+
+  /** Build the IVFPQ code table for an embedding frame (vec_id,
+    * emb ARRAY<DOUBLE>, [[graft.operators.VectorOps.embDim]]-wide):
+    * coarse-cell routing + residual PQ codes — (vec_id, c_id,
+    * code0..codeM), the inverted-list layout v21 serves from.
+    * Centroids/codebook derive deterministically from the frame (the
+    * `train` step); for growing corpora freeze them with
+    * [[graft.streaming.IncrementalIndex.train]] and encode arriving
+    * batches with `encodeBatch` so new data never invalidates stored
+    * codes. */
+  def ivfpqEncode(em: DataFrame): DataFrame = {
+    val v = graft.operators.VectorOps
+    val assigned = v.cellResiduals(em, v.coarseCentroids(em))
+    v.pqEncode(assigned, v.residualCodebook(assigned))
+  }
 }

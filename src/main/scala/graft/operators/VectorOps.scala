@@ -476,16 +476,17 @@ object VectorOps extends QueryModule {
     * assignment, codes, ADC, final ranks — replays bit-exactly in the
     * SQL oracle (unlike v8's spec-only contract, this one value-oracles
     * end to end). */
-  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    def sub(c: Column, m: Int) = slice(c, m * pqSubDim + 1, pqSubDim)
-    val em = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("emb"))
-    val cent = em.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    // nearest coarse cell by L2, struct-min argmin (partial-agg
-    // combinable; tie-break c_id is total because centroid ids are
-    // distinct) — residual computed once at assignment
-    val assigned = em.join(broadcast(cent))
+  private def subVec(c: Column, m: Int): Column =
+    slice(c, m * pqSubDim + 1, pqSubDim)
+
+  /** Nearest coarse cell by L2 for an arbitrary (vec_id, emb) frame —
+    * struct-min argmin (partial-agg combinable; tie-break c_id is total
+    * because centroid ids are distinct) with the residual computed once
+    * at assignment. Shared by the batch v21 index build and the
+    * incremental maintainer ([[graft.streaming.IncrementalIndex]]). */
+  private[graft] def cellResiduals(em: DataFrame, cent: DataFrame)
+      : DataFrame =
+    em.join(broadcast(cent))
       .select(col("vec_id"),
         struct(sqDist(col("emb"), col("c_emb")).as("d2"),
           col("c_id").as("c_id"), col("emb").as("emb"),
@@ -495,21 +496,57 @@ object VectorOps extends QueryModule {
         col("best.emb").as("emb"),
         zip_with(col("best.emb"), col("best.c_emb"),
           (x, y) => x - y).as("resid"))
-    // PQ codebook TRAINED ON RESIDUALS (the IVFADC detail that matters:
-    // residuals are centered around 0, so one shared codebook serves all
-    // cells) — deterministic public-knowledge stand-in like v8's: the
-    // first [[pqCodebookSize]] vectors' residual subvectors
-    val cb = assigned.filter(col("vec_id") < pqCodebookSize)
+
+  /** v21's coarse quantizer over a corpus frame (v3's deterministic
+    * centroid scheme). */
+  private[graft] def coarseCentroids(em: DataFrame): DataFrame =
+    em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+
+  /** PQ codebook TRAINED ON RESIDUALS (the IVFADC detail that matters:
+    * residuals are centered around 0, so one shared codebook serves all
+    * cells) — deterministic public-knowledge stand-in like v8's: the
+    * first [[pqCodebookSize]] vectors' residual subvectors. */
+  private[graft] def residualCodebook(assigned: DataFrame): DataFrame =
+    assigned.filter(col("vec_id") < pqCodebookSize)
       .select(col("vec_id").as("cw_id") +:
-        (0 until pqSubspaces).map(m => sub(col("resid"), m).as(s"cw$m")): _*)
+        (0 until pqSubspaces).map(m =>
+          subVec(col("resid"), m).as(s"cw$m")): _*)
+
+  /** Per-subspace nearest-codeword byte codes for an assigned frame —
+    * what the inverted list stores per vector. */
+  private[graft] def pqEncode(assigned: DataFrame, cb: DataFrame)
+      : DataFrame = {
     val withSubs = assigned.select(col("vec_id"), col("c_id"), col("resid"))
     val codeAggs = (0 until pqSubspaces).map { m =>
-      min(struct(l2(sub(col("resid"), m), col(s"cw$m")).as("d"),
+      min(struct(l2(subVec(col("resid"), m), col(s"cw$m")).as("d"),
         col("cw_id").as("c"))).getField("c").as(s"code$m")
     }
-    val codes = withSubs.crossJoin(broadcast(cb))
+    withSubs.crossJoin(broadcast(cb))
       .groupBy(col("vec_id"), col("c_id"))
       .agg(codeAggs.head, codeAggs.tail: _*)
+  }
+
+  /** The corpus embedding frame in the (vec_id, emb ARRAY<DOUBLE>)
+    * shape the index builders consume. */
+  private[graft] def embFrame(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("emb"))
+
+  /** The full-corpus IVFPQ code table (vec_id, c_id, code0..M) — the
+    * batch twin the incremental maintainer reconciles against. */
+  private[graft] def ivfpqCodes(s: SparkSession, dir: String): DataFrame = {
+    val em = embFrame(s, dir)
+    val assigned = cellResiduals(em, coarseCentroids(em))
+    pqEncode(assigned, residualCodebook(assigned))
+  }
+
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val em = embFrame(s, dir)
+    val cent = coarseCentroids(em)
+    val assigned = cellResiduals(em, cent)
+    val cb = residualCodebook(assigned)
+    val codes = pqEncode(assigned, cb)
     // candidate reconstruction: codes → codeword subvectors → flattened
     // approximate residual (what the inverted list stores, 8 bytes/vec)
     val recon = (0 until pqSubspaces).foldLeft(codes.drop("c_id")) {

@@ -264,6 +264,26 @@ class ApiSpec extends SparkSuite {
     assert(math.abs(v(2L)) < 0.2 && math.abs(v(3L)) < 0.2)
   }
 
+  test("ivfpqEncode codes an arbitrary 64-dim frame deterministically") {
+    val em = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13).toDouble / 13.0))
+    }.toDF("vec_id", "emb")
+    val codes = Graft.ivfpqEncode(em)
+    assert(codes.count() == 60)
+    // one row per vector; cells come from the frame's centroid scheme
+    // (vec_id % 50 == 0 → ids 0 and 50); codes point into the codebook
+    assert(codes.select("vec_id").distinct().count() == 60)
+    assert(codes.filter(!col("c_id").isin(0L, 50L)).count() == 0)
+    val codeCols = codes.columns.filter(_.startsWith("code"))
+    assert(codeCols.length == graft.operators.VectorOps.pqSubspaces)
+    codeCols.foreach { c =>
+      assert(codes.filter(col(c) < 0 || col(c) >= 60).count() == 0) }
+    // deterministic: a second build is row-identical
+    val again = Graft.ivfpqEncode(em)
+    assert(codes.exceptAll(again).count() == 0 &&
+      again.exceptAll(codes).count() == 0)
+  }
+
   test("facade entry points degrade gracefully on empty inputs") {
     val noDocs = corpus.filter(col("doc_id") < 0)
     assert(Graft.nearDupPairs(noDocs).count() == 0)
