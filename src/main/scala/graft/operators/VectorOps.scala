@@ -585,6 +585,45 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
   }
 
+  /** v22: IVFPQ index-health audit — the per-cell quality report a
+    * deployment monitors to decide when the frozen quantizers need
+    * re-training (the operational counterpart of v21/IncrementalIndex:
+    * as a corpus grows or drifts, residuals move away from the codebook
+    * and reconstruction error climbs). Per coarse cell: member count,
+    * mean/max PQ reconstruction error (exact residual vs its codeword
+    * reconstruction — the quantization loss ADC scoring pays), and
+    * subspace-0 codebook utilization (distinct codewords used; a
+    * collapsing cell routes everything to a few codewords).
+    *
+    * Scale: one map-side encode (broadcast artifacts), one
+    * reconstruction join (broadcast codebook), one groupBy(c_id) —
+    * shuffle carries one row per vector. Errors are DECIMAL-quantized
+    * before the cross-row mean so the report is partition-order
+    * independent and value-oracles exactly. */
+  private def ivfpqIndexHealth(s: SparkSession, dir: String): DataFrame = {
+    val em = embFrame(s, dir)
+    val assigned = cellResiduals(em, coarseCentroids(em))
+    val cb = residualCodebook(assigned)
+    val codes = pqEncode(assigned, cb)
+    val recon = (0 until pqSubspaces).foldLeft(codes) { (df, m) =>
+      df.join(broadcast(cb.select(col("cw_id").as(s"rc$m"),
+        col(s"cw$m"))), col(s"code$m") === col(s"rc$m"))
+    }.select(col("vec_id").as("r_id"), col("code0").as("c0"),
+      flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
+        .as("rresid"))
+    assigned.join(recon, col("vec_id") === col("r_id"))
+      .select(col("c_id"), col("c0"),
+        round(sqDist(col("resid"), col("rresid")), 9).as("err"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("member_ct"),
+        round(sum(col("err").cast(DecimalType(28, 9))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_recon_err"),
+        max(col("err")).as("max_recon_err"),
+        countDistinct(col("c0")).as("codes_used_s0"))
+      .select(col("c_id").as("cell_id"), col("member_ct"),
+        col("mean_recon_err"), col("max_recon_err"), col("codes_used_s0"))
+  }
+
   /** v11: SemDeDup (Abbas, Tirumala, Simig, Ganguli, Morcos, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540) — semantic near-dup pruning with
@@ -1166,6 +1205,7 @@ object VectorOps extends QueryModule {
     "v10_embed_outliers" -> embedOutliers,
     "v8_ann_pq_topk" -> annPq,
     "v21_ivfpq_topk" -> annIvfPq,
+    "v22_index_health" -> ivfpqIndexHealth,
     "v7_ann_int8_topk" -> annInt8,
     "v6_ann_signlsh_topk" -> annSignLsh,
     "v1_ann_brute_topk" -> annBrute,
@@ -1236,6 +1276,47 @@ object VectorOps extends QueryModule {
        |      (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
        |    FROM a1) WHERE rk = 1)""".stripMargin
 
+  /** Shared IVFPQ replay (em → coarse-cell argmin → residuals →
+    * residual codebook → per-subspace code argmin), the oracle twin of
+    * [[cellResiduals]]/[[residualCodebook]]/[[pqEncode]]; v21 and v22
+    * both append their finishers to this CTE chain. Note `codes` here
+    * is the LONG (vec_id, c_id, m, code) relation — the engine's wide
+    * code0..codeM row pivots from it. */
+  private lazy val ivfpqCte: String = {
+    val sd = pqSubDim
+    s"""WITH em AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM em
+       |         WHERE vec_id % 50 = 0),
+       |ac AS (SELECT vec_id, emb, c_id, c_emb,
+       |              ${d2Sql("emb", "c_emb")} AS d2
+       |       FROM em CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT vec_id, c_id, emb,
+       |         list_transform(range(1, ${embDim + 1}),
+       |           i -> emb[i] - c_emb[i]) AS resid
+       |  FROM (SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
+       |        FROM ac) WHERE rk = 1),
+       |cb AS (SELECT vec_id AS cw_id, resid AS cw_resid FROM assigned
+       |       WHERE vec_id < $pqCodebookSize),
+       |sc AS (
+       |  SELECT a.vec_id, a.c_id, t.m, cb.cw_id,
+       |         list_aggregate(list_transform(range(1, ${sd + 1}),
+       |           i -> (a.resid[t.m * $sd + i] - cb.cw_resid[t.m * $sd + i])
+       |              * (a.resid[t.m * $sd + i] - cb.cw_resid[t.m * $sd + i])),
+       |           'sum') AS d
+       |  FROM assigned a CROSS JOIN range(0, $pqSubspaces) t(m)
+       |  CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, c_id, m, cw_id AS code FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id, m ORDER BY d, cw_id) AS rk
+       |    FROM sc) WHERE rk = 1)""".stripMargin
+  }
+
   /** One power-iteration step as oracle CTEs: p_k = C v_{k-1} (group by
     * vec_id), w_k = Cᵀ p_k (group by j), v_k = w_k / max|w_k| — the exact
     * DECIMAL-quantization points of [[pcaPower]]. */
@@ -1260,43 +1341,35 @@ object VectorOps extends QueryModule {
     // reconstruction → asymmetric distance → shortlist → exact re-rank —
     // every float an IEEE double accumulated in array order, so the
     // hash compare covers the whole index, not just the final ranks.
+    "v22_index_health" -> {
+      s"""$ivfpqCte,
+         |recon AS (
+         |  SELECT codes.vec_id AS r_id,
+         |         max(CASE WHEN codes.m = 0 THEN codes.code END) AS c0,
+         |         flatten(list(list_transform(range(1, ${pqSubDim + 1}),
+         |           i -> cb.cw_resid[codes.m * $pqSubDim + i])
+         |           ORDER BY codes.m)) AS rresid
+         |  FROM codes JOIN cb ON cb.cw_id = codes.code
+         |  GROUP BY codes.vec_id),
+         |health AS (
+         |  SELECT a.c_id, r.c0,
+         |         round(list_aggregate(list_transform(range(1, ${embDim + 1}),
+         |           i -> (a.resid[i] - r.rresid[i])
+         |              * (a.resid[i] - r.rresid[i])), 'sum'), 9) AS err
+         |  FROM assigned a JOIN recon r ON a.vec_id = r.r_id)
+         |SELECT c_id AS cell_id, count(*) AS member_ct,
+         |       round(CAST(sum(CAST(err AS DECIMAL(28,9))) AS DOUBLE)
+         |             / count(*), 6) AS mean_recon_err,
+         |       max(err) AS max_recon_err,
+         |       count(DISTINCT c0) AS codes_used_s0
+         |FROM health GROUP BY 1""".stripMargin
+    },
     "v21_ivfpq_topk" -> {
-      val sd = pqSubDim
-      s"""WITH em AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |  FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM em
-         |         WHERE vec_id % 50 = 0),
-         |ac AS (SELECT vec_id, emb, c_id, c_emb,
-         |              ${d2Sql("emb", "c_emb")} AS d2
-         |       FROM em CROSS JOIN cent),
-         |assigned AS (
-         |  SELECT vec_id, c_id, emb,
-         |         list_transform(range(1, ${embDim + 1}),
-         |           i -> emb[i] - c_emb[i]) AS resid
-         |  FROM (SELECT *, row_number() OVER
-         |          (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
-         |        FROM ac) WHERE rk = 1),
-         |cb AS (SELECT vec_id AS cw_id, resid AS cw_resid FROM assigned
-         |       WHERE vec_id < $pqCodebookSize),
-         |sc AS (
-         |  SELECT a.vec_id, a.c_id, t.m, cb.cw_id,
-         |         list_aggregate(list_transform(range(1, ${sd + 1}),
-         |           i -> (a.resid[t.m * $sd + i] - cb.cw_resid[t.m * $sd + i])
-         |              * (a.resid[t.m * $sd + i] - cb.cw_resid[t.m * $sd + i])),
-         |           'sum') AS d
-         |  FROM assigned a CROSS JOIN range(0, $pqSubspaces) t(m)
-         |  CROSS JOIN cb),
-         |codes AS (
-         |  SELECT vec_id, c_id, m, cw_id AS code FROM (
-         |    SELECT *, row_number() OVER
-         |      (PARTITION BY vec_id, m ORDER BY d, cw_id) AS rk
-         |    FROM sc) WHERE rk = 1),
+      s"""$ivfpqCte,
          |recon AS (
          |  SELECT codes.vec_id AS n_id, any_value(codes.c_id) AS c_id,
-         |         flatten(list(list_transform(range(1, ${sd + 1}),
-         |           i -> cb.cw_resid[codes.m * $sd + i])
+         |         flatten(list(list_transform(range(1, ${pqSubDim + 1}),
+         |           i -> cb.cw_resid[codes.m * $pqSubDim + i])
          |           ORDER BY codes.m)) AS rresid
          |  FROM codes JOIN cb ON cb.cw_id = codes.code
          |  GROUP BY codes.vec_id),

@@ -218,6 +218,22 @@ class SketchSpec extends SparkSuite {
     assert(vsBrute >= 8, s"IVFADC recall@5 vs brute: $vsBrute/50")
   }
 
+  test("v22: index health covers every vector; errors and utilization bounded") {
+    val r = q("v22_index_health")
+    assert(r.agg(sum(col("member_ct"))).head.getLong(0) ==
+      Tables(spark, sf, "embeddings").count(),
+      "health report must account for every indexed vector")
+    assert(r.filter(col("mean_recon_err") < 0 ||
+      col("max_recon_err") < col("mean_recon_err") * 0.999).count() == 0,
+      "reconstruction errors must be non-negative with max >= mean")
+    val cbSize = graft.operators.VectorOps.pqCodebookSize
+    assert(r.filter(col("codes_used_s0") < 1 ||
+      col("codes_used_s0") > cbSize).count() == 0)
+    // the untrained stand-in codebook must still quantize: SOME spread
+    // of codewords is in use in at least one cell
+    assert(r.agg(max(col("codes_used_s0"))).head.getLong(0) > 1)
+  }
+
   test("v17: DB index covers every vector, ratios positive") {
     val r = q("v17_davies_bouldin")
     assert(r.count() > 1)
