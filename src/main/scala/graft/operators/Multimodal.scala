@@ -105,6 +105,57 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Audio chunk geometry (Whisper-style strided inference windows): a
+    * payload of L bytes (1 byte ≈ 1 ms at the stub's "sample rate")
+    * yields ceil(L / hop) windows, window k covering
+    * [k·hop, min(k·hop + win, L)) — consecutive windows OVERLAP by
+    * win − hop bytes so no boundary context is lost. A real deploy
+    * swaps the byte slicing for codec frame extraction; the chunk
+    * count/offset/overlap arithmetic — what the pipeline's cost model
+    * and the downstream transcript-stitching depend on — is the real,
+    * oracle-checked plumbing. */
+  val audioWin = 100
+  val audioHop = 60
+
+  case class AudioChunk(doc_id: Long, format: String, chunk_no: Int,
+    chunk: Array[Byte])
+
+  def chunkAudio(s: SparkSession, dir: String): Dataset[AudioChunk] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        val L = row.media.length
+        (0 until math.max(L, 1) by audioHop).zipWithIndex.map {
+          case (s0, k) => AudioChunk(row.doc_id, row.format, k,
+            java.util.Arrays.copyOfRange(row.media, s0,
+              math.min(s0 + audioWin, L)))
+        }
+      }
+    }
+  }
+
+  /** m5: strided audio-window statistics — the overlapping-chunk
+    * geometry audit (vs m2's disjoint frame sampling): per format, how
+    * many windows the corpus fans out to and how many EXTRA bytes the
+    * overlap re-reads (out_bytes − in_bytes = the stitching overhead a
+    * serving cost model budgets for). Payload bytes never shuffle —
+    * the fan-out is partition-local and only window LENGTHS reach the
+    * aggregation. */
+  private def audioChunkStats(s: SparkSession, dir: String): DataFrame = {
+    val perFormat = chunkAudio(s, dir).toDF()
+      .select(col("format"),
+        length(col("chunk")).cast(LongType).as("cbytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("chunk_ct"), sum(col("cbytes")).as("out_bytes"))
+    val inBytes = mediaTable(s, dir)
+      .groupBy(col("format").as("f2"))
+      .agg(count(lit(1)).as("media_ct"), sum(col("n_bytes")).as("in_bytes"))
+    perFormat.join(inBytes, col("format") === col("f2"))
+      .select(col("format"), col("media_ct"), col("chunk_ct"),
+        col("in_bytes"), col("out_bytes"),
+        (col("out_bytes") - col("in_bytes")).as("overlap_bytes"))
+  }
+
   /** m1: metadata-only aggregation — must not touch payload bytes (the
     * blob column is pruned out of the parquet scan). */
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -204,6 +255,7 @@ object Multimodal extends QueryModule {
     "m1_media_meta" -> mediaMeta,
     "m3_frame_near_dup" -> frameNearDup,
     "m4_resize_stats" -> resizeStats,
+    "m5_audio_chunk_stats" -> audioChunkStats,
     "m2_frame_stats" -> frameStats)
 
   val oracles = Map(
@@ -273,6 +325,29 @@ object Multimodal extends QueryModule {
         |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_sum,
         |       CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_max
         |FROM documents GROUP BY 1""".stripMargin,
+    // strided windows over a payload of L bytes: ceil(L/hop) windows,
+    // window k covering [k*hop, min(k*hop + win, L)) — the oracle
+    // restates the slicing arithmetic over lengths alone (like m2)
+    "m5_audio_chunk_stats" ->
+      s"""WITH m AS (SELECT doc_id, 'fake/' || lang AS format,
+         |             octet_length(CAST(text AS BLOB)) AS L
+         |           FROM documents),
+         |c AS (SELECT format, L,
+         |             greatest((L + $audioHop - 1) // $audioHop, 1)
+         |               AS nchunks
+         |      FROM m),
+         |ch AS (SELECT format, L, unnest(range(0, nchunks)) AS k FROM c),
+         |agg AS (
+         |  SELECT format, count(*) AS chunk_ct,
+         |         CAST(SUM(least($audioWin, L - k * $audioHop))
+         |              AS BIGINT) AS out_bytes
+         |  FROM ch GROUP BY 1),
+         |inb AS (SELECT format, count(*) AS media_ct,
+         |               CAST(SUM(L) AS BIGINT) AS in_bytes
+         |        FROM m GROUP BY 1)
+         |SELECT agg.format, media_ct, chunk_ct, in_bytes, out_bytes,
+         |       out_bytes - in_bytes AS overlap_bytes
+         |FROM agg JOIN inb ON agg.format = inb.format""".stripMargin,
     // frame i of a payload of L bytes: len = greatest(L // 4, 1),
     // from = least(i*len, L), until = least(from + len, L)
     "m2_frame_stats" ->

@@ -146,6 +146,33 @@ class OperatorSpec extends SparkSuite {
     assert(doc0.sameElements(orig.take(doc0.length)))
   }
 
+  test("m5 strided windows stitch back to the exact original payload") {
+    val ops = operators.Multimodal
+    // stitching rule: every window but the last contributes its first
+    // `hop` bytes; the last contributes fully — exactly how strided
+    // inference outputs (e.g. transcripts) are merged downstream
+    val chunks = ops.chunkAudio(spark, sf).collect()
+      .groupBy(_.doc_id)
+    val media = ops.mediaTable(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media"))
+      .toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, cs) =>
+      val ordered = cs.sortBy(_.chunk_no)
+      val orig = media(docId)
+      assert(ordered.length ==
+        math.max((orig.length + ops.audioHop - 1) / ops.audioHop, 1),
+        s"doc $docId: wrong window count")
+      val stitched = ordered.init.flatMap(_.chunk.take(ops.audioHop)) ++
+        ordered.last.chunk
+      assert(stitched.sameElements(orig),
+        s"doc $docId: stitched windows != payload")
+      // middle windows genuinely overlap their successor
+      ordered.dropRight(1).foreach { c =>
+        assert(c.chunk.length >= ops.audioHop) }
+    }
+  }
+
   test("tokenize/fingerprint normalize as specified") {
     import spark.implicits._
     val df = Seq(("A  b c", 1), ("a b C", 2)).toDF("text", "id")
