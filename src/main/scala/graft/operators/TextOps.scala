@@ -573,6 +573,69 @@ object TextOps extends QueryModule {
       .orderBy(col("avg_nll"), col("doc_id")).limit(50)
   }
 
+  /** t25: Moore–Lewis cross-entropy-difference selection (Moore &
+    * Lewis, "Intelligent Selection of Language Model Training Data",
+    * ACL 2010) — the classic targeted-data-selection score: every
+    * document ranked by H_in(doc) − H_gen(doc), its per-bigram
+    * cross-entropy under the in-domain LM minus that under a
+    * general-corpus LM. Subtracting the general term cancels generic
+    * fluency — a doc scores well (negative) only for being
+    * target-LIKE, not merely common-word soup — the refinement over
+    * t18's single-LM ranking (and the filter CCNet/Wenzek'20 describe
+    * as their selection ancestor). Both LMs are t18's add-one bigram
+    * count tables: in-domain = the doc_id % 37 target slice, general =
+    * the whole corpus. One pass joins each doc's bigram tf against
+    * both LMs; each Δnll is rounded then DECIMAL-quantized BEFORE the
+    * cross-row sum (t15/t18 idiom) so scores replay bit-exactly.
+    * Scale: identical to t18 — bigram-keyed shuffles only, both
+    * "models" are DataFrames, nothing driver-side. */
+  private def crossEntropySelection(s: SparkSession, dir: String)
+      : DataFrame = {
+    val tk = filter(tokenize(lower(col("text"))), t => t =!= "")
+    val d = Tables(s, dir, "documents").select(col("doc_id"), tk.as("t"))
+    val bgOf = (t: Column) => transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val bg = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bgOf(col("t"))).as("bg"))
+    val tgtBg = bg.filter(pmod(col("doc_id"), lit(37L)) === 0)
+    val c2t = tgtBg.groupBy(col("bg").as("t_bg"))
+      .agg(count(lit(1)).as("c2t"))
+    val c1t = tgtBg.select(substring_index(col("bg"), " ", 1).as("t_w1"))
+      .groupBy(col("t_w1")).agg(count(lit(1)).as("c1t"))
+    val c2g = bg.groupBy(col("bg").as("g_bg"))
+      .agg(count(lit(1)).as("c2g"))
+    val c1g = bg.select(substring_index(col("bg"), " ", 1).as("g_w1"))
+      .groupBy(col("g_w1")).agg(count(lit(1)).as("c1g"))
+    val v = d.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      .select(explode(col("t")).as("tok"))
+      .agg((countDistinct(col("tok")) + 1L).as("v_t"))
+      .crossJoin(d.select(explode(col("t")).as("tok"))
+        .agg((countDistinct(col("tok")) + 1L).as("v_g")))
+    val tf = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    tf.join(c2t, col("bg") === col("t_bg"), "left_outer")
+      .join(c1t, col("w1") === col("t_w1"), "left_outer")
+      .join(c2g, col("bg") === col("g_bg"), "left_outer")
+      .join(c1g, col("w1") === col("g_w1"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("tf"),
+        // Δnll = ln P_gen − ln P_in (add-one smoothing both sides):
+        // ONE rounding of the raw-double difference, replayed verbatim
+        round(
+          log((coalesce(col("c2g"), lit(0L)) + 1).cast(DoubleType)
+            / (coalesce(col("c1g"), lit(0L)) + col("v_g")).cast(DoubleType))
+          - log((coalesce(col("c2t"), lit(0L)) + 1).cast(DoubleType)
+            / (coalesce(col("c1t"), lit(0L)) + col("v_t")).cast(DoubleType)),
+          9).cast(DecimalType(18, 9)).as("dnll_q"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast(DecimalType(10, 0)) * col("dnll_q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("ce_diff"))
+  }
+
   /** t21: the Gopher-style within-doc repetition GATE (Rae et al. 2021,
     * §A1.1 lineage) — the decision layer over signals like
     * [[QualityOps]] t10's (t10 reports dup-token fraction and the top
@@ -734,6 +797,7 @@ object TextOps extends QueryModule {
     "t21_repetition_rules" -> repetitionRules,
     "t20_readability" -> readability,
     "t19_dup_span_extents" -> dupSpanExtents,
+    "t25_cross_entropy_diff" -> crossEntropySelection,
     "t18_bigram_perplexity" -> bigramPerplexity,
     "t16_winnow_overlap_pairs" -> winnowOverlapPairs,
     "t15_dsir_scores" -> dsirScores,
@@ -871,6 +935,52 @@ object TextOps extends QueryModule {
         |       CAST(max(elen) AS BIGINT) AS longest_extent,
         |       round(CAST(sum(elen) AS DOUBLE) / n_tokens, 6) AS cut_frac
         |FROM ex2 GROUP BY 1, 2""".stripMargin,
+    "t25_cross_entropy_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM d WHERE len(t) >= 2),
+        |c2t AS (SELECT bg AS t_bg, CAST(count(*) AS BIGINT) AS c2t
+        |        FROM bg WHERE doc_id % 37 = 0 GROUP BY 1),
+        |c1t AS (SELECT split_part(bg, ' ', 1) AS t_w1,
+        |               CAST(count(*) AS BIGINT) AS c1t
+        |        FROM bg WHERE doc_id % 37 = 0 GROUP BY 1),
+        |c2g AS (SELECT bg AS g_bg, CAST(count(*) AS BIGINT) AS c2g
+        |        FROM bg GROUP BY 1),
+        |c1g AS (SELECT split_part(bg, ' ', 1) AS g_w1,
+        |               CAST(count(*) AS BIGINT) AS c1g
+        |        FROM bg GROUP BY 1),
+        |v AS (SELECT
+        |        (SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) FROM (
+        |           SELECT unnest(t) AS tok FROM d WHERE doc_id % 37 = 0))
+        |          AS v_t,
+        |        (SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) FROM (
+        |           SELECT unnest(t) AS tok FROM d)) AS v_g),
+        |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf,
+        |              split_part(bg, ' ', 1) AS w1
+        |       FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, tf,
+        |         CAST(round(
+        |             ln(CAST(coalesce(c2g, 0) + 1 AS DOUBLE)
+        |                / CAST(coalesce(c1g, 0) + v_g AS DOUBLE))
+        |           - ln(CAST(coalesce(c2t, 0) + 1 AS DOUBLE)
+        |                / CAST(coalesce(c1t, 0) + v_t AS DOUBLE)), 9)
+        |           AS DECIMAL(18,9)) AS dnll_q
+        |  FROM tf LEFT JOIN c2t ON bg = t_bg
+        |          LEFT JOIN c1t ON w1 = t_w1
+        |          LEFT JOIN c2g ON bg = g_bg
+        |          LEFT JOIN c1g ON w1 = g_w1
+        |          CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(CAST(tf AS DECIMAL(10,0)) * dnll_q)
+        |                  AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6)
+        |         AS ce_diff
+        |FROM sc GROUP BY 1""".stripMargin,
     "t18_bigram_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),

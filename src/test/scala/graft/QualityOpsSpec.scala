@@ -296,6 +296,24 @@ class QualityOpsSpec extends SparkSuite {
       s"target share in top-50 ($topTgt/50) not above base $baseShare")
   }
 
+  test("t25: cross-entropy difference separates the target slice") {
+    val r = q("t25_cross_entropy_diff")
+    val d = Tables(spark, sf, "documents")
+    // every doc with >=2 tokens is scored (selection runs on the pool)
+    assert(r.count() > 0 && r.count() <= d.count())
+    assert(r.filter(col("n_bigrams") <= 0).count() == 0)
+    // THE Moore-Lewis property: in-domain docs score lower (more
+    // negative Delta = target-like) than the general pool ON AVERAGE —
+    // the general-LM subtraction cancels generic fluency, so this
+    // separation is what the method exists to produce
+    val tgtMean = r.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      .agg(avg(col("ce_diff"))).head.getDouble(0)
+    val genMean = r.filter(pmod(col("doc_id"), lit(37L)) =!= 0)
+      .agg(avg(col("ce_diff"))).head.getDouble(0)
+    assert(tgtMean < genMean,
+      s"target mean $tgtMean not below general mean $genMean")
+  }
+
   test("t16: overlap pairs are ordered, thresholded, and agree with d3") {
     val r = q("t16_winnow_overlap_pairs")
     assert(r.count() > 0)
