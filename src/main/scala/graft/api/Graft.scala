@@ -308,7 +308,20 @@ object Graft {
     * codes. */
   def ivfpqEncode(em: DataFrame): DataFrame = {
     val v = graft.operators.VectorOps
-    val assigned = v.cellResiduals(em, v.coarseCentroids(em))
-    v.pqEncode(assigned, v.residualCodebook(assigned))
+    val cent = v.coarseCentroids(em)
+    // the deterministic derivation keys off raw ids (vec_id % 50 picks
+    // centroids, vec_id < pqCodebookSize the codebook) — a frame whose
+    // ids satisfy neither would otherwise SILENTLY encode to zero rows
+    // through the empty broadcast joins; fail loudly instead and tell
+    // the caller the precondition (dense ids from 0 always satisfy it)
+    require(!cent.isEmpty,
+      "ivfpqEncode: no centroid rows (no vec_id % 50 == 0 in the " +
+        "frame) — remap ids densely from 0 before encoding")
+    val assigned = v.cellResiduals(em, cent)
+    val cb = v.residualCodebook(assigned)
+    require(!cb.isEmpty,
+      "ivfpqEncode: empty codebook (no vec_id < " +
+        s"${v.pqCodebookSize} in the frame) — remap ids densely from 0")
+    v.pqEncode(assigned, cb)
   }
 }

@@ -572,21 +572,25 @@ object VectorOps extends QueryModule {
   private[graft] def ivfpqCodes(s: SparkSession, dir: String): DataFrame =
     ivfpqStage(s, dir)._2
 
+  /** Codeword reconstruction for the wide code table: (vec_id, c_id,
+    * code0, rresid) — the approximate residual the inverted list
+    * effectively stores (shared by the v21 probe and the v22 audit, so
+    * the 8-step broadcast-join fold exists once). */
+  private def reconstructResiduals(codes: DataFrame, cb: DataFrame)
+      : DataFrame =
+    (0 until pqSubspaces).foldLeft(codes) { (df, m) =>
+      df.join(broadcast(cb.select(col("cw_id").as(s"rc$m"),
+        col(s"cw$m"))), col(s"code$m") === col(s"rc$m"))
+    }.select(col("vec_id"), col("c_id"), col("code0"),
+      flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
+        .as("rresid"))
+
   private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val em = embFrame(s, dir)
     val (assigned, codes) = ivfpqStage(s, dir)
     val cb = residualCodebook(assigned)
-    // candidate reconstruction: codes → codeword subvectors → flattened
-    // approximate residual (what the inverted list stores, 8 bytes/vec)
-    val recon = (0 until pqSubspaces).foldLeft(codes.drop("c_id")) {
-      (df, m) =>
-        df.join(broadcast(cb.select(col("cw_id").as(s"rc$m"),
-          col(s"cw$m"))), col(s"code$m") === col(s"rc$m"))
-    }.select(col("vec_id").as("r_id"),
-      flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
-        .as("rresid"))
-    val lists = codes.select(col("vec_id").as("n_id"), col("c_id"))
-      .join(recon, col("n_id") === col("r_id")).drop("r_id")
+    val lists = reconstructResiduals(codes, cb)
+      .select(col("vec_id").as("n_id"), col("c_id"), col("rresid"))
     // queries probe their own nearest cell (nprobe = ivfNprobe = 1, the
     // serving constant v18's sweep justifies); the query residual is
     // exact — ADC's asymmetry
@@ -632,12 +636,9 @@ object VectorOps extends QueryModule {
   private def ivfpqIndexHealth(s: SparkSession, dir: String): DataFrame = {
     val (assigned, codes) = ivfpqStage(s, dir)
     val cb = residualCodebook(assigned)
-    val recon = (0 until pqSubspaces).foldLeft(codes) { (df, m) =>
-      df.join(broadcast(cb.select(col("cw_id").as(s"rc$m"),
-        col(s"cw$m"))), col(s"code$m") === col(s"rc$m"))
-    }.select(col("vec_id").as("r_id"), col("code0").as("c0"),
-      flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
-        .as("rresid"))
+    val recon = reconstructResiduals(codes, cb)
+      .select(col("vec_id").as("r_id"), col("code0").as("c0"),
+        col("rresid"))
     assigned.join(recon, col("vec_id") === col("r_id"))
       .select(col("c_id"), col("c0"),
         round(sqDist(col("resid"), col("rresid")), 9).as("err"))

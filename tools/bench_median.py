@@ -21,6 +21,9 @@ for f in sorted(glob.glob(f"/root/repo/BENCH_LOCAL_{tag}_run*.json")):
     runs.append((f, qs))
     print(f"{f}: {len(qs)} queries, total {sum(qs.values()):.1f}s")
 
+if not runs:
+    sys.exit(f"no BENCH_LOCAL_{tag}_run*.json files found — nothing written")
+
 names = sorted(set().union(*[set(q) for _, q in runs]))
 med = {n: round(statistics.median([q[n] for _, q in runs if n in q]), 3)
        for n in names}
