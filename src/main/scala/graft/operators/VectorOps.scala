@@ -652,6 +652,59 @@ object VectorOps extends QueryModule {
         col("mean_recon_err"), col("max_recon_err"), col("codes_used_s0"))
   }
 
+  /** Post-filter pool depths v23 sweeps (the v18 idiom applied to
+    * filter selectivity instead of probe count). */
+  val filterPools: Seq[Int] = Seq(10, 20, 40)
+
+  /** v23: filtered-search pool-depth curve — the tuning table behind
+    * every attribute-constrained vector query (tenant/label/language
+    * filters): a POST-filtering service takes the unconstrained
+    * top-`pool` and then applies the predicate, so the question is how
+    * deep the pool must be before the filtered top-5 survives. For
+    * each query (vec_id < 10, predicate = same label) and each pool
+    * depth in [[filterPools]]: how many predicate-matching candidates
+    * the pool retains and whether the full filtered top-5 was
+    * recovered (with one exact scorer the retained set IS the filtered
+    * top-min(kept,5), so kept >= 5 ⇔ full recovery; in a two-stage
+    * ANN deployment the same curve compounds with index loss). Low
+    * kept counts at realistic depths are the standard argument for
+    * PRE-filtered (per-predicate partitioned) indexes. One broadcast
+    * pair scan serves every (query, pool) cell; the DENSE spine (a
+    * zero-match cell must report 0, not vanish) comes from the same
+    * query × pool cross as v18. */
+  private def filterPoolCurve(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val rkW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val ranked = broadcast(q).join(em, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("n_id"), col("label"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(rkW))
+      .filter(col("rk") <= filterPools.max)
+    val kept = ranked
+      .select(col("q_id"),
+        explode(lit(filterPools.toArray)).as("pool"),
+        (col("rk") <= col("pool") &&
+          col("label") === col("q_label")).cast("long").as("hit"))
+      .groupBy(col("q_id"), col("pool"))
+      .agg(sum(col("hit")).as("kept_ct"))
+    q.select(col("q_id").as("s_qid"),
+        explode(lit(filterPools.toArray)).as("s_pool"))
+      .join(kept, col("s_qid") === col("q_id") &&
+        col("s_pool") === col("pool"), "left_outer")
+      .select(col("s_qid").as("q_id"),
+        col("s_pool").cast(LongType).as("pool"),
+        coalesce(col("kept_ct"), lit(0L)).as("kept_ct"),
+        (coalesce(col("kept_ct"), lit(0L)) >= 5L).as("recovered"))
+  }
+
   /** v11: SemDeDup (Abbas, Tirumala, Simig, Ganguli, Morcos, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540) — semantic near-dup pruning with
@@ -1234,6 +1287,7 @@ object VectorOps extends QueryModule {
     "v8_ann_pq_topk" -> annPq,
     "v21_ivfpq_topk" -> annIvfPq,
     "v22_index_health" -> ivfpqIndexHealth,
+    "v23_filter_pool_curve" -> filterPoolCurve,
     "v7_ann_int8_topk" -> annInt8,
     "v6_ann_signlsh_topk" -> annSignLsh,
     "v1_ann_brute_topk" -> annBrute,
@@ -1364,6 +1418,40 @@ object VectorOps extends QueryModule {
        |  FROM w$k)""".stripMargin
 
   val oracles = Map(
+    "v23_filter_pool_curve" -> {
+      val dotQN = dotSql("q_emb", "n_emb")
+      val pools = filterPools.mkString("[", ", ", "]")
+      s"""WITH em AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label,
+         |             embedding AS q_emb, nrm AS q_nrm
+         |      FROM em WHERE vec_id < 10),
+         |ranked AS (
+         |  SELECT q_id, q_label, n_id, label, rk FROM (
+         |    SELECT q_id, q_label, vec_id AS n_id, label,
+         |           round($dotQN / (q_nrm * nrm), 6) AS cos,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY round($dotQN / (q_nrm * nrm), 6) DESC,
+         |                      vec_id) AS rk
+         |    FROM q JOIN (SELECT vec_id, label, embedding AS n_emb, nrm
+         |                 FROM em) n ON vec_id <> q_id)
+         |  WHERE rk <= ${filterPools.max}),
+         |cells AS (
+         |  SELECT q_id, pool,
+         |         CAST(sum(CASE WHEN rk <= pool AND label = q_label
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct
+         |  FROM ranked CROSS JOIN (SELECT unnest($pools) AS pool)
+         |  GROUP BY 1, 2),
+         |spine AS (SELECT q_id AS s_qid, pool AS s_pool
+         |          FROM q CROSS JOIN (SELECT unnest($pools) AS pool))
+         |SELECT s_qid AS q_id, CAST(s_pool AS BIGINT) AS pool,
+         |       coalesce(kept_ct, 0) AS kept_ct,
+         |       coalesce(kept_ct, 0) >= 5 AS recovered
+         |FROM spine LEFT JOIN cells
+         |  ON s_qid = q_id AND s_pool = pool""".stripMargin
+    },
     // v21 replays the full IVFADC trajectory — cell argmin → residuals →
     // residual-trained codebook → per-subspace code argmin → codeword
     // reconstruction → asymmetric distance → shortlist → exact re-rank —

@@ -234,6 +234,30 @@ class SketchSpec extends SparkSuite {
     assert(r.agg(max(col("codes_used_s0"))).head.getLong(0) > 1)
   }
 
+  test("v23: filter pool curve is dense, monotone, and selectivity bites") {
+    val ops = graft.operators.VectorOps
+    val r = q("v23_filter_pool_curve")
+    assert(r.count() == 10L * ops.filterPools.size) // dense spine
+    assert(r.filter(col("kept_ct") < 0 ||
+      col("kept_ct") > col("pool")).count() == 0)
+    // a deeper pool can only retain more predicate matches
+    val byQ = r.orderBy("q_id", "pool").collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val cts = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(cts.sliding(2).forall(p => p(0) <= p(1)),
+        s"kept_ct not monotone in pool: ${cts.toSeq}")
+    }
+    // recovered ⇔ kept_ct >= 5, replayed from the row's own columns
+    assert(r.filter(col("recovered") =!= (col("kept_ct") >= 5L))
+      .count() == 0)
+    // the predicate is ~1/10 selective, so the shallow pool must LOSE
+    // candidates somewhere — if every query kept its full filtered
+    // top-5 at pool=10 the audit would be measuring nothing
+    val shallow = r.filter(col("pool") === ops.filterPools.min)
+    assert(shallow.filter(col("kept_ct") < 5).count() > 0,
+      "pool=10 recovered everything — selectivity fixture degenerate")
+  }
+
   test("v17: DB index covers every vector, ratios positive") {
     val r = q("v17_davies_bouldin")
     assert(r.count() > 1)
