@@ -90,7 +90,8 @@ object CurationOps extends QueryModule {
     * prestage trigger are one edit, not two. */
   private[graft] val labelConsumers: Set[String] = Set(
     "c1_dedup_clusters", "c2_kept_corpus", "c14_canonical_selection",
-    "c16_data_card", "c22_dedup_waterfall", "c23_cluster_split")
+    "c16_data_card", "c22_dedup_waterfall", "c23_cluster_split",
+    "c26_cluster_size_dist")
 
   /** Connected-component labels for an ARBITRARY symmetric pair frame
     * (a_id, b_id) — the generic core behind c1 and the
@@ -179,6 +180,36 @@ object CurationOps extends QueryModule {
     clusterLabels(s, dir)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("member_ct"), max(col("id")).as("max_member_id"))
+
+  /** c26 (beyond-reference): near-dup cluster-size distribution — the
+    * power-law report a curation run publishes next to c1's cluster
+    * list: how many clusters of each size, how many docs they bind, and
+    * each size's share of the corpus. Web-scale dedup folklore (and the
+    * C4/RefinedWeb writeups) says sizes are heavy-tailed — a few huge
+    * boilerplate clusters plus a long tail of pairs; this table is how
+    * an operator SEES that before deciding thresholds. Composes the
+    * memoized component labels (free after c1); singletons — docs in no
+    * cluster — are stated as the explicit size-1 row rather than left
+    * absent (c24's zero-row discipline). Shuffles: one label count over
+    * the (tiny) label table + two 1-row scalar aggregates broadcast
+    * onto a histogram bounded by the largest cluster size. */
+  private def clusterSizeDist(s: SparkSession, dir: String): DataFrame = {
+    val lab = clusterLabels(s, dir)
+    val hist = lab.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("cluster_ct"))
+    val totals = Tables(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(lab.agg(count(lit(1)).as("n_labeled"))))
+    val singleton = totals.select(lit(1L).as("sz"),
+      (col("n_docs") - col("n_labeled")).as("cluster_ct"))
+    hist.unionByName(singleton)
+      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .select(col("sz").as("cluster_size"), col("cluster_ct"),
+        (col("sz") * col("cluster_ct")).as("doc_ct"),
+        round((col("sz") * col("cluster_ct")).cast(DoubleType) /
+          col("n_docs"), 6).as("doc_share"))
+      .orderBy(col("cluster_size"))
+  }
 
   /** Quality score shared with t3 (identical op order → bit-equal). */
   private def qualityCols(df: DataFrame): DataFrame = {
@@ -1034,6 +1065,7 @@ object CurationOps extends QueryModule {
     "c22_dedup_waterfall" -> dedupWaterfall,
     "c6_stratified_sample" -> stratifiedSample,
     "c1_dedup_clusters" -> dedupClusters,
+    "c26_cluster_size_dist" -> clusterSizeDist,
     "c2_kept_corpus" -> keptCorpus,
     "c3_hash_split" -> hashSplit,
     "c23_cluster_split" -> clusterSplit,
@@ -1457,6 +1489,25 @@ object CurationOps extends QueryModule {
          |SELECT label AS cluster_id, count(*) AS member_ct,
          |       max(id) AS max_member_id
          |FROM lab GROUP BY 1""".stripMargin,
+    "c26_cluster_size_dist" ->
+      s"""WITH RECURSIVE $labelCte,
+         |hist AS (
+         |  SELECT sz, CAST(count(*) AS BIGINT) AS cluster_ct
+         |  FROM (SELECT label, CAST(count(*) AS BIGINT) AS sz
+         |        FROM lab GROUP BY 1)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |labeled AS (SELECT CAST(count(*) AS BIGINT) AS n_labeled FROM lab),
+         |all_h AS (
+         |  SELECT * FROM hist
+         |  UNION ALL
+         |  SELECT 1, n_docs - n_labeled FROM tot, labeled)
+         |SELECT sz AS cluster_size, cluster_ct,
+         |       sz * cluster_ct AS doc_ct,
+         |       round(CAST(sz * cluster_ct AS DOUBLE) / n_docs, 6)
+         |         AS doc_share
+         |FROM all_h, tot
+         |ORDER BY cluster_size""".stripMargin,
     "c16_data_card" ->
       s"""WITH RECURSIVE $labelCte,
          |q AS (

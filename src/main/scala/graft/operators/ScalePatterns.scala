@@ -440,9 +440,83 @@ object ScalePatterns extends QueryModule {
       .agg(count(lit(1)).as("order_ct"),
         sum(col("amount")).cast("double").as("amount_sum"))
 
+  /** x11: bucketed co-located join — the STANDING-LAYOUT answer to the
+    * shuffle x1/x2 mitigate at runtime: both join sides are written ONCE
+    * as bucketed tables (`bucketBy(8, key)`, one compacted file per
+    * bucket via a pre-write hash repartition on the same key), after
+    * which EVERY key-equi-join between them runs with ZERO Exchange on
+    * either side — Catalyst sees matching HashPartitioning from the
+    * bucket spec and plans scan → sort → SortMergeJoin directly. At
+    * 100 TB this converts the recurring fact⋈fact shuffle (the single
+    * most expensive operator in a daily pipeline) into a one-time
+    * layout cost, exactly like x9 converts scan cost into partition
+    * layout; PerfSpec asserts the executed plan carries a
+    * SortMergeJoin with only the final aggregation's Exchange. The
+    * merge hint only pins the join STRATEGY (a broadcast at this test
+    * scale would dodge the exchange question); it adds nothing at real
+    * scale where SMJ is what Catalyst picks anyway. Tables are
+    * registered in the session catalog against a temp-dir path (the
+    * metastore analog) by the shared prestage, one build per
+    * (session, sf). */
+  val x11Buckets = 8
+
+  private val bucketMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  private[graft] def bucketTables(s: SparkSession, dir: String)
+      : (String, String) =
+    bucketMemo.getOrElseUpdate((s, dir), {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_x11_store_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(base)))
+      val lt = s"graft_x11_lineitem_$tag"
+      val ot = s"graft_x11_orders_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(x11Buckets, col("l_orderkey"))
+        .write.mode("overwrite").bucketBy(x11Buckets, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$base/lineitem")
+        .saveAsTable(lt)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(x11Buckets, col("o_orderkey"))
+        .write.mode("overwrite").bucketBy(x11Buckets, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$base/orders")
+        .saveAsTable(ot)
+      (lt, ot)
+    })
+
+  private[graft] def prestageBucketTables(s: SparkSession, dir: String)
+      : Unit = {
+    bucketTables(s, dir)
+    ()
+  }
+
+  private def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketTables(s, dir)
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(col("l_quantity").cast(LongType)).as("qty_sum"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+  }
+
   override def release(): Unit = {
     dppMemo.values.foreach(rmTree)
     dppMemo.clear()
+    bucketMemo.foreach { case ((s, _), (lt, ot)) =>
+      // also removes the temp-dir data (external tables only decatalog
+      // on DROP; the shutdown hook backstops the files)
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
+    }
+    bucketMemo.clear()
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
@@ -454,6 +528,7 @@ object ScalePatterns extends QueryModule {
     "x6_compaction_plan" -> compactionPlan,
     "x8_skip_stats" -> skipStats,
     "x9_dpp_prune" -> dppPrune,
+    "x11_bucket_join" -> bucketJoin,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
@@ -478,6 +553,19 @@ object ScalePatterns extends QueryModule {
         |       round(CAST(max(ct) AS DOUBLE) / sum(ct), 6),
         |       round(CAST(max(ct) AS DOUBLE) * count(*) / sum(ct), 6)
         |FROM (SELECT count(*) AS ct FROM lineitem GROUP BY l_suppkey)""".stripMargin,
+    // x11's bucketed tables are a byte-identical re-layout of two raw
+    // tables (projection + hash bucketing changes no values), so the
+    // oracle joins the raw tables directly — a defective bucket layout
+    // (a row hashed into the wrong bucket never meets its match) shows
+    // up as missing join rows here.
+    "x11_bucket_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS line_ct,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // x9's store is a byte-identical re-layout of the orders rollup, so
     // the oracle reads the raw table directly — any pruning defect
     // (a partition wrongly skipped) shows up as missing rows here.

@@ -790,7 +790,50 @@ object TextOps extends QueryModule {
           .as("chars_per_token"))
   }
 
+  /** t26 (beyond-reference): document-edge template detection — the
+    * boilerplate lens t14/t19 (mid-document duplicated n-grams) do not
+    * cover: shared 5-token document PREFIXES and SUFFIXES within a
+    * source, the "same intro / same footer" signature of templated or
+    * scraper-generated pages (the line-level boilerplate pass of
+    * C4/RefinedWeb, restated for a corpus whose docs carry no newlines).
+    * Per (source, edge kind): participating docs, distinct edge grams,
+    * grams shared by ≥ 2 docs (templates), docs bound by a template,
+    * and the hottest template under a (count DESC, gram ASC) total
+    * order. On THIS corpus the truthful answer is ≈ zero templates
+    * (near-dup plants mutate edges too) — stated as explicit zero/NULL
+    * rows per c24's discipline, which is exactly what the report is
+    * for: proving a corpus clean is the same query as finding it dirty.
+    * Scale shape: only the two 5-token edge slices shuffle (never the
+    * document body), keyed by (source, kind, gram); the report is
+    * bounded by sources × 2. */
+  private def templateSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenize(col("text"))
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .filter(size(col("toks")) >= 10)
+      .select(col("source"),
+        concat_ws(" ", slice(col("toks"), 1, 5)).as("prefix"),
+        concat_ws(" ", slice(col("toks"), -5, 5)).as("suffix"))
+    val c = d.select(col("source"), explode(map(
+        lit("prefix"), col("prefix"), lit("suffix"), col("suffix")))
+        .as(Seq("kind", "gram")))
+      .groupBy(col("source"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("ct"))
+    c.groupBy(col("source"), col("kind"))
+      .agg(sum(col("ct")).as("doc_ct"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("ct") >= 2, 1L).otherwise(0L)).as("template_ct"),
+        coalesce(sum(when(col("ct") >= 2, col("ct"))), lit(0L))
+          .as("templated_docs"),
+        min(when(col("ct") >= 2,
+          struct((-col("ct")).as("neg"), col("gram").as("g")))).as("best"))
+      .select(col("source"), col("kind"), col("doc_ct"),
+        col("distinct_grams"), col("template_ct"), col("templated_docs"),
+        (-col("best.neg")).as("top_ct"), col("best.g").as("top_gram"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t26_template_spans" -> templateSpans,
     "t24_tokenizer_fertility" -> tokenizerFertility,
     "t23_code_fraction" -> codeFraction,
     "t22_vocab_coverage" -> vocabCoverage,
@@ -846,6 +889,35 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t26_template_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |g AS (
+        |  SELECT source, 'prefix' AS kind,
+        |         array_to_string(toks[1:5], ' ') AS gram FROM t
+        |  UNION ALL
+        |  SELECT source, 'suffix', array_to_string(toks[-5:], ' ') FROM t),
+        |c AS (
+        |  SELECT source, kind, gram, CAST(count(*) AS BIGINT) AS ct
+        |  FROM g GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT *, max(CASE WHEN ct >= 2 THEN ct END)
+        |           OVER (PARTITION BY source, kind) AS mx
+        |  FROM c)
+        |SELECT source, kind,
+        |       CAST(sum(ct) AS BIGINT) AS doc_ct,
+        |       CAST(count(*) AS BIGINT) AS distinct_grams,
+        |       CAST(sum(CASE WHEN ct >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS template_ct,
+        |       CAST(coalesce(sum(CASE WHEN ct >= 2 THEN ct END), 0)
+        |            AS BIGINT) AS templated_docs,
+        |       CAST(max(CASE WHEN ct >= 2 THEN ct END) AS BIGINT)
+        |         AS top_ct,
+        |       min(CASE WHEN ct >= 2 AND ct = mx THEN gram END)
+        |         AS top_gram
+        |FROM m GROUP BY source, kind""".stripMargin,
     "t24_tokenizer_fertility" ->
       """WITH per AS (
         |  SELECT source, lang, n_chars,

@@ -185,7 +185,7 @@ object VectorOps extends QueryModule {
 
   /** Queries whose plan reads the memoized IVFPQ stage. */
   private[graft] val ivfpqConsumers: Set[String] = Set(
-    "v21_ivfpq_topk", "v22_index_health")
+    "v21_ivfpq_topk", "v22_index_health", "v24_quant_error")
 
   private[graft] def prestageIvfpq(s: SparkSession, dir: String): Unit = {
     ivfpqStage(s, dir)
@@ -650,6 +650,72 @@ object VectorOps extends QueryModule {
         countDistinct(col("c0")).as("codes_used_s0"))
       .select(col("c_id").as("cell_id"), col("member_ct"),
         col("mean_recon_err"), col("max_recon_err"), col("codes_used_s0"))
+  }
+
+  /** v24 (beyond-reference): the quantization-error ladder — corpus-level
+    * reconstruction fidelity of every lossy vector representation the
+    * suite deploys, in one table: SQ8 (v7/v19's scalar int8), plain PQ
+    * (v8's whole-vector codebook), and IVFPQ residual codes (v21's
+    * index). Per method: bytes per vector, mean/max per-vector squared
+    * reconstruction error (per-dim normalized) and mean cosine between
+    * raw and reconstruction — the memory-tier vs accuracy trade table an
+    * operator reads BEFORE picking an index layout (v22 then monitors
+    * the chosen one per cell over time). All three reconstructions are
+    * exact IEEE chains (q8's floor-based half-up; codeword slices
+    * re-assembled in subspace order), so the whole ladder value-oracles;
+    * cross-row means are DECIMAL-quantized (partition-order free).
+    * Scale: sq8 is one broadcast scalar + a map-side transform; pq pays
+    * one corpus × 64-codeword broadcast argmin (v8's own shape); ivfpq
+    * reads the memoized index stage — shuffle carries one row per
+    * vector everywhere, and each method folds to ONE 1-row aggregate. */
+  private def quantErrorLadder(s: SparkSession, dir: String): DataFrame = {
+    val em = embFrame(s, dir)
+    val scaleDf = em.agg(
+      max(aggregate(col("emb"), lit(0.0),
+        (acc, v) => greatest(acc, abs(v)))).as("max_abs"))
+    val sq8 = em.crossJoin(broadcast(scaleDf))
+      .select(col("vec_id"), col("emb"),
+        transform(col("emb"), x =>
+          q8(x, col("max_abs")).cast(DoubleType) * col("max_abs")
+            / lit(127.0)).as("recon"))
+    // plain PQ = the IVFPQ encode/reconstruct machinery run over raw
+    // vectors (zero-centroid "residuals"), which is exactly v8's layout:
+    // codebook = first pqCodebookSize raw vectors' subspace slices
+    val raw = em.select(col("vec_id"), lit(-1L).as("c_id"),
+      col("emb"), col("emb").as("resid"))
+    val cbRaw = residualCodebook(raw)
+    val pq = reconstructResiduals(pqEncode(raw, cbRaw), cbRaw)
+      .select(col("vec_id").as("r_id"), col("rresid").as("recon"))
+      .join(em, col("vec_id") === col("r_id"))
+      .select(col("vec_id"), col("emb"), col("recon"))
+    val (assigned, codes) = ivfpqStage(s, dir)
+    val cbR = residualCodebook(assigned)
+    val ivf = assigned.join(
+        reconstructResiduals(codes, cbR)
+          .select(col("vec_id").as("r_id"), col("rresid")),
+        col("vec_id") === col("r_id"))
+      .select(col("vec_id"), col("emb"),
+        zip_with(col("emb"),
+          zip_with(col("rresid"), col("resid"), (rr, r) => rr - r),
+          (x, d) => x + d).as("recon"))
+    def audit(df: DataFrame, method: String, bytes: Int): DataFrame =
+      df.select(
+          round(sqDist(col("emb"), col("recon")) / lit(embDim.toDouble), 9)
+            .as("err"),
+          round(dot(col("emb"), col("recon")) /
+            (norm(col("emb")) * norm(col("recon"))), 9).as("cos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("err").cast(DecimalType(28, 9))).cast(DoubleType)
+            / count(lit(1)), 6).as("mse"),
+          max(col("err")).as("max_err"),
+          round(sum(col("cos").cast(DecimalType(28, 9))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean_cos"))
+        .select(lit(method).as("method"),
+          lit(bytes.toLong).as("bytes_per_vec"), col("n_vecs"),
+          col("mse"), col("max_err"), col("mean_cos"))
+    audit(sq8, "sq8", embDim)
+      .unionByName(audit(pq, "pq", pqSubspaces))
+      .unionByName(audit(ivf, "ivfpq", pqSubspaces + 2))
   }
 
   /** Post-filter pool depths v23 sweeps (the v18 idiom applied to
@@ -1287,6 +1353,7 @@ object VectorOps extends QueryModule {
     "v8_ann_pq_topk" -> annPq,
     "v21_ivfpq_topk" -> annIvfPq,
     "v22_index_health" -> ivfpqIndexHealth,
+    "v24_quant_error" -> quantErrorLadder,
     "v23_filter_pool_curve" -> filterPoolCurve,
     "v7_ann_int8_topk" -> annInt8,
     "v6_ann_signlsh_topk" -> annSignLsh,
@@ -1455,6 +1522,75 @@ object VectorOps extends QueryModule {
     // v21 replays the full IVFADC trajectory — cell argmin → residuals →
     // residual-trained codebook → per-subspace code argmin → codeword
     // reconstruction → asymmetric distance → shortlist → exact re-rank —
+    // v24 replays all three reconstructions value-exactly: sq8 via the
+    // q8 floor-half-up chain, plain PQ via codeword-slice reassembly in
+    // subspace order, ivfpq via the shared index CTE — per-vector
+    // err/cos are IEEE chains, cross-row means DECIMAL-quantized.
+    "v24_quant_error" -> {
+      def rung(src: String, method: String, bytes: Int): String =
+        s"""SELECT '$method' AS method,
+           |       CAST($bytes AS BIGINT) AS bytes_per_vec,
+           |       CAST(count(*) AS BIGINT) AS n_vecs,
+           |       round(CAST(sum(CAST(err AS DECIMAL(28,9))) AS DOUBLE)
+           |             / count(*), 6) AS mse,
+           |       max(err) AS max_err,
+           |       round(CAST(sum(CAST(cos AS DECIMAL(28,9))) AS DOUBLE)
+           |             / count(*), 6) AS mean_cos
+           |FROM (SELECT round(${d2Sql("emb", "recon")} / $embDim.0, 9)
+           |               AS err,
+           |             round(${dotSql("emb", "recon")} /
+           |               (sqrt(${dotSql("emb", "emb")}) *
+           |                sqrt(${dotSql("recon", "recon")})), 9) AS cos
+           |      FROM $src)""".stripMargin
+      s"""$ivfpqCte,
+         |ms AS (SELECT max(list_aggregate(list_transform(emb,
+         |                x -> abs(x)), 'max')) AS max_abs FROM em),
+         |sq8 AS (
+         |  SELECT vec_id, emb,
+         |         list_transform(emb, x -> ${q8Sql("x")} * max_abs / 127.0)
+         |           AS recon
+         |  FROM em, ms),
+         |cbp AS (SELECT vec_id AS cw_id, emb AS cw FROM em
+         |        WHERE vec_id < $pqCodebookSize),
+         |scp AS (
+         |  SELECT a.vec_id, t.m, c.cw_id,
+         |         list_aggregate(list_transform(range(1, ${pqSubDim + 1}),
+         |           i -> (a.emb[t.m * $pqSubDim + i]
+         |                 - c.cw[t.m * $pqSubDim + i])
+         |              * (a.emb[t.m * $pqSubDim + i]
+         |                 - c.cw[t.m * $pqSubDim + i])), 'sum') AS d
+         |  FROM em a CROSS JOIN range(0, $pqSubspaces) t(m)
+         |  CROSS JOIN cbp c),
+         |codp AS (
+         |  SELECT vec_id, m, cw_id AS code FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id, m ORDER BY d, cw_id) AS rk
+         |    FROM scp) WHERE rk = 1),
+         |pqrec AS (
+         |  SELECT cp.vec_id,
+         |         flatten(list(list_slice(c.cw, cp.m * $pqSubDim + 1,
+         |           cp.m * $pqSubDim + $pqSubDim) ORDER BY cp.m)) AS recon
+         |  FROM codp cp JOIN cbp c ON cp.code = c.cw_id
+         |  GROUP BY cp.vec_id),
+         |pq AS (SELECT em.vec_id, em.emb, recon FROM em
+         |       JOIN pqrec USING (vec_id)),
+         |ivrec AS (
+         |  SELECT cp.vec_id,
+         |         flatten(list(list_slice(cb.cw_resid, cp.m * $pqSubDim + 1,
+         |           cp.m * $pqSubDim + $pqSubDim) ORDER BY cp.m)) AS rresid
+         |  FROM codes cp JOIN cb ON cp.code = cb.cw_id
+         |  GROUP BY cp.vec_id),
+         |ivf AS (
+         |  SELECT a.vec_id, a.emb,
+         |         list_transform(range(1, ${embDim + 1}),
+         |           i -> a.emb[i] + (r.rresid[i] - a.resid[i])) AS recon
+         |  FROM assigned a JOIN ivrec r USING (vec_id))
+         |${rung("sq8", "sq8", embDim)}
+         |UNION ALL
+         |${rung("pq", "pq", pqSubspaces)}
+         |UNION ALL
+         |${rung("ivf", "ivfpq", pqSubspaces + 2)}""".stripMargin
+    },
     // every float an IEEE double accumulated in array order, so the
     // hash compare covers the whole index, not just the final ranks.
     "v22_index_health" -> {

@@ -330,6 +330,43 @@ object WindowAggs extends QueryModule {
           .as("stickiness"))
   }
 
+  /** a32 (beyond-reference): longest consecutive-day activity streak per
+    * user — the engagement "streak" report next to a28's DAU/WAU ratio.
+    * Classic gaps-and-islands: over the DISTINCT (user, day) pair list
+    * (the same deduplicated spine a28 rides — never the raw events),
+    * `day - row_number()` is constant exactly across a run of
+    * consecutive days, so one user-keyed window sort + one
+    * (user, island) count yields every streak; each user keeps their
+    * best under a total (streak DESC, start_day ASC) order and the
+    * report cuts to a deterministic top-10 (streak DESC, user_id) via
+    * TakeOrderedAndProject. Day arithmetic is integer epoch-day
+    * division — engine-exact, timezone-free. Shuffles: the pair dedup,
+    * ONE user_id Exchange that serves both the island sort and both
+    * per-user reductions, and the partial top-n; nothing touches the
+    * raw event payload after the first projection. */
+  private def activeStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val du = Tables(s, dir, "events")
+      .select(col("user_id"), divFloor(nsToUs(col("ts")), dayUs).as("day"))
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    du.withColumn("island", col("day") - row_number().over(wU))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+      // best streak per user: longest, earliest-start on ties — one
+      // struct-min over the (few) islands each user owns
+      .groupBy(col("user_id"))
+      .agg(min(struct((-col("streak_days")).as("neg"),
+        col("start_day").as("sd"))).as("best"),
+        count(lit(1)).as("island_ct"))
+      .select(col("user_id"), (-col("best.neg")).as("streak_days"),
+        curDate(col("best.sd") * 86400L).as("streak_start"),
+        col("island_ct"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** a29 (beyond-reference): top navigation paths — the classic
     * clickstream path-analysis report: the most common 3-step
     * event-type sequences inside a 30-min session (a23's
@@ -431,6 +468,7 @@ object WindowAggs extends QueryModule {
     "a22_bounce_rate" -> bounceRate,
     "a29_top_paths" -> topPaths,
     "a28_rolling_wau" -> rollingWau,
+    "a32_active_streak" -> activeStreak,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -508,6 +546,36 @@ object WindowAggs extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS path_ct
          |FROM steps WHERE e3 IS NOT NULL
          |GROUP BY 1 ORDER BY path_ct DESC, path LIMIT 10""".stripMargin,
+    "a32_active_streak" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |         day - row_number() OVER
+        |           (PARTITION BY user_id ORDER BY day) AS island,
+        |         day
+        |  FROM du),
+        |runs AS (
+        |  SELECT user_id, island,
+        |         CAST(count(*) AS BIGINT) AS streak_days,
+        |         min(day) AS start_day
+        |  FROM isl GROUP BY user_id, island),
+        |best AS (
+        |  SELECT user_id,
+        |         CAST(max(streak_days) AS BIGINT) AS streak_days,
+        |         min(CASE WHEN streak_days = md THEN start_day END)
+        |           AS start_day,
+        |         CAST(count(*) AS BIGINT) AS island_ct
+        |  FROM (SELECT *, max(streak_days) OVER (PARTITION BY user_id)
+        |          AS md FROM runs)
+        |  GROUP BY user_id)
+        |SELECT user_id, streak_days,
+        |       strftime(make_timestamp(start_day * 86400000000),
+        |                '%Y-%m-%d') AS streak_start,
+        |       island_ct
+        |FROM best
+        |ORDER BY streak_days DESC, user_id LIMIT 10""".stripMargin,
     "a28_rolling_wau" ->
       """WITH du AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id

@@ -454,6 +454,26 @@ class CurationSpec extends SparkSuite {
       .filter(col("spa") =!= col("spb")).count() == 0)
   }
 
+  test("c26: size histogram reconciles with c1 and covers the corpus") {
+    val r = q("c26_cluster_size_dist").collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    // every doc lands in exactly one size bucket (singletons included)
+    assert(r.map(_.getLong(r.head.fieldIndex("doc_ct"))).sum == nDocs)
+    // multi-member rows reconcile with the c1 cluster list
+    val clusters = q("c1_dedup_clusters").collect()
+    val multi = r.filter(_.getLong(0) >= 2)
+    assert(multi.map(_.getLong(1)).sum == clusters.length,
+      "cluster_ct over sizes >= 2 must equal the c1 cluster count")
+    multi.foreach { row =>
+      val sz = row.getLong(0)
+      assert(clusters.count(_.getLong(1) == sz) == row.getLong(1))
+    }
+    // the singleton row is STATED, and shares sum to 1
+    assert(r.exists(_.getLong(0) == 1L), "singleton row missing")
+    val shareSum = r.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+  }
+
   test("c24: full pair matrix, bounded overlap, totals reconcile") {
     val r = q("c24_cross_source_overlap")
     val srcs = Tables(spark, sf, "documents")

@@ -312,6 +312,32 @@ class OperatorSpec extends SparkSuite {
     assert(cts.sum <= Tables(spark, sf, "events").count())
   }
 
+  test("a32 streaks: ranked, bounded, top user matches a brute replay") {
+    val r = q("a32_active_streak").collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val streaks = r.map(x => x.getLong(x.fieldIndex("streak_days")))
+    assert(streaks.forall(_ >= 1))
+    assert(streaks.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "not ranked by streak")
+    assert(r.forall(_.getLong(3) >= 1), "island_ct must be >= 1")
+    // brute replay for the top user: longest consecutive run over their
+    // distinct epoch days, computed directly in Scala
+    val top = r.head
+    val uid = top.getLong(top.fieldIndex("user_id"))
+    val days = Tables(spark, sf, "events")
+      .filter(col("user_id") === uid)
+      .select(graft.functions.Fns.divFloor(
+        graft.functions.Fns.nsToUs(col("ts")), 86400000000L).as("d"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val best = days.foldLeft((0L, 0L, Long.MinValue)) {
+      case ((bestRun, run, prev), d) =>
+        val nr = if (d == prev + 1) run + 1 else 1L
+        (math.max(bestRun, nr), nr, d)
+    }._1
+    assert(top.getLong(top.fieldIndex("streak_days")) == best,
+      s"user $uid: engine streak vs brute $best")
+  }
+
   test("a28 rolling WAU: wau >= dau, stickiness in (0,1]") {
     val r = q("a28_rolling_wau")
     assert(r.count() > 0)

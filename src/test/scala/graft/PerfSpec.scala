@@ -149,6 +149,19 @@ class PerfSpec extends SparkSuite {
     assert(got.length == 3 && got.distinct.length == 3, got.mkString(","))
   }
 
+  test("x11: bucketed join plans zero exchanges on either join side") {
+    val df = q("x11_bucket_join")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"x11 should sort-merge over the bucketed layout:\n$p")
+    // the ONLY shuffle is the final 5-row priority aggregation — both
+    // scan→join sides ride the bucket spec's hash partitioning
+    val sh = PlanBudget.shuffleCount(p)
+    assert(sh <= 1, s"bucketed join still shuffles ($sh exchanges):\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan does not report bucketed read:\n$p")
+  }
+
   test("hamming_dist native expression: codegen matches interpreted") {
     import graft.plans.HammingDistance.hammingDist
     val df = spark.range(0, 1000).select(col("id"),

@@ -393,6 +393,36 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.filter(col("oov_ct") === col("token_ct")).count() == 0)
   }
 
+  test("t26: edge-template accounting per (source, kind) is consistent") {
+    val r = q("t26_template_spans").collect()
+    val idx = r.head.fieldIndex _
+    val sources = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    // dense report: one prefix + one suffix row per source
+    assert(r.length == 2 * sources, s"${r.length} rows vs $sources sources")
+    // participating docs per source agree between the two edge kinds
+    r.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(idx("doc_ct"))).distinct.length == 1,
+        s"$src: prefix/suffix doc_ct disagree")
+    }
+    r.foreach { row =>
+      val (docs, grams) =
+        (row.getLong(idx("doc_ct")), row.getLong(idx("distinct_grams")))
+      val (tpl, tplDocs) =
+        (row.getLong(idx("template_ct")), row.getLong(idx("templated_docs")))
+      assert(grams <= docs && tpl <= grams && tplDocs <= docs)
+      // a template binds >= 2 docs; zero templates -> NULL top fields
+      if (tpl == 0) {
+        assert(tplDocs == 0 && row.isNullAt(idx("top_ct")) &&
+          row.isNullAt(idx("top_gram")))
+      } else {
+        assert(tplDocs >= 2 * tpl)
+        assert(row.getLong(idx("top_ct")) >= 2)
+        assert(row.getString(idx("top_gram")).split(" ").length == 5)
+      }
+    }
+  }
+
   test("t24: fertility cells conserved, sums positive, ratios replayed") {
     val r = q("t24_tokenizer_fertility")
     val cells = Tables(spark, sf, "documents")

@@ -218,6 +218,31 @@ class SketchSpec extends SparkSuite {
     assert(vsBrute >= 8, s"IVFADC recall@5 vs brute: $vsBrute/50")
   }
 
+  test("v24: quant ladder covers the corpus; more bytes, less error") {
+    val r = q("v24_quant_error").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("sq8", "pq", "ivfpq"))
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    r.values.foreach { row =>
+      assert(row.getLong(row.fieldIndex("n_vecs")) == nVecs)
+      val mse = row.getDouble(row.fieldIndex("mse"))
+      val maxE = row.getDouble(row.fieldIndex("max_err"))
+      val cos = row.getDouble(row.fieldIndex("mean_cos"))
+      assert(mse >= 0 && maxE >= mse, s"max must bound the mean: $row")
+      assert(cos > 0 && cos <= 1.0 + 1e-9, s"cosine out of range: $row")
+    }
+    // 64 bytes/vec (sq8) must reconstruct better than 8 bytes/vec of
+    // either code layout. Between the two 8-byte layouts the ladder
+    // reports the truthful (and instructive) answer for THIS corpus:
+    // synthetic embeddings have no cluster structure, so residuals
+    // (emb − an arbitrary centroid) carry MORE variance than the raw
+    // vectors and ivfpq reconstructs WORSE than plain pq — exactly the
+    // signal v24 exists to surface before an operator trusts the
+    // clustered-data intuition (on real corpora residual coding wins).
+    def mse(m: String) = r(m).getDouble(r(m).fieldIndex("mse"))
+    assert(mse("sq8") < mse("pq") && mse("sq8") < mse("ivfpq"))
+  }
+
   test("v22: index health covers every vector; errors and utilization bounded") {
     val r = q("v22_index_health")
     assert(r.agg(sum(col("member_ct"))).head.getLong(0) ==
