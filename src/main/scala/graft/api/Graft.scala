@@ -275,6 +275,21 @@ object Graft {
     graft.operators.Joins.refIntegrityFor(name, child, childKey,
       parent, parentKey)
 
+  /** k-anonymity release audit over an arbitrary frame: one row per
+    * distinct quasi-identifier tuple with `class_users` (distinct
+    * `subject` values — the re-identification pool size), `rec_ct`,
+    * and `risky` (class_users < k). Roll up per release dimension or
+    * join the risky classes back for suppression/coarsening — the demo
+    * p19 query does exactly that per event_type. */
+  def kAnonymityClasses(df: DataFrame, qiCols: Seq[Column],
+      subject: Column,
+      k: Int = graft.operators.QualityOps.kAnon): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityClasses needs at least one " +
+      "quasi-identifier column")
+    graft.operators.QualityOps.kAnonClasses(df, qiCols, subject)
+      .withColumn("risky", col("class_users") < k)
+  }
+
   // ---- text / vectors ----------------------------------------------------
 
   /** Whitespace tokens (the corpus-wide tokenizer all text operators

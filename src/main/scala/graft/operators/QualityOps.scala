@@ -50,6 +50,50 @@ object QualityOps extends QueryModule {
         phonePat, "<PHONE>"),
       ipPat, "<IP>")
 
+  /** p19 (beyond-reference): k-anonymity release audit — the privacy
+    * gate next to p15's PII scrub: even after direct identifiers are
+    * redacted, a row is re-identifiable when its QUASI-identifier
+    * combination is shared by too few users (Sweeney's k-anonymity).
+    * Equivalence classes here are (event_type, epoch-week, value
+    * decile-bucket); per event_type the report states class count,
+    * the smallest class's distinct-user size, how many classes fall
+    * below k = [[kAnon]], the record mass they expose, and the
+    * go/no-go flag (k_anonymous = every class ≥ k). This is the table
+    * a release review reads to decide between publishing, coarsening
+    * the buckets, or suppressing the risky sliver. Scale shape: one
+    * map-side-combinable class aggregation keyed by the quasi-id tuple
+    * (bounded by the id-space cross product, not by rows) + one
+    * event_type rollup; integer week/bucket math is engine-exact. */
+  val kAnon = 5
+
+  /** Generic class-level core behind p19 and [[graft.api.Graft
+    * .kAnonymityClasses]]: one row per distinct quasi-identifier tuple
+    * with its distinct-subject count and record mass. */
+  private[graft] def kAnonClasses(df: DataFrame, qiCols: Seq[Column],
+      subject: Column): DataFrame =
+    df.groupBy(qiCols: _*)
+      .agg(countDistinct(subject).as("class_users"),
+        count(lit(1)).as("rec_ct"))
+
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    val weekUs = 7L * 86400L * 1000000L
+    kAnonClasses(
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          Fns.divFloor(Fns.nsToUs(col("ts")), weekUs).as("wk"),
+          floor(col("value") / lit(10.0)).cast(LongType).as("vb")),
+      Seq(col("event_type"), col("wk"), col("vb")), col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("class_ct"),
+        min(col("class_users")).as("min_class_users"),
+        sum(when(col("class_users") < kAnon, 1L).otherwise(0L))
+          .as("risky_class_ct"),
+        sum(when(col("class_users") < kAnon, col("rec_ct")).otherwise(0L))
+          .as("risky_rec_ct"))
+      .withColumn("k_anonymous", col("min_class_users") >= kAnon)
+  }
+
   /** p15: the PII scrub pass summarized per language — match counts per
     * category and the net characters removed by redaction. */
   private def piiRedact(s: SparkSession, dir: String): DataFrame = {
@@ -244,6 +288,7 @@ object QualityOps extends QueryModule {
     "p17_tombstone_purge" -> tombstonePurge,
     "p16_url_canonicalize" -> urlCanonicalize,
     "p15_pii_redact" -> piiRedact,
+    "p19_k_anonymity" -> kAnonymity,
     "c8_quality_funnel" -> qualityFunnel,
     "c9_sequence_packing" -> sequencePacking,
     "t10_repetition_signals" -> repetitionSignals)
@@ -313,6 +358,23 @@ object QualityOps extends QueryModule {
         |SELECT canon_url, count(*) AS dup_ct,
         |       count(DISTINCT raw_url) AS variant_ct, min(doc_id) AS min_doc
         |FROM c GROUP BY 1""".stripMargin,
+    "p19_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 604800000000 AS wk,
+        |         CAST(floor(value / 10.0) AS BIGINT) AS vb,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS class_users,
+        |         CAST(count(*) AS BIGINT) AS rec_ct
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS class_ct,
+        |       CAST(min(class_users) AS BIGINT) AS min_class_users,
+        |       CAST(sum(CASE WHEN class_users < 5 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS risky_class_ct,
+        |       CAST(sum(CASE WHEN class_users < 5 THEN rec_ct ELSE 0 END)
+        |            AS BIGINT) AS risky_rec_ct,
+        |       min(class_users) >= 5 AS k_anonymous
+        |FROM cls GROUP BY 1""".stripMargin,
     "p15_pii_redact" -> {
       val fixture =
         """text ||

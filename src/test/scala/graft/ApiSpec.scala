@@ -32,6 +32,25 @@ class ApiSpec extends SparkSuite {
       corpus.count() * operators.DedupOps.numBands)
   }
 
+  test("kAnonymityClasses flags small quasi-identifier classes") {
+    val visits = Seq(
+      ("F", 30, 101L), ("F", 30, 102L), ("F", 30, 103L),
+      ("F", 30, 101L),               // repeat record, same subject
+      ("M", 30, 201L), ("M", 30, 202L),
+      ("M", 40, 301L)                // the k=2 risky singleton class
+    ).toDF("sex", "age", "patient")
+    val r = Graft.kAnonymityClasses(visits,
+        Seq(col("sex"), col("age")), col("patient"), k = 2)
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r(("F", 30)) == ((3L, 4L, false)))
+    assert(r(("M", 30)) == ((2L, 2L, false)))
+    assert(r(("M", 40)) == ((1L, 1L, true)))
+    intercept[IllegalArgumentException] {
+      Graft.kAnonymityClasses(visits, Seq.empty, col("patient"))
+    }
+  }
+
   test("chunks tile a user corpus with the requested geometry") {
     val c = Graft.chunks(corpus, size = 4L, stride = 3L)
     val row1 = c.filter(col("doc_id") === 1L).orderBy(col("chunk_idx"))

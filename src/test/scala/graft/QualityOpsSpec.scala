@@ -393,6 +393,41 @@ class QualityOpsSpec extends SparkSuite {
     assert(r.filter(col("oov_ct") === col("token_ct")).count() == 0)
   }
 
+  test("p19: k-anonymity classes reconcile with a direct recompute") {
+    val r = q("p19_k_anonymity").collect()
+    val idx = r.head.fieldIndex _
+    val types = Tables(spark, sf, "events")
+      .select(col("event_type")).distinct().count()
+    assert(r.length == types, "one row per event_type")
+    r.foreach { row =>
+      assert(row.getLong(idx("risky_class_ct")) <=
+        row.getLong(idx("class_ct")))
+      assert(row.getLong(idx("min_class_users")) >= 1)
+      // flag is exactly the min-class rule
+      assert(row.getBoolean(idx("k_anonymous")) ==
+        (row.getLong(idx("min_class_users")) >= QualityOps.kAnon))
+      // a risky class binds at least one record each
+      assert(row.getLong(idx("risky_rec_ct")) >=
+        row.getLong(idx("risky_class_ct")))
+    }
+    // brute recompute for one event_type: class count and min size
+    val first = r.minBy(_.getString(0))
+    val et = first.getString(0)
+    val cls = Tables(spark, sf, "events")
+      .filter(col("event_type") === et)
+      .select(graft.functions.Fns.divFloor(
+          graft.functions.Fns.nsToUs(col("ts")),
+          7L * 86400L * 1000000L).as("wk"),
+        floor(col("value") / lit(10.0)).cast("long").as("vb"),
+        col("user_id"))
+      .groupBy(col("wk"), col("vb"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect()
+    assert(first.getLong(idx("class_ct")) == cls.length)
+    assert(first.getLong(idx("min_class_users")) ==
+      cls.map(_.getLong(2)).min)
+  }
+
   test("t26: edge-template accounting per (source, kind) is consistent") {
     val r = q("t26_template_spans").collect()
     val idx = r.head.fieldIndex _
