@@ -117,7 +117,7 @@ object CurationOps extends QueryModule {
       // shuffle the exact test used to pay every round
       def sig(df: DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)),
-          bit_xor(xxhash64(col("src"), col("dst")))).head
+          bit_xor(xxhash64(col("src"), col("dst")))).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
       lap("nearDupPairs+checkpoint")

@@ -98,7 +98,7 @@ object PublisherServer {
         .map(_.getName.stripPrefix("cur_date="))
         .reduceOption((a, b) => if (a >= b) a else b)
         .getOrElse(s.read.parquet(store)
-          .agg(max(col("cur_date").cast("string"))).head.getString(0))
+          .agg(max(col("cur_date").cast("string"))).head().getString(0))
 
     def param(ex: HttpExchange, name: String): Option[String] =
       Option(ex.getRequestURI.getRawQuery).toSeq
@@ -137,7 +137,7 @@ object PublisherServer {
     // (TradeStatsController.java:24-36)
     endpoint("/gmv") { ex =>
       val day = dateOf(ex, orderStore)
-      val gmv = ServingApi.gmv(s, orderStore, day).head
+      val gmv = ServingApi.gmv(s, orderStore, day).head()
       val v = if (gmv.isNullAt(0)) "0" else gmv.getDouble(0).toString
       s"""{"status":0,"data":$v}"""
     }

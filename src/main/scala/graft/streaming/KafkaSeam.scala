@@ -28,7 +28,8 @@ object KafkaSeam {
     * (KafkaRecordSerializationSchema + BeanToJsonStrMapFunction). */
   def toKafka(df: DataFrame, keyExpr: Column): DataFrame =
     df.select(keyExpr.cast("string").cast("binary").as("key"),
-      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+        .cast("binary").as("value"))
 
   /** CDC wire form (the topic_db path DimApp/BaseDbApp consume —
     * BaseSQLApp.java:55-68 / FlinkSourceUtil.java:23-58): Maxwell and

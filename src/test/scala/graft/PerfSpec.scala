@@ -149,6 +149,24 @@ class PerfSpec extends SparkSuite {
     assert(got.length == 3 && got.distinct.length == 3, got.mkString(","))
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the runtime half of the shuffle-sizing story: the session plans
+    // spark.sql.shuffle.partitions reducers, but a small aggregate's
+    // map output is far below the advisory partition size, so AQE
+    // must fuse the reducers instead of scheduling near-empty tasks —
+    // at 100 TB the same machinery right-sizes every intermediate
+    // stage without per-query tuning
+    val df = Tables(spark, sf, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("ct"))
+    // collect() executes THIS DataFrame's own AdaptiveSparkPlan (a
+    // write would clone the plan into a command and leave this one
+    // un-finalized), so the final adaptive plan is inspectable below
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE did not coalesce the post-shuffle partitions:\n$p")
+  }
+
   test("x11: bucketed join plans zero exchanges on either join side") {
     val df = q("x11_bucket_join")
     val p = df.queryExecution.executedPlan.toString
