@@ -500,7 +500,56 @@ object DedupOps extends QueryModule {
         col("pair_ct"), col("cum_ct"))
   }
 
+  /** d10 (beyond-reference): content-defined chunk dedup — the
+    * LBFS/rsync boundary trick applied to corpus text: a chunk ends
+    * wherever a token's hash ≡ 0 (mod 16), so boundaries are decided by
+    * CONTENT, not position, and an insertion near a document's head
+    * shifts no downstream chunk identity (the failure mode of c13's
+    * fixed-stride tiles; Muthitacharoen et al., SOSP'01). Expected
+    * chunk length = 16 tokens with no tuning. Per source: chunk count,
+    * distinct chunk fingerprints, duplicated-chunk count/ratio and mean
+    * chunk length — the sub-document dedup table that catches shared
+    * passages exact-dup (d1) misses and span-cut (t19) prices
+    * differently. Scale shape: chunking is ENTIRELY map-side
+    * (higher-order functions over the token array — no explode until
+    * chunks exist, text never shuffles whole); the only shuffles are
+    * the (source)-keyed count-distinct rollup. The md5-prefix token
+    * hash is the d2 family's — one hash definition corpus-wide. */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val th = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+    Tables(s, dir, "documents")
+      .select(col("source"), tokenize(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("bounds",
+        concat(array(lit(0)),
+          filter(sequence(lit(1), col("n")),
+            i => pmod(th(element_at(col("toks"), i)), lit(16L)) === 0),
+          array(col("n"))))
+      .withColumn("pair", explode(filter(
+        transform(sequence(lit(1), size(col("bounds")) - 1),
+          j => struct(element_at(col("bounds"), j).as("a"),
+            element_at(col("bounds"), j + 1).as("b"))),
+        p => p.getField("b") > p.getField("a"))))
+      .select(col("source"),
+        slice(col("toks"), col("pair.a") + 1,
+          col("pair.b") - col("pair.a")).as("chunk"))
+      .select(col("source"), md5(concat_ws(" ", col("chunk"))).as("fp"),
+        size(col("chunk")).cast(LongType).as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("chunk_ct"),
+        countDistinct(col("fp")).as("distinct_ct"),
+        sum(col("len")).as("token_sum"))
+      .select(col("source"), col("chunk_ct"), col("distinct_ct"),
+        (col("chunk_ct") - col("distinct_ct")).as("dup_chunk_ct"),
+        round((col("chunk_ct") - col("distinct_ct")).cast(DoubleType)
+          / col("chunk_ct"), 6).as("dup_ratio"),
+        round(col("token_sum").cast(DoubleType) / col("chunk_ct"), 6)
+          .as("mean_chunk_len"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "d10_cdc_chunks" -> cdcChunks,
     "d8_crawl_dedup" -> crawlDedup,
     "d9_threshold_sweep" -> thresholdSweep,
     "d7_minhash_estimate" -> minhashEstimate,
@@ -579,6 +628,39 @@ object DedupOps extends QueryModule {
        |        >= $jaccardThreshold)""".stripMargin
 
   val oracles = Map(
+    // d10 replays the boundary rule exactly: same md5-prefix token
+    // hash (hexToIntSql), same mod-16 cut, same [0, cuts..., n] bound
+    // list, same md5 chunk fingerprint over the space-joined slice.
+    "d10_cdc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, toks, n,
+         |         [CAST(0 AS BIGINT)] ||
+         |           list_filter(range(1, n + 1),
+         |             p -> (${hexToIntSql("toks[p]")}) % 16 = 0) ||
+         |           [CAST(n AS BIGINT)] AS bounds
+         |  FROM t),
+         |ch AS (
+         |  SELECT source,
+         |         md5(array_to_string(
+         |           list_slice(toks, bounds[j] + 1, bounds[j + 1]), ' '))
+         |           AS fp,
+         |         CAST(bounds[j + 1] - bounds[j] AS BIGINT) AS len
+         |  FROM b, unnest(range(1, len(bounds))) AS u(j)
+         |  WHERE bounds[j + 1] > bounds[j])
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS chunk_ct,
+         |       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_ct,
+         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+         |         AS dup_chunk_ct,
+         |       round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+         |             / count(*), 6) AS dup_ratio,
+         |       round(CAST(sum(len) AS DOUBLE) / count(*), 6)
+         |         AS mean_chunk_len
+         |FROM ch GROUP BY source""".stripMargin,
     "d8_crawl_dedup" ->
       s"""WITH $candidateCte,
          |ns AS (SELECT max(source) AS new_src FROM documents),

@@ -832,7 +832,52 @@ object TextOps extends QueryModule {
         (-col("best.neg")).as("top_ct"), col("best.g").as("top_gram"))
   }
 
+  /** t27 (beyond-reference): Zipf rank-frequency fit — the
+    * vocabulary-health lens next to t22's OOV mass and t24's fertility:
+    * natural language follows freq ∝ rank^s with s ≈ −1 (Zipf's law);
+    * machine-generated, templated, or heavily-duplicated text bends the
+    * curve, so the fitted slope per source is a cheap distribution-level
+    * generator/contamination signal. Fit = ordinary least squares of
+    * ln(freq) on ln(rank) over each source's top-100 tokens under a
+    * (count DESC, token) total order. Per-row ln products are rounded
+    * to 9 decimals and DECIMAL-quantized before the cross-row sums
+    * (absorbing last-ulp ln() differences between engines — t13's
+    * discipline), then the slope/intercept are one-shot IEEE chains
+    * over the exact sums. Shuffles: the (source, token) count and one
+    * rank window per source; the fit itself is a 5-sum fold. */
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir, "documents")
+      .select(col("source"), explode(tokenize(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ct").desc, col("token"))
+    val q9 = (c: Column) => round(c, 9).cast(DecimalType(28, 9))
+    val sums = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100)
+      .select(col("source"),
+        log(col("rk").cast(DoubleType)).as("x"),
+        log(col("ct").cast(DoubleType)).as("y"))
+      .select(col("source"), q9(col("x")).as("xq"), q9(col("y")).as("yq"),
+        q9(col("x") * col("y")).as("xyq"),
+        q9(col("x") * col("x")).as("xxq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("xq")).cast(DoubleType).as("sx"),
+        sum(col("yq")).cast(DoubleType).as("sy"),
+        sum(col("xyq")).cast(DoubleType).as("sxy"),
+        sum(col("xxq")).cast(DoubleType).as("sxx"))
+    val slope = (col("n_top") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_top") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("source"), col("n_top"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("n_top"), 6)
+        .as("zipf_intercept"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t27_zipf_slope" -> zipfSlope,
     "t26_template_spans" -> templateSpans,
     "t24_tokenizer_fertility" -> tokenizerFertility,
     "t23_code_fraction" -> codeFraction,
@@ -889,6 +934,40 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t27_zipf_slope" ->
+      """WITH c AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS ct
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source,
+        |         ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(ct AS DOUBLE)) AS y
+        |  FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY source ORDER BY ct DESC, word) AS rk
+        |        FROM c)
+        |  WHERE rk <= 100),
+        |q AS (
+        |  SELECT source,
+        |         CAST(round(x, 9) AS DECIMAL(28,9)) AS xq,
+        |         CAST(round(y, 9) AS DECIMAL(28,9)) AS yq,
+        |         CAST(round(x * y, 9) AS DECIMAL(28,9)) AS xyq,
+        |         CAST(round(x * x, 9) AS DECIMAL(28,9)) AS xxq
+        |  FROM top),
+        |sums AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+        |         CAST(sum(xq) AS DOUBLE) AS sx,
+        |         CAST(sum(yq) AS DOUBLE) AS sy,
+        |         CAST(sum(xyq) AS DOUBLE) AS sxy,
+        |         CAST(sum(xxq) AS DOUBLE) AS sxx
+        |  FROM q GROUP BY 1)
+        |SELECT source, n_top,
+        |       round((n_top * sxy - sx * sy)
+        |             / (n_top * sxx - sx * sx), 6) AS zipf_slope,
+        |       round((sy - ((n_top * sxy - sx * sy)
+        |                    / (n_top * sxx - sx * sx)) * sx)
+        |             / n_top, 6) AS zipf_intercept
+        |FROM sums""".stripMargin,
     "t26_template_spans" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS toks

@@ -91,6 +91,49 @@ class OperatorSpec extends SparkSuite {
     assert(df.filter(col("a_id") >= col("b_id")).count() == 0)
   }
 
+  test("d10 CDC chunks: token mass conserved, boundary shift-stability") {
+    val r = q("d10_cdc_chunks").collect()
+    val idx = r.head.fieldIndex _
+    // every token of every doc lands in exactly one chunk
+    val tokSums = Tables(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("tok"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      val src = row.getString(0)
+      val meanLen = row.getDouble(idx("mean_chunk_len"))
+      val chunkCt = row.getLong(idx("chunk_ct"))
+      assert(math.abs(meanLen * chunkCt - tokSums(src)) < 0.01 * chunkCt,
+        s"$src: chunk token mass does not reconcile")
+      assert(row.getLong(idx("distinct_ct")) <= chunkCt)
+      assert(row.getLong(idx("dup_chunk_ct")) ==
+        chunkCt - row.getLong(idx("distinct_ct")))
+    }
+    // the CDC property itself: prepending a token to a document leaves
+    // every chunk AFTER the first boundary identical (fixed-stride
+    // tiling would shift them all)
+    import spark.implicits._
+    val doc = (1 to 60).map(i => s"tok${i * 7 % 23}x$i").mkString(" ")
+    def chunkFps(text: String): Seq[String] = {
+      val toks = text.split(" ").toSeq
+      val isB = toks.map { t =>
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(t)
+            .substring(0, 8), 16)
+        h % 16 == 0
+      }
+      val bounds = 0 +: isB.zipWithIndex.collect {
+        case (true, i) => i + 1 } :+ toks.length
+      bounds.distinct.sliding(2).map { case Seq(a, b) =>
+        toks.slice(a, b).mkString(" ") }.toSeq
+    }
+    val base = chunkFps(doc)
+    val shifted = chunkFps("prepended " + doc)
+    // all chunks after the first boundary survive the shift
+    assert(base.tail.toSet.subsetOf(shifted.toSet),
+      "CDC chunks after the first boundary must be shift-stable")
+  }
+
   test("d2 LSH candidates superset of d3 verified pairs") {
     val cand = q("d2_lsh_candidates").agg(sum(col("candidate_ct")))
       .head.getLong(0)

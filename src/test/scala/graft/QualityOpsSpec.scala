@@ -428,6 +428,38 @@ class QualityOpsSpec extends SparkSuite {
       cls.map(_.getLong(2)).min)
   }
 
+  test("t27: Zipf fit is negative-sloped and matches a brute OLS replay") {
+    val r = q("t27_zipf_slope").collect()
+    val idx = r.head.fieldIndex _
+    val sources = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(r.length == sources)
+    r.foreach { row =>
+      assert(row.getLong(idx("n_top")) >= 10 &&
+        row.getLong(idx("n_top")) <= 100)
+      // frequencies fall with rank, so the fitted slope must be < 0
+      assert(row.getDouble(idx("zipf_slope")) < 0, s"non-Zipf: $row")
+      assert(row.getDouble(idx("zipf_intercept")) > 0)
+    }
+    // brute OLS replay for one source from the raw counts
+    val first = r.minBy(_.getString(0))
+    val cts = Tables(spark, sf, "documents")
+      .filter(col("source") === first.getString(0))
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("t")).limit(100)
+      .collect().map(_.getLong(1))
+    val xs = cts.indices.map(i => math.log(i + 1.0))
+    val ys = cts.map(c => math.log(c.toDouble))
+    val n = cts.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(first.getDouble(idx("zipf_slope")) - slope) < 1e-4,
+      s"engine ${first.getDouble(idx("zipf_slope"))} vs brute $slope")
+  }
+
   test("t26: edge-template accounting per (source, kind) is consistent") {
     val r = q("t26_template_spans").collect()
     val idx = r.head.fieldIndex _
