@@ -466,6 +466,44 @@ object CurationOps extends QueryModule {
           .as("kept_tokens"))
   }
 
+  /** Temperatures c27 sweeps (c11's τ = 0.5 sits inside the range). */
+  val mixTaus: Seq[Double] = Seq(0.5, 0.7, 1.0)
+
+  /** c27 (beyond-reference): temperature-mix sweep — the tuning table
+    * behind c11's single sampling rule (the v18/d9 sweep idiom applied
+    * to the mixing knob): for each τ in [[mixTaus]], the normalized
+    * source weight w_s = tokens_s^τ / Σ tokens^τ and its boost over the
+    * natural share (τ = 1 ⇒ boost 1 everywhere; τ < 1 lifts small
+    * sources — multilingual/low-resource upsampling à la mBERT/XLM-R
+    * exponent smoothing). pow() outputs are rounded to 9 decimals and
+    * DECIMAL-quantized before the cross-source normalizer sum (c11's
+    * discipline — absorbs last-ulp pow differences between engines);
+    * weights are one-shot divisions over the exact sums. Shuffles: one
+    * source rollup; the sweep itself is sources × 3 rows of metadata. */
+  private def temperatureSweep(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables(s, dir, "documents")
+      .select(col("source"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val taus = perSrc
+      .select(col("source"), col("src_tokens"),
+        explode(lit(mixTaus.toArray)).as("tau"))
+      .withColumn("wq",
+        round(pow(col("src_tokens").cast(DoubleType), col("tau")), 9)
+          .cast(DecimalType(28, 9)))
+    val tsum = taus.groupBy(col("tau").as("t_tau"))
+      .agg(sum(col("wq")).as("sumw"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot"))
+    taus.join(broadcast(tsum), col("tau") === col("t_tau"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tau"), col("src_tokens"),
+        round(col("wq").cast(DoubleType) / col("sumw").cast(DoubleType), 6)
+          .as("weight"),
+        round(col("wq").cast(DoubleType) / col("sumw").cast(DoubleType)
+          / (col("src_tokens").cast(DoubleType)
+            / col("tot").cast(DoubleType)), 6).as("boost"))
+  }
+
   /** c12: PageRank authority over the near-dup graph (Brin & Page 1998;
     * the canonical iterative-join workload, complementing c1's
     * connected components): three power iterations, damping 0.85, over
@@ -1053,6 +1091,7 @@ object CurationOps extends QueryModule {
     "c12_pagerank_authority" -> pagerankAuthority,
     "c24_cross_source_overlap" -> crossSourceOverlap,
     "c11_temperature_mix" -> temperatureMix,
+    "c27_temperature_sweep" -> temperatureSweep,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
     "c15_decontam_report" -> decontamReport,
@@ -1149,6 +1188,29 @@ object CurationOps extends QueryModule {
          |$iters
          |SELECT id AS doc_id, deg, round(pr, 9) AS pagerank FROM pr3""".stripMargin
     },
+    "c27_temperature_sweep" ->
+      """WITH perSrc AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS src_tokens
+        |  FROM documents GROUP BY 1),
+        |taus AS (
+        |  SELECT source, src_tokens, tau,
+        |         CAST(round(pow(CAST(src_tokens AS DOUBLE), tau), 9)
+        |              AS DECIMAL(28,9)) AS wq
+        |  FROM perSrc
+        |  CROSS JOIN (SELECT unnest([0.5, 0.7, 1.0]) AS tau)),
+        |tsum AS (SELECT tau AS t_tau, sum(wq) AS sumw FROM taus
+        |         GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot
+        |        FROM perSrc)
+        |SELECT source, tau, src_tokens,
+        |       round(CAST(wq AS DOUBLE) / CAST(sumw AS DOUBLE), 6)
+        |         AS weight,
+        |       round(CAST(wq AS DOUBLE) / CAST(sumw AS DOUBLE)
+        |             / (CAST(src_tokens AS DOUBLE) / CAST(tot AS DOUBLE)),
+        |             6) AS boost
+        |FROM taus JOIN tsum ON tau = t_tau CROSS JOIN tot""".stripMargin,
     "c11_temperature_mix" -> {
       val u = s"(${hex4ToIntSql("CAST(doc_id AS VARCHAR)")} / 65536.0)"
       s"""WITH d AS (

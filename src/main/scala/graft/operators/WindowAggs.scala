@@ -367,6 +367,61 @@ object WindowAggs extends QueryModule {
       .limit(10)
   }
 
+  /** a33 (beyond-reference): session-gap calibration — the table that
+    * JUSTIFIES the 30-minute inactivity rule every sessionized query
+    * (a22/a23/a27/a29) hardcodes: the distribution of consecutive
+    * same-user inter-event gaps, bucketed by fixed integer thresholds
+    * (10 s / 1 m / 10 m / 30 m / 1 h / more) with per-bucket share and
+    * cumulative share. A healthy cutoff sits where the cumulative curve
+    * plateaus — cum_share at the `< 30 m` bucket is exactly the
+    * fraction of event transitions the session rule keeps intact.
+    * Shuffles: the same user_id Exchange the sessionization itself
+    * pays (one lag read), then a 6-row rollup; integer second math,
+    * CASE thresholds identical in both engines. */
+  private def sessionGapCalibration(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val grouped = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), nsToUs(col("ts")).as("us"))
+      .withColumn("gap_s",
+        divFloor(col("us") - lag(col("us"), 1).over(wU), 1000000L))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("bucket",
+        when(col("gap_s") < 10, "a_lt_10s")
+          .when(col("gap_s") < 60, "b_lt_1m")
+          .when(col("gap_s") < 600, "c_lt_10m")
+          .when(col("gap_s") < 1800, "d_lt_30m")
+          .when(col("gap_s") < 3600, "e_lt_1h")
+          .otherwise("f_ge_1h"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("gap_ct"))
+    // dense spine: an empty bucket must read 0, not vanish (the
+    // c24/v23 zero-row discipline) — the report's six rows are fixed
+    val spine = s.createDataFrame(
+      java.util.Arrays.asList(
+        Seq("a_lt_10s", "b_lt_1m", "c_lt_10m", "d_lt_30m", "e_lt_1h",
+          "f_ge_1h").map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_bucket",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val dense = spine.join(grouped, col("s_bucket") === col("bucket"),
+        "left_outer")
+      .select(col("s_bucket").as("bucket"),
+        coalesce(col("gap_ct"), lit(0L)).as("gap_ct"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("total", sum(col("gap_ct")).over(wAll))
+      .withColumn("cum_ct", sum(col("gap_ct")).over(wCum))
+      .select(col("bucket"), col("gap_ct"),
+        round(col("gap_ct").cast(DoubleType) / col("total"), 6)
+          .as("share"),
+        round(col("cum_ct").cast(DoubleType) / col("total"), 6)
+          .as("cum_share"))
+  }
+
   /** a29 (beyond-reference): top navigation paths — the classic
     * clickstream path-analysis report: the most common 3-step
     * event-type sequences inside a 30-min session (a23's
@@ -469,6 +524,7 @@ object WindowAggs extends QueryModule {
     "a29_top_paths" -> topPaths,
     "a28_rolling_wau" -> rollingWau,
     "a32_active_streak" -> activeStreak,
+    "a33_session_gap_calibration" -> sessionGapCalibration,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -546,6 +602,34 @@ object WindowAggs extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS path_ct
          |FROM steps WHERE e3 IS NOT NULL
          |GROUP BY 1 ORDER BY path_ct DESC, path LIMIT 10""".stripMargin,
+    "a33_session_gap_calibration" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |         // 1000000 AS gap_s
+        |  FROM events),
+        |b AS (
+        |  SELECT CASE WHEN gap_s < 10 THEN 'a_lt_10s'
+        |              WHEN gap_s < 60 THEN 'b_lt_1m'
+        |              WHEN gap_s < 600 THEN 'c_lt_10m'
+        |              WHEN gap_s < 1800 THEN 'd_lt_30m'
+        |              WHEN gap_s < 3600 THEN 'e_lt_1h'
+        |              ELSE 'f_ge_1h' END AS bucket,
+        |         CAST(count(*) AS BIGINT) AS gap_ct
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT s_bucket AS bucket, coalesce(gap_ct, 0) AS gap_ct
+        |  FROM (SELECT unnest(['a_lt_10s', 'b_lt_1m', 'c_lt_10m',
+        |                       'd_lt_30m', 'e_lt_1h', 'f_ge_1h'])
+        |          AS s_bucket)
+        |  LEFT JOIN b ON s_bucket = b.bucket)
+        |SELECT bucket, CAST(gap_ct AS BIGINT) AS gap_ct,
+        |       round(CAST(gap_ct AS DOUBLE) / sum(gap_ct) OVER (), 6)
+        |         AS share,
+        |       round(CAST(sum(gap_ct) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / sum(gap_ct) OVER (), 6) AS cum_share
+        |FROM d""".stripMargin,
     "a32_active_streak" ->
       """WITH du AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -474,6 +474,30 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
   }
 
+  test("c27: sweep weights normalize; tau lifts small sources only") {
+    val r = q("c27_temperature_sweep").collect()
+    val idx = r.head.fieldIndex _
+    val sources = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(r.length == 3 * sources)
+    r.groupBy(_.getDouble(idx("tau"))).foreach { case (tau, rows) =>
+      val wsum = rows.map(_.getDouble(idx("weight"))).sum
+      assert(math.abs(wsum - 1.0) < 1e-3, s"tau=$tau weights sum $wsum")
+      if (tau == 1.0)
+        rows.foreach(x =>
+          assert(math.abs(x.getDouble(idx("boost")) - 1.0) < 1e-4))
+      else {
+        // sub-linear temperature: boost falls as source size grows
+        val bySize = rows.sortBy(_.getLong(idx("src_tokens")))
+        val boosts = bySize.map(_.getDouble(idx("boost")))
+        assert(boosts.sliding(2).forall(p => p.length < 2 ||
+          p(0) >= p(1) - 1e-9), s"tau=$tau boost not monotone")
+        assert(boosts.head > 1.0 && boosts.last < 1.0,
+          s"tau=$tau must lift the smallest source above natural share")
+      }
+    }
+  }
+
   test("c24: full pair matrix, bounded overlap, totals reconcile") {
     val r = q("c24_cross_source_overlap")
     val srcs = Tables(spark, sf, "documents")

@@ -381,6 +381,22 @@ class OperatorSpec extends SparkSuite {
       s"user $uid: engine streak vs brute $best")
   }
 
+  test("a33 gap calibration: dense spine, closed totals, monotone curve") {
+    val r = q("a33_session_gap_calibration").collect()
+    assert(r.length == 6, "all six buckets must be stated")
+    assert(r.map(_.getString(0)).sorted.sameElements(
+      Array("a_lt_10s", "b_lt_1m", "c_lt_10m", "d_lt_30m", "e_lt_1h",
+        "f_ge_1h")))
+    val ordered = r.sortBy(_.getString(0))
+    val cum = ordered.map(x => x.getDouble(x.fieldIndex("cum_share")))
+    assert(cum.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(math.abs(cum.last - 1.0) < 1e-9, s"curve must close at 1.0")
+    // every user's events produce exactly (n_events - 1) gaps
+    val ev = Tables(spark, sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(ordered.map(_.getLong(1)).sum == expected)
+  }
+
   test("a28 rolling WAU: wau >= dau, stickiness in (0,1]") {
     val r = q("a28_rolling_wau")
     assert(r.count() > 0)
