@@ -33,6 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interpreted (observed as a random query spiking 20-25x in exactly
   // one of two back-to-back runs). Size the cache for the suite and
   // allow flushing so a full cache degrades gracefully.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 512m sufficed at ~130 queries; at 185 the cache flushes mid-suite
+  // again (observed round 6: d8 consistently 2-3x slower, but only when
+  // the full d-family's generated classes precede it — the flushed
+  // methods re-JIT inside the timed query). Scale with the suite.
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
