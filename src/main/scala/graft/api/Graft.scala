@@ -275,6 +275,22 @@ object Graft {
     graft.operators.Joins.refIntegrityFor(name, child, childKey,
       parent, parentKey)
 
+  /** Content-defined chunks for a docs frame: one row per chunk with
+    * `(doc_id, source, chunk_start, fp, len)` — boundaries fall where a
+    * token's hash ≡ 0 (mod 16), so insertions shift no downstream chunk
+    * identity (the LBFS/rsync property; expected chunk length 16
+    * tokens). Group fps for sub-document dedup, or diff two corpus
+    * versions chunk-wise; the demo d10 query is the per-source rollup. */
+  def cdcChunks(docs: DataFrame): DataFrame =
+    graft.operators.DedupOps.cdcChunkRows(docs)
+
+  /** Zipf rank-frequency OLS fit per source over a (source, text)
+    * frame: `(source, n_top, zipf_slope, zipf_intercept)` from the
+    * top-100 tokens — natural text sits near slope −1; templated or
+    * generated text bends the curve (the t27 demo query). */
+  def zipfFit(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.zipfFit(docs)
+
   /** k-anonymity release audit over an arbitrary frame: one row per
     * distinct quasi-identifier tuple with `class_users` (distinct
     * `subject` values — the re-identification pool size), `rec_ct`,

@@ -515,11 +515,16 @@ object DedupOps extends QueryModule {
     * chunks exist, text never shuffles whole); the only shuffles are
     * the (source)-keyed count-distinct rollup. The md5-prefix token
     * hash is the d2 family's — one hash definition corpus-wide. */
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  /** Content-defined chunk rows for an ARBITRARY (doc_id, source, text)
+    * frame — the generic core behind d10 and [[graft.api.Graft
+    * .cdcChunks]]: one row per chunk with its content fingerprint and
+    * token length, boundaries decided by token hash ≡ 0 (mod 16). */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     val th = (t: Column) =>
       conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
-    Tables(s, dir, "documents")
-      .select(col("source"), tokenize(col("text")).as("toks"))
+    docs
+      .select(col("doc_id"), col("source"),
+        tokenize(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("bounds",
         concat(array(lit(0)),
@@ -531,11 +536,17 @@ object DedupOps extends QueryModule {
           j => struct(element_at(col("bounds"), j).as("a"),
             element_at(col("bounds"), j + 1).as("b"))),
         p => p.getField("b") > p.getField("a"))))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"), col("pair.a").as("chunk_start"),
         slice(col("toks"), col("pair.a") + 1,
           col("pair.b") - col("pair.a")).as("chunk"))
-      .select(col("source"), md5(concat_ws(" ", col("chunk"))).as("fp"),
+      .select(col("doc_id"), col("source"), col("chunk_start"),
+        md5(concat_ws(" ", col("chunk"))).as("fp"),
         size(col("chunk")).cast(LongType).as("len"))
+  }
+
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunkRows(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("chunk_ct"),
         countDistinct(col("fp")).as("distinct_ct"),
@@ -546,7 +557,6 @@ object DedupOps extends QueryModule {
           / col("chunk_ct"), 6).as("dup_ratio"),
         round(col("token_sum").cast(DoubleType) / col("chunk_ct"), 6)
           .as("mean_chunk_len"))
-  }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "d10_cdc_chunks" -> cdcChunks,

@@ -279,6 +279,52 @@ object EnvelopeOps extends QueryModule {
           .as("is_current"))
   }
 
+  /** k9 (beyond-reference): SCD2-history integrity audit — the
+    * data-quality gate on k6's output contract (and on any
+    * merge-maintained type-2 dimension): per dimension key, versions
+    * must be gap-free (max(version) = count), exactly ONE row may be
+    * open (valid_to NULL), and every closed row must hand off to a
+    * successor whose valid_from equals its valid_to (no holes, no
+    * overlaps in the validity chain). One global report row with the
+    * violation counts and the go/no-go flag — what a nightly pipeline
+    * asserts before publishing the dimension. The audit core is
+    * generic over any (id, version, valid_from_seq, valid_to_seq,
+    * is_current) frame; k9 runs it over k6's own history (a
+    * construction-correctness proof the oracle replays independently).
+    * Shuffles: ONE id-keyed Exchange serves the chain window and the
+    * per-id rollup; the report is a 1-row fold. */
+  private[graft] def scd2Audit(h: DataFrame): DataFrame = {
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("version"))
+    val perId = h
+      .withColumn("next_from", lead(col("valid_from_seq"), 1).over(wn))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("version_ct"),
+        max(col("version")).as("max_version"),
+        sum(when(col("valid_to_seq").isNull, 1L).otherwise(0L))
+          .as("open_ct"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("current_ct"),
+        sum(when(col("valid_to_seq").isNotNull &&
+          (col("next_from").isNull ||
+            col("next_from") =!= col("valid_to_seq")), 1L)
+          .otherwise(0L)).as("broken_links"))
+    perId.agg(
+        count(lit(1)).as("dim_ct"),
+        sum(col("version_ct")).as("version_ct"),
+        sum(when(col("max_version") =!= col("version_ct"), 1L)
+          .otherwise(0L)).as("gap_dim_ct"),
+        sum(when(col("open_ct") =!= 1L, 1L).otherwise(0L))
+          .as("bad_open_dim_ct"),
+        sum(col("broken_links")).as("broken_link_ct"),
+        sum(col("current_ct")).as("current_ct"))
+      .withColumn("scd2_ok",
+        col("gap_dim_ct") === 0 && col("bad_open_dim_ct") === 0 &&
+          col("broken_link_ct") === 0)
+  }
+
+  private def scd2Integrity(s: SparkSession, dir: String): DataFrame =
+    scd2Audit(scd2History(s, dir))
+
   /** Data-quality audit — the health gate every warehouse layer runs
     * before publishing: row count, null ratios, key-uniqueness and
     * referential-orphan counts, in two scans + one anti-join (each
@@ -395,6 +441,7 @@ object EnvelopeOps extends QueryModule {
     "p18_props_json" -> propsJsonExtract,
     "p14_dq_audit" -> dqAudit,
     "k6_scd2_history" -> scd2History,
+    "k9_scd2_integrity" -> scd2Integrity,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -463,6 +510,47 @@ object EnvelopeOps extends QueryModule {
         |SELECT table_name, row_ct, null_returnflag_ct, key_distinct_ct,
         |       row_ct - key_distinct_ct AS dup_key_ct, orphan_line_ct
         |FROM u CROSS JOIN orph""".stripMargin,
+    "k9_scd2_integrity" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |         row_number() OVER w AS version,
+        |         lead(l_linenumber) OVER w AS next_ln
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+        |                        l_partkey, l_suppkey, l_quantity)),
+        |h AS (
+        |  SELECT l_orderkey AS id, version,
+        |         l_linenumber AS valid_from_seq, next_ln AS valid_to_seq,
+        |         (next_ln IS NULL AND l_returnflag <> 'R') AS is_current,
+        |         lead(l_linenumber) OVER
+        |           (PARTITION BY l_orderkey ORDER BY version) AS next_from
+        |  FROM v),
+        |per AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS version_ct,
+        |         CAST(max(version) AS BIGINT) AS max_version,
+        |         CAST(sum(CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS open_ct,
+        |         CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS current_ct,
+        |         CAST(sum(CASE WHEN valid_to_seq IS NOT NULL AND
+        |                         (next_from IS NULL
+        |                          OR next_from <> valid_to_seq)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS broken_links
+        |  FROM h GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS dim_ct,
+        |       CAST(sum(version_ct) AS BIGINT) AS version_ct,
+        |       CAST(sum(CASE WHEN max_version <> version_ct THEN 1 ELSE 0
+        |                END) AS BIGINT) AS gap_dim_ct,
+        |       CAST(sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS bad_open_dim_ct,
+        |       CAST(sum(broken_links) AS BIGINT) AS broken_link_ct,
+        |       CAST(sum(current_ct) AS BIGINT) AS current_ct,
+        |       (sum(CASE WHEN max_version <> version_ct THEN 1 ELSE 0 END)
+        |          = 0
+        |        AND sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END) = 0
+        |        AND sum(broken_links) = 0) AS scd2_ok
+        |FROM per""".stripMargin,
     "k6_scd2_history" ->
       """WITH v AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,

@@ -845,9 +845,15 @@ object TextOps extends QueryModule {
     * discipline), then the slope/intercept are one-shot IEEE chains
     * over the exact sums. Shuffles: the (source, token) count and one
     * rank window per source; the fit itself is a 5-sum fold. */
-  private def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables(s, dir, "documents")
+      .select(col("source"), col("text")))
+
+  /** The generic Zipf-fit core over an ARBITRARY (source, text) frame —
+    * behind t27 and [[graft.api.Graft.zipfFit]]. */
+  private[graft] def zipfFit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables(s, dir, "documents")
+    val counts = docs
       .select(col("source"), explode(tokenize(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("ct"))

@@ -32,6 +32,29 @@ class ApiSpec extends SparkSuite {
       corpus.count() * operators.DedupOps.numBands)
   }
 
+  test("cdcChunks tile user docs completely and shift-stably") {
+    val c = Graft.cdcChunks(corpus).collect()
+    // chunks tile each document exactly: token mass is conserved
+    val tokCt = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(" ").length).toMap
+    c.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(rows.map(_.getLong(rows.head.fieldIndex("len"))).sum ==
+        tokCt(id), s"doc $id chunk mass")
+    }
+    // docs 1 and 4 carry identical text -> identical chunk fp sets
+    def fps(id: Long) = c.filter(_.getLong(0) == id)
+      .map(_.getString(c.head.fieldIndex("fp"))).toSet
+    assert(fps(1L) == fps(4L))
+  }
+
+  test("zipfFit slopes are negative on repetitive user text") {
+    val r = Graft.zipfFit(corpus).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getDouble(row.fieldIndex("zipf_slope")) < 0)
+    }
+  }
+
   test("kAnonymityClasses flags small quasi-identifier classes") {
     val visits = Seq(
       ("F", 30, 101L), ("F", 30, 102L), ("F", 30, 103L),

@@ -381,6 +381,36 @@ class OperatorSpec extends SparkSuite {
       s"user $uid: engine streak vs brute $best")
   }
 
+  test("k9 SCD2 audit: clean on k6's history, flags injected damage") {
+    val r = q("k9_scd2_integrity").head()
+    val idx = r.fieldIndex _
+    assert(r.getBoolean(idx("scd2_ok")), s"k6 history must audit clean: $r")
+    assert(r.getLong(idx("gap_dim_ct")) == 0 &&
+      r.getLong(idx("bad_open_dim_ct")) == 0 &&
+      r.getLong(idx("broken_link_ct")) == 0)
+    val li = Tables(spark, sf, "lineitem")
+    assert(r.getLong(idx("dim_ct")) ==
+      li.select(col("l_orderkey")).distinct().count())
+    assert(r.getLong(idx("version_ct")) == li.count())
+    // negative case: a hand-damaged history (version gap, double-open
+    // chain, broken hand-off) must trip every counter
+    import spark.implicits._
+    val bad = Seq(
+      // id 1: versions 1,3 (gap) and two open rows
+      (1L, 1, 10L, Option.empty[Long], false),
+      (1L, 3, 20L, Option.empty[Long], true),
+      // id 2: closed row hands off to a mismatched valid_from
+      (2L, 1, 10L, Some(15L), false),
+      (2L, 2, 99L, Option.empty[Long], true)
+    ).toDF("id", "version", "valid_from_seq", "valid_to_seq", "is_current")
+    val audit = graft.operators.EnvelopeOps.scd2Audit(bad).head()
+    val aidx = audit.fieldIndex _
+    assert(!audit.getBoolean(aidx("scd2_ok")))
+    assert(audit.getLong(aidx("gap_dim_ct")) == 1)
+    assert(audit.getLong(aidx("bad_open_dim_ct")) == 1)
+    assert(audit.getLong(aidx("broken_link_ct")) == 1)
+  }
+
   test("a33 gap calibration: dense spine, closed totals, monotone curve") {
     val r = q("a33_session_gap_calibration").collect()
     assert(r.length == 6, "all six buckets must be stated")
