@@ -302,6 +302,8 @@ object Graft {
       k: Int = graft.operators.QualityOps.kAnon): DataFrame = {
     require(qiCols.nonEmpty, "kAnonymityClasses needs at least one " +
       "quasi-identifier column")
+    require(k >= 1, s"kAnonymityClasses needs k >= 1 (got $k) — " +
+      "k <= 0 would silently mark every class non-risky")
     graft.operators.QualityOps.kAnonClasses(df, qiCols, subject)
       .withColumn("risky", col("class_users") < k)
   }

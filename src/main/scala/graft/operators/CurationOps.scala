@@ -1189,7 +1189,7 @@ object CurationOps extends QueryModule {
          |SELECT id AS doc_id, deg, round(pr, 9) AS pagerank FROM pr3""".stripMargin
     },
     "c27_temperature_sweep" ->
-      """WITH perSrc AS (
+      s"""WITH perSrc AS (
         |  SELECT source,
         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
         |           AS src_tokens
@@ -1199,7 +1199,8 @@ object CurationOps extends QueryModule {
         |         CAST(round(pow(CAST(src_tokens AS DOUBLE), tau), 9)
         |              AS DECIMAL(28,9)) AS wq
         |  FROM perSrc
-        |  CROSS JOIN (SELECT unnest([0.5, 0.7, 1.0]) AS tau)),
+        |  CROSS JOIN (SELECT unnest([${mixTaus.mkString(", ")}])
+        |                AS tau)),
         |tsum AS (SELECT tau AS t_tau, sum(wq) AS sumw FROM taus
         |         GROUP BY 1),
         |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot

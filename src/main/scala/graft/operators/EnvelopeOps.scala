@@ -294,12 +294,16 @@ object EnvelopeOps extends QueryModule {
     * Shuffles: ONE id-keyed Exchange serves the chain window and the
     * per-id rollup; the report is a 1-row fold. */
   private[graft] def scd2Audit(h: DataFrame): DataFrame = {
+    // valid_from_seq in the sort: with version alone a DAMAGED history
+    // carrying duplicate versions would make lead() nondeterministic —
+    // on exactly the inputs the audit exists for
     val wn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("version"))
+      .partitionBy(col("id")).orderBy(col("version"), col("valid_from_seq"))
     val perId = h
       .withColumn("next_from", lead(col("valid_from_seq"), 1).over(wn))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("version_ct"),
+        countDistinct(col("version")).as("distinct_versions"),
         max(col("version")).as("max_version"),
         sum(when(col("valid_to_seq").isNull, 1L).otherwise(0L))
           .as("open_ct"),
@@ -311,7 +315,11 @@ object EnvelopeOps extends QueryModule {
     perId.agg(
         count(lit(1)).as("dim_ct"),
         sum(col("version_ct")).as("version_ct"),
-        sum(when(col("max_version") =!= col("version_ct"), 1L)
+        // gap-free ⇔ versions are EXACTLY 1..n: n distinct values with
+        // max n (max = count alone is blind to {1,2,2,4}-style damage
+        // where a duplicate offsets a hole)
+        sum(when(col("max_version") =!= col("version_ct") ||
+          col("distinct_versions") =!= col("version_ct"), 1L)
           .otherwise(0L)).as("gap_dim_ct"),
         sum(when(col("open_ct") =!= 1L, 1L).otherwise(0L))
           .as("bad_open_dim_ct"),
@@ -524,10 +532,13 @@ object EnvelopeOps extends QueryModule {
         |         l_linenumber AS valid_from_seq, next_ln AS valid_to_seq,
         |         (next_ln IS NULL AND l_returnflag <> 'R') AS is_current,
         |         lead(l_linenumber) OVER
-        |           (PARTITION BY l_orderkey ORDER BY version) AS next_from
+        |           (PARTITION BY l_orderkey ORDER BY version, l_linenumber)
+        |           AS next_from
         |  FROM v),
         |per AS (
         |  SELECT id, CAST(count(*) AS BIGINT) AS version_ct,
+        |         CAST(count(DISTINCT version) AS BIGINT)
+        |           AS distinct_versions,
         |         CAST(max(version) AS BIGINT) AS max_version,
         |         CAST(sum(CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END)
         |              AS BIGINT) AS open_ct,
@@ -540,14 +551,16 @@ object EnvelopeOps extends QueryModule {
         |  FROM h GROUP BY 1)
         |SELECT CAST(count(*) AS BIGINT) AS dim_ct,
         |       CAST(sum(version_ct) AS BIGINT) AS version_ct,
-        |       CAST(sum(CASE WHEN max_version <> version_ct THEN 1 ELSE 0
-        |                END) AS BIGINT) AS gap_dim_ct,
+        |       CAST(sum(CASE WHEN max_version <> version_ct
+        |                       OR distinct_versions <> version_ct
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS gap_dim_ct,
         |       CAST(sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS bad_open_dim_ct,
         |       CAST(sum(broken_links) AS BIGINT) AS broken_link_ct,
         |       CAST(sum(current_ct) AS BIGINT) AS current_ct,
-        |       (sum(CASE WHEN max_version <> version_ct THEN 1 ELSE 0 END)
-        |          = 0
+        |       (sum(CASE WHEN max_version <> version_ct
+        |                   OR distinct_versions <> version_ct
+        |            THEN 1 ELSE 0 END) = 0
         |        AND sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END) = 0
         |        AND sum(broken_links) = 0) AS scd2_ok
         |FROM per""".stripMargin,

@@ -359,7 +359,7 @@ object QualityOps extends QueryModule {
         |       count(DISTINCT raw_url) AS variant_ct, min(doc_id) AS min_doc
         |FROM c GROUP BY 1""".stripMargin,
     "p19_k_anonymity" ->
-      """WITH cls AS (
+      s"""WITH cls AS (
         |  SELECT event_type,
         |         epoch_us(ts) // 604800000000 AS wk,
         |         CAST(floor(value / 10.0) AS BIGINT) AS vb,
@@ -369,11 +369,12 @@ object QualityOps extends QueryModule {
         |SELECT event_type,
         |       CAST(count(*) AS BIGINT) AS class_ct,
         |       CAST(min(class_users) AS BIGINT) AS min_class_users,
-        |       CAST(sum(CASE WHEN class_users < 5 THEN 1 ELSE 0 END)
+        |       CAST(sum(CASE WHEN class_users < $kAnon THEN 1 ELSE 0 END)
         |            AS BIGINT) AS risky_class_ct,
-        |       CAST(sum(CASE WHEN class_users < 5 THEN rec_ct ELSE 0 END)
+        |       CAST(sum(CASE WHEN class_users < $kAnon
+        |                THEN rec_ct ELSE 0 END)
         |            AS BIGINT) AS risky_rec_ct,
-        |       min(class_users) >= 5 AS k_anonymous
+        |       min(class_users) >= $kAnon AS k_anonymous
         |FROM cls GROUP BY 1""".stripMargin,
     "p15_pii_redact" -> {
       val fixture =

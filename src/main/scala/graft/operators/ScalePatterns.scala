@@ -460,12 +460,19 @@ object ScalePatterns extends QueryModule {
     * (session, sf). */
   val x11Buckets = 8
 
+  // keyed on the SHARED catalog state, not the session: two sessions
+  // over one catalog (spark.newSession()) must reuse one build — a
+  // per-session key would let the second build DROP/rewrite the table
+  // out from under the first session's live plans. The value keeps the
+  // creating session (for DROP at release) and the temp-dir base (so
+  // release can actually delete the data — external tables only
+  // decatalog on DROP).
   private val bucketMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, String)]
+    .empty[(AnyRef, String), (SparkSession, String, String, String)]
 
   private[graft] def bucketTables(s: SparkSession, dir: String)
-      : (String, String) =
-    bucketMemo.getOrElseUpdate((s, dir), {
+      : (String, String) = {
+    val (_, lt, ot, _) = bucketMemo.getOrElseUpdate((s.sharedState, dir), {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
@@ -488,8 +495,10 @@ object ScalePatterns extends QueryModule {
         .write.mode("overwrite").bucketBy(x11Buckets, "o_orderkey")
         .sortBy("o_orderkey").option("path", s"$base/orders")
         .saveAsTable(ot)
-      (lt, ot)
+      (s, lt, ot, base)
     })
+    (lt, ot)
+  }
 
   private[graft] def prestageBucketTables(s: SparkSession, dir: String)
       : Unit = {
@@ -510,11 +519,10 @@ object ScalePatterns extends QueryModule {
   override def release(): Unit = {
     dppMemo.values.foreach(rmTree)
     dppMemo.clear()
-    bucketMemo.foreach { case ((s, _), (lt, ot)) =>
-      // also removes the temp-dir data (external tables only decatalog
-      // on DROP; the shutdown hook backstops the files)
+    bucketMemo.values.foreach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
+      rmTree(base) // DROP only decatalogs an external table
     }
     bucketMemo.clear()
   }

@@ -15,13 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  // usage text lives in each injectFunction call's adjacent string for
-  // human readers; the 3-arg ExpressionInfo ctor is the non-deprecated
-  // catalog form (the 5-arg usage ctor is deprecated since Spark 3.0)
-  private def info(name: String, usage: String) = {
-    val _ = usage
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
-  }
+  // the full 11-arg ctor is the supported (non-deprecated) form that
+  // still carries the usage text into DESCRIBE FUNCTION output
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

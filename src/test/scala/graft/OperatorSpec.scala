@@ -401,12 +401,17 @@ class OperatorSpec extends SparkSuite {
       (1L, 3, 20L, Option.empty[Long], true),
       // id 2: closed row hands off to a mismatched valid_from
       (2L, 1, 10L, Some(15L), false),
-      (2L, 2, 99L, Option.empty[Long], true)
+      (2L, 2, 99L, Option.empty[Long], true),
+      // id 3: duplicate version offsetting a hole — max = count = 2,
+      // the damage the distinct-version rule exists for
+      (3L, 2, 10L, Some(20L), false),
+      (3L, 2, 20L, Option.empty[Long], true)
     ).toDF("id", "version", "valid_from_seq", "valid_to_seq", "is_current")
     val audit = graft.operators.EnvelopeOps.scd2Audit(bad).head()
     val aidx = audit.fieldIndex _
     assert(!audit.getBoolean(aidx("scd2_ok")))
-    assert(audit.getLong(aidx("gap_dim_ct")) == 1)
+    assert(audit.getLong(aidx("gap_dim_ct")) == 2,
+      "duplicate-version damage must count as a gap")
     assert(audit.getLong(aidx("bad_open_dim_ct")) == 1)
     assert(audit.getLong(aidx("broken_link_ct")) == 1)
   }

@@ -169,7 +169,14 @@ class PerfSpec extends SparkSuite {
 
   test("x11: bucketed join plans zero exchanges on either join side") {
     val df = q("x11_bucket_join")
-    val p = df.queryExecution.executedPlan.toString
+    // collect() first: only execution finalizes the AdaptiveSparkPlan,
+    // so these assertions hold for the plan that actually ran (same
+    // idiom as the AQE-coalesce test above). The finalized string
+    // prints BOTH the final and the initial plan — count shuffles in
+    // the final section only, or the one real Exchange doubles.
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
     assert(p.contains("SortMergeJoin"),
       s"x11 should sort-merge over the bucketed layout:\n$p")
     // the ONLY shuffle is the final 5-row priority aggregation — both
