@@ -422,6 +422,37 @@ object WindowAggs extends QueryModule {
           .as("cum_share"))
   }
 
+  /** a34 (beyond-reference): user-concentration deciles — the Pareto
+    * table behind every "whales" question (and the skew early-warning
+    * x10 reads per KEY, restated per USER): users ranked by event count
+    * into ntile(10) deciles under a (count DESC, user_id) total order;
+    * per decile: users, events, share, cumulative share. An 80/20-style
+    * cum_share at decile 1-2 says engagement (and any per-user state at
+    * 100 TB) concentrates — the input to per-user salting and quota
+    * decisions. Integer counts with one-shot final divisions; shuffles:
+    * one user rollup + the 10-row decile fold. */
+  private def userConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ev_ct"))
+    val dec = perUser
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("ev_ct").desc, col("user_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("user_ct"), sum(col("ev_ct")).as("event_ct"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec
+      .withColumn("total", sum(col("event_ct")).over(wAll))
+      .withColumn("cum_ct", sum(col("event_ct")).over(wCum))
+      .select(col("decile"), col("user_ct"), col("event_ct"),
+        round(col("event_ct").cast(DoubleType) / col("total"), 6)
+          .as("share"),
+        round(col("cum_ct").cast(DoubleType) / col("total"), 6)
+          .as("cum_share"))
+  }
+
   /** a29 (beyond-reference): top navigation paths — the classic
     * clickstream path-analysis report: the most common 3-step
     * event-type sequences inside a 30-min session (a23's
@@ -525,6 +556,7 @@ object WindowAggs extends QueryModule {
     "a28_rolling_wau" -> rollingWau,
     "a32_active_streak" -> activeStreak,
     "a33_session_gap_calibration" -> sessionGapCalibration,
+    "a34_user_concentration" -> userConcentration,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -602,6 +634,25 @@ object WindowAggs extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS path_ct
          |FROM steps WHERE e3 IS NOT NULL
          |GROUP BY 1 ORDER BY path_ct DESC, path LIMIT 10""".stripMargin,
+    "a34_user_concentration" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS ev_ct
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT ntile(10) OVER (ORDER BY ev_ct DESC, user_id) AS decile,
+        |         ev_ct
+        |  FROM pu),
+        |g AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS user_ct,
+        |         CAST(sum(ev_ct) AS BIGINT) AS event_ct
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(decile AS INTEGER) AS decile, user_ct, event_ct,
+        |       round(CAST(event_ct AS DOUBLE) / sum(event_ct) OVER (), 6)
+        |         AS share,
+        |       round(CAST(sum(event_ct) OVER (ORDER BY decile
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / sum(event_ct) OVER (), 6) AS cum_share
+        |FROM g""".stripMargin,
     "a33_session_gap_calibration" ->
       """WITH g AS (
         |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER

@@ -416,6 +416,22 @@ class OperatorSpec extends SparkSuite {
     assert(audit.getLong(aidx("broken_link_ct")) == 1)
   }
 
+  test("a34 concentration: deciles cover all users, shares ranked") {
+    val r = q("a34_user_concentration").collect().sortBy(_.getInt(0))
+    assert(r.length == 10)
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.map(_.getLong(1)).sum == users, "deciles must cover users")
+    assert(r.map(_.getLong(2)).sum == Tables(spark, sf, "events").count())
+    // deciles are ranked by per-user event count, so per-decile share
+    // falls (weakly) as the decile index grows, and the curve closes
+    val shares = r.map(x => x.getDouble(x.fieldIndex("share")))
+    assert(shares.sliding(2).forall(p => p.length < 2 ||
+      p(0) >= p(1) - 1e-9), "decile shares must be non-increasing")
+    assert(math.abs(
+      r.last.getDouble(r.last.fieldIndex("cum_share")) - 1.0) < 1e-9)
+  }
+
   test("a33 gap calibration: dense spine, closed totals, monotone curve") {
     val r = q("a33_session_gap_calibration").collect()
     assert(r.length == 6, "all six buckets must be stated")
