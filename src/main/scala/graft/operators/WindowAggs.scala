@@ -422,6 +422,40 @@ object WindowAggs extends QueryModule {
           .as("cum_share"))
   }
 
+  /** ntile(10) over (sortCol DESC, tiebreak ASC) without the global
+    * single-task sort an unpartitioned window needs. Adds `decile`
+    * (INT, 1..10). Decomposition: global rank = cumulative count of
+    * strictly-better sortCol values (offset, computed on the
+    * per-sortCol-value aggregate — |distinct values| rows, the only
+    * unpartitioned window and it is metadata-sized) + row_number within
+    * the sortCol partition (parallel). ntile's front-loaded tiles (the
+    * first n%10 tiles take n/10+1 rows) become closed-form integer
+    * arithmetic. n < 10 never reaches the divide-by-(n DIV 10) branch:
+    * every rank ≤ rem·(q+1) = n, and CaseWhen evaluates lazily. */
+  private[graft] def deciles(df: DataFrame, sortCol: String,
+      tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.orderBy(col(sortCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offs = df.groupBy(col(sortCol)).agg(count(lit(1)).as("__g"))
+      .withColumn("__off", sum(col("__g")).over(cumW) - col("__g"))
+      .withColumn("__n",
+        sum(col("__g")).over(Window.partitionBy(lit(1))))
+      .select(col(sortCol).as("__osv"), col("__off"), col("__n"))
+    val inW = Window.partitionBy(col(sortCol)).orderBy(col(tiebreak))
+    df.join(broadcast(offs), col(sortCol) === col("__osv"))
+      .withColumn("__rank", col("__off") + row_number().over(inW))
+      .withColumn("decile",
+        when(col("__rank") <=
+            (col("__n") % 10) * (expr("__n DIV 10") + lit(1L)),
+          expr("(__rank - 1) DIV (__n DIV 10 + 1) + 1"))
+          .otherwise(expr(
+            "__n % 10 + (__rank - (__n % 10) * (__n DIV 10 + 1) - 1)" +
+              " DIV (__n DIV 10) + 1"))
+          .cast(IntegerType))
+      .drop("__osv", "__off", "__n", "__rank")
+  }
+
   /** a34 (beyond-reference): user-concentration deciles — the Pareto
     * table behind every "whales" question (and the skew early-warning
     * x10 reads per KEY, restated per USER): users ranked by event count
@@ -429,15 +463,14 @@ object WindowAggs extends QueryModule {
     * per decile: users, events, share, cumulative share. An 80/20-style
     * cum_share at decile 1-2 says engagement (and any per-user state at
     * 100 TB) concentrates — the input to per-user salting and quota
-    * decisions. Integer counts with one-shot final divisions; shuffles:
-    * one user rollup + the 10-row decile fold. */
+    * decisions. Integer counts with one-shot final divisions; the tile
+    * assignment comes from [[deciles]] (no single-task global sort),
+    * spec-proven equal to the plain ntile window. */
   private def userConcentration(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = Tables(s, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("ev_ct"))
-    val dec = perUser
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("ev_ct").desc, col("user_id"))))
+    val dec = deciles(perUser, "ev_ct", "user_id")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("user_ct"), sum(col("ev_ct")).as("event_ct"))
     val wAll = Window.partitionBy(lit(1))

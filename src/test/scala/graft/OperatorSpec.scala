@@ -432,6 +432,30 @@ class OperatorSpec extends SparkSuite {
       r.last.getDouble(r.last.fieldIndex("cum_share")) - 1.0) < 1e-9)
   }
 
+  test("deciles helper: bit-equal to ntile(10) on skewed, tied, tiny inputs") {
+    import org.apache.spark.sql.expressions.Window
+    val sess = spark
+    import sess.implicits._
+    // shapes that stress the closed-form tile arithmetic: n % 10 != 0,
+    // heavy ties (one dominant value), and n < 10 (per-row tiles, the
+    // divide-by-zero-guard branch)
+    val shapes = Seq(
+      (1 to 997).map(i => (s"u$i", (i % 37).toLong)),   // ties + rem 7
+      (1 to 1000).map(i => (s"u$i", if (i < 900) 1L else i.toLong)), // skew
+      (1 to 7).map(i => (s"u$i", i.toLong)))            // n < 10
+    shapes.foreach { rows =>
+      val df = rows.toDF("user_id", "ev_ct")
+      val want = df.withColumn("decile", ntile(10).over(
+          Window.orderBy(col("ev_ct").desc, col("user_id"))))
+        .select(col("user_id"), col("decile"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val got = graft.operators.WindowAggs.deciles(df, "ev_ct", "user_id")
+        .select(col("user_id"), col("decile"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == want, s"n=${rows.length}")
+    }
+  }
+
   test("a33 gap calibration: dense spine, closed totals, monotone curve") {
     val r = q("a33_session_gap_calibration").collect()
     assert(r.length == 6, "all six buckets must be stated")

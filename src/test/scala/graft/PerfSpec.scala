@@ -162,9 +162,38 @@ class PerfSpec extends SparkSuite {
     // write would clone the plan into a command and leave this one
     // un-finalized), so the final adaptive plan is inspectable below
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
-      s"AQE did not coalesce the post-shuffle partitions:\n$p")
+    // structural match (not plan-string substrings, whose rendering
+    // shifts across Spark versions): find the AQEShuffleReadExec nodes
+    // in the finalized adaptive plan and check their partitionSpecs
+    // actually fused reducer ranges
+    import org.apache.spark.sql.execution.{CoalescedPartitionSpec,
+      SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec nodes are leaves to collect(); descend into their
+    // materialized plans explicitly
+    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flat(q.plan)
+      case _ => p.children.flatMap(flat)
+    })
+    val reads = flat(finalPlan).collect { case r: AQEShuffleReadExec => r }
+    assert(reads.nonEmpty,
+      s"no AQEShuffleRead in the finalized plan:\n$finalPlan")
+    val shufflePartitions =
+      spark.sessionState.conf.numShufflePartitions
+    val fused = reads.flatMap(_.partitionSpecs).collect {
+      case c: CoalescedPartitionSpec
+          if c.endReducerIndex - c.startReducerIndex > 1 => c
+    }
+    assert(fused.nonEmpty &&
+      reads.exists(_.partitionSpecs.size < shufflePartitions),
+      s"AQE did not coalesce the post-shuffle partitions " +
+        s"(specs=${reads.map(_.partitionSpecs.size).mkString(",")} " +
+        s"vs $shufflePartitions reducers):\n$finalPlan")
   }
 
   test("x11: bucketed join plans zero exchanges on either join side") {
