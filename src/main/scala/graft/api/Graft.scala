@@ -199,7 +199,38 @@ object Graft {
   def maintainRollup(ops: DataFrame, orderCols: Seq[Column]): DataFrame =
     graft.operators.EnvelopeOps.deltaMaintainFor(ops, orderCols)
 
+  /** SCD2 integrity audit over an arbitrary type-2 history frame
+    * (id, version, valid_from_seq, valid_to_seq, is_current): one
+    * go/no-go report row with gap / multi-open / broken-handoff counts. */
+  def scd2Audit(history: DataFrame): DataFrame =
+    graft.operators.EnvelopeOps.scd2Audit(history)
+
+  /** Deterministic repair of a damaged SCD2 history (same frame shape
+    * as [[scd2Audit]]): per id the chain is rebuilt under the
+    * earliest-successor rule — versions renumbered in valid_from order,
+    * each row closed at its successor's valid_from, the last row the
+    * single open version. Payload columns ride along untouched; the
+    * repaired frame audits clean by construction. */
+  def scd2Repair(history: DataFrame): DataFrame =
+    graft.operators.EnvelopeOps.scd2Repair(history)
+
   // ---- generic relational patterns ---------------------------------------
+
+  /** Skew-aware aggregate: measures the group-key skew (one
+    * map-side-combinable stat pass — x10's skew factor: hottest key's
+    * rows ÷ average key's rows) and plans either the plain one-shuffle
+    * aggregate or the two-phase salted form (hot keys spread over
+    * `saltBuckets` reducers, partials merged exactly). `aggs` rows are
+    * (output name, "sum"|"count"|"min"|"max", input column) — the
+    * decomposable aggregates whose salted result is bit-equal to the
+    * plain one. Default threshold 4.0 = the hot key carries ≥4× its
+    * fair share; below that plain hash aggregation + AQE absorb the
+    * imbalance. */
+  def saltedAgg(df: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, String, Column)],
+      saltBuckets: Int = 16, skewThreshold: Double = 4.0): DataFrame =
+    graft.operators.ScalePatterns.autoSaltedAgg(df, keys, aggs,
+      saltBuckets, skewThreshold)
 
   /** Top-k rows per group by `order` descending (ties broken by the
     * tiebreak column for determinism). One shuffle on the group keys. */

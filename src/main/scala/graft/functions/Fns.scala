@@ -65,6 +65,12 @@ object Fns {
   /** Quantize a computed double (e.g. a vector norm) to 6 decimals via
     * DECIMAL so it can be summed across rows deterministically. */
   def quant6(c: Column): Column = c.cast(DecimalType(28, 6))
+
+  /** First 4 md5 hex digits of a (stringified) column as a BIGINT in
+    * [0, 65536) — the deterministic-uniform hash both engines replay
+    * identically (twin: [[Oracle.hex4]]). Codegen'd builtins only. */
+  def hex4(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 4), 16, 10).cast(LongType)
 }
 
 /** DuckDB-side expression fragments mirroring [[Fns]] exactly. The driver
@@ -89,4 +95,14 @@ object Oracle {
 
   def money(e: String): String = s"CAST($e AS DECIMAL(18,2))"
   def moneySum(e: String): String = s"CAST(SUM(${money(e)}) AS DOUBLE)"
+
+  /** First 4 md5 hex digits of an expression as a BIGINT in [0, 65536) —
+    * DuckDB has no base-conversion builtin, so the digits are folded by
+    * hand. Twin of [[Fns.hex4]]; the shared deterministic-uniform hash
+    * for damage injection / sampling decisions both engines must replay
+    * identically. */
+  def hex4(x: String): String =
+    s"""CAST(list_aggregate(list_transform(range(1, 5),
+       |      i -> (strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1)
+       |           * (CAST(1 AS BIGINT) << (4 * (4 - i)))), 'sum') AS BIGINT)""".stripMargin
 }

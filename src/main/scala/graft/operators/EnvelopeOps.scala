@@ -333,6 +333,81 @@ object EnvelopeOps extends QueryModule {
   private def scd2Integrity(s: SparkSession, dir: String): DataFrame =
     scd2Audit(scd2History(s, dir))
 
+  /** Repair plan for a damaged SCD2 history (the heal k9 only flags):
+    * per id the chain is rebuilt under the earliest-successor rule —
+    * rows re-ordered by (valid_from_seq, version, valid_to_seq NULLS
+    * LAST), version := row_number (fixes gaps AND duplicate versions),
+    * valid_to_seq := successor's valid_from_seq (closes dangling opens,
+    * re-links handoff breaks; the last row re-opens as the single open
+    * version). Payload columns ride along untouched; `new_version` /
+    * `new_to` sit beside the originals so callers can diff (the repair
+    * ledger) before committing. Same ONE id-keyed shuffle as the audit. */
+  private[graft] def scd2RepairFull(h: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("valid_from_seq"), col("version"),
+        col("valid_to_seq").asc_nulls_last)
+    h.withColumn("new_version", row_number().over(w))
+      .withColumn("new_to", lead(col("valid_from_seq"), 1).over(w))
+  }
+
+  /** The committed repair: canonical columns swapped to their repaired
+    * values. is_current survives only on the (single) open row — a
+    * mid-chain row that claimed currency is retired; a re-opened last
+    * row keeps its original flag (a tombstoned entity stays tombstoned,
+    * k9's open-row rule is about valid_to, not currency). */
+  private[graft] def scd2Repair(h: DataFrame): DataFrame =
+    scd2RepairFull(h)
+      .withColumn("version", col("new_version"))
+      .withColumn("is_current", col("new_to").isNull && col("is_current"))
+      .withColumn("valid_to_seq", col("new_to"))
+      .drop("new_version", "new_to")
+
+  /** Deterministically damaged copy of k6's history — the fixture for
+    * k10: ~1/5 of version rows dropped (gaps, lost opens), ~1/7 of the
+    * survivors' valid_to nulled (spurious opens), ~1/11 of versions
+    * decremented (duplicate versions masking a hole). All three
+    * decisions hang off one shared md5 draw over (id '#' version) so
+    * the DuckDB oracle replays them bit-for-bit. */
+  private def damagedHistory(s: SparkSession, dir: String): DataFrame = {
+    val h = scd2History(s, dir)
+    val toType = h.schema("valid_to_seq").dataType
+    h.withColumn("u", Fns.hex4(concat_ws("#", col("id"), col("version"))))
+      .filter(pmod(col("u"), lit(5L)) =!= 0L)
+      .withColumn("valid_to_seq",
+        when(pmod(col("u"), lit(7L)) === 1L, lit(null).cast(toType))
+          .otherwise(col("valid_to_seq")))
+      .withColumn("version",
+        when(pmod(col("u"), lit(11L)) === 2L && col("version") > 1,
+          col("version") - 1).otherwise(col("version")))
+      .drop("u")
+  }
+
+  /** k10 (beyond-reference): SCD2 repair report — damage k6's history
+    * deterministically, repair it, and emit the repair ledger (what
+    * changed) fused with the post-repair k9 audit (all-clean proof) as
+    * one row. The ledger aggregates and the 1-row audit meet in a
+    * scalar cross join. */
+  private def scd2RepairReport(s: SparkSession, dir: String): DataFrame = {
+    val dmg = damagedHistory(s, dir)
+    val full = scd2RepairFull(dmg)
+    val ledger = full.agg(
+      count(lit(1)).as("row_ct"),
+      sum(when(col("version") =!= col("new_version"), 1L).otherwise(0L))
+        .as("renumbered_ct"),
+      sum(when(col("valid_to_seq").isNull && col("new_to").isNotNull, 1L)
+        .otherwise(0L)).as("closed_open_ct"),
+      sum(when(col("valid_to_seq").isNotNull && col("new_to").isNull, 1L)
+        .otherwise(0L)).as("reopened_ct"),
+      sum(when(col("valid_to_seq").isNotNull && col("new_to").isNotNull &&
+        col("valid_to_seq") =!= col("new_to"), 1L)
+        .otherwise(0L)).as("relinked_ct"))
+    val audit = scd2Audit(scd2Repair(dmg))
+      .select(col("gap_dim_ct"), col("bad_open_dim_ct"),
+        col("broken_link_ct"), col("scd2_ok"))
+    ledger.crossJoin(audit)
+  }
+
   /** Data-quality audit — the health gate every warehouse layer runs
     * before publishing: row count, null ratios, key-uniqueness and
     * referential-orphan counts, in two scans + one anti-join (each
@@ -450,6 +525,7 @@ object EnvelopeOps extends QueryModule {
     "p14_dq_audit" -> dqAudit,
     "k6_scd2_history" -> scd2History,
     "k9_scd2_integrity" -> scd2Integrity,
+    "k10_scd2_repair" -> scd2RepairReport,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -564,6 +640,89 @@ object EnvelopeOps extends QueryModule {
         |        AND sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END) = 0
         |        AND sum(broken_links) = 0) AS scd2_ok
         |FROM per""".stripMargin,
+    "k10_scd2_repair" ->
+      s"""WITH v AS (
+         |  SELECT l_orderkey, l_linenumber, l_returnflag,
+         |         row_number() OVER w AS version,
+         |         lead(l_linenumber) OVER w AS next_ln
+         |  FROM lineitem
+         |  WINDOW w AS (PARTITION BY l_orderkey
+         |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+         |                        l_partkey, l_suppkey, l_quantity)),
+         |h0 AS (
+         |  SELECT l_orderkey AS id, version,
+         |         l_linenumber AS valid_from_seq, next_ln AS valid_to_seq,
+         |         (next_ln IS NULL AND l_returnflag <> 'R') AS is_current
+         |  FROM v),
+         |d0 AS (
+         |  SELECT *, ${Oracle.hex4(
+             "CAST(id AS VARCHAR) || '#' || CAST(version AS VARCHAR)")} AS u
+         |  FROM h0),
+         |dmg AS (
+         |  SELECT id,
+         |         CASE WHEN u % 11 = 2 AND version > 1 THEN version - 1
+         |              ELSE version END AS version,
+         |         valid_from_seq,
+         |         CASE WHEN u % 7 = 1 THEN NULL ELSE valid_to_seq END
+         |           AS valid_to_seq,
+         |         is_current
+         |  FROM d0 WHERE u % 5 <> 0),
+         |r AS (
+         |  SELECT *, row_number() OVER w AS new_version,
+         |         lead(valid_from_seq) OVER w AS new_to
+         |  FROM dmg
+         |  WINDOW w AS (PARTITION BY id
+         |               ORDER BY valid_from_seq, version,
+         |                        valid_to_seq ASC NULLS LAST)),
+         |ledger AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS row_ct,
+         |         CAST(sum(CASE WHEN version <> new_version THEN 1 ELSE 0
+         |                  END) AS BIGINT) AS renumbered_ct,
+         |         CAST(sum(CASE WHEN valid_to_seq IS NULL
+         |                        AND new_to IS NOT NULL THEN 1 ELSE 0
+         |                  END) AS BIGINT) AS closed_open_ct,
+         |         CAST(sum(CASE WHEN valid_to_seq IS NOT NULL
+         |                        AND new_to IS NULL THEN 1 ELSE 0
+         |                  END) AS BIGINT) AS reopened_ct,
+         |         CAST(sum(CASE WHEN valid_to_seq IS NOT NULL
+         |                        AND new_to IS NOT NULL
+         |                        AND valid_to_seq <> new_to THEN 1 ELSE 0
+         |                  END) AS BIGINT) AS relinked_ct
+         |  FROM r),
+         |rep AS (
+         |  SELECT id, new_version AS version, valid_from_seq,
+         |         new_to AS valid_to_seq,
+         |         (new_to IS NULL AND is_current) AS is_current,
+         |         lead(valid_from_seq) OVER
+         |           (PARTITION BY id ORDER BY new_version, valid_from_seq)
+         |           AS next_from
+         |  FROM r),
+         |per AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS version_ct,
+         |         CAST(count(DISTINCT version) AS BIGINT)
+         |           AS distinct_versions,
+         |         CAST(max(version) AS BIGINT) AS max_version,
+         |         CAST(sum(CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS open_ct,
+         |         CAST(sum(CASE WHEN valid_to_seq IS NOT NULL AND
+         |                         (next_from IS NULL
+         |                          OR next_from <> valid_to_seq)
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS broken_links
+         |  FROM rep GROUP BY 1),
+         |aud AS (
+         |  SELECT CAST(sum(CASE WHEN max_version <> version_ct
+         |                         OR distinct_versions <> version_ct
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS gap_dim_ct,
+         |         CAST(sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS bad_open_dim_ct,
+         |         CAST(sum(broken_links) AS BIGINT) AS broken_link_ct,
+         |         (sum(CASE WHEN max_version <> version_ct
+         |                     OR distinct_versions <> version_ct
+         |              THEN 1 ELSE 0 END) = 0
+         |          AND sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END) = 0
+         |          AND sum(broken_links) = 0) AS scd2_ok
+         |  FROM per)
+         |SELECT * FROM ledger CROSS JOIN aud""".stripMargin,
     "k6_scd2_history" ->
       """WITH v AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,

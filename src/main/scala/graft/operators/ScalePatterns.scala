@@ -56,6 +56,70 @@ object ScalePatterns extends QueryModule {
       .agg(sum(col("uv_part")).as("uv_ct")) // salts partition users → sum is exact
   }
 
+  /** Auto-salting aggregate — the connection between x10's diagnosis and
+    * x1's rewrite: measure the key skew first (ONE map-side-combinable
+    * stat pass, the planning-time ANALYZE a platform would persist),
+    * then plan either the plain one-shuffle aggregate or the two-phase
+    * salted form. Threshold is x10's skew factor (hottest key's rows ÷
+    * average key's rows); the default 4.0 means "the hot key carries at
+    * least 4× its fair share" — below that AQE's skew handling and plain
+    * hash aggregation absorb the imbalance, above it one reducer owns
+    * the key and salting is the fix. Only decomposable aggregates are
+    * accepted (sum/count/min/max — the ones whose partials merge
+    * exactly), so the salted result is bit-equal to the plain one under
+    * ANY salt assignment; sums are cast back to the single-pass result
+    * type (a second DECIMAL sum would otherwise widen the precision).
+    * `aggs` rows are (output name, function, input column). */
+  private[graft] def autoSaltedAgg(df: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, String, Column)],
+      saltBuckets: Int = SALT_BUCKETS,
+      skewThreshold: Double = 4.0): DataFrame = {
+    require(keys.nonEmpty, "saltedAgg needs at least one group key")
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    val supported = Set("sum", "count", "min", "max")
+    require(aggs.forall(a => supported(a._2)),
+      s"saltedAgg supports ${supported.mkString("/")} (exactly " +
+        "decomposable partials); got " +
+        aggs.map(_._2).filterNot(supported).mkString(","))
+    def plainExpr(kind: String, c: Column): Column = kind match {
+      case "sum" => sum(c)
+      case "count" => count(c)
+      case "min" => min(c)
+      case "max" => max(c)
+    }
+    val st = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("ct"))
+      .agg(sum(col("ct")).cast(LongType).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("ct")).as("max_ct"))
+      .head()
+    val skew =
+      if (st.isNullAt(0) || st.getLong(0) == 0L) 1.0
+      else st.getLong(2).toDouble * st.getLong(1) / st.getLong(0)
+    if (skew < skewThreshold)
+      df.groupBy(keys.map(col): _*)
+        .agg(plainExpr(aggs.head._2, aggs.head._3).as(aggs.head._1),
+          aggs.tail.map(a => plainExpr(a._2, a._3).as(a._1)): _*)
+    else {
+      // analysis-only probe of the single-pass result types, so the
+      // salted schema is indistinguishable from the plain one
+      val plainTypes = df
+        .select(aggs.map(a => plainExpr(a._2, a._3).as(a._1)): _*)
+        .schema.map(f => f.name -> f.dataType).toMap
+      val phase1 = df
+        .withColumn("__salt",
+          pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+        .groupBy((keys :+ "__salt").map(col): _*)
+        .agg(plainExpr(aggs.head._2, aggs.head._3).as(s"__p_${aggs.head._1}"),
+          aggs.tail.map(a => plainExpr(a._2, a._3).as(s"__p_${a._1}")): _*)
+      def mergeExpr(a: (String, String, Column)): Column = (a._2 match {
+        case "sum" | "count" => sum(col(s"__p_${a._1}"))
+        case "min" => min(col(s"__p_${a._1}"))
+        case "max" => max(col(s"__p_${a._1}"))
+      }).cast(plainTypes(a._1)).as(a._1)
+      phase1.groupBy(keys.map(col): _*)
+        .agg(mergeExpr(aggs.head), aggs.tail.map(mergeExpr): _*)
+    }
+  }
+
   /** x10: shuffle-key skew diagnosis — the report that DECIDES when x1's
     * salting (or AQE skew-join splitting) is worth turning on, instead
     * of guessing: for each shuffle-key candidate, total rows, distinct

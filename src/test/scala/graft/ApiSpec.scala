@@ -439,6 +439,49 @@ class ApiSpec extends SparkSuite {
     assert(r(1L) == (10.0, 2L), r.toString)
   }
 
+  test("saltedAgg switches plans on skew and keeps results identical") {
+    // hot input: one key owns ~90% of rows (skew factor >> 4); uniform
+    // input: every key carries the same count (factor = 1)
+    val hot = (1 to 2000).map { i =>
+      (if (i <= 1800) "hotkey" else s"k${i % 20}", i.toLong)
+    }.toDF("k", "v").select(col("k"),
+      col("v").cast("decimal(18,2)").as("v"))
+    val uniform = (1 to 2000).map(i => (s"k${i % 20}", i.toLong))
+      .toDF("k", "v").select(col("k"),
+        col("v").cast("decimal(18,2)").as("v"))
+    val aggs = Seq(
+      ("n", "count", lit(1)), ("total", "sum", col("v")),
+      ("lo", "min", col("v")), ("hi", "max", col("v")))
+    val hotPlan = Graft.saltedAgg(hot, Seq("k"), aggs)
+    val uniPlan = Graft.saltedAgg(uniform, Seq("k"), aggs)
+    // plan switch: the salted form pays a second Exchange (salted
+    // partial -> final merge); the plain form aggregates in one
+    assert(PlanBudget.shuffleCount(
+      hotPlan.queryExecution.executedPlan.toString) == 2,
+      "hot input must plan the two-phase salted aggregate")
+    assert(PlanBudget.shuffleCount(
+      uniPlan.queryExecution.executedPlan.toString) == 1,
+      "uniform input must plan the plain aggregate")
+    // schema parity: the salted sums cast back to the one-pass types
+    val plain = hot.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      sum(col("v")).as("total"), min(col("v")).as("lo"),
+      max(col("v")).as("hi"))
+    // names + types (nullability legitimately differs: a one-pass count
+    // is provably non-null, a merged partial is not)
+    assert(hotPlan.schema.map(f => f.name -> f.dataType) ==
+      plain.schema.map(f => f.name -> f.dataType),
+      s"${hotPlan.schema} vs ${plain.schema}")
+    // value parity on both routes
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4)))
+      .toMap
+    assert(m(hotPlan) == m(plain))
+    assert(m(uniPlan) == m(uniform.groupBy(col("k")).agg(
+      count(lit(1)).as("n"), sum(col("v")).as("total"),
+      min(col("v")).as("lo"), max(col("v")).as("hi"))))
+  }
+
   test("zscoreAnomalies scores a user series and flags the spike") {
     val daily = (1 to 40).map { i =>
       val amt = if (i == 35) BigDecimal("900.00") else BigDecimal("100.00")

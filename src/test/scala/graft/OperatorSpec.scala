@@ -416,6 +416,53 @@ class OperatorSpec extends SparkSuite {
     assert(audit.getLong(aidx("broken_link_ct")) == 1)
   }
 
+  test("k10 SCD2 repair: k9's damaged frame audits clean after repair") {
+    import spark.implicits._
+    // the same damage menu the k9 test proves the audit CATCHES —
+    // gap + double-open, handoff break, duplicate versions
+    val bad = Seq(
+      (1L, 1, 10L, Option.empty[Long], false),
+      (1L, 3, 20L, Option.empty[Long], true),
+      (2L, 1, 10L, Some(15L), false),
+      (2L, 2, 99L, Option.empty[Long], true),
+      (3L, 2, 10L, Some(20L), false),
+      (3L, 2, 20L, Option.empty[Long], true)
+    ).toDF("id", "version", "valid_from_seq", "valid_to_seq", "is_current")
+    assert(!graft.operators.EnvelopeOps.scd2Audit(bad)
+      .head().getAs[Boolean]("scd2_ok"))
+    val repaired = graft.api.Graft.scd2Repair(bad)
+    val audit = graft.operators.EnvelopeOps.scd2Audit(repaired).head()
+    assert(audit.getAs[Boolean]("scd2_ok"),
+      s"repaired frame must audit clean: $audit")
+    // repair is row-preserving and deterministic: versions are 1..n in
+    // valid_from order, exactly one open row per id
+    assert(repaired.count() == bad.count())
+    val byId = repaired.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)))
+    byId.foreach { case (id, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length),
+        s"id $id versions not 1..n")
+      assert(rows.count(_.isNullAt(3)) == 1, s"id $id open rows != 1")
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) == b.getLong(2), s"id $id handoff break")
+        case _ => ()
+      }
+    }
+    // repairing an already-clean history is the identity on the chain
+    val clean = q("k6_scd2_history")
+      .select(col("id"), col("version"), col("valid_from_seq"),
+        col("valid_to_seq"), col("is_current"))
+    val again = graft.api.Graft.scd2Repair(clean)
+    assert(again.exceptAll(clean).isEmpty && clean.exceptAll(again).isEmpty,
+      "repair must be identity on a clean history")
+    // and the registered k10 report proves the big damaged frame heals
+    val rep = q("k10_scd2_repair").head()
+    assert(rep.getAs[Boolean]("scd2_ok"))
+    assert(rep.getAs[Long]("renumbered_ct") > 0 &&
+      rep.getAs[Long]("closed_open_ct") > 0, s"damage must be non-trivial: $rep")
+  }
+
   test("a34 concentration: deciles cover all users, shares ranked") {
     val r = q("a34_user_concentration").collect().sortBy(_.getInt(0))
     assert(r.length == 10)
