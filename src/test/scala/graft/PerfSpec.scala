@@ -68,6 +68,32 @@ class PerfSpec extends SparkSuite {
     }
   }
 
+  test("every query stays within its committed wall-time budget") {
+    // TIME_BUDGET.tsv is the bench analog of the shuffle ledger: the
+    // recorded sf0.001 per-query seconds at HEAD. The 3×-with-2s-floor
+    // bound is deliberately generous — sub-second JIT/GC noise must
+    // never fail a build; what MUST fail is the regression class the
+    // round-6 driver run surfaced: a first-toucher silently paying a
+    // family rebuild because a memo/prestage row was lost.
+    val budget = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/root/repo/TIME_BUDGET.tsv"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filterNot(l => l.startsWith("#") || l.isBlank)
+      .map { l => val a = l.split("\t"); a(0) -> a(1).toDouble }
+      .toMap
+    Prestage.warmAll(spark, sf)
+    val missing = SparkEntry.queries.keys.filterNot(budget.contains)
+    assert(missing.isEmpty, s"queries without a recorded time budget " +
+      s"(run sbt 'runMain graft.TimeBudget'): ${missing.toSeq.sorted}")
+    val over = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val sec = TimeBudget.timeOnce(spark, sf, name)
+      val bound = math.max(3.0 * budget(name), 2.0)
+      if (sec > bound) Some(f"$name: $sec%.2fs > $bound%.2fs " +
+        f"(budget ${budget(name)}%.2fs)") else None
+    }
+    assert(over.isEmpty, s"wall-time regressions:\n${over.mkString("\n")}")
+  }
+
   test("salted agg spreads phase 1 over (key, salt) then merges") {
     val p = plan("x1_salted_agg")
     // two aggregation exchanges: (ch,salt) then (ch)
