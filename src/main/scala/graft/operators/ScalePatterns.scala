@@ -552,14 +552,21 @@ object ScalePatterns extends QueryModule {
       val ot = s"graft_x11_orders_$tag"
       s.sql(s"DROP TABLE IF EXISTS $lt")
       s.sql(s"DROP TABLE IF EXISTS $ot")
+      // the standing layout carries every column the co-located join
+      // family needs (x11's rollup AND the DWD order-detail wide table)
+      // — parquet column pruning keeps each consumer's scan narrow, so
+      // one layout serves all fact⋈fact joins on the order key
       Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"))
         .repartition(x11Buckets, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(x11Buckets, "l_orderkey")
         .sortBy("l_orderkey").option("path", s"$base/lineitem")
         .saveAsTable(lt)
       Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
         .repartition(x11Buckets, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(x11Buckets, "o_orderkey")
         .sortBy("o_orderkey").option("path", s"$base/orders")

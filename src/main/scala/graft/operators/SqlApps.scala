@@ -77,6 +77,49 @@ object SqlApps extends QueryModule {
       """)
   }
 
+  /** The flagship wide-table join over the STANDING bucketed layout
+    * (reference plan: DwdTradeOrderDetail.java:84-108): lineitem and
+    * orders come from the suite's bucketed tables (hash-bucketed on the
+    * order key, one build per suite via the shared prestage — see
+    * [[ScalePatterns.bucketTables]]), so the fact⋈fact join plans
+    * scan → sort → SortMergeJoin with ZERO Exchange on either input;
+    * the customer dim broadcasts. Same rows as sql_dwd_order_detail —
+    * one oracle contract, two physical layouts — and the layout answer
+    * to §SqlApps' scale note: at 100 TB the recurring detail-join
+    * shuffle becomes a one-time bucketed write. PerfSpec asserts the
+    * executed plan carries no input Exchange. */
+  private def dwdOrderDetailBucketed(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (lt, ot) = ScalePatterns.bucketTables(s, dir)
+    registerViews(s, dir, Seq("customer"))
+    s.table(lt).createOrReplaceTempView("lineitem_bkt")
+    s.table(ot).createOrReplaceTempView("orders_bkt")
+    s.sql("""
+      SELECT /*+ MERGE(lineitem_bkt, orders_bkt), BROADCAST(customer) */
+             CAST(l_orderkey AS STRING) || '-' || CAST(l_linenumber AS STRING)
+               AS id,
+             CAST(l_orderkey AS STRING) AS order_id,
+             CAST(o_custkey AS STRING) AS user_id,
+             CAST(l_partkey AS STRING) AS sku_id,
+             CAST(c_nationkey AS STRING) AS province_id,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS date_id,
+             CAST(l_quantity AS STRING) AS sku_num,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS split_original_amount,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE)
+               AS split_activity_amount,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+               AS split_total_amount,
+             unix_timestamp(o_orderdate) AS ts
+      FROM lineitem_bkt
+      JOIN orders_bkt ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      """)
+  }
+
   /** The serving /province endpoint as SQL text over the detail view —
     * proving the §3.3 lifecycle composes with §3.2 outputs. */
   private def sqlProvinceRollup(s: SparkSession, dir: String): DataFrame = {
@@ -356,10 +399,30 @@ object SqlApps extends QueryModule {
     "sql_dwd_order_refund" -> dwdOrderRefund,
     "sql_dwd_order_cancel" -> dwdOrderCancel,
     "sql_dwd_order_detail" -> dwdOrderDetail,
+    "sql_dwd_order_detail_bucketed" -> dwdOrderDetailBucketed,
     "sql_dwd_comment_info" -> dwdCommentInfo,
     "sql_province_rollup" -> sqlProvinceRollup,
     "sql_dwd_refund_pay_wide" -> dwdRefundPayWide,
     "sql_dwd_cart_add" -> dwdCartAdd)
+
+  private val orderDetailOracle: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+      |       CAST(l_orderkey AS VARCHAR) AS order_id,
+      |       CAST(o_custkey AS VARCHAR) AS user_id,
+      |       CAST(l_partkey AS VARCHAR) AS sku_id,
+      |       CAST(c_nationkey AS VARCHAR) AS province_id,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS date_id,
+      |       CAST(l_quantity AS VARCHAR) AS sku_num,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS split_original_amount,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |            * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS split_activity_amount,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |            * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS split_total_amount,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS ts
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
   val oracles = Map(
     "sql_dwd_pay_suc" ->
@@ -420,24 +483,10 @@ object SqlApps extends QueryModule {
         |       CAST(epoch(o_orderdate) AS BIGINT) AS ts
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0""".stripMargin,
-    "sql_dwd_order_detail" ->
-      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
-        |       CAST(l_orderkey AS VARCHAR) AS order_id,
-        |       CAST(o_custkey AS VARCHAR) AS user_id,
-        |       CAST(l_partkey AS VARCHAR) AS sku_id,
-        |       CAST(c_nationkey AS VARCHAR) AS province_id,
-        |       strftime(o_orderdate, '%Y-%m-%d') AS date_id,
-        |       CAST(l_quantity AS VARCHAR) AS sku_num,
-        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS split_original_amount,
-        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |            * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS split_activity_amount,
-        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |            * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |            * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS split_total_amount,
-        |       CAST(epoch(o_orderdate) AS BIGINT) AS ts
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // one semantic contract, two physical layouts: the bucketed variant
+    // must answer exactly the plain join's oracle
+    "sql_dwd_order_detail" -> orderDetailOracle,
+    "sql_dwd_order_detail_bucketed" -> orderDetailOracle,
     "sql_dwd_comment_info" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id,
         |       CAST(o_custkey AS VARCHAR) AS user_id,

@@ -242,6 +242,27 @@ class PerfSpec extends SparkSuite {
       s"scan does not report bucketed read:\n$p")
   }
 
+  test("bucketed DWD order-detail join: zero exchanges end to end") {
+    // the standing-layout answer for the flagship fact⋈fact join
+    // (reference DwdTradeOrderDetail.java:84-108): both sides ride the
+    // bucket spec's hash partitioning into the SortMergeJoin and the
+    // customer dim broadcasts — the whole detail pipeline runs with NO
+    // Exchange at all (it is a detail output: no final aggregation
+    // shuffle either, unlike x11's rollup)
+    val df = q("sql_dwd_order_detail_bucketed")
+    df.collect() // finalize the AdaptiveSparkPlan (same idiom as x11)
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed detail join should sort-merge:\n$p")
+    assert(PlanBudget.shuffleCount(p) == 0,
+      s"bucketed detail join still shuffles:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan does not report bucketed read:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim should broadcast:\n$p")
+  }
+
   test("hamming_dist native expression: codegen matches interpreted") {
     import graft.plans.HammingDistance.hammingDist
     val df = spark.range(0, 1000).select(col("id"),

@@ -461,6 +461,98 @@ class StreamingSpec extends SparkSuite {
       s"late row leaked into a window: ${rows.mkString(",")}")
   }
 
+  test("state size is keyspace-bounded and watermark-evicted") {
+    // the 100 TB sizing guard: per-app state must scale with LIVE keys,
+    // not with rows seen. Three contracts, each read off the engine's
+    // own state metrics so a key-space leak (a lost watermark, a state
+    // row per EVENT instead of per entity) fails here at test time.
+    import spark.implicits._
+    import graft.streaming.StatefulStreams.UserEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // (1) UV/login family: one GroupState row per DISTINCT user, ever —
+    // never per event
+    val sq1 = StatefulStreams.dailyFirstStream(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("state_uv").start()
+    sq1.processAllAvailable()
+    sq1.stop()
+    val uvState = sq1.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(uvState == users,
+      s"daily-first state rows $uvState != distinct users $users")
+
+    // (2) dedup: dropDuplicatesWithinWatermark EVICTS keys the
+    // watermark has passed — state after the horizon moves is the
+    // recent keys only, not everything ever seen
+    val src =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val dedup = src.toDF()
+      .withColumn("et", timestamp_seconds(col("sec")))
+      .withWatermark("et", "10 seconds")
+      .dropDuplicatesWithinWatermark("user_id")
+    val sq2 = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("state_dedup").start()
+    src.addData((1 to 50).map(i => UserEvent(i.toLong, 100L, i.toLong,
+      "view", 1.0)): _*)
+    sq2.processAllAvailable() // 50 keys in state, watermark -> 90
+    val afterLoad = sq2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    src.addData(UserEvent(1000L, 100000L, 1000L, "view", 1.0))
+    sq2.processAllAvailable() // watermark -> 99990 at NEXT batch
+    src.addData(UserEvent(1001L, 100001L, 1001L, "view", 1.0))
+    sq2.processAllAvailable() // batch runs with wm 99990: evicts the 50
+    sq2.stop()
+    val afterHorizon = sq2.lastProgress.stateOperators
+      .map(_.numRowsTotal).sum
+    assert(afterLoad >= 50L, s"dedup state never materialized: $afterLoad")
+    assert(afterHorizon <= 2L,
+      s"dedup state not evicted past the watermark: $afterHorizon rows " +
+        s"(a dropDuplicates WITHOUT the watermark bound leaks exactly " +
+        s"like this)")
+
+    // (3) stream-stream interval join: state bounded by the time range,
+    // evicted as the watermark advances past [-30 min, +5 s]
+    val ps =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val cs =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val p = ps.toDF().withColumn("p_et", timestamp_seconds(col("sec")))
+      .select(col("user_id").as("p_user"), col("p_et"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_et", "3 seconds")
+    val c = cs.toDF().withColumn("c_et", timestamp_seconds(col("sec")))
+      .select(col("user_id").as("c_user"), col("c_et"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_et", "3 seconds")
+    val joined = p.join(c, col("p_user") === col("c_user") &&
+      col("c_et") >= col("p_et") - expr("INTERVAL 30 MINUTES") &&
+      col("c_et") <= col("p_et") + expr("INTERVAL 5 SECONDS"))
+    val sq3 = joined.writeStream.outputMode("append").format("memory")
+      .queryName("state_join").start()
+    ps.addData((1 to 30).map(i => UserEvent(i.toLong, 1000L, i.toLong,
+      "purchase", 1.0)): _*)
+    cs.addData((1 to 30).map(i => UserEvent(i.toLong, 1001L,
+      100L + i, "click", 1.0)): _*)
+    sq3.processAllAvailable()
+    val joinLoaded = sq3.lastProgress.stateOperators
+      .map(_.numRowsTotal).sum
+    // jump both watermarks far past the interval, twice (cleanup uses
+    // the PREVIOUS batch's watermark)
+    ps.addData(UserEvent(9000L, 500000L, 9000L, "purchase", 1.0))
+    cs.addData(UserEvent(9000L, 500000L, 9001L, "click", 1.0))
+    sq3.processAllAvailable()
+    ps.addData(UserEvent(9002L, 500010L, 9002L, "purchase", 1.0))
+    cs.addData(UserEvent(9002L, 500010L, 9003L, "click", 1.0))
+    sq3.processAllAvailable()
+    sq3.stop()
+    val joinAfter = sq3.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(joinLoaded >= 60L, s"join state never materialized: $joinLoaded")
+    assert(joinAfter <= 8L,
+      s"join state not evicted past the interval: $joinAfter rows " +
+        s"(unbounded join state is W9's failure mode)")
+  }
+
   test("last-seen state agrees with a7 batch dedup") {
     val streamed = runStream(
       StatefulStreams.lastSeenStream(spark, sf), "last_seen", "update")
