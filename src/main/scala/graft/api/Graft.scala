@@ -345,6 +345,14 @@ object Graft {
     * share); [[cjkTokens]] adds character-bigram segmentation for
     * non-ASCII runs. */
   def tokens(text: Column): Column = graft.operators.TextOps.tokenize(text)
+
+  /** Token burstiness report (Church/Gale gap dispersion) over an
+    * arbitrary (doc_id, lang, text) frame: per language, the count of
+    * (doc, token) pairs with ≥ 3 occurrences, their average
+    * (σ−μ)/(σ+μ) gap burstiness, and the bursty share — negative =
+    * periodic/templated repetition, positive = natural bursts. */
+  def burstiness(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.burstinessFor(docs)
   def cjkTokens(text: Column): Column =
     graft.operators.TextOps.tokenizeMixed(text)
 

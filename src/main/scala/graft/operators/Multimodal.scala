@@ -224,6 +224,52 @@ object Multimodal extends QueryModule {
       .filter(col("shared_ct") >= 2)
   }
 
+  /** m6 (beyond-reference): video scene-cut detection — the shot
+    * segmentation every video-training pipeline runs before sampling
+    * clips: sample 8 frames per media item, derive a per-frame
+    * brightness scalar, and declare a cut wherever consecutive frames
+    * jump by more than the threshold; scenes = cuts + 1. The
+    * "brightness" is the deterministic stub feature (md5-uniform of the
+    * frame bytes — a real deploy swaps in mean luminance from the
+    * decoder); the cut rule, the per-media ordered window, and the
+    * shot-length accounting are the real, oracle-checked plumbing.
+    * Output is the corpus shot-structure distribution (O(frames/media)
+    * rows), not per-media detail. Shuffles: one doc-keyed window + the
+    * distribution rollup; payload bytes never shuffle (hashes do). */
+  val sceneFrames = 8
+  val sceneCutThreshold = 64L
+
+  private def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("L"))
+      .withColumn("flen", greatest(expr(s"L div $sceneFrames"), lit(1L)))
+      .select(col("doc_id"), col("text"), col("L"), col("flen"),
+        explode(sequence(lit(0L), lit(sceneFrames - 1L))).as("frame_no"))
+      .withColumn("ffrom", least(col("frame_no") * col("flen"), col("L")))
+      .withColumn("fl2",
+        least(col("ffrom") + col("flen"), col("L")) - col("ffrom"))
+      .filter(col("fl2") > 0)
+      .select(col("doc_id"), col("frame_no"),
+        pmod(graft.functions.Fns.hex4(
+          expr("substring(text, CAST(ffrom + 1 AS INT), CAST(fl2 AS INT))")),
+          lit(256L)).as("bright"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val perMedia = frames
+      .withColumn("prev", lag(col("bright"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("frame_ct"),
+        sum(when(col("prev").isNotNull &&
+          abs(col("bright") - col("prev")) > sceneCutThreshold, 1L)
+          .otherwise(0L)).as("cut_ct"))
+      .withColumn("scene_ct", col("cut_ct") + 1L)
+    perMedia.groupBy(col("scene_ct"))
+      .agg(count(lit(1)).as("media_ct"),
+        round(avg(col("frame_ct").cast(DoubleType) / col("scene_ct")), 6)
+          .as("avg_shot_frames"))
+  }
+
   /** m4: the resize/transcode pass — every payload brought under a fixed
     * byte budget through the partition-local [[MediaCodec.resizeStub]]
     * (a real deploy swaps the stub for a pixel re-encoder; the batching,
@@ -256,9 +302,44 @@ object Multimodal extends QueryModule {
     "m3_frame_near_dup" -> frameNearDup,
     "m4_resize_stats" -> resizeStats,
     "m5_audio_chunk_stats" -> audioChunkStats,
-    "m2_frame_stats" -> frameStats)
+    "m2_frame_stats" -> frameStats,
+    "m6_scene_cuts" -> sceneCuts)
 
   val oracles = Map(
+    "m6_scene_cuts" -> {
+      val bright = graft.functions.Oracle.hex4(
+        "substr(text, CAST(ffrom + 1 AS INT), CAST(fl2 AS INT))")
+      s"""WITH g AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+         |         greatest(CAST(length(text) AS BIGINT) // $sceneFrames,
+         |                  1) AS flen
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, i AS frame_no,
+         |         least(i * flen, L) AS ffrom,
+         |         least(least(i * flen, L) + flen, L)
+         |           - least(i * flen, L) AS fl2,
+         |         text
+         |  FROM g, unnest(range(0, $sceneFrames)) AS u(i)),
+         |b AS (
+         |  SELECT doc_id, frame_no, ($bright) % 256 AS bright
+         |  FROM f WHERE fl2 > 0),
+         |d AS (
+         |  SELECT doc_id, bright,
+         |         lag(bright) OVER (PARTITION BY doc_id ORDER BY frame_no)
+         |           AS prev
+         |  FROM b),
+         |pm AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS frame_ct,
+         |         CAST(sum(CASE WHEN prev IS NOT NULL AND
+         |                  abs(bright - prev) > $sceneCutThreshold
+         |                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS scene_ct
+         |  FROM d GROUP BY 1)
+         |SELECT scene_ct, CAST(count(*) AS BIGINT) AS media_ct,
+         |       round(avg(CAST(frame_ct AS DOUBLE) / scene_ct), 6)
+         |         AS avg_shot_frames
+         |FROM pm GROUP BY 1""".stripMargin
+    },
     // Analytic expectation of the planted fixture: re-uploads share all
     // 4 frames, tail-edited variants share the first 3 (with the base
     // AND with the base's re-upload when both exist, doc_id % 30 = 0);

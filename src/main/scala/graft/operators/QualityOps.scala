@@ -94,6 +94,64 @@ object QualityOps extends QueryModule {
       .withColumn("k_anonymous", col("min_class_users") >= kAnon)
   }
 
+  /** p20 (beyond-reference): l-diversity audit — k-anonymity's (p19)
+    * blind spot: a class can hold ≥k subjects yet expose them all if
+    * every record shares one sensitive value. Same quasi-identifier
+    * grid as p19 minus the audited attribute; sensitive value =
+    * event_type; a class is risky when it carries fewer than l=3
+    * distinct sensitive values. Reported per week so a release gate
+    * can cut only the offending partitions. Same one-shuffle shape as
+    * p19 (class rollup → week rollup). */
+  val lDiv = 3
+
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    val weekUs = 7L * 86400L * 1000000L
+    Tables(s, dir, "events")
+      .select(Fns.divFloor(Fns.nsToUs(col("ts")), weekUs).as("wk"),
+        floor(col("value") / lit(10.0)).cast(LongType).as("vb"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("wk"), col("vb"))
+      .agg(countDistinct(col("event_type")).as("l_values"),
+        count(lit(1)).as("rec_ct"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("class_ct"),
+        min(col("l_values")).as("min_l"),
+        sum(when(col("l_values") < lDiv, 1L).otherwise(0L))
+          .as("risky_class_ct"),
+        sum(when(col("l_values") < lDiv, col("rec_ct")).otherwise(0L))
+          .as("risky_rec_ct"))
+      .withColumn("l_diverse", col("min_l") >= lDiv)
+  }
+
+  /** p21 (beyond-reference): differentially-private released counts —
+    * the publication form of a per-category histogram: count + Laplace
+    * noise at sensitivity 1, ε = 1. The draw is SEEDED from the
+    * category key (inverse-CDF over the shared md5-uniform
+    * [[graft.functions.Fns.hex4]]), so the release is reproducible and
+    * the DuckDB oracle replays the exact noise — a real deploy swaps
+    * the seed source for a calibrated RNG; the mechanism (scale, the
+    * inverse-CDF transform, post-processing rounding) is the audited
+    * part. Map-side-combinable count, O(categories) output. */
+  val dpEpsilon = 1.0
+
+  private def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    val b = 1.0 / dpEpsilon
+    val u = (Fns.hex4(concat(lit("dp#"), col("event_type")))
+      .cast(DoubleType) + lit(0.5)) / lit(65536.0)
+    val centered = u - lit(0.5)
+    val noise = lit(-b) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_ct"))
+      .select(col("event_type"), col("true_ct"),
+        round(noise, 6).as("noise"),
+        round(col("true_ct") + noise, 6).as("released_ct"),
+        lit(b).as("laplace_scale"))
+  }
+
   /** p15: the PII scrub pass summarized per language — match counts per
     * category and the net characters removed by redaction. */
   private def piiRedact(s: SparkSession, dir: String): DataFrame = {
@@ -289,6 +347,8 @@ object QualityOps extends QueryModule {
     "p16_url_canonicalize" -> urlCanonicalize,
     "p15_pii_redact" -> piiRedact,
     "p19_k_anonymity" -> kAnonymity,
+    "p20_l_diversity" -> lDiversity,
+    "p21_dp_counts" -> dpCounts,
     "c8_quality_funnel" -> qualityFunnel,
     "c9_sequence_packing" -> sequencePacking,
     "t10_repetition_signals" -> repetitionSignals)
@@ -376,6 +436,49 @@ object QualityOps extends QueryModule {
         |            AS BIGINT) AS risky_rec_ct,
         |       min(class_users) >= $kAnon AS k_anonymous
         |FROM cls GROUP BY 1""".stripMargin,
+    "p20_l_diversity" ->
+      s"""WITH cls AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS wk,
+        |         CAST(floor(value / 10.0) AS BIGINT) AS vb,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS l_values,
+        |         CAST(count(*) AS BIGINT) AS rec_ct
+        |  FROM events GROUP BY 1, 2)
+        |SELECT wk,
+        |       CAST(count(*) AS BIGINT) AS class_ct,
+        |       CAST(min(l_values) AS BIGINT) AS min_l,
+        |       CAST(sum(CASE WHEN l_values < $lDiv THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS risky_class_ct,
+        |       CAST(sum(CASE WHEN l_values < $lDiv
+        |                THEN rec_ct ELSE 0 END)
+        |            AS BIGINT) AS risky_rec_ct,
+        |       min(l_values) >= $lDiv AS l_diverse
+        |FROM cls GROUP BY 1""".stripMargin,
+    "p21_dp_counts" -> {
+      val u = graft.functions.Oracle.hex4("'dp#' || event_type")
+      s"""WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS true_ct
+        |  FROM events GROUP BY 1),
+        |n AS (
+        |  SELECT *, (($u + CAST(0.5 AS DOUBLE)) / CAST(65536.0 AS DOUBLE))
+        |              - CAST(0.5 AS DOUBLE) AS ctr
+        |  FROM c)
+        |SELECT event_type, true_ct,
+        |       round(CAST(-1.0 AS DOUBLE) *
+        |             (CASE WHEN ctr > 0 THEN CAST(1.0 AS DOUBLE)
+        |                   WHEN ctr < 0 THEN CAST(-1.0 AS DOUBLE)
+        |                   ELSE CAST(0.0 AS DOUBLE) END) *
+        |             ln(CAST(1.0 AS DOUBLE)
+        |                - CAST(2.0 AS DOUBLE) * abs(ctr)), 6) AS noise,
+        |       round(true_ct + CAST(-1.0 AS DOUBLE) *
+        |             (CASE WHEN ctr > 0 THEN CAST(1.0 AS DOUBLE)
+        |                   WHEN ctr < 0 THEN CAST(-1.0 AS DOUBLE)
+        |                   ELSE CAST(0.0 AS DOUBLE) END) *
+        |             ln(CAST(1.0 AS DOUBLE)
+        |                - CAST(2.0 AS DOUBLE) * abs(ctr)), 6)
+        |         AS released_ct,
+        |       CAST(1.0 AS DOUBLE) AS laplace_scale
+        |FROM n""".stripMargin
+    },
     "p15_pii_redact" -> {
       val fixture =
         """text ||

@@ -152,6 +152,50 @@ object ScalePatterns extends QueryModule {
           / col("n_rows"), 6).as("skew_factor"))
   }
 
+  /** x12 (beyond-reference): partition/bucket planner — the sizing
+    * decision every ingest job makes before writing a table: estimate
+    * the table's payload bytes from its schema (string columns at
+    * actual length, fixed-width columns at 8 bytes, the embedding
+    * vector at 4 bytes/dim), divide by the target partition size, and
+    * round the bucket recommendation up to a power of two (so future
+    * bucket-join co-partitioning can split/merge cleanly). One
+    * map-side-combinable aggregate per table, O(tables) output — the
+    * planning pass that keeps spark.sql.files.maxPartitionBytes and
+    * bucket counts honest at 100 TB. The target here is scaled to the
+    * synthetic corpus (256 KiB); production uses 128 MiB with the
+    * identical arithmetic. */
+  val plannerTargetBytes = 262144L
+
+  /** (table, string columns priced by length, fixed bytes/row). */
+  private[operators] val plannerTables
+      : Seq[(String, Seq[String], Long)] = Seq(
+    ("lineitem", Seq("l_returnflag", "l_linestatus"), 72L),
+    ("orders", Seq("o_orderstatus", "o_orderpriority"), 32L),
+    ("events", Seq("event_type", "props"), 32L),
+    ("documents", Seq("text", "lang", "source"), 16L),
+    ("embeddings", Seq.empty, 272L))
+
+  private def partitionPlanner(s: SparkSession, dir: String): DataFrame =
+    plannerTables.map { case (t, strs, fixed) =>
+      val strBytes =
+        if (strs.isEmpty) lit(0L)
+        else strs.map(c => coalesce(length(col(c)).cast(LongType), lit(0L)))
+          .reduce(_ + _)
+      Tables(s, dir, t)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(strBytes + lit(fixed)).cast(LongType).as("est_bytes"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("est_bytes"))
+    }.reduce(_ unionByName _)
+      .withColumn("target_bytes", lit(plannerTargetBytes))
+      .withColumn("n_partitions", greatest(
+        ceil(col("est_bytes").cast(DoubleType) / plannerTargetBytes)
+          .cast(LongType), lit(1L)))
+      .withColumn("bucket_count",
+        pow(lit(2.0), ceil(log2(col("n_partitions").cast(DoubleType))))
+          .cast(LongType))
+      .withColumn("avg_partition_bytes",
+        expr("est_bytes DIV n_partitions"))
+
   /** x4: Z-order (Morton-curve) layout clustering — the multi-dimensional
     * file-layout lever behind Delta/Iceberg `OPTIMIZE ZORDER BY`: rows
     * sorted by the bit-interleave of (o_custkey, o_orderdate-days) land
@@ -613,9 +657,35 @@ object ScalePatterns extends QueryModule {
     "x8_skip_stats" -> skipStats,
     "x9_dpp_prune" -> dppPrune,
     "x11_bucket_join" -> bucketJoin,
+    "x12_partition_planner" -> partitionPlanner,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    "x12_partition_planner" -> {
+      val perTable = plannerTables.map { case (t, strs, fixed) =>
+        val strBytes =
+          if (strs.isEmpty) "0"
+          else strs.map(c => s"COALESCE(length($c), 0)").mkString(" + ")
+        s"""SELECT '$t' AS table_name,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum($strBytes + $fixed) AS BIGINT) AS est_bytes
+           |FROM $t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$perTable
+         |),
+         |p AS (
+         |  SELECT *, CAST($plannerTargetBytes AS BIGINT) AS target_bytes,
+         |         greatest(CAST(ceil(CAST(est_bytes AS DOUBLE)
+         |                  / $plannerTargetBytes) AS BIGINT), 1)
+         |           AS n_partitions
+         |  FROM u)
+         |SELECT table_name, n_rows, est_bytes, target_bytes, n_partitions,
+         |       CAST(pow(2, ceil(log2(CAST(n_partitions AS DOUBLE))))
+         |            AS BIGINT) AS bucket_count,
+         |       est_bytes // n_partitions AS avg_partition_bytes
+         |FROM p""".stripMargin
+    },
     "x10_skew_report" ->
       """SELECT 'events.event_type' AS key_col,
         |       CAST(sum(ct) AS BIGINT) AS n_rows,

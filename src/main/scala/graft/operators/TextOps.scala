@@ -849,6 +849,54 @@ object TextOps extends QueryModule {
     zipfFit(Tables(s, dir, "documents")
       .select(col("source"), col("text")))
 
+  /** t28 (beyond-reference): token burstiness (Church/Gale gap
+    * statistics) — natural language repeats words in BURSTS, generated
+    * or templated text repeats them at near-regular intervals, so the
+    * dispersion of the gaps between a token's occurrences inside one
+    * document is a content-quality signal Zipf (t27) and the repetition
+    * rules (t21) cannot see. For every (doc, token) with ≥ 3
+    * occurrences: gaps between consecutive positions, B = (σ−μ)/(σ+μ)
+    * ∈ [−1, 1) — negative = regular/periodic, ~0 = Poisson, positive =
+    * bursty. Per-language rollup. Float discipline: gaps and their
+    * squares are integers (exact in any summation order); μ/σ come from
+    * one division each; the cross-row fold of B quantizes to DECIMAL
+    * first (order-independent). Shuffles: one (doc, token) gap window +
+    * the language rollup. */
+  private def burstiness(s: SparkSession, dir: String): DataFrame =
+    burstinessFor(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** The generic burstiness core over an ARBITRARY (doc_id, lang, text)
+    * frame — behind t28 and [[graft.api.Graft.burstiness]]. */
+  private[graft] def burstinessFor(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"), col("tok"))
+      .orderBy(col("pos"))
+    val gaps = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val perPair = gaps
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast(LongType)).as("sg"),
+        sum((col("gap") * col("gap")).cast(LongType)).as("sg2"))
+      .filter(col("n") >= 2)
+      .withColumn("mu", col("sg").cast(DoubleType) / col("n"))
+      .withColumn("sigma", sqrt(
+        col("sg2").cast(DoubleType) / col("n") - col("mu") * col("mu")))
+      .withColumn("b",
+        (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+    perPair.groupBy(col("lang"))
+      .agg(count(lit(1)).as("pair_ct"),
+        round(sum(round(col("b"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType) /
+          count(lit(1)), 6).as("avg_burstiness"),
+        round(sum(when(col("b") > 0.0, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("bursty_share"))
+  }
+
   /** The generic Zipf-fit core over an ARBITRARY (source, text) frame —
     * behind t27 and [[graft.api.Graft.zipfFit]]. */
   private[graft] def zipfFit(docs: DataFrame): DataFrame = {
@@ -884,6 +932,7 @@ object TextOps extends QueryModule {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "t27_zipf_slope" -> zipfSlope,
+    "t28_burstiness" -> burstiness,
     "t26_template_spans" -> templateSpans,
     "t24_tokenizer_fertility" -> tokenizerFertility,
     "t23_code_fraction" -> codeFraction,
@@ -1346,6 +1395,43 @@ object TextOps extends QueryModule {
          |SELECT tok, count(*) AS tok_ct, count(DISTINCT doc_id) AS doc_ct
          |FROM toks GROUP BY 1 ORDER BY tok_ct DESC, tok LIMIT 30""".stripMargin
     },
+    "t28_burstiness" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |           range(1, len(string_split(text, ' ')) + 1),
+        |           i -> {'pos': i - 1,
+        |                 'tok': string_split(text, ' ')[i]})) AS x
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, x.tok AS tok, x.pos AS pos,
+        |         x.pos - lag(x.pos) OVER (PARTITION BY doc_id, x.tok
+        |                                  ORDER BY x.pos) AS gap
+        |  FROM tk),
+        |pp AS (
+        |  SELECT doc_id, lang, tok,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(gap) AS BIGINT) AS sg,
+        |         CAST(sum(gap * gap) AS BIGINT) AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2),
+        |b AS (
+        |  SELECT lang,
+        |         (sqrt(CAST(sg2 AS DOUBLE) / n
+        |               - (CAST(sg AS DOUBLE) / n)
+        |                 * (CAST(sg AS DOUBLE) / n))
+        |          - CAST(sg AS DOUBLE) / n)
+        |         / (sqrt(CAST(sg2 AS DOUBLE) / n
+        |                 - (CAST(sg AS DOUBLE) / n)
+        |                   * (CAST(sg AS DOUBLE) / n))
+        |            + CAST(sg AS DOUBLE) / n) AS bv
+        |  FROM pp)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS pair_ct,
+        |       round(CAST(sum(CAST(round(bv, 6) AS DECIMAL(28,6)))
+        |                  AS DOUBLE)
+        |             / count(*), 6) AS avg_burstiness,
+        |       round(CAST(sum(CASE WHEN bv > 0 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS bursty_share
+        |FROM b GROUP BY 1""".stripMargin,
     "g4_posexplode_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 20)

@@ -486,6 +486,31 @@ object WindowAggs extends QueryModule {
           .as("cum_share"))
   }
 
+  /** a35 (beyond-reference): event-type Markov transition matrix — the
+    * one-step generalization of a29's top paths: every adjacent event
+    * pair inside a user's (time, event_id) order counted into a
+    * src→dst matrix with row-normalized probabilities, the standing
+    * input to next-action prediction and to funnel-shape drift
+    * monitoring. Shuffles: the user-keyed window (shared sort shape
+    * with a29/a23), one (src,dst) rollup, and a |types|²-row
+    * normalization window — metadata-sized. */
+  private def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        nsToUs(col("ts")).as("us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"),
+        col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("pair_ct"))
+    pairs.withColumn("prob",
+      round(col("pair_ct").cast(DoubleType) /
+        sum(col("pair_ct")).over(Window.partitionBy(col("src_type"))), 6))
+  }
+
   /** a29 (beyond-reference): top navigation paths — the classic
     * clickstream path-analysis report: the most common 3-step
     * event-type sequences inside a 30-min session (a23's
@@ -590,6 +615,7 @@ object WindowAggs extends QueryModule {
     "a32_active_streak" -> activeStreak,
     "a33_session_gap_calibration" -> sessionGapCalibration,
     "a34_user_concentration" -> userConcentration,
+    "a35_markov_transitions" -> markovTransitions,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -667,6 +693,21 @@ object WindowAggs extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS path_ct
          |FROM steps WHERE e3 IS NOT NULL
          |GROUP BY 1 ORDER BY path_ct DESC, path LIMIT 10""".stripMargin,
+    "a35_markov_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS src_type, next_type AS dst_type,
+        |         CAST(count(*) AS BIGINT) AS pair_ct
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, pair_ct,
+        |       round(CAST(pair_ct AS DOUBLE)
+        |             / sum(pair_ct) OVER (PARTITION BY src_type), 6)
+        |         AS prob
+        |FROM p""".stripMargin,
     "a34_user_concentration" ->
       """WITH pu AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS ev_ct

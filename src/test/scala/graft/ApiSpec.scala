@@ -439,6 +439,22 @@ class ApiSpec extends SparkSuite {
     assert(r(1L) == (10.0, 2L), r.toString)
   }
 
+  test("burstiness separates periodic from bursty repetition") {
+    val docs = Seq(
+      // 'a' and 'x' recur at constant stride: zero gap variance, B = -1
+      (1L, "periodic", "a x a x a x a x a"),
+      // 'b' recurs in two clumps (gaps {1,1,10,1}: sigma > mu, B > 0);
+      // the fillers are all distinct so only 'b' qualifies
+      (2L, "bursty", "b b b y1 y2 y3 y4 y5 y6 y7 y8 y9 b b")
+    ).toDF("doc_id", "lang", "text")
+    val r = Graft.burstiness(docs).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("periodic")._2 == -1.0, s"constant gaps must score -1: $r")
+    assert(r("bursty")._1 == 1L, s"only 'b' repeats 3+ times: $r")
+    assert(r("bursty")._2 > 0.0, s"clumped gaps must score positive: $r")
+  }
+
   test("saltedAgg switches plans on skew and keeps results identical") {
     // hot input: one key owns ~90% of rows (skew factor >> 4); uniform
     // input: every key carries the same count (factor = 1)

@@ -103,9 +103,28 @@ def main():
             print("sbt failed:", r.stdout[-3000:])
             sys.exit(1)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # One FRESH, memory-capped connection per oracle: at sf0.1 a single
+    # shared connection accumulates allocator state until one big oracle
+    # OOMs, after which EVERY later query fails with tiny bad-alloc
+    # errors (the round-7 sweep failure mode). Connection setup is
+    # microseconds next to any oracle; the cap keeps DuckDB from
+    # fighting a concurrently-running Spark JVM for the whole box.
+    def fresh_con():
+        c = duckdb.connect()
+        c.sql("SET memory_limit='24GB'")
+        c.sql("SET threads TO 16")
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"'{sf_dir}/{t}.parquet'")
+        return c
+
+    def run_oracle(sql):
+        c = fresh_con()
+        try:
+            return c.sql(sql).df()
+        finally:
+            c.close()
+
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
 
     results = {}
@@ -114,17 +133,23 @@ def main():
     for name in all_queries:
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
-        except Exception as e:
-            results[name] = f"SPARK-READ-FAIL {e}"
-            continue
+        except Exception:
+            try:  # transient malloc pressure: one retry
+                spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            except Exception as e:
+                results[name] = f"SPARK-READ-FAIL {e}"
+                continue
         if name not in oracle:
             results[name] = f"(rows-only) {len(spark_df)} rows"
             continue
         try:
-            duck_df = con.sql(oracle[name]).df()
-        except Exception as e:
-            results[name] = f"ORACLE-FAIL {str(e).splitlines()[0][:200]}"
-            continue
+            duck_df = run_oracle(oracle[name])
+        except Exception:
+            try:  # once more on a brand-new connection
+                duck_df = run_oracle(oracle[name])
+            except Exception as e:
+                results[name] = f"ORACLE-FAIL {str(e).splitlines()[0][:200]}"
+                continue
         diff = compare(name, spark_df, duck_df)
         results[name] = diff or f"OK ({len(spark_df)} rows)"
 
