@@ -1122,14 +1122,14 @@ object CurationOps extends QueryModule {
     * closure terminates; min over reached nodes = component min. */
   private val labelCte: String =
     s"""${DedupOps.verifiedPairsCte},
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a_id AS src, b_id AS dst FROM ndp
        |  UNION ALL SELECT b_id, a_id FROM ndp),
        |reach(id, r) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
-       |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
+       |lab AS MATERIALIZED (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
 
   private def hex4ToIntSql(x: String): String =
     s"""CAST(list_aggregate(list_transform(range(1, 5),
@@ -1177,9 +1177,9 @@ object CurationOps extends QueryModule {
            |  JOIN deg d ON s.dst = d.src CROSS JOIN nn)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${DedupOps.verifiedPairsCte},
-         |und AS (SELECT a_id AS src, b_id AS dst FROM ndp
+         |und AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM ndp
          |        UNION ALL SELECT b_id, a_id FROM ndp),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
          |        FROM und GROUP BY 1),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
          |pr0 AS (SELECT src AS id, deg,

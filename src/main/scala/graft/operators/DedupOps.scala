@@ -616,7 +616,13 @@ object DedupOps extends QueryModule {
     val bandUnion = (0 until numBands)
       .map(b => s"SELECT doc_id, source, $b AS band_no, band$b AS band_sig FROM sig")
       .mkString("\n        UNION ALL ")
-    s"""toks AS (
+    // MATERIALIZED on every multi-referenced stage: DuckDB inlines CTEs
+    // by default, so `sig` would be recomputed once PER BAND inside the
+    // stacked union and the whole signature pipeline once per consumer —
+    // at sf0.1 that inflation peaked >100 GB in the c12 oracle.
+    // Materialization pins each stage to one evaluation (exactly how
+    // the Spark side memoizes the shared band/candidate tables).
+    s"""toks AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
        |hashed AS (
@@ -625,13 +631,13 @@ object DedupOps extends QueryModule {
        |  SELECT doc_id, source,
        |        $mhs
        |  FROM hashed GROUP BY doc_id, source),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id, source,
        |        $bands
        |  FROM mhs),
        |stacked AS (
        |        $bandUnion),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, l.source AS source
        |  FROM stacked l JOIN stacked r
        |    ON l.source = r.source AND l.band_no = r.band_no
@@ -650,7 +656,7 @@ object DedupOps extends QueryModule {
        |  JOIN toks ta ON a_id = ta.doc_id
        |  JOIN toks tb ON b_id = tb.doc_id AND ta.tok = tb.tok
        |  GROUP BY 1, 2),
-       |ndp AS (
+       |ndp AS MATERIALIZED (
        |  SELECT a_id, b_id,
        |         CAST(inter_ct AS DOUBLE) / (sa.n + sb.n - inter_ct) AS jaccard
        |  FROM inter

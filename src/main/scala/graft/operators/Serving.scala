@@ -193,7 +193,7 @@ object Serving extends QueryModule {
     * amt DECIMAL(18,2)) — exposed through
     * [[graft.api.Graft.zscoreAnomalies]]. */
   private[graft] def zscoreAnomalyFor(daily: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cur_date")).rowsBetween(-27, 0)
     // The ROWS frame needs exactly one row per date: an arbitrary API
@@ -208,10 +208,18 @@ object Serving extends QueryModule {
       .withColumn("n28", count(lit(1)).over(w))
       .withColumn("s28", sum(col("amt")).over(w).cast(DecimalType(28, 2)))
       .withColumn("s228", sum(col("amt2")).over(w).cast(DecimalType(38, 4)))
+      // DECIMAL → DOUBLE via a STRING: at sf0.1 s228's unscaled value
+      // exceeds 2^53 and the two engines' direct decimal→double
+      // conversions round differently in the last ulp (which variance
+      // cancellation then amplifies past round(,6)); both Java's
+      // parseDouble and C's strtod are correctly rounded, so the
+      // string route lands on the identical double on both sides
       .withColumn("mean28",
-        col("s28").cast(DoubleType) / col("n28").cast(DoubleType))
+        col("s28").cast(StringType).cast(DoubleType) /
+          col("n28").cast(DoubleType))
       .withColumn("var28",
-        col("s228").cast(DoubleType) / col("n28").cast(DoubleType) -
+        col("s228").cast(StringType).cast(DoubleType) /
+          col("n28").cast(DoubleType) -
           col("mean28") * col("mean28"))
       .withColumn("std28", sqrt(greatest(col("var28"), lit(0.0))))
       .withColumn("z",
@@ -347,7 +355,14 @@ object Serving extends QueryModule {
          |         CAST(sum(${Oracle.money("o_totalprice")})
          |              AS DECIMAL(18,2)) AS amt
          |  FROM orders GROUP BY 1),
-         |d2 AS (SELECT *, CAST(amt * amt AS DECIMAL(38,4)) AS amt2
+         |d2 AS (SELECT *,
+         |         -- widen ONE operand past 18 digits: DuckDB multiplies
+         |         -- DECIMAL(18)×DECIMAL(18) in the int64 lane and
+         |         -- overflows on sf0.1 daily sums; ≥19 promotes to the
+         |         -- int128 lane and stays exact (Spark's BigDecimal
+         |         -- multiply never had the cliff)
+         |         CAST(CAST(amt AS DECIMAL(19,2)) * amt
+         |              AS DECIMAL(38,4)) AS amt2
          |       FROM daily),
          |win AS (
          |  SELECT cur_date, amt,
@@ -359,11 +374,18 @@ object Serving extends QueryModule {
          |               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)),
          |sc AS (
          |  SELECT cur_date, amt, n28,
-         |         CAST(s28 AS DOUBLE) / CAST(n28 AS DOUBLE) AS mean28,
+         |         -- decimal → double through VARCHAR (both engines'
+         |         -- string parses are correctly rounded; the direct
+         |         -- conversion of a >2^53-unscaled DECIMAL is not)
+         |         CAST(CAST(s28 AS VARCHAR) AS DOUBLE)
+         |           / CAST(n28 AS DOUBLE) AS mean28,
          |         sqrt(greatest(
-         |           CAST(s228 AS DOUBLE) / CAST(n28 AS DOUBLE)
-         |             - (CAST(s28 AS DOUBLE) / CAST(n28 AS DOUBLE))
-         |               * (CAST(s28 AS DOUBLE) / CAST(n28 AS DOUBLE)),
+         |           CAST(CAST(s228 AS VARCHAR) AS DOUBLE)
+         |             / CAST(n28 AS DOUBLE)
+         |             - (CAST(CAST(s28 AS VARCHAR) AS DOUBLE)
+         |                / CAST(n28 AS DOUBLE))
+         |               * (CAST(CAST(s28 AS VARCHAR) AS DOUBLE)
+         |                  / CAST(n28 AS DOUBLE)),
          |           CAST(0 AS DOUBLE))) AS std28
          |  FROM win),
          |z AS (

@@ -111,7 +111,12 @@ def main():
     # fighting a concurrently-running Spark JVM for the whole box.
     def fresh_con():
         c = duckdb.connect()
-        c.sql("SET memory_limit='24GB'")
+        # 56GB: big enough that the heavy cluster-family oracles run
+        # in-memory at sf0.1 — a 24GB cap pushed c12's recursive
+        # intermediate into a cwd spill that transiently filled the
+        # disk; small enough to coexist with a Spark JVM on the box
+        c.sql("SET memory_limit='56GB'")
+        c.sql("SET temp_directory='/tmp/graft_duck_spill'")
         c.sql("SET threads TO 16")
         for t in TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
