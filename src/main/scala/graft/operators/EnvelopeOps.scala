@@ -408,6 +408,42 @@ object EnvelopeOps extends QueryModule {
     ledger.crossJoin(audit)
   }
 
+  /** k11 (beyond-reference): bitemporal as-of probes — the two-axis
+    * time-travel query a versioned dimension store answers: "which
+    * version covered VALID time v, as the store KNEW it at transaction
+    * time t" (k7's single-axis as-of is the t = ∞ column of this
+    * table). Per id the op log is truncated at version ≤ t (what had
+    * been recorded), the chain is rebuilt under the same
+    * earliest-successor rule as [[scd2Repair]] (the last surviving
+    * version re-opens — exactly the store's state at t), and the row
+    * covering v is selected. Six (t, v) probes fold to covered-id
+    * counts and exact DECIMAL amount sums. The probe table is a 6-row
+    * broadcast; one (probe, id)-keyed window. */
+  private val bitemporalProbes = Seq((1, 2), (1, 5), (2, 2), (2, 5),
+    (4, 2), (4, 5))
+
+  private def bitemporalSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val probes = s.range(1).select(explode(array(
+        bitemporalProbes.map { case (t, v) =>
+          struct(lit(t).as("t_tx"), lit(v).as("v_probe")) }: _*)).as("p"))
+      .select(col("p.t_tx").as("t_tx"), col("p.v_probe").as("v_probe"))
+    val h = scd2History(s, dir)
+      .select(col("id"), col("version"), col("price"),
+        col("valid_from_seq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t_tx"), col("v_probe"), col("id"))
+      .orderBy(col("valid_from_seq"), col("version"))
+    h.crossJoin(broadcast(probes))
+      .filter(col("version") <= col("t_tx"))
+      .withColumn("next_from", lead(col("valid_from_seq"), 1).over(w))
+      .filter(col("valid_from_seq") <= col("v_probe") &&
+        (col("next_from").isNull || col("v_probe") < col("next_from")))
+      .groupBy(col("t_tx"), col("v_probe"))
+      .agg(count(lit(1)).as("covered_ids"),
+        sum(col("price").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("amount_sum"))
+  }
+
   /** Data-quality audit — the health gate every warehouse layer runs
     * before publishing: row count, null ratios, key-uniqueness and
     * referential-orphan counts, in two scans + one anti-join (each
@@ -526,6 +562,7 @@ object EnvelopeOps extends QueryModule {
     "k6_scd2_history" -> scd2History,
     "k9_scd2_integrity" -> scd2Integrity,
     "k10_scd2_repair" -> scd2RepairReport,
+    "k11_bitemporal_snapshot" -> bitemporalSnapshot,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -640,6 +677,41 @@ object EnvelopeOps extends QueryModule {
         |        AND sum(CASE WHEN open_ct <> 1 THEN 1 ELSE 0 END) = 0
         |        AND sum(broken_links) = 0) AS scd2_ok
         |FROM per""".stripMargin,
+    "k11_bitemporal_snapshot" -> {
+      val probeRows = bitemporalProbes
+        .map { case (t, v) => s"($t, $v)" }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         |         row_number() OVER w AS version
+         |  FROM lineitem
+         |  WINDOW w AS (PARTITION BY l_orderkey
+         |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+         |                        l_partkey, l_suppkey, l_quantity)),
+         |h AS (
+         |  SELECT l_orderkey AS id, version,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+         |           AS price,
+         |         l_linenumber AS valid_from_seq
+         |  FROM v),
+         |probes AS (SELECT * FROM (VALUES $probeRows)
+         |           AS t(t_tx, v_probe)),
+         |j AS (
+         |  SELECT h.*, p.t_tx, p.v_probe
+         |  FROM h CROSS JOIN probes p WHERE version <= t_tx),
+         |c AS (
+         |  SELECT *, lead(valid_from_seq) OVER
+         |           (PARTITION BY t_tx, v_probe, id
+         |            ORDER BY valid_from_seq, version) AS next_from
+         |  FROM j)
+         |SELECT t_tx, v_probe,
+         |       CAST(count(*) AS BIGINT) AS covered_ids,
+         |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS amount_sum
+         |FROM c
+         |WHERE valid_from_seq <= v_probe
+         |  AND (next_from IS NULL OR v_probe < next_from)
+         |GROUP BY 1, 2""".stripMargin
+    },
     "k10_scd2_repair" ->
       s"""WITH v AS (
          |  SELECT l_orderkey, l_linenumber, l_returnflag,

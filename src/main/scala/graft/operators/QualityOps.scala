@@ -152,6 +152,54 @@ object QualityOps extends QueryModule {
         lit(b).as("laplace_scale"))
   }
 
+  /** p22 (beyond-reference): generalization ladder — the FIX for the
+    * risky classes p19/p20 flag (the k9→k10 audit→repair pattern
+    * applied to privacy): coarsen the value-bucket quasi-identifier
+    * through widths 10 → 50 → 250 and report, per rung, how many
+    * classes and records remain re-identifiable; the release picks the
+    * first rung whose k_anonymous flag is true (suppression only if
+    * none is). Scale shape: ONE dedup shuffle builds the compact
+    * (type, week, finest-bucket, user) frame with additive record
+    * counts; each rung re-aggregates THAT frame (distinct users must be
+    * recounted per coarser class — a user spanning two fine buckets
+    * collapses into one — but record counts roll up additively), so
+    * events are scanned once regardless of ladder depth. */
+  val genWidths = Seq(10L, 50L, 250L)
+
+  private def generalizationLadder(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.Fns
+    val weekUs = 7L * 86400L * 1000000L
+    val base = Tables(s, dir, "events")
+      .select(col("event_type"),
+        Fns.divFloor(Fns.nsToUs(col("ts")), weekUs).as("wk"),
+        floor(col("value") / lit(10.0)).cast(LongType).as("vb10"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("wk"), col("vb10"), col("user_id"))
+      .agg(count(lit(1)).as("rec_ct"))
+    genWidths.map { width =>
+      // floor division composes (width is a multiple of 10), so
+      // floor(value/width) == floor(vb10*10/width) — floor(), not a
+      // truncating cast, so negative values stay on the floor grid
+      val vbw = floor(col("vb10").cast(DoubleType) * 10.0 / width)
+        .cast(LongType)
+      base
+        .groupBy(col("event_type"), col("wk"), vbw.as("vbw"))
+        .agg(countDistinct(col("user_id")).as("class_users"),
+          sum(col("rec_ct")).as("rec_ct"))
+        .agg(count(lit(1)).as("class_ct"),
+          min(col("class_users")).as("min_class_users"),
+          sum(when(col("class_users") < kAnon, 1L).otherwise(0L))
+            .as("risky_class_ct"),
+          sum(when(col("class_users") < kAnon, col("rec_ct"))
+            .otherwise(0L)).as("risky_rec_ct"))
+        .select(lit(width).as("bucket_width"), col("class_ct"),
+          col("min_class_users"), col("risky_class_ct"),
+          col("risky_rec_ct"),
+          (col("min_class_users") >= kAnon).as("k_anonymous"))
+    }.reduce(_ unionByName _)
+  }
+
   /** p15: the PII scrub pass summarized per language — match counts per
     * category and the net characters removed by redaction. */
   private def piiRedact(s: SparkSession, dir: String): DataFrame = {
@@ -349,6 +397,7 @@ object QualityOps extends QueryModule {
     "p19_k_anonymity" -> kAnonymity,
     "p20_l_diversity" -> lDiversity,
     "p21_dp_counts" -> dpCounts,
+    "p22_generalization_ladder" -> generalizationLadder,
     "c8_quality_funnel" -> qualityFunnel,
     "c9_sequence_packing" -> sequencePacking,
     "t10_repetition_signals" -> repetitionSignals)
@@ -436,6 +485,33 @@ object QualityOps extends QueryModule {
         |            AS BIGINT) AS risky_rec_ct,
         |       min(class_users) >= $kAnon AS k_anonymous
         |FROM cls GROUP BY 1""".stripMargin,
+    "p22_generalization_ladder" -> {
+      val rung = genWidths.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS bucket_width,
+           |       CAST(count(*) AS BIGINT) AS class_ct,
+           |       CAST(min(class_users) AS BIGINT) AS min_class_users,
+           |       CAST(sum(CASE WHEN class_users < $kAnon THEN 1 ELSE 0
+           |                END) AS BIGINT) AS risky_class_ct,
+           |       CAST(sum(CASE WHEN class_users < $kAnon THEN rec_ct
+           |                ELSE 0 END) AS BIGINT) AS risky_rec_ct,
+           |       min(class_users) >= $kAnon AS k_anonymous
+           |FROM (
+           |  SELECT event_type, wk,
+           |         CAST(floor(CAST(vb10 AS DOUBLE) * 10 / $w) AS BIGINT)
+           |           AS vbw,
+           |         CAST(count(DISTINCT user_id) AS BIGINT)
+           |           AS class_users,
+           |         CAST(sum(rec_ct) AS BIGINT) AS rec_ct
+           |  FROM base GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT event_type,
+         |         epoch_us(ts) // 604800000000 AS wk,
+         |         CAST(floor(value / 10.0) AS BIGINT) AS vb10,
+         |         user_id, CAST(count(*) AS BIGINT) AS rec_ct
+         |  FROM events GROUP BY 1, 2, 3, 4)
+         |$rung""".stripMargin
+    },
     "p20_l_diversity" ->
       s"""WITH cls AS (
         |  SELECT epoch_us(ts) // 604800000000 AS wk,
