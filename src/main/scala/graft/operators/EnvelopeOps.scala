@@ -356,12 +356,15 @@ object EnvelopeOps extends QueryModule {
     * mid-chain row that claimed currency is retired; a re-opened last
     * row keeps its original flag (a tombstoned entity stays tombstoned,
     * k9's open-row rule is about valid_to, not currency). */
-  private[graft] def scd2Repair(h: DataFrame): DataFrame =
-    scd2RepairFull(h)
+  private def commitRepair(full: DataFrame): DataFrame =
+    full
       .withColumn("version", col("new_version"))
       .withColumn("is_current", col("new_to").isNull && col("is_current"))
       .withColumn("valid_to_seq", col("new_to"))
       .drop("new_version", "new_to")
+
+  private[graft] def scd2Repair(h: DataFrame): DataFrame =
+    commitRepair(scd2RepairFull(h))
 
   /** Deterministically damaged copy of k6's history — the fixture for
     * k10: ~1/5 of version rows dropped (gaps, lost opens), ~1/7 of the
@@ -402,7 +405,10 @@ object EnvelopeOps extends QueryModule {
       sum(when(col("valid_to_seq").isNotNull && col("new_to").isNotNull &&
         col("valid_to_seq") =!= col("new_to"), 1L)
         .otherwise(0L)).as("relinked_ct"))
-    val audit = scd2Audit(scd2Repair(dmg))
+    // audit the COMMIT of the same `full` frame — rebuilding the repair
+    // window from scratch would run the damage projection + id-keyed
+    // window (k10's expensive stage) twice per execution
+    val audit = scd2Audit(commitRepair(full))
       .select(col("gap_dim_ct"), col("bad_open_dim_ct"),
         col("broken_link_ct"), col("scd2_ok"))
     ledger.crossJoin(audit)

@@ -110,7 +110,7 @@ object QualityOps extends QueryModule {
     Tables(s, dir, "events")
       .select(Fns.divFloor(Fns.nsToUs(col("ts")), weekUs).as("wk"),
         floor(col("value") / lit(10.0)).cast(LongType).as("vb"),
-        col("event_type"), col("user_id"))
+        col("event_type"))
       .groupBy(col("wk"), col("vb"))
       .agg(countDistinct(col("event_type")).as("l_values"),
         count(lit(1)).as("rec_ct"))

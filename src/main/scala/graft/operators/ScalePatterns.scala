@@ -104,9 +104,17 @@ object ScalePatterns extends QueryModule {
       val plainTypes = df
         .select(aggs.map(a => plainExpr(a._2, a._3).as(a._1)): _*)
         .schema.map(f => f.name -> f.dataType).toMap
+      // DETERMINISTIC salt (hash of the full row), never
+      // monotonically_increasing_id: a nondeterministic salt re-deals
+      // rows to different (key, salt) groups when a lost map task is
+      // recomputed after some reducers already fetched its output —
+      // silently double-counting/dropping rows, the classic
+      // nondeterministic-expression-under-retry failure. Identical rows
+      // sharing a salt costs a little spread, not correctness (the
+      // partials merge exactly under any assignment).
       val phase1 = df
         .withColumn("__salt",
-          pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+          pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
         .groupBy((keys :+ "__salt").map(col): _*)
         .agg(plainExpr(aggs.head._2, aggs.head._3).as(s"__p_${aggs.head._1}"),
           aggs.tail.map(a => plainExpr(a._2, a._3).as(s"__p_${a._1}")): _*)

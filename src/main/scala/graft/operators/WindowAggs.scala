@@ -443,7 +443,10 @@ object WindowAggs extends QueryModule {
         sum(col("__g")).over(Window.partitionBy(lit(1))))
       .select(col(sortCol).as("__osv"), col("__off"), col("__n"))
     val inW = Window.partitionBy(col(sortCol)).orderBy(col(tiebreak))
-    df.join(broadcast(offs), col(sortCol) === col("__osv"))
+    // null-SAFE join: ntile ranks NULL sortCol rows too (desc puts
+    // them last); a plain equi-join would silently drop them while
+    // __n still counted them, shifting every tile boundary
+    df.join(broadcast(offs), col(sortCol) <=> col("__osv"))
       .withColumn("__rank", col("__off") + row_number().over(inW))
       .withColumn("decile",
         when(col("__rank") <=

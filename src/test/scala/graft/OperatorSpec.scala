@@ -487,9 +487,14 @@ class OperatorSpec extends SparkSuite {
     // heavy ties (one dominant value), and n < 10 (per-row tiles, the
     // divide-by-zero-guard branch)
     val shapes = Seq(
-      (1 to 997).map(i => (s"u$i", (i % 37).toLong)),   // ties + rem 7
-      (1 to 1000).map(i => (s"u$i", if (i < 900) 1L else i.toLong)), // skew
-      (1 to 7).map(i => (s"u$i", i.toLong)))            // n < 10
+      (1 to 997).map(i => (s"u$i", Option((i % 37).toLong))), // ties+rem 7
+      (1 to 1000).map(i =>
+        (s"u$i", Option(if (i < 900) 1L else i.toLong))),     // skew
+      (1 to 7).map(i => (s"u$i", Option(i.toLong))),          // n < 10
+      // NULL sort values: ntile still tiles them (desc puts them last);
+      // the null-safe join must keep them
+      (1 to 40).map(i =>
+        (s"u$i", if (i % 5 == 0) Option.empty[Long] else Some(i.toLong))))
     shapes.foreach { rows =>
       val df = rows.toDF("user_id", "ev_ct")
       val want = df.withColumn("decile", ntile(10).over(

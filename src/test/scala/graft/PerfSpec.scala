@@ -49,7 +49,7 @@ class PerfSpec extends SparkSuite {
     // accidental distinct, a window without a co-partitioned parent —
     // fails here instead of shipping as a terabyte re-sort at 100 TB.
     val budget = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/root/repo/PLAN_BUDGET.tsv"),
+        java.nio.file.Paths.get("PLAN_BUDGET.tsv"),
         java.nio.charset.StandardCharsets.UTF_8)
       .asScala.filterNot(l => l.startsWith("#") || l.isBlank)
       .map { l => val a = l.split("\t"); a(0) -> ((a(1).toInt, a(2).toInt)) }
@@ -76,7 +76,7 @@ class PerfSpec extends SparkSuite {
     // round-6 driver run surfaced: a first-toucher silently paying a
     // family rebuild because a memo/prestage row was lost.
     val budget = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/root/repo/TIME_BUDGET.tsv"),
+        java.nio.file.Paths.get("TIME_BUDGET.tsv"),
         java.nio.charset.StandardCharsets.UTF_8)
       .asScala.filterNot(l => l.startsWith("#") || l.isBlank)
       .map { l => val a = l.split("\t"); a(0) -> a(1).toDouble }
