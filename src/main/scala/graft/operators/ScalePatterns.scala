@@ -76,6 +76,9 @@ object ScalePatterns extends QueryModule {
       skewThreshold: Double = 4.0): DataFrame = {
     require(keys.nonEmpty, "saltedAgg needs at least one group key")
     require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    require(aggs.map(_._1).distinct.size == aggs.size,
+      "saltedAgg output names must be distinct: " +
+        aggs.map(_._1).diff(aggs.map(_._1).distinct).mkString(","))
     val supported = Set("sum", "count", "min", "max")
     require(aggs.forall(a => supported(a._2)),
       s"saltedAgg supports ${supported.mkString("/")} (exactly " +
@@ -104,24 +107,51 @@ object ScalePatterns extends QueryModule {
       val plainTypes = df
         .select(aggs.map(a => plainExpr(a._2, a._3).as(a._1)): _*)
         .schema.map(f => f.name -> f.dataType).toMap
-      // DETERMINISTIC salt (hash of the full row), never
+      // DETERMINISTIC salt (hash of the hashable columns), never
       // monotonically_increasing_id: a nondeterministic salt re-deals
       // rows to different (key, salt) groups when a lost map task is
       // recomputed after some reducers already fetched its output —
       // silently double-counting/dropping rows, the classic
       // nondeterministic-expression-under-retry failure. Identical rows
       // sharing a salt costs a little spread, not correctness (the
-      // partials merge exactly under any assignment).
+      // partials merge exactly under any assignment). MapType columns
+      // (anywhere in a nested type) are excluded from the hash input —
+      // hash() throws on maps; the group keys are always groupable types
+      // so at least they remain.
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hashable(a.elementType)
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.forall(f => hashable(f.dataType))
+          case _ => true
+        }
+      val hashCols = df.schema.fields
+        .filter(f => hashable(f.dataType)).map(f => col(f.name))
+      // internal column names checked against the input frame AND the
+      // requested output names — the public Graft.saltedAgg API accepts
+      // arbitrary frames, where a user's own __salt/__p_* column would
+      // otherwise be silently shadowed
+      val reserved = (df.columns ++ aggs.map(_._1)).toSet
+      def freshName(base: String): String = Iterator.from(0)
+        .map(i => if (i == 0) base else s"$base$i")
+        .find(n => !reserved.contains(n)).get
+      val saltName = freshName("__salt")
+      val pPrefix = Iterator.from(0)
+        .map(i => if (i == 0) "__p_" else s"__p${i}_")
+        .find(p => aggs.forall(a => !reserved.contains(p + a._1))).get
       val phase1 = df
-        .withColumn("__salt",
-          pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
-        .groupBy((keys :+ "__salt").map(col): _*)
-        .agg(plainExpr(aggs.head._2, aggs.head._3).as(s"__p_${aggs.head._1}"),
-          aggs.tail.map(a => plainExpr(a._2, a._3).as(s"__p_${a._1}")): _*)
+        .withColumn(saltName, pmod(hash(hashCols: _*), lit(saltBuckets)))
+        .groupBy((keys :+ saltName).map(col): _*)
+        .agg(plainExpr(aggs.head._2, aggs.head._3)
+            .as(s"$pPrefix${aggs.head._1}"),
+          aggs.tail.map(a => plainExpr(a._2, a._3)
+            .as(s"$pPrefix${a._1}")): _*)
       def mergeExpr(a: (String, String, Column)): Column = (a._2 match {
-        case "sum" | "count" => sum(col(s"__p_${a._1}"))
-        case "min" => min(col(s"__p_${a._1}"))
-        case "max" => max(col(s"__p_${a._1}"))
+        case "sum" | "count" => sum(col(s"$pPrefix${a._1}"))
+        case "min" => min(col(s"$pPrefix${a._1}"))
+        case "max" => max(col(s"$pPrefix${a._1}"))
       }).cast(plainTypes(a._1)).as(a._1)
       phase1.groupBy(keys.map(col): _*)
         .agg(mergeExpr(aggs.head), aggs.tail.map(mergeExpr): _*)

@@ -91,11 +91,16 @@ object SqlApps extends QueryModule {
   private def dwdOrderDetailBucketed(s: SparkSession, dir: String)
       : DataFrame = {
     val (lt, ot) = ScalePatterns.bucketTables(s, dir)
-    registerViews(s, dir, Seq("customer"))
-    s.table(lt).createOrReplaceTempView("lineitem_bkt")
-    s.table(ot).createOrReplaceTempView("orders_bkt")
-    s.sql("""
-      SELECT /*+ MERGE(lineitem_bkt, orders_bkt), BROADCAST(customer) */
+    // The SQL references the dir-tagged CATALOG tables directly (lt/ot
+    // carry an md5(dir) suffix) — a fixed-name session temp view here
+    // would let an interleaved invocation for a DIFFERENT dir silently
+    // rebind a running query to the wrong dataset. The customer dim view
+    // gets the same dir tag for the same reason.
+    val tag = lt.substring(lt.lastIndexOf('_') + 1)
+    val cv = s"customer_$tag"
+    Tables(s, dir, "customer").createOrReplaceTempView(cv)
+    s.sql(s"""
+      SELECT /*+ MERGE($lt, $ot), BROADCAST($cv) */
              CAST(l_orderkey AS STRING) || '-' || CAST(l_linenumber AS STRING)
                AS id,
              CAST(l_orderkey AS STRING) AS order_id,
@@ -114,9 +119,9 @@ object SqlApps extends QueryModule {
                   * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
                AS split_total_amount,
              unix_timestamp(o_orderdate) AS ts
-      FROM lineitem_bkt
-      JOIN orders_bkt ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
+      FROM $lt
+      JOIN $ot ON l_orderkey = o_orderkey
+      JOIN $cv ON o_custkey = c_custkey
       """)
   }
 

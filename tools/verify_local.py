@@ -12,6 +12,7 @@ Usage: python3 tools/verify_local.py <sfDir> <outDir> [--skip-spark]
 """
 import json
 import math
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -109,15 +110,31 @@ def main():
     # errors (the round-7 sweep failure mode). Connection setup is
     # microseconds next to any oracle; the cap keeps DuckDB from
     # fighting a concurrently-running Spark JVM for the whole box.
+    # Memory cap derived from the box, not hard-coded: 56GB is the
+    # sweet spot on the 128GB dev machine (a 24GB cap pushed c12's
+    # recursive intermediate into a cwd spill that transiently filled
+    # the disk), but raising the cap ABOVE what the host actually has
+    # lets DuckDB overcommit and get OOM-killed instead of spilling —
+    # so clamp to 70% of MemAvailable, with env overrides for both
+    # knobs (GRAFT_DUCK_MEM like '24GB', GRAFT_DUCK_THREADS).
+    def _avail_gb():
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        return int(line.split()[1]) // (1024 * 1024)
+        except OSError:
+            pass
+        return 56  # no /proc (non-Linux): keep the recorded default
+    duck_mem = os.environ.get(
+        "GRAFT_DUCK_MEM", f"{max(4, min(56, int(_avail_gb() * 0.7)))}GB")
+    duck_threads = int(os.environ.get("GRAFT_DUCK_THREADS", "16"))
+
     def fresh_con():
         c = duckdb.connect()
-        # 56GB: big enough that the heavy cluster-family oracles run
-        # in-memory at sf0.1 — a 24GB cap pushed c12's recursive
-        # intermediate into a cwd spill that transiently filled the
-        # disk; small enough to coexist with a Spark JVM on the box
-        c.sql("SET memory_limit='56GB'")
+        c.sql(f"SET memory_limit='{duck_mem}'")
         c.sql("SET temp_directory='/tmp/graft_duck_spill'")
-        c.sql("SET threads TO 16")
+        c.sql(f"SET threads TO {duck_threads}")
         for t in TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"'{sf_dir}/{t}.parquet'")
