@@ -287,6 +287,20 @@ object Graft {
   def histogram(c: Column): Column =
     udaf(new graft.functions.HistogramSketch).apply(c)
 
+  /** Apply an x12-style partition plan to an arbitrary frame: size the
+    * partition count from the frame's own estimated payload bytes
+    * (`ceil(sum(estBytes) / targetBytes)` — the exact arithmetic the
+    * x12 planner recommends) and write one file per partition under
+    * `outDir`. `mode = "bucket"` hash-partitions on `key` (co-located
+    * join layout); `mode = "range"` range-partitions on `key` (files
+    * carry non-overlapping key extents, so footer stats prune range
+    * scans — the x8 skipping win, applied). Returns the partition
+    * count written. */
+  def applyLayout(df: DataFrame, key: Column, estBytes: Column,
+      targetBytes: Long, outDir: String, mode: String = "bucket"): Int =
+    graft.operators.ScalePatterns.applyLayoutFor(df, key, estBytes,
+      targetBytes, outDir, mode)
+
   /** ANALYZE-style per-column statistics catalog for any frame: one
     * row per listed column with (row_ct, null_ct, exact ndv, min, max)
     * from a single scan. Pass names, or (name, pre-cast Column) pairs
@@ -321,6 +335,22 @@ object Graft {
     * generated text bends the curve (the t27 demo query). */
   def zipfFit(docs: DataFrame): DataFrame =
     graft.operators.TextOps.zipfFit(docs)
+
+  /** Differentially-private released counts over an arbitrary frame:
+    * per distinct `key` value, the true count plus Laplace(1/ε) noise
+    * (sensitivity-1 counting release). `replayable = true` draws the
+    * uniform from an md5 seed of the key — reproducible, oracle-
+    * replayable, the AUDIT mode (this is what the in-repo p21 query
+    * verifies); `replayable = false` is the PRODUCTION draw from
+    * Spark's seeded RNG, whose Laplace shape (E|noise| = 1/ε) is
+    * spec-proven statistically. Ship releases with
+    * `replayable = false`: a key-seeded draw is deterministic given
+    * the key and provides no privacy. */
+  def dpReleasedCounts(df: DataFrame, key: Column,
+      epsilon: Double = graft.operators.QualityOps.dpEpsilon,
+      replayable: Boolean = false, seed: Long = 2024L): DataFrame =
+    graft.operators.QualityOps.dpCountsFor(df, key, epsilon, replayable,
+      seed)
 
   /** k-anonymity release audit over an arbitrary frame: one row per
     * distinct quasi-identifier tuple with `class_users` (distinct

@@ -660,15 +660,31 @@ object CurationOps extends QueryModule {
       train, eval, threshold, pruneToks = false)
 
   /** (train_id, eval_id) LSH candidates from two band tables — a
-    * (band_no, band_sig) bucket equi-join, never train×eval. */
+    * (band_no, band_sig) bucket equi-join, never train×eval, under the
+    * [[DedupOps.bucketCliqueCap]] budget on the TRAIN side: each eval
+    * doc meets at most cap train partners per bucket (ranked by
+    * train_id), so a template mega-cluster in the training corpus no
+    * longer multiplies every colliding eval doc by its full membership
+    * (89× shuffle growth across a 10× input step in the round-8
+    * SCALE_LEDGER run). Detection is doc-level-preserved: an eval doc
+    * colliding with a hot bucket still meets the bucket's first cap
+    * members — near-identical by construction of the hot bucket — and
+    * flags on any of them; only the quadratic (train, eval) pair
+    * ENUMERATION is bounded. */
   private def bandCandidates(trainBands: DataFrame,
-      evalBands: DataFrame): DataFrame =
+      evalBands: DataFrame): DataFrame = {
+    val wTr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_no"), col("band_sig"))
+      .orderBy(col("train_id"))
     trainBands
       .select(col("doc_id").as("train_id"), col("band_no"), col("band_sig"))
+      .withColumn("rk", row_number().over(wTr))
+      .filter(col("rk") <= DedupOps.bucketCliqueCap)
       .join(evalBands
         .select(col("doc_id").as("eval_id"), col("band_no"), col("band_sig")),
         Seq("band_no", "band_sig"))
       .select(col("train_id"), col("eval_id")).distinct()
+  }
 
   /** The SHARED c15/c17 candidate list: the standing [[DedupOps
     * .docBands]] table split by the eval predicate (signatures are
@@ -1433,12 +1449,15 @@ object CurationOps extends QueryModule {
         |FROM cl GROUP BY 1""".stripMargin,
     "c17_fuzzy_contamination" ->
       s"""WITH ${DedupOps.candidateCte},
-         |tr AS (SELECT doc_id AS train_id, band_no, band_sig FROM stacked
-         |       WHERE doc_id % 37 <> 0),
+         |tr AS (SELECT doc_id AS train_id, band_no, band_sig,
+         |       row_number() OVER (PARTITION BY band_no, band_sig
+         |         ORDER BY doc_id) AS rk
+         |       FROM stacked WHERE doc_id % 37 <> 0),
          |ev AS (SELECT doc_id AS eval_id, band_no, band_sig FROM stacked
          |       WHERE doc_id % 37 = 0),
          |fcand AS (SELECT DISTINCT train_id, eval_id
-         |          FROM tr JOIN ev USING (band_no, band_sig)),
+         |          FROM tr JOIN ev USING (band_no, band_sig)
+         |          WHERE rk <= ${DedupOps.bucketCliqueCap}),
          |fsizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
          |finter AS (
          |  SELECT train_id, eval_id, count(*) AS inter_ct
@@ -1472,12 +1491,15 @@ object CurationOps extends QueryModule {
          |  GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3),
          |ect AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS e_ct
          |        FROM expairs GROUP BY 1),
-         |ftr AS (SELECT doc_id AS train_id, band_no, band_sig FROM stacked
-         |        WHERE doc_id % 37 <> 0),
+         |ftr AS (SELECT doc_id AS train_id, band_no, band_sig,
+         |        row_number() OVER (PARTITION BY band_no, band_sig
+         |          ORDER BY doc_id) AS rk
+         |        FROM stacked WHERE doc_id % 37 <> 0),
          |fev AS (SELECT doc_id AS eval_id, band_no, band_sig FROM stacked
          |        WHERE doc_id % 37 = 0),
          |fcand AS (SELECT DISTINCT train_id, eval_id
-         |          FROM ftr JOIN fev USING (band_no, band_sig)),
+         |          FROM ftr JOIN fev USING (band_no, band_sig)
+         |          WHERE rk <= ${DedupOps.bucketCliqueCap}),
          |fsz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
          |fint AS (
          |  SELECT train_id, eval_id, count(*) AS inter_ct

@@ -37,6 +37,29 @@ object DedupOps extends QueryModule {
   val numBands: Int = numHashes / bandSize
   val jaccardThreshold = 0.8
 
+  /** Per-bucket candidate budget — the mega-cluster guard. A band
+    * bucket with k ≤ cap members emits its full pair clique (exact LSH
+    * semantics, identical to the uncapped join); a hotter bucket emits
+    * the clique of its first cap members (by doc_id) plus ONE star
+    * edge from each remaining member to the bucket pivot (the min
+    * doc_id), so a bucket contributes O(cap² + k) candidates instead
+    * of O(k²) while every member stays connected for the clustering /
+    * dedup-decision path (the pivot edge verifies whenever the bucket
+    * is a true duplicate cluster — and hot buckets ARE the
+    * template/boilerplate clusters: the round-8 SCALE_LEDGER run
+    * measured the uncapped join's shuffle growing 79× across a 10×
+    * input step, driven by a ~2600-doc near-identical cluster at
+    * sf0.1; capped, candidate growth is ~linear). Cross-side joins
+    * (crawl-vs-store, train-vs-eval decontamination) apply the same
+    * budget by ranking the STORE/TRAIN side per bucket and keeping the
+    * first cap partners — per-doc detection is preserved (every probe
+    * doc still meets the bucket), only the quadratic pair enumeration
+    * is bounded. This is the standard production mitigation for LSH
+    * over corpora with mega-clusters (empty pages, boilerplate): no
+    * pipeline materializes an O(k²) clique of a million-document
+    * duplicate cluster. */
+  val bucketCliqueCap = 20
+
   /** The candidate-pair table is the shared upstream of d2/d3/d5 — a real
     * dedup pipeline materializes it once (at 100 TB: a checkpointed
     * intermediate table), so the module memoizes + persists it per
@@ -155,18 +178,33 @@ object DedupOps extends QueryModule {
   private[graft] def candidatePairsFor(docs: DataFrame): DataFrame =
     bandPairs(stackedBands(docs))
 
-  /** Band-bucket self-join over an already-stacked band table. */
+  /** Band-bucket self-join over an already-stacked band table, under
+    * the [[bucketCliqueCap]] budget: one rank/pivot window on the
+    * bucket key (co-partitioned with the join — the same Exchange
+    * serves both), the clique join restricted to ranks ≤ cap, and the
+    * over-cap tail star-joined to the bucket pivot map-side. */
   private def bandPairs(stacked: DataFrame): DataFrame = {
-    val l = stacked.as("l")
-    val r = stacked.as("r")
-    l.join(r,
+    import org.apache.spark.sql.expressions.Window
+    val bucket = Seq(col("source"), col("band_no"), col("band_sig"))
+    val ranked = stacked
+      .withColumn("rk", row_number().over(Window.partitionBy(bucket: _*)
+        .orderBy(col("doc_id"))))
+      .withColumn("pivot",
+        min(col("doc_id")).over(Window.partitionBy(bucket: _*)))
+    val core = ranked.filter(col("rk") <= bucketCliqueCap)
+    val clique = core.as("l").join(core.as("r"),
         col("l.source") === col("r.source") &&
         col("l.band_no") === col("r.band_no") &&
         col("l.band_sig") === col("r.band_sig") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
         col("l.source").as("source"))
-      .distinct()
+    // pivot = min(doc_id) and rk > cap > 1 ⇒ pivot < doc_id, so star
+    // edges are already in canonical (a_id < b_id) order
+    val stars = ranked.filter(col("rk") > bucketCliqueCap)
+      .select(col("pivot").as("a_id"), col("doc_id").as("b_id"),
+        col("source"))
+    clique.unionByName(stars).distinct()
   }
 
   /** The stacked band table over the testdata documents — the STANDING
@@ -445,8 +483,22 @@ object DedupOps extends QueryModule {
       val bands = docBands(s, dir).crossJoin(broadcast(newSrc))
       val newB = bands.filter(col("source") === col("new_src"))
         .select(col("doc_id").as("a_id"), col("band_no"), col("band_sig"))
+      // the STORE side carries the same per-bucket budget as the batch
+      // clique join ([[bucketCliqueCap]]): each new doc meets at most
+      // cap store partners per band — "is this already in the corpus,
+      // and what does it best match among the bucket's first members"
+      // stays answerable, while a mega-cluster store bucket (2.6k docs
+      // at sf0.1) no longer multiplies every colliding new doc by its
+      // full membership (the 384× shuffle growth the round-8
+      // SCALE_LEDGER measured on this query)
+      val wOld = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_no"), col("band_sig"))
+        .orderBy(col("b_id"))
       val oldB = bands.filter(col("source") =!= col("new_src"))
         .select(col("doc_id").as("b_id"), col("band_no"), col("band_sig"))
+        .withColumn("rk", row_number().over(wOld))
+        .filter(col("rk") <= bucketCliqueCap)
+        .drop("rk")
       val df = newB.join(oldB, Seq("band_no", "band_sig"))
         .select(col("a_id"), col("b_id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -637,11 +689,23 @@ object DedupOps extends QueryModule {
        |  FROM mhs),
        |stacked AS (
        |        $bandUnion),
+       |rb AS MATERIALIZED (
+       |  SELECT doc_id, source, band_no, band_sig,
+       |         row_number() OVER (PARTITION BY source, band_no, band_sig
+       |           ORDER BY doc_id) AS rk,
+       |         min(doc_id) OVER (PARTITION BY source, band_no, band_sig)
+       |           AS pvt
+       |  FROM stacked),
        |cand AS MATERIALIZED (
-       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, l.source AS source
-       |  FROM stacked l JOIN stacked r
-       |    ON l.source = r.source AND l.band_no = r.band_no
-       |   AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id)""".stripMargin
+       |  SELECT DISTINCT a_id, b_id, source FROM (
+       |    SELECT l.doc_id AS a_id, r.doc_id AS b_id, l.source AS source
+       |    FROM rb l JOIN rb r
+       |      ON l.source = r.source AND l.band_no = r.band_no
+       |     AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+       |    WHERE l.rk <= $bucketCliqueCap AND r.rk <= $bucketCliqueCap
+       |    UNION ALL
+       |    SELECT pvt AS a_id, doc_id AS b_id, source
+       |    FROM rb WHERE rk > $bucketCliqueCap) u)""".stripMargin
   }
 
   /** candidateCte extended with the exact-unigram-Jaccard verify: `ndp`
@@ -702,13 +766,18 @@ object DedupOps extends QueryModule {
     "d8_crawl_dedup" ->
       s"""WITH $candidateCte,
          |ns AS (SELECT max(source) AS new_src FROM documents),
+         |ro AS (
+         |  SELECT doc_id AS b_id, band_no, band_sig,
+         |         row_number() OVER (PARTITION BY band_no, band_sig
+         |           ORDER BY doc_id) AS rk
+         |  FROM stacked CROSS JOIN ns WHERE source <> ns.new_src),
          |cand8 AS (
-         |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+         |  SELECT DISTINCT l.doc_id AS a_id, ro.b_id
          |  FROM stacked l
-         |  JOIN stacked r ON l.band_no = r.band_no
-         |                AND l.band_sig = r.band_sig
          |  CROSS JOIN ns
-         |  WHERE l.source = ns.new_src AND r.source <> ns.new_src),
+         |  JOIN ro ON l.band_no = ro.band_no
+         |         AND l.band_sig = ro.band_sig
+         |  WHERE l.source = ns.new_src AND ro.rk <= $bucketCliqueCap),
          |sz8 AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
          |in8 AS (
          |  SELECT a_id, b_id, count(*) AS inter_ct

@@ -576,6 +576,7 @@ object EnvelopeOps extends QueryModule {
     "k9_scd2_integrity" -> scd2Integrity,
     "k10_scd2_repair" -> scd2RepairReport,
     "k11_bitemporal_snapshot" -> bitemporalSnapshot,
+    "k12_dim_scd2_history" -> dimScd2History,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -585,7 +586,48 @@ object EnvelopeOps extends QueryModule {
     "k7_asof_snapshot" -> asOfSnapshot,
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
 
+  /** k12 (round-8): the DIM pipeline's SCD2 output end to end — the
+    * full Maxwell-envelope parse → validity ETL → broadcast config
+    * probe → sinkColumns prune → type-2 history construction
+    * ([[graft.streaming.DimApp.batchScd2History]], the batch twin of
+    * the streaming [[graft.streaming.Scd2ParquetMergeSink]] that
+    * DimAppSpec proves equal). The oracle replays the op log
+    * RELATIONALLY from the customer base table (the envelope synthesis
+    * is deterministic), so a defect anywhere in the JSON round-trip,
+    * the config probe, or the chain construction shows as a value
+    * mismatch. One id-keyed Exchange (window); the config probe is a
+    * broadcast. */
+  private def dimScd2History(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DimApp.batchScd2History(s, dir, "dim_customer_info")
+      .select(col("id"), col("version"), col("op"),
+        col("data")("name").as("name"),
+        col("valid_from_seq"), col("valid_to_seq"), col("is_current"))
+
   val oracles = Map(
+    "k12_dim_scd2_history" ->
+      """WITH ops AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS id, 'upsert' AS op,
+        |         CAST(1000 AS BIGINT) AS seq, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS VARCHAR), 'upsert',
+        |         CAST(2000 AS BIGINT), c_name || '_u'
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS VARCHAR), 'delete',
+        |         CAST(3000 AS BIGINT), NULL
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |v AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY id ORDER BY seq)
+        |           AS version,
+        |         lead(seq) OVER (PARTITION BY id ORDER BY seq)
+        |           AS valid_to_seq
+        |  FROM ops)
+        |SELECT id, version, op, name, seq AS valid_from_seq,
+        |       valid_to_seq,
+        |       (valid_to_seq IS NULL AND op <> 'delete') AS is_current
+        |FROM v""".stripMargin,
     // k8's oracle is deliberately a DIFFERENT algorithm: full recompute
     // over the last-op-wins snapshot (k5's rule), not a replay of the
     // delta stream — agreement proves the incremental maintenance

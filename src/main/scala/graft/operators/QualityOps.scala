@@ -135,22 +135,44 @@ object QualityOps extends QueryModule {
     * part. Map-side-combinable count, O(categories) output. */
   val dpEpsilon = 1.0
 
-  private def dpCounts(s: SparkSession, dir: String): DataFrame = {
+  /** Shared Laplace release core: per distinct key, the true count plus
+    * Laplace(1/ε) noise via the inverse-CDF transform over a uniform
+    * draw. Two draw sources behind one facade
+    * ([[graft.api.Graft.dpReleasedCounts]]):
+    *  - `replayable = true` — the md5-seeded uniform ([[Fns.hex4]] of
+    *    the key), reproducible and DuckDB-replayable: the AUDIT mode
+    *    (mechanism, scale, post-processing are the verified part);
+    *  - `replayable = false` — the PRODUCTION draw: Spark's `rand(seed)`
+    *    (XORShiftRandom seeded per partition), the calibrated RNG a real
+    *    release must use, spec-proven to have the Laplace(b) shape
+    *    (E|X| = b) rather than replay-compared. The uniform is clamped
+    *    away from the log(0) pole at u ∈ {0, 1}. */
+  private[graft] def dpCountsFor(df: org.apache.spark.sql.DataFrame,
+      key: Column, epsilon: Double, replayable: Boolean,
+      seed: Long = 2024L): org.apache.spark.sql.DataFrame = {
+    require(epsilon > 0, s"dp epsilon must be > 0 (got $epsilon)")
     import graft.functions.Fns
-    val b = 1.0 / dpEpsilon
-    val u = (Fns.hex4(concat(lit("dp#"), col("event_type")))
-      .cast(DoubleType) + lit(0.5)) / lit(65536.0)
+    val b = 1.0 / epsilon
+    val u =
+      if (replayable)
+        (Fns.hex4(concat(lit("dp#"), col("category")))
+          .cast(DoubleType) + lit(0.5)) / lit(65536.0)
+      else rand(seed)
     val centered = u - lit(0.5)
     val noise = lit(-b) * signum(centered) *
-      log(lit(1.0) - lit(2.0) * abs(centered))
-    Tables(s, dir, "events")
-      .groupBy(col("event_type"))
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(centered)))
+    df.groupBy(key.as("category"))
       .agg(count(lit(1)).as("true_ct"))
-      .select(col("event_type"), col("true_ct"),
+      .select(col("category"), col("true_ct"),
         round(noise, 6).as("noise"),
         round(col("true_ct") + noise, 6).as("released_ct"),
         lit(b).as("laplace_scale"))
   }
+
+  private def dpCounts(s: SparkSession, dir: String): DataFrame =
+    dpCountsFor(Tables(s, dir, "events"), col("event_type"), dpEpsilon,
+      replayable = true)
+      .withColumnRenamed("category", "event_type")
 
   /** p22 (beyond-reference): generalization ladder — the FIX for the
     * risky classes p19/p20 flag (the k9→k10 audit→repair pattern

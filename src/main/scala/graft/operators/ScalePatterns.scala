@@ -234,6 +234,84 @@ object ScalePatterns extends QueryModule {
       .withColumn("avg_partition_bytes",
         expr("est_bytes DIV n_partitions"))
 
+  /** Apply an x12-style partition plan to an arbitrary frame — the
+    * audit→repair step for LAYOUT (the pattern k9→k10 applies to SCD2
+    * chains): derive the partition count from the frame's own estimated
+    * payload (`ceil(sum(estBytes) / targetBytes)`, the exact x12
+    * arithmetic), then write one file per planned partition. Two modes:
+    *  - "bucket": hash-repartition on `key` — the co-located-join
+    *    layout (x11's shape, sized by the plan instead of a constant);
+    *  - "range":  range-repartition on `key` — the scan-prune layout:
+    *    files carry non-overlapping `key` extents, so parquet footer
+    *    stats skip whole files for range predicates (x8's win, applied).
+    * The size estimate is a planning-time aggregate (one map-side
+    * combinable pass, like x12 itself); at 100 TB this is the ingest
+    * job's write step, not a query-time cost. Returns the planned
+    * partition count. Exposed as [[graft.api.Graft.applyLayout]];
+    * ApiSpec proves file count == plan and the range mode's
+    * non-overlapping extents. */
+  private[graft] def applyLayoutFor(df: DataFrame, key: Column,
+      estBytes: Column, targetBytes: Long, outDir: String,
+      mode: String = "bucket"): Int = {
+    require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
+    require(mode == "bucket" || mode == "range",
+      s"layout mode must be bucket|range (got $mode)")
+    val totalRow = df.agg(sum(estBytes).cast(LongType).as("t")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val n = math.max(1L, math.ceil(total.toDouble / targetBytes).toLong)
+      .toInt
+    val laid =
+      if (mode == "bucket") df.repartition(n, key)
+      else df.repartitionByRange(n, key)
+    laid.write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Shared x13 stage: per-row layout assignment under x12's plan for
+    * the events table — the estimated row bytes (x12's model), the
+    * planned partition count from the SAME single-scan aggregate
+    * (broadcast back, no driver action), and the target bucket via the
+    * engine-stable md5 hash ([[Fns.hex4]]), so DuckDB replays the
+    * assignment bit-for-bit. */
+  private def layoutBucketRows(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(col("event_id"),
+      (coalesce(length(col("event_type")).cast(LongType), lit(0L)) +
+        coalesce(length(col("props")).cast(LongType), lit(0L)) +
+        lit(32L)).as("est_bytes"))
+    val plan = e.agg(greatest(
+      ceil(sum(col("est_bytes")).cast(DoubleType) / plannerTargetBytes)
+        .cast(LongType), lit(1L)).as("n_parts"))
+    e.crossJoin(broadcast(plan))
+      .withColumn("bucket", pmod(Fns.hex4(col("event_id")), col("n_parts")))
+  }
+
+  /** x13 (beyond-reference): layout-plan APPLICATION audit — the check
+    * that x12's recommendation, once applied, actually lands partitions
+    * near the target size: rows are assigned to the planned bucket
+    * count by the stable hash, per-bucket estimated bytes roll up, and
+    * ONE report row states the spread (min/max/avg bucket bytes, the
+    * worst bucket's fill vs target, and the within-2× verdict — hash
+    * layouts balance to small deviations unless the key is degenerate,
+    * which is exactly what this audit would catch). Cost: one scan +
+    * one bucket-keyed aggregation; at 100 TB the same audit runs over
+    * the written table's file listing. */
+  private def layoutAudit(s: SparkSession, dir: String): DataFrame =
+    layoutBucketRows(s, dir)
+      .groupBy(col("n_parts"), col("bucket"))
+      .agg(sum(col("est_bytes")).as("bucket_bytes"))
+      .groupBy(col("n_parts"))
+      .agg(count(lit(1)).as("used_parts"),
+        min(col("bucket_bytes")).as("min_bucket_bytes"),
+        max(col("bucket_bytes")).as("max_bucket_bytes"),
+        sum(col("bucket_bytes")).as("total_bytes"))
+      .select(col("n_parts"), col("used_parts"),
+        col("min_bucket_bytes"), col("max_bucket_bytes"),
+        expr("total_bytes DIV used_parts").as("avg_bucket_bytes"),
+        round(col("max_bucket_bytes").cast(DoubleType)
+          / plannerTargetBytes, 6).as("max_fill"),
+        (col("max_bucket_bytes") <= lit(2L * plannerTargetBytes))
+          .as("within_tolerance"))
+
   /** x4: Z-order (Morton-curve) layout clustering — the multi-dimensional
     * file-layout lever behind Delta/Iceberg `OPTIMIZE ZORDER BY`: rows
     * sorted by the bit-interleave of (o_custkey, o_orderdate-days) land
@@ -696,9 +774,43 @@ object ScalePatterns extends QueryModule {
     "x9_dpp_prune" -> dppPrune,
     "x11_bucket_join" -> bucketJoin,
     "x12_partition_planner" -> partitionPlanner,
+    "x13_layout_audit" -> layoutAudit,
     "x4_zorder_layout" -> zorderLayout)
 
   val oracles = Map(
+    "x13_layout_audit" -> {
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |         CAST(coalesce(length(event_type), 0)
+         |              + coalesce(length(props), 0) + 32 AS BIGINT)
+         |           AS est_bytes
+         |  FROM events),
+         |p AS (
+         |  SELECT greatest(CAST(ceil(CAST(sum(est_bytes) AS DOUBLE)
+         |                 / $plannerTargetBytes) AS BIGINT), 1)
+         |           AS n_parts
+         |  FROM e),
+         |assigned AS (
+         |  SELECT n_parts,
+         |         ${Oracle.hex4("CAST(event_id AS VARCHAR)")} % n_parts
+         |           AS bucket,
+         |         est_bytes
+         |  FROM e CROSS JOIN p),
+         |bk AS (
+         |  SELECT n_parts, bucket,
+         |         CAST(sum(est_bytes) AS BIGINT) AS bucket_bytes
+         |  FROM assigned GROUP BY 1, 2)
+         |SELECT n_parts, CAST(count(*) AS BIGINT) AS used_parts,
+         |       min(bucket_bytes) AS min_bucket_bytes,
+         |       max(bucket_bytes) AS max_bucket_bytes,
+         |       CAST(sum(bucket_bytes) AS BIGINT) // count(*)
+         |         AS avg_bucket_bytes,
+         |       round(CAST(max(bucket_bytes) AS DOUBLE)
+         |             / $plannerTargetBytes, 6) AS max_fill,
+         |       max(bucket_bytes) <= ${2L * plannerTargetBytes}
+         |         AS within_tolerance
+         |FROM bk GROUP BY 1""".stripMargin
+    },
     "x12_partition_planner" -> {
       val perTable = plannerTables.map { case (t, strs, fixed) =>
         val strBytes =

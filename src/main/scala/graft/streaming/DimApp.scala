@@ -135,6 +135,62 @@ object DimApp {
   def store(s: SparkSession, storeDir: String, sinkTable: String): DataFrame =
     sinkFor(storeDir, sinkTable).current(s)
 
+  private def scd2SinkFor(storeDir: String, sinkTable: String) =
+    new Scd2ParquetMergeSink(s"$storeDir/$sinkTable", "id", "seq",
+      "op", Seq("data"))
+
+  /** SCD TYPE-2 mode of the same pipeline: identical parse → probe →
+    * prune chain, but each table's store is a maintained HISTORY
+    * (close-and-insert per arriving CDC op, [[Scd2ParquetMergeSink]])
+    * instead of the type-1 last-op-wins snapshot. maxFilesPerTrigger=1
+    * keeps shard files as separate ordered micro-batches — the
+    * append-only op-log replay the SCD2 ordering contract assumes.
+    * DimAppSpec proves the streamed history equals the k6-style batch
+    * construction ([[batchScd2History]]) and audits clean under the
+    * k9 contract. */
+  def runScd2(s: SparkSession, srcDir: String, storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // probe the schema from the same glob the stream reads — a
+    // separately-named probe file would itself match a glob and be
+    // ingested twice (duplicate versions in a close-and-insert store)
+    val schema = s.read.parquet(s"$srcDir/envelopes*.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/envelopes*.parquet")
+    parsedDims(s, src).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try configRows.foreach { cfg =>
+          scd2SinkFor(storeDir, cfg.sink_table).merge(
+            batch.filter(col("sink_table") === cfg.sink_table), batchId)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** The maintained history of one table's SCD2 store. */
+  def scd2Store(s: SparkSession, storeDir: String, sinkTable: String)
+      : DataFrame =
+    scd2SinkFor(storeDir, sinkTable).current(s)
+
+  /** Batch twin of the SCD2 mode — the k6 construction over the same
+    * parsed op log: version = row_number in seq order per id, each row
+    * closed at its successor's seq, the last row open (is_current
+    * unless it was a delete). The k12 oracle replays it relationally
+    * from the base tables. */
+  def batchScd2History(s: SparkSession, dir: String, sinkTable: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seq"))
+    parsedDims(s, envelopes(s, dir))
+      .filter(col("sink_table") === sinkTable)
+      .withColumn("version", row_number().over(w))
+      .withColumn("__next", lead(col("seq"), 1).over(w))
+      .select(col("id"), col("version"), col("data"), col("op"),
+        col("seq").as("valid_from_seq"), col("__next").as("valid_to_seq"),
+        (col("__next").isNull && col("op") =!= "delete").as("is_current"))
+  }
+
   /** Batch twin: the k5_dim_merge_snapshot semantics (last op per key by
     * the seq total order; deletes drop) applied to the same op log. */
   def batchSnapshot(s: SparkSession, dir: String, sinkTable: String)

@@ -20,8 +20,14 @@ import graft.operators.DedupOps
   * The signature store grows linearly with the corpus while each batch
   * pays only |batch| × collision work — at scale the store would be a
   * bucketed/partitioned table keyed by band_sig so step 2 prunes to
-  * matching buckets. IncrementalDedupSpec proves the union of emitted
-  * pairs over all batches equals the one-shot batch candidate set. */
+  * matching buckets, AND the store side of the bucket join would carry
+  * the same per-bucket partner budget the batch family applies
+  * ([[DedupOps.bucketCliqueCap]]; the d8 batch query demonstrates the
+  * capped form of exactly this new×store join) — here the uncapped
+  * join is kept so the spec's exact-equality contract with the
+  * one-shot set stays provable on arbitrarily-sharded arrival.
+  * IncrementalDedupSpec proves the union of emitted pairs over all
+  * batches equals the one-shot batch candidate set. */
 object IncrementalDedup {
 
   private def canonical(pairs: DataFrame): DataFrame =

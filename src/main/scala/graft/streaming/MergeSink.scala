@@ -29,6 +29,101 @@ trait MergeSink {
   def current(s: SparkSession): DataFrame
 }
 
+/** Shared committed-version listing for the versioned-parquet sinks:
+  * only version dirs whose Hadoop committer wrote the _SUCCESS marker
+  * are visible — a torn write (crash mid-commit) leaves a dir without
+  * the marker and readers skip it. */
+private[streaming] object VersionedStore {
+  def committed(storeDir: String): Seq[Long] =
+    Option(new java.io.File(storeDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(d => new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+}
+
+/** SCD TYPE-2 versioned-parquet MergeSink — the streaming maintenance
+  * of a dimension HISTORY table (the reference's HBase store keeps
+  * type-1 last-op-wins; this is the lakehouse-era type-2 sibling the
+  * k6/k9/k10/k11 batch constructions assume a maintainer for): per
+  * arriving CDC op, the key's open version row is CLOSED at the op's
+  * sequence and a new version row is INSERTED — `MERGE INTO history
+  * USING batch ... WHEN MATCHED AND is_open THEN UPDATE SET valid_to
+  * ... ; INSERT (new version)` on a real table format.
+  *
+  * History contract (identical to the k6 batch construction, proven by
+  * DimAppSpec): every op becomes a version row; versions are 1..n per
+  * key in sequence order; each row's valid_to_seq is its successor's
+  * valid_from_seq (null for the chain's last row); is_current marks the
+  * last row unless that op was a delete. The k9 audit passes on the
+  * maintained store by construction.
+  *
+  * Ordering contract: batches must arrive per-key seq-nondecreasing
+  * (an append-only CDC op log replayed in order — exactly what a
+  * per-key-ordered topic/file stream delivers). Out-of-order arrivals
+  * would need bitemporal corrections (the k10 repair is the batch
+  * remedy).
+  *
+  * Scale shape: ONE key-partitioned window over the batch (order its
+  * own ops), one key-equi-join against the store's open rows, one
+  * against the per-key max version — all on the entity key, the same
+  * single-Exchange discipline as the type-1 sink; untouched keys'
+  * rows are carried forward (a real MERGE leaves them in place). */
+class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
+    seqCol: String, opCol: String, payloadCols: Seq[String])
+    extends MergeSink {
+
+  private def versions: Seq[Long] = VersionedStore.committed(storeDir)
+
+  def merge(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val numbered = batch
+      .select((Seq(col(keyCol), col(opCol), col(seqCol)) ++
+        payloadCols.map(col)): _*)
+      .withColumn("__rn", row_number().over(wk))
+      .withColumn("__next", lead(col(seqCol), 1).over(wk))
+    val newRowsBase = (base: DataFrame) => base
+      .select((Seq(
+        col(keyCol),
+        (coalesce(col("__base"), lit(0)) + col("__rn")).as("version")) ++
+        payloadCols.map(col) ++ Seq(
+        col(opCol),
+        col(seqCol).as("valid_from_seq"),
+        col("__next").as("valid_to_seq"),
+        (col("__next").isNull && col(opCol) =!= "delete")
+          .as("is_current"))): _*)
+    val out = versions.sorted.lastOption match {
+      case None =>
+        newRowsBase(numbered.withColumn("__base", lit(0)))
+      case Some(v) =>
+        val hist = s.read.parquet(s"$storeDir/v$v")
+        // close each touched key's open row at its first new op
+        val firstNew = numbered.filter(col("__rn") === 1)
+          .select(col(keyCol).as("__k"), col(seqCol).as("__first_seq"))
+        val closed = hist
+          .join(firstNew, col(keyCol) === col("__k"), "left_outer")
+          .withColumn("valid_to_seq",
+            when(col("valid_to_seq").isNull && col("__first_seq").isNotNull,
+              col("__first_seq")).otherwise(col("valid_to_seq")))
+          .withColumn("is_current",
+            col("is_current") && col("__first_seq").isNull)
+          .drop("__k", "__first_seq")
+        val baseV = hist.groupBy(col(keyCol).as("__k2"))
+          .agg(max(col("version")).as("__base"))
+        val news = newRowsBase(numbered
+          .join(baseV, col(keyCol) === col("__k2"), "left_outer")
+          .drop("__k2"))
+        closed.unionByName(news)
+    }
+    out.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    ()
+  }
+
+  /** The full maintained history (latest committed version). */
+  def current(s: SparkSession): DataFrame =
+    s.read.parquet(s"$storeDir/v${versions.max}")
+}
+
 /** Versioned-parquet MergeSink: storeDir/v<batchId> is the snapshot
   * after merging batch <batchId>; `current` reads the max version.
   *

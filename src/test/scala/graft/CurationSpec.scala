@@ -199,19 +199,24 @@ class CurationSpec extends SparkSuite {
     assert(r.filter(col("jaccard") < 0.5 || col("jaccard") > 1.000001)
       .count() == 0)
     // every verified near-dup pair (d3, J >= 0.8) that straddles the
-    // split must be flagged: c17's band join is a superset of d3's
-    // (no same-source requirement) and its threshold is lower
-    val straddle = q("d3_near_dup_pairs")
+    // split must have its EVAL DOC flagged: c17's band join covers d3's
+    // buckets (no same-source requirement, lower threshold), and the
+    // bucketCliqueCap budget preserves doc-level detection — an eval
+    // doc in a hot bucket still meets the bucket's first cap train
+    // members. The PAIR-level superset no longer holds by design: a
+    // mega-cluster's quadratic (train, eval) enumeration is exactly
+    // what the cap exists to bound (round-8 scale-ledger finding).
+    val straddleEval = q("d3_near_dup_pairs")
       .select(col("a_id"), col("b_id"))
       .filter((pmod(col("a_id"), lit(37L)) === 0) =!=
         (pmod(col("b_id"), lit(37L)) === 0))
       .select(
-        when(pmod(col("a_id"), lit(37L)) =!= 0, col("a_id"))
-          .otherwise(col("b_id")).as("train_id"),
         when(pmod(col("a_id"), lit(37L)) === 0, col("a_id"))
           .otherwise(col("b_id")).as("eval_id"))
-    assert(straddle.exceptAll(r.select("train_id", "eval_id"))
-      .count() == 0)
+      .distinct()
+    assert(straddleEval.exceptAll(r.select("eval_id").distinct())
+      .count() == 0,
+      "a d3 straddler's eval doc escaped c17's fuzzy detection")
   }
 
   test("c15 decontam report: dense over eval, verdicts reconcile with c5/c17") {

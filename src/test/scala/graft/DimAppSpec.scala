@@ -47,4 +47,61 @@ class DimAppSpec extends SparkSuite {
     assert(!new java.io.File(s"$store/order_info").exists() &&
       !new java.io.File(s"$store/dim_order_info").exists())
   }
+
+  test("dim app SCD2 mode: streamed history equals the k6 batch " +
+      "construction and audits clean") {
+    val src = java.nio.file.Files.createTempDirectory("dim2_src").toString
+    val store = java.nio.file.Files.createTempDirectory("dim2_store").toString
+    val ckp = java.nio.file.Files.createTempDirectory("dim2_ckp").toString
+    // shard the op log by sequence epoch (insert@1000 / update@2000 /
+    // delete@3000) into separate files with strictly increasing mtimes:
+    // with maxFilesPerTrigger=1 each file is its own ordered micro-batch
+    // — the per-key seq-nondecreasing arrival the SCD2 sink's close-and-
+    // insert contract assumes (a per-key-ordered CDC topic)
+    val envs = DimApp.envelopes(spark, sf)
+      .select(col("envelope"),
+        get_json_object(col("envelope"), "$.ts").cast("long").as("ts"))
+    Seq(1000L, 2000L, 3000L).zipWithIndex.foreach { case (ts, i) =>
+      val f = s"$src/envelopes_$i.parquet"
+      envs.filter(col("ts") === ts).select(col("envelope"))
+        .repartition(1).write.mode("overwrite").parquet(f)
+      val dir = new java.io.File(f)
+      (dir +: Option(dir.listFiles()).getOrElse(Array.empty).toSeq)
+        .foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val sq = DimApp.runScd2(spark, src, store, ckp)
+    sq.processAllAvailable()
+    sq.stop()
+    // incrementality was real: one commit per shard file
+    val batches = new java.io.File(s"$ckp/commits")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"expected >=3 ordered micro-batches, got $batches")
+
+    DimApp.configRows.foreach { cfg =>
+      val got = DimApp.scd2Store(spark, store, cfg.sink_table)
+        .select(col("id"), col("version"), col("op"),
+          col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+          explode(col("data")))
+      val want = DimApp.batchScd2History(spark, sf, cfg.sink_table)
+        .select(col("id"), col("version"), col("op"),
+          col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+          explode(col("data")))
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        s"streamed SCD2 history != batch construction for ${cfg.sink_table}")
+    }
+
+    // the maintained store satisfies the k9 audit contract as-is
+    val hist = DimApp.scd2Store(spark, store, "dim_customer_info")
+    val audit = graft.api.Graft.scd2Audit(hist).head()
+    assert(audit.getAs[Boolean]("scd2_ok"),
+      s"streamed SCD2 store failed the k9 audit: $audit")
+    // type-2 vs type-1: deleted keys KEEP their closed history rows
+    assert(hist.filter(pmod(col("id").cast("long"), lit(13)) === 0)
+      .count() > 0, "deletes must close, not erase, history")
+    assert(hist.filter(pmod(col("id").cast("long"), lit(13)) === 0 &&
+      col("is_current")).count() == 0,
+      "no deleted key may hold a current version")
+  }
 }
