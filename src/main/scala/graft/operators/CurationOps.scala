@@ -627,15 +627,30 @@ object CurationOps extends QueryModule {
   /** Generic benchmark decontamination for ARBITRARY train/eval frames
     * (the c5 core, exposed through [[graft.api.Graft]]): flagged
     * (train_id, eval_id) pairs sharing >= minShared distinct word
-    * 3-grams — a shingle-keyed equi-join, never doc×doc. */
+    * 3-grams — a shingle-keyed equi-join, never doc×doc, under the
+    * same per-bucket partner budget as the LSH family
+    * ([[DedupOps.bucketCliqueCap]]): each shingle's train posting list
+    * is ranked by train_id and only the first cap entries join — the
+    * stop-shingle discipline that keeps a template mega-cluster's
+    * shared 3-grams from multiplying every matching eval doc by the
+    * full cluster membership (the quadratic intermediate the round-8
+    * SCALE_LEDGER exposed inside c15). A pair's shared_ct therefore
+    * counts the shingles where the train doc sits in the shingle's
+    * first cap slots; eval-doc DETECTION is preserved (a contaminated
+    * eval doc still matches the surviving slots of its shingles). */
   private[graft] def contaminationFor(train: DataFrame, eval: DataFrame,
-      minShared: Long): DataFrame =
+      minShared: Long): DataFrame = {
+    val wSh = Window.partitionBy(col("shingle")).orderBy(col("train_id"))
     shinglesOf(train).select(col("doc_id").as("train_id"), col("shingle"))
+      .withColumn("rk", row_number().over(wSh))
+      .filter(col("rk") <= DedupOps.bucketCliqueCap)
+      .drop("rk")
       .join(shinglesOf(eval).select(col("doc_id").as("eval_id"),
         col("shingle")), "shingle")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("shingle")).as("shared_ct"))
       .filter(col("shared_ct") >= minShared)
+  }
 
   private def contamination(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
@@ -1482,8 +1497,12 @@ object CurationOps extends QueryModule {
          |    range(1, greatest(len(tk) - 2, 1) + 1),
          |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
          |  FROM sh0),
-         |extr AS (SELECT doc_id AS train_id, shingle FROM sh
-         |         WHERE doc_id % 37 <> 0),
+         |extr AS (SELECT train_id, shingle FROM (
+         |           SELECT doc_id AS train_id, shingle,
+         |                  row_number() OVER (PARTITION BY shingle
+         |                    ORDER BY doc_id) AS rk
+         |           FROM sh WHERE doc_id % 37 <> 0)
+         |         WHERE rk <= ${DedupOps.bucketCliqueCap}),
          |exev AS (SELECT doc_id AS eval_id, shingle FROM sh
          |         WHERE doc_id % 37 = 0),
          |expairs AS (
@@ -1543,20 +1562,24 @@ object CurationOps extends QueryModule {
         |            AS BIGINT) AS unfilled_tokens
         |FROM t CROSS JOIN tot""".stripMargin,
     "c5_contamination" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |            FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(tk) - 2, 1) + 1),
-        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
-        |  FROM tk),
-        |tr AS (SELECT doc_id AS train_id, shingle FROM sh
-        |       WHERE doc_id % 37 <> 0),
-        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
-        |       WHERE doc_id % 37 = 0)
-        |SELECT train_id, eval_id, count(DISTINCT shingle) AS shared_ct
-        |FROM tr JOIN ev USING (shingle)
-        |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3""".stripMargin,
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 1) + 1),
+         |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+         |  FROM tk),
+         |tr AS (SELECT train_id, shingle FROM (
+         |         SELECT doc_id AS train_id, shingle,
+         |                row_number() OVER (PARTITION BY shingle
+         |                  ORDER BY doc_id) AS rk
+         |         FROM sh WHERE doc_id % 37 <> 0)
+         |       WHERE rk <= ${DedupOps.bucketCliqueCap}),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+         |       WHERE doc_id % 37 = 0)
+         |SELECT train_id, eval_id, count(DISTINCT shingle) AS shared_ct
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3""".stripMargin,
     "c6_stratified_sample" ->
       s"""WITH b AS (
          |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,

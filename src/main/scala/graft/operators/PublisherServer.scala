@@ -87,6 +87,15 @@ object PublisherServer {
       port: Int): Publisher = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+    // The order store comes in two layers, like the reference's Doris
+    // tables: the DETAIL shape ([[ServingApi.buildStore]], one row per
+    // order) and the DWS ROLLUP shape (the live ProvinceOrderApp
+    // streaming sink, one row per window×province). One schema probe at
+    // startup picks the read path — the serving queries differ only in
+    // how order_ct folds (countDistinct vs additive sum).
+    val orderIsDetail =
+      s.read.parquet(orderStore).columns.contains("o_orderkey")
+
     // The store is written partitionBy("cur_date"), so the newest day is
     // in the partition directory names — answer the default-date path
     // from the listing instead of running a full scan-and-aggregate
@@ -146,7 +155,10 @@ object PublisherServer {
     // (TradeStatsController.java:38-56)
     endpoint("/province") { ex =>
       val day = dateOf(ex, orderStore)
-      val rows = ServingApi.province(s, orderStore, day)
+      val prov =
+        if (orderIsDetail) ServingApi.province(s, orderStore, day)
+        else ServingApi.provinceDws(s, orderStore, day)
+      val rows = prov
         .orderBy(col("order_amount").desc, col("province_name"))
         .collect()
       val mapData = rows.map(r =>

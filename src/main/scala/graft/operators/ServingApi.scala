@@ -42,6 +42,20 @@ object ServingApi {
       .agg(sum(col("order_amount")).cast("double").as("order_amount"),
         countDistinct(col("o_orderkey")).as("order_ct"))
 
+  /** GET /province over a DWS ROLLUP store (the live
+    * [[graft.streaming.ProvinceOrderApp]] sink: one row per
+    * (window, province) with pre-aggregated order_ct/order_amount —
+    * the reference's dws_trade_province_order_window Doris table):
+    * counts are additive across windows, so the day rollup SUMS them
+    * (the detail store's countDistinct is already folded in). */
+  def provinceDws(s: SparkSession, storeDir: String, date: String)
+      : DataFrame =
+    s.read.parquet(storeDir)
+      .filter(col("cur_date") === date)
+      .groupBy(col("province_name"))
+      .agg(sum(col("order_amount")).cast("double").as("order_amount"),
+        sum(col("order_ct")).as("order_ct"))
+
   /** GET /ch?limit=N → top-N provinces by order count, date-ranged. */
   def topProvinces(s: SparkSession, storeDir: String, from: String,
       to: String, limit: Int): DataFrame =

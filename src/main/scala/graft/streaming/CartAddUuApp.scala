@@ -18,7 +18,7 @@ private[streaming] object StreamDates {
 
 /** The reference's cart-add unique-user DWS app composed whole
   * (DwsTradeCartAddUuWindow.java:55-145): cart-add stream → keyed
-  * lastCartDate state emitting ONLY each user's first add of the day
+  * lastCartDate state marking each user's first add of the day
   * (processElement:84-94 collects the record just when the state day
   * changes) → 10 s tumbling windowAll count (the AggregateFunction
   * acc, :102-123) → stt/edt/cur_date finisher (:125-139).
@@ -27,14 +27,27 @@ private[streaming] object StreamDates {
   * machine as a lag() window under the (sec, event_id) total order; the
   * a19 oracle replays it end to end in SQL.
   *
+  * Translation note (Flink→Spark time semantics): the reference DROPS
+  * non-first events inside processElement — safe in Flink, whose
+  * watermark is a control signal that advances through an operator
+  * regardless of what it emits. Spark derives the downstream window's
+  * watermark from the rows that actually FLOW past the watermark node,
+  * so a suppressing stateful op would stall event time and leave
+  * closed windows unserved (caught by StreamingSpec's round-8
+  * freshness probe). The Spark-idiomatic form: the keyed state EMITS
+  * every event with a uu FLAG, the watermark is taken over the full
+  * flagged stream, and the first-of-day cut is a filter after it —
+  * identical output, Flink-equivalent time progress.
+  *
   * Scale notes: the flag stage is a keyed shuffle on user_id; the
-  * global window after it aggregates pre-filtered (one-row-per-user-day)
-  * data — partial counts combine map-side, so the "windowAll
+  * global window after it aggregates the filtered one-row-per-user-day
+  * stream — partial counts combine map-side, so the "windowAll
   * parallelism-1 barrier" of the reference costs one scalar merge here. */
 object CartAddUuApp {
   import Fns._
 
   case class CartEvent(user_id: Long, sec: Long, event_id: Long)
+  case class CartFlag(user_id: Long, sec: Long, event_id: Long, uu: Int)
 
   /** Cart-add candidates. */
   def cartAdds(events: DataFrame): Dataset[CartEvent] = {
@@ -44,40 +57,52 @@ object CartAddUuApp {
       .as[CartEvent]
   }
 
-  /** lastCartDate keyed state: emit the record only on a day change
-    * (DwsTradeCartAddUuWindow.java:84-94). */
+  /** lastCartDate keyed state: flag the record on a day change
+    * (DwsTradeCartAddUuWindow.java:84-94); every event is emitted so
+    * downstream event time keeps advancing (see the class doc). */
   private[graft] def firstOfDay(uid: Long, events: Iterator[CartEvent],
-      state: GroupState[String]): Iterator[CartEvent] =
-    events.toSeq.sortBy(e => (e.sec, e.event_id)).iterator.flatMap { e =>
+      state: GroupState[String]): Iterator[CartFlag] =
+    events.toSeq.sortBy(e => (e.sec, e.event_id)).iterator.map { e =>
       val day = StreamDates.dayOf(e.sec)
-      if (!state.getOption.contains(day)) { state.update(day); Some(e) }
-      else None
+      val first = !state.getOption.contains(day)
+      if (first) state.update(day)
+      CartFlag(e.user_id, e.sec, e.event_id, if (first) 1 else 0)
     }
 
-  def uuStream(adds: Dataset[CartEvent]): Dataset[CartEvent] = {
+  def uuStream(adds: Dataset[CartEvent]): Dataset[CartFlag] = {
     import adds.sparkSession.implicits._
     adds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(firstOfDay)
   }
 
-  /** Batch twin: the day-change emission as a lag() window. */
+  /** Batch twin: the day-change flag as a lag() window. */
   def uuBatch(adds: Dataset[CartEvent]): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("sec"), col("event_id"))
     adds.toDF()
       .withColumn("day", curDate(col("sec")))
       .withColumn("prev_day", lag(col("day"), 1).over(w))
-      .filter(col("prev_day").isNull || col("prev_day") =!= col("day"))
-      .select(col("user_id"), col("sec"), col("event_id"))
+      .select(col("user_id"), col("sec"), col("event_id"),
+        when(col("prev_day").isNull || col("prev_day") =!= col("day"), 1)
+          .otherwise(0).as("uu"))
   }
 
-  /** 10 s global window count + finisher (cart_add_uu_ct). */
+  /** 10 s global window count + finisher (cart_add_uu_ct). The uu cut
+    * is folded INTO the aggregate (sum of flags) with a post-agg
+    * filter dropping zero-uu windows — NOT a row filter: Catalyst
+    * pushes a predicate that doesn't reference the event-time column
+    * BELOW the watermark node, which would starve the watermark of the
+    * unflagged rows all over again. This way every cart event advances
+    * event time, and the emitted windows equal the reference's
+    * windowAll over its pre-filtered stream (a window with no
+    * first-of-day row emits nothing). */
   def windowCounts(uu: DataFrame): DataFrame =
     uu.withColumn("et", timestamp_seconds(col("sec")))
       .withWatermark("et", "3 seconds")
       .groupBy(window(col("et"), "10 seconds"))
-      .agg(count(lit(1)).as("cart_add_uu_ct"))
+      .agg(sum(col("uu")).as("cart_add_uu_ct"))
+      .filter(col("cart_add_uu_ct") > 0)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),

@@ -39,23 +39,31 @@ object HomeDetailApp {
   }
 
   /** The two-state processElement: a flag fires when the page's own
-    * last-visit day differs from the event day; rows with neither flag
-    * are not emitted (DwsTrafficHomeDetailPageViewWindow.java:99-131). */
+    * last-visit day differs from the event day
+    * (DwsTrafficHomeDetailPageViewWindow.java:99-131). The reference
+    * drops unflagged rows inside processElement; here EVERY event is
+    * emitted (flags 0/0 when nothing fired) because Spark derives the
+    * downstream window's watermark from the rows flowing past the
+    * watermark node — a suppressing stateful op would stall event time
+    * and leave closed windows unserved (the round-8 freshness probe's
+    * finding; Flink's watermark is a control signal and has no such
+    * coupling). The flag cut happens after the watermark, in
+    * [[windowSums]]. */
   private[graft] def flagGroup(mid: Long, events: Iterator[PageView],
       state: GroupState[HdState]): Iterator[HomeDetailFlag] =
-    events.toSeq.sortBy(e => (e.sec, e.event_id)).iterator.flatMap { e =>
+    events.toSeq.sortBy(e => (e.sec, e.event_id)).iterator.map { e =>
       val day = StreamDates.dayOf(e.sec)
       val st = state.getOption.getOrElse(HdState("", ""))
       if (e.page == "home") {
         if (st.homeDay != day) {
           state.update(st.copy(homeDay = day))
-          Some(HomeDetailFlag(e.sec, e.event_id, 1, 0))
-        } else None
+          HomeDetailFlag(e.sec, e.event_id, 1, 0)
+        } else HomeDetailFlag(e.sec, e.event_id, 0, 0)
       } else {
         if (st.detailDay != day) {
           state.update(st.copy(detailDay = day))
-          Some(HomeDetailFlag(e.sec, e.event_id, 0, 1))
-        } else None
+          HomeDetailFlag(e.sec, e.event_id, 0, 1)
+        } else HomeDetailFlag(e.sec, e.event_id, 0, 0)
       }
     }
 
@@ -67,26 +75,37 @@ object HomeDetailApp {
   }
 
   /** Batch twin: one lag() window per (mid, page) — the first view of
-    * each (mid, page, day) carries that page's flag. */
+    * each (mid, page, day) carries that page's flag; other rows carry
+    * zero flags (the streaming twin emits them too). */
   def flagBatch(views: Dataset[PageView]): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("page"))
       .orderBy(col("sec"), col("event_id"))
     views.toDF()
       .withColumn("day", curDate(col("sec")))
       .withColumn("prev_day", lag(col("day"), 1).over(w))
-      .filter(col("prev_day").isNull || col("prev_day") =!= col("day"))
+      .withColumn("fired",
+        col("prev_day").isNull || col("prev_day") =!= col("day"))
       .select(col("sec"), col("event_id"),
-        when(col("page") === "home", 1).otherwise(0).as("home_uv"),
-        when(col("page") === "home", 0).otherwise(1).as("detail_uv"))
+        when(col("fired") && col("page") === "home", 1).otherwise(0)
+          .as("home_uv"),
+        when(col("fired") && col("page") =!= "home", 1).otherwise(0)
+          .as("detail_uv"))
   }
 
-  /** 10 s global window sums + finisher. */
+  /** 10 s global window sums + finisher. The flag cut is a POST-AGG
+    * filter on the summed flags, not a row filter — Catalyst would
+    * push a non-event-time predicate below the watermark node and
+    * starve it of the zero-flag rows (see [[flagGroup]]); summing the
+    * flags lets every page view advance event time while windows with
+    * no fired flag emit nothing, the reference's windowAll over its
+    * pre-filtered stream. */
   def windowSums(flags: DataFrame): DataFrame =
     flags.withColumn("et", timestamp_seconds(col("sec")))
       .withWatermark("et", "3 seconds")
       .groupBy(window(col("et"), "10 seconds"))
       .agg(sum(col("home_uv")).as("home_uv_ct"),
         sum(col("detail_uv")).as("good_detail_uv_ct"))
+      .filter(col("home_uv_ct") + col("good_detail_uv_ct") > 0)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),

@@ -498,6 +498,73 @@ class ApiSpec extends SparkSuite {
       min(col("v")).as("lo"), max(col("v")).as("hi"))))
   }
 
+  test("applyLayout: bucket mode writes the planned file count, " +
+      "range mode's extents never overlap") {
+    val df = spark.range(0, 4000).select(col("id").as("k"),
+      concat(lit("payload_"), col("id")).as("v"))
+    val est = lit(64L) // 4000 × 64 B at an 32 KiB target → 8 partitions
+    val outB = java.nio.file.Files.createTempDirectory("layout_b").toString
+    val nB = Graft.applyLayout(df, col("k"), est, 32768L, outB, "bucket")
+    assert(nB == 8, s"plan arithmetic: got $nB partitions")
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-"))
+    assert(partFiles(outB).size == nB,
+      "bucket mode must write one file per planned partition")
+    // written bytes are balanced — no degenerate bucket
+    val sizes = partFiles(outB).map(_.length())
+    assert(sizes.max < 3 * sizes.min,
+      s"bucket sizes degenerate: ${sizes.sorted.mkString(",")}")
+    // range mode: per-file key extents are disjoint → footer stats
+    // prune range scans (the x8 win, applied)
+    val outR = java.nio.file.Files.createTempDirectory("layout_r").toString
+    val nR = Graft.applyLayout(df, col("k"), est, 32768L, outR, "range")
+    val extents = partFiles(outR).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(extents.size == nR)
+    extents.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"range extents overlap: $extents")
+      case _ => ()
+    }
+    // and the layout is a pure re-arrangement — nothing lost
+    assert(spark.read.parquet(outR).count() == 4000 &&
+      spark.read.parquet(outB).count() == 4000)
+  }
+
+  test("dpReleasedCounts: production draw has the Laplace scale; " +
+      "replayable draw replays") {
+    // 4000 categories → 4000 independent noise draws; for Laplace(b),
+    // E|noise| = b — the mechanism audit the seeded oracle can't do
+    val cats = spark.range(0, 4000)
+      .select(concat(lit("cat_"), col("id")).as("c"))
+    val eps = 0.5 // b = 2.0
+    val prod = Graft.dpReleasedCounts(cats, col("c"), epsilon = eps,
+      replayable = false)
+    assert(prod.count() == 4000)
+    val meanAbs = prod
+      .agg(avg(abs(col("released_ct") - col("true_ct")))).head.getDouble(0)
+    val b = 1.0 / eps
+    // SE of mean|X| over 4000 draws ≈ b/63 — ±15% is > 9 sigma
+    assert(math.abs(meanAbs - b) < 0.15 * b,
+      f"Laplace scale off: E|noise|=$meanAbs%.3f, want ≈ $b%.1f")
+    // noise is actually random across categories (not a constant)
+    val distinctNoise = prod.select(col("noise")).distinct().count()
+    assert(distinctNoise > 3900, s"draws collide: $distinctNoise distinct")
+    // the replayable mode is deterministic run to run (the oracle
+    // contract) and carries the same scale metadata
+    val r1 = Graft.dpReleasedCounts(cats, col("c"), epsilon = eps,
+      replayable = true)
+    val r2 = Graft.dpReleasedCounts(cats, col("c"), epsilon = eps,
+      replayable = true)
+    assert(r1.exceptAll(r2).count() == 0 && r2.exceptAll(r1).count() == 0)
+    assert(r1.select(col("laplace_scale")).distinct().head.getDouble(0)
+      == b)
+  }
+
   test("zscoreAnomalies scores a user series and flags the spike") {
     val daily = (1 to 40).map { i =>
       val amt = if (i == 35) BigDecimal("900.00") else BigDecimal("100.00")

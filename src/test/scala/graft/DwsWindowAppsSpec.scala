@@ -27,8 +27,9 @@ class DwsWindowAppsSpec extends SparkSuite {
     val batch = CartAddUuApp.uuBatch(
       CartAddUuApp.cartAdds(Tables(spark, sf, "events")))
     assertSame("cart_uu", spark.table("ca_uu"), batch)
-    // at most one emission per (user, day)
-    val dup = spark.table("ca_uu")
+    // at most one uu FLAG per (user, day) — unflagged events flow
+    // through for watermark progress but never double-count a user
+    val dup = spark.table("ca_uu").filter(col("uu") === 1)
       .groupBy(col("user_id"),
         graft.functions.Fns.curDate(col("sec")).as("day"))
       .count().filter(col("count") > 1)
@@ -44,9 +45,21 @@ class DwsWindowAppsSpec extends SparkSuite {
     val batch = HomeDetailApp.flagBatch(
       HomeDetailApp.pageViews(Tables(spark, sf, "events")))
     assertSame("home_detail", spark.table("hd_flags"), batch)
-    // every emitted row carries exactly one fired flag
+    // a row fires at most one flag; each (user, page)'s flag fires at
+    // most once per day (zero-flag rows exist purely for event-time
+    // progress)
     assert(spark.table("hd_flags")
-      .filter(col("home_uv") + col("detail_uv") =!= 1).count() == 0)
+      .filter(col("home_uv") + col("detail_uv") > 1).count() == 0)
+    val pv = HomeDetailApp.pageViews(Tables(spark, sf, "events"))
+      .select(col("user_id"), col("sec").as("psec"),
+        col("event_id").as("pid"))
+    val dupFlags = spark.table("hd_flags")
+      .filter(col("home_uv") + col("detail_uv") === 1)
+      .join(pv, col("sec") === col("psec") && col("event_id") === col("pid"))
+      .groupBy(col("user_id"), col("home_uv"),
+        graft.functions.Fns.curDate(col("sec")).as("day"))
+      .count().filter(col("count") > 1)
+    assert(dupFlags.count() == 0)
   }
 
   test("traffic app: uv/is_new state measures equal the window-fn twin") {

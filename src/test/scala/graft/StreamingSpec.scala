@@ -564,4 +564,102 @@ class StreamingSpec extends SparkSuite {
     assert(finalRows.exceptAll(batch).count() == 0 &&
       batch.exceptAll(finalRows).count() == 0)
   }
+
+  test("serving freshness: windowed rows reach the store in the FIRST " +
+      "batch their watermark allows (two apps)") {
+    // The reference's Doris DWS tables are queried seconds after window
+    // close — end-to-end freshness = event time → row visible in the
+    // serving store. In event time that contract is exact: a window
+    // [s, e) must become visible in the first micro-batch whose
+    // watermark reaches e (one batch later would be a sink lag the
+    // wall-clock dashboards would see as staleness). Driven over a
+    // controlled MemoryStream so batch boundaries are explicit; the
+    // per-batch watermark comes from the engine's own progress events.
+    import graft.streaming.{CartAddUuApp, UserLoginApp}
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    def edtSec(edt: String): Long =
+      java.time.LocalDateTime.parse(edt, fmt)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+
+    def freshnessOf(app: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[Long] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Double)]
+      val events = src.toDF()
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long)] // (batchId, window-end sec)
+      val sq = mk(events).writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"fresh_$app").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.select(col("edt")).collect()
+            .foreach(r => emitted.synchronized {
+              emitted += ((id, edtSec(r.getString(0))))
+            })
+          ()
+        }
+        .start()
+      def feed(rows: (Long, Long, Long, String, Double)*): Unit = {
+        src.addData(rows: _*)
+        sq.processAllAvailable()
+      }
+      val ns = 1000000000L
+      // batch A: two users inside window [0, 10)
+      feed((1L, 2L * ns, 100L, "view", 1.0),
+        (2L, 5L * ns, 101L, "click", 1.0),
+        (1L, 6L * ns, 102L, "click", 1.0))
+      // batch B: event at 15 s → watermark 12 ≥ 10 closes [0, 10)
+      feed((3L, 15L * ns, 103L, "view", 1.0),
+        (3L, 15L * ns, 104L, "click", 1.0))
+      // batch C: event at 30 s → watermark 27 ≥ 20 closes [10, 20)
+      feed((1L, 30L * ns, 105L, "view", 1.0),
+        (1L, 30L * ns, 106L, "click", 1.0))
+      // batch D: 45 s closes [30, 40)... keeps the tail observable
+      feed((2L, 45L * ns, 107L, "view", 1.0),
+        (2L, 45L * ns, 108L, "click", 1.0))
+      // engine-reported watermark per batch, from the progress stream
+      val wm = sq.recentProgress.toSeq
+        .map(p => p.batchId -> Option(p.eventTime.get("watermark"))
+          .map(w => java.time.Instant.parse(w).getEpochSecond)
+          .getOrElse(0L))
+        .toMap
+      sq.stop()
+      assert(emitted.nonEmpty, s"$app emitted nothing")
+      // freshness per emitted window: how many batches AFTER the first
+      // eligible one did the row take to surface? (0 = fresh)
+      val delays = emitted.toSeq.map { case (bid, end) =>
+        // append-mode correctness: the emitting batch's watermark
+        // covers the window end
+        assert(wm.getOrElse(bid, 0L) >= end,
+          s"$app: window end $end emitted at batch $bid before its " +
+            s"watermark ${wm.get(bid)}")
+        val firstEligible = wm.toSeq.filter(_._2 >= end).map(_._1).min
+        bid - firstEligible
+      }
+      // the freshness histogram the serving layer would publish
+      val hist = delays.groupBy(identity).view.mapValues(_.size).toMap
+      info(s"$app freshness histogram (delay-in-batches -> windows): " +
+        hist.toSeq.sorted.mkString(", "))
+      delays
+    }
+
+    val loginDelays = freshnessOf("user_login", events =>
+      UserLoginApp.windowSums(
+        UserLoginApp.flagStream(UserLoginApp.logins(events)).toDF()))
+    val cartDelays = freshnessOf("cart_add", events =>
+      CartAddUuApp.windowCounts(
+        CartAddUuApp.uuStream(CartAddUuApp.cartAdds(events)).toDF()))
+    // the bound: every window is served in its first eligible batch
+    assert(loginDelays.forall(_ == 0),
+      s"user_login windows served late: $loginDelays")
+    assert(cartDelays.forall(_ == 0),
+      s"cart_add windows served late: $cartDelays")
+  }
 }
