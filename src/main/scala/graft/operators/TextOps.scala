@@ -930,7 +930,49 @@ object TextOps extends QueryModule {
         .as("zipf_intercept"))
   }
 
+  /** t29 (beyond-reference): corpus-saturation audit — per ingestion
+    * decile, what fraction of the incoming word 3-grams are NOVEL (first
+    * seen in that doc, doc_id playing crawl order)? The curve data
+    * teams read before buying more of the same source: a healthy
+    * growing corpus keeps a high novel fraction; a saturated or
+    * template-heavy one decays toward zero (this synthetic corpus,
+    * built from a small vocabulary, decays hard — exactly what the
+    * audit should say). Scale shape: one gram-keyed aggregation finds
+    * each 3-gram's first-seen doc, the join back rides the same gram
+    * Exchange, then a doc rollup and a 10-row decile rollup; the
+    * decile is closed-form over a broadcast max-id (no global sort —
+    * the a34 discipline). Novel fraction is a one-shot division. */
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val grams = d
+      .select(col("doc_id"), tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+        .as("g"))
+    val firstSeen = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("gram_ct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_ct"))
+    val mx = d.agg(max(col("doc_id")).as("max_id"))
+    perDoc.crossJoin(broadcast(mx))
+      .withColumn("decile",
+        least(lit(9L), floor(col("doc_id") * 10 / (col("max_id") + 1))
+          .cast(LongType)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("gram_ct")).as("gram_ct"),
+        sum(col("novel_ct")).as("novel_ct"))
+      .withColumn("novel_frac",
+        round(col("novel_ct").cast(DoubleType) / col("gram_ct"), 6))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "t29_ngram_novelty" -> ngramNovelty,
     "t27_zipf_slope" -> zipfSlope,
     "t28_burstiness" -> burstiness,
     "t26_template_spans" -> templateSpans,
@@ -989,6 +1031,29 @@ object TextOps extends QueryModule {
   }
 
   val oracles = Map(
+    "t29_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS g
+        |  FROM tk),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS gram_ct,
+        |         CAST(sum(CASE WHEN fs.first_doc = g.doc_id
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS novel_ct
+        |  FROM g JOIN fs USING (g) GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS max_id FROM documents)
+        |SELECT least(9, (doc_id * 10) // (max_id + 1)) AS decile,
+        |       CAST(count(*) AS BIGINT) AS doc_ct,
+        |       CAST(sum(gram_ct) AS BIGINT) AS gram_ct,
+        |       CAST(sum(novel_ct) AS BIGINT) AS novel_ct,
+        |       round(CAST(sum(novel_ct) AS DOUBLE) / sum(gram_ct), 6)
+        |         AS novel_frac
+        |FROM per CROSS JOIN mx
+        |GROUP BY 1""".stripMargin,
     "t27_zipf_slope" ->
       """WITH c AS (
         |  SELECT source, word, CAST(count(*) AS BIGINT) AS ct

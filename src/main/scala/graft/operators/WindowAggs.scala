@@ -514,6 +514,59 @@ object WindowAggs extends QueryModule {
         sum(col("pair_ct")).over(Window.partitionBy(col("src_type"))), 6))
   }
 
+  /** a36 (beyond-reference): multi-touch marketing attribution — the
+    * standard revenue-credit report over the clickstream: each
+    * purchase's value is credited to the user's view/click touches in
+    * the preceding hour, under BOTH classic models at once — last-touch
+    * (all credit to the latest touch) and linear (credit split equally
+    * across the window's touches) — plus the untouched-purchase bucket
+    * the budget meeting always asks about. Scale shape: ONE user-keyed
+    * equi-join pairs purchases with their horizon touches (never a
+    * time-range cross product — the horizon predicate rides the hash
+    * join), then one purchase-keyed window ranks/counts touches.
+    * Float discipline: the linear split value/n is a per-row IEEE
+    * division (identical both engines), quantized to DECIMAL(28,6)
+    * before the cross-row sum so partition order can't change the
+    * cents. */
+  val attributionHorizonSec = 3600L
+
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsToSec(col("ts")).as("sec"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_id"),
+        col("sec").as("p_sec"), col("value").as("p_value"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_uid"), col("event_id").as("t_id"),
+        col("sec").as("t_sec"), col("event_type").as("channel"))
+    val joined = purchases.join(touches,
+      col("p_uid") === col("t_uid") &&
+        col("t_sec") <= col("p_sec") &&
+        col("t_sec") >= col("p_sec") - attributionHorizonSec, "left_outer")
+    val wP = Window.partitionBy(col("p_id"))
+    val ranked = joined
+      .withColumn("n_touches", count(col("t_id")).over(wP))
+      .withColumn("rk", row_number().over(
+        wP.orderBy(col("t_sec").desc_nulls_last, col("t_id").desc_nulls_last)))
+    ranked
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_last"),
+        when(col("rk") === 1, money(col("p_value")))
+          .otherwise(lit(null)).as("lt_rev"),
+        when(col("n_touches") > 0,
+          round(col("p_value") / col("n_touches"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .when(col("rk") === 1, money(col("p_value")).cast(
+            org.apache.spark.sql.types.DecimalType(28, 6)))
+          .otherwise(lit(null)).as("lin_rev"))
+      .groupBy(col("channel"))
+      .agg(sum(col("is_last")).as("purchase_ct"),
+        sum(col("lt_rev")).cast(DoubleType).as("last_touch_revenue"),
+        sum(col("lin_rev")).cast(DoubleType).as("linear_revenue"))
+  }
+
   /** a29 (beyond-reference): top navigation paths — the classic
     * clickstream path-analysis report: the most common 3-step
     * event-type sequences inside a 30-min session (a23's
@@ -619,6 +672,7 @@ object WindowAggs extends QueryModule {
     "a33_session_gap_calibration" -> sessionGapCalibration,
     "a34_user_concentration" -> userConcentration,
     "a35_markov_transitions" -> markovTransitions,
+    "a36_attribution" -> attribution,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -632,6 +686,42 @@ object WindowAggs extends QueryModule {
     "a3_pricing_summary" -> pricingSummary)
 
   val oracles = Map(
+    "a36_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         ${Oracle.sec()} AS sec, "value" AS v
+         |  FROM events),
+         |p AS (SELECT user_id AS p_uid, event_id AS p_id, sec AS p_sec,
+         |             v AS p_value
+         |      FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id AS t_uid, event_id AS t_id, sec AS t_sec,
+         |             event_type AS channel
+         |      FROM e WHERE event_type IN ('view', 'click')),
+         |j AS (
+         |  SELECT p.p_id, p.p_value, t.t_id, t.t_sec, t.channel
+         |  FROM p LEFT JOIN t
+         |    ON p.p_uid = t.t_uid AND t.t_sec <= p.p_sec
+         |   AND t.t_sec >= p.p_sec - $attributionHorizonSec),
+         |r AS (
+         |  SELECT *,
+         |         count(t_id) OVER (PARTITION BY p_id) AS n_touches,
+         |         row_number() OVER (PARTITION BY p_id
+         |           ORDER BY t_sec DESC NULLS LAST, t_id DESC NULLS LAST)
+         |           AS rk
+         |  FROM j)
+         |SELECT coalesce(channel, '(none)') AS channel,
+         |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS purchase_ct,
+         |       CAST(sum(CASE WHEN rk = 1
+         |                     THEN CAST(p_value AS DECIMAL(18,2)) END)
+         |            AS DOUBLE) AS last_touch_revenue,
+         |       CAST(sum(CASE
+         |           WHEN n_touches > 0 THEN
+         |             CAST(round(p_value / n_touches, 6) AS DECIMAL(28,6))
+         |           WHEN rk = 1 THEN
+         |             CAST(CAST(p_value AS DECIMAL(18,2)) AS DECIMAL(28,6))
+         |         END) AS DOUBLE) AS linear_revenue
+         |FROM r GROUP BY 1""".stripMargin,
     "w6_late_audit" ->
       s"""WITH e AS (
          |  SELECT (epoch_us(ts) + (event_id % 13) * 15000000) // 60000000
