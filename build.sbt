@@ -36,7 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 512m sufficed at ~130 queries; at 185 the cache flushes mid-suite
   // again (observed round 6: d8 consistently 2-3x slower, but only when
   // the full d-family's generated classes precede it — the flushed
-  // methods re-JIT inside the timed query). Scale with the suite.
-  "-XX:ReservedCodeCacheSize=1g",
+  // methods re-JIT inside the timed query); at 201 the same signature
+  // reappeared on g6 (consistent 1.1-1.35x across a triple). Scale
+  // with the suite.
+  "-XX:ReservedCodeCacheSize=1536m",
   "-XX:+UseCodeCacheFlushing",
 )
