@@ -92,7 +92,17 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
         col("__next").as("valid_to_seq"),
         (col("__next").isNull && col(opCol) =!= "delete")
           .as("is_current"))): _*)
-    val out = versions.sorted.lastOption match {
+    // Replay idempotence (the W10 exactly-once contract): the base
+    // snapshot is the latest version STRICTLY BELOW this batchId — a
+    // crash after vN committed but before the batch was acknowledged
+    // replays batch N, and reading "the latest" (= vN itself) would
+    // close-and-insert the same ops a second time. The type-1 sink
+    // gets replay idempotence for free (re-upserting identical ops is
+    // a no-op under last-op-wins); close-and-insert does not, so the
+    // base must be the pre-batch state. Every merge commits a version
+    // for its batchId (even with zero matching rows), so the
+    // predecessor is always the true pre-batch snapshot.
+    val out = versions.filter(_ < batchId).sorted.lastOption match {
       case None =>
         newRowsBase(numbered.withColumn("__base", lit(0)))
       case Some(v) =>

@@ -249,6 +249,68 @@ class PipelineSpec extends SparkSuite {
     assert(recovered == Map(2L -> 6.0, 3L -> 7.0))
   }
 
+  test("SCD2 sink survives a mid-batch crash: restart replays " +
+      "idempotently onto the committed version (W10)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The same worst-moment injection as the type-1 case above, for
+    // the close-and-insert sink — which is NOT naturally idempotent:
+    // re-applying a committed batch on top of its own result would
+    // close chains twice and inflate versions. The sink bases every
+    // merge on the latest version STRICTLY BELOW the batchId, so a
+    // replayed batch recomputes from the true pre-batch state.
+    val store = tmp("scd2_crash_store")
+    val ck = tmp("scd2_crash_ck")
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    def mkSink() = new streaming.Scd2ParquetMergeSink(
+      store, "id", "seq", "op", Seq("payload"))
+    @volatile var crashAfterMerge = false
+    def start() = source.toDF().toDF("id", "op", "payload", "seq")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        mkSink().merge(batch, id)
+        if (crashAfterMerge) {
+          crashAfterMerge = false
+          throw new RuntimeException("injected crash after merge commit")
+        }
+      }
+      .start()
+    val sq1 = start()
+    source.addData((1L, "upsert", 10.0, 1L), (2L, "upsert", 5.0, 2L))
+    sq1.processAllAvailable()
+    crashAfterMerge = true
+    source.addData((1L, "delete", 0.0, 3L), (2L, "upsert", 6.0, 4L),
+      (3L, "upsert", 7.0, 5L))
+    intercept[Exception] { sq1.processAllAvailable() }
+    sq1.stop()
+    val sq2 = start()
+    sq2.processAllAvailable(); sq2.stop()
+    val recovered = mkSink().current(spark)
+    // uninterrupted twin over the same two batches
+    val refStore = tmp("scd2_crash_ref")
+    val ref = new streaming.Scd2ParquetMergeSink(
+      refStore, "id", "seq", "op", Seq("payload"))
+    ref.merge(Seq((1L, "upsert", 10.0, 1L), (2L, "upsert", 5.0, 2L))
+      .toDF("id", "op", "payload", "seq"), 0L)
+    ref.merge(Seq((1L, "delete", 0.0, 3L), (2L, "upsert", 6.0, 4L),
+      (3L, "upsert", 7.0, 5L)).toDF("id", "op", "payload", "seq"), 1L)
+    val want = ref.current(spark)
+    val cols = Seq("id", "version", "payload", "op", "valid_from_seq",
+      "valid_to_seq", "is_current").map(col)
+    assert(recovered.select(cols: _*)
+        .exceptAll(want.select(cols: _*)).count() == 0 &&
+      want.select(cols: _*)
+        .exceptAll(recovered.select(cols: _*)).count() == 0,
+      "post-crash SCD2 history != uninterrupted history")
+    // the exact expected chains: id 1 upsert closed by its delete
+    // (open, not current); id 2 two versions; id 3 one open version
+    assert(recovered.count() == 5)
+    val audit = graft.api.Graft.scd2Audit(recovered).head()
+    assert(audit.getAs[Boolean]("scd2_ok"),
+      s"post-crash history failed the k9 audit: $audit")
+  }
+
   test("merge sink: never-seen column keeps its real type once produced") {
     import spark.implicits._
     import org.apache.spark.sql.types.DoubleType
