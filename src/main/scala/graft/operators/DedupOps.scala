@@ -182,8 +182,9 @@ object DedupOps extends QueryModule {
     * the [[bucketCliqueCap]] budget: one rank/pivot window on the
     * bucket key (co-partitioned with the join — the same Exchange
     * serves both), the clique join restricted to ranks ≤ cap, and the
-    * over-cap tail star-joined to the bucket pivot map-side. */
-  private def bandPairs(stacked: DataFrame): DataFrame = {
+    * over-cap tail star-joined to the bucket pivot map-side. Shared
+    * with the streaming incremental dedup (its within-batch stage). */
+  private[graft] def bandPairs(stacked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucket = Seq(col("source"), col("band_no"), col("band_sig"))
     val ranked = stacked

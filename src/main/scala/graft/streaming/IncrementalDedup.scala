@@ -18,16 +18,23 @@ import graft.operators.DedupOps
   *   4. append the canonicalized candidate pairs and the batch's bands.
   *
   * The signature store grows linearly with the corpus while each batch
-  * pays only |batch| × collision work — at scale the store would be a
+  * pays only |batch| × collision work — at scale the store is a
   * bucketed/partitioned table keyed by band_sig so step 2 prunes to
-  * matching buckets, AND the store side of the bucket join would carry
-  * the same per-bucket partner budget the batch family applies
-  * ([[DedupOps.bucketCliqueCap]]; the d8 batch query demonstrates the
-  * capped form of exactly this new×store join) — here the uncapped
-  * join is kept so the spec's exact-equality contract with the
-  * one-shot set stays provable on arbitrarily-sharded arrival.
-  * IncrementalDedupSpec proves the union of emitted pairs over all
-  * batches equals the one-shot batch candidate set. */
+  * matching buckets, AND both join stages carry the batch family's
+  * per-bucket budget ([[DedupOps.bucketCliqueCap]]): arriving docs
+  * meet only the first cap stored members of each bucket, and the
+  * within-batch self-join is the same capped clique+star form the
+  * one-shot pipeline runs. The budget is CLUSTER-SAFE incrementally:
+  * a member's bucket rank (by doc_id) only grows as more docs arrive,
+  * so every pair of finally-top-cap members still meets when the
+  * later one arrives, and every other member connects through the
+  * bucket's then-top-cap — per-bucket connectivity (what the
+  * clustering consumes) is identical to the one-shot capped set even
+  * though hot buckets' exact star edges may differ by arrival order.
+  * IncrementalDedupSpec proves exact pair equality where the cap
+  * never binds, and cluster (connected-component) equality plus the
+  * pair-count bound on a synthetic mega-bucket corpus where it
+  * does. */
 object IncrementalDedup {
 
   private def canonical(pairs: DataFrame): DataFrame =
@@ -40,20 +47,24 @@ object IncrementalDedup {
     * the accumulated band store (may be empty). */
   private[graft] def batchPairs(bands: DataFrame, prev: DataFrame)
       : DataFrame = {
+    val wOld = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("band_no"), col("band_sig"))
+      .orderBy(col("doc_id"))
+    val storeCore = prev
+      .withColumn("rk", row_number().over(wOld))
+      .filter(col("rk") <= DedupOps.bucketCliqueCap)
     val l = bands.select(col("doc_id").as("a_id"), col("source"),
       col("band_no"), col("band_sig"))
     val crossOld = l.join(
-      prev.select(col("doc_id").as("b_id"), col("source").as("p_source"),
-        col("band_no").as("p_no"), col("band_sig").as("p_sig")),
+      storeCore.select(col("doc_id").as("b_id"),
+        col("source").as("p_source"), col("band_no").as("p_no"),
+        col("band_sig").as("p_sig")),
       col("source") === col("p_source") && col("band_no") === col("p_no") &&
         col("band_sig") === col("p_sig") && col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("source"))
-    val withinNew = l.join(
-      bands.select(col("doc_id").as("b_id"), col("source").as("n_source"),
-        col("band_no").as("n_no"), col("band_sig").as("n_sig")),
-      col("source") === col("n_source") && col("band_no") === col("n_no") &&
-        col("band_sig") === col("n_sig") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("source"))
+    // within-batch collisions: the SAME capped clique+star generation
+    // as the one-shot pipeline (DedupOps.bandPairs)
+    val withinNew = DedupOps.bandPairs(bands)
     canonical(crossOld.unionByName(withinNew)).distinct()
   }
 
