@@ -829,6 +829,61 @@ object CurationOps extends QueryModule {
     * the mixer must re-allocate. All integer math except the epoch
     * ratio (exact integer division per engine — `div`/`//` parity);
     * one per-source aggregation + a broadcast 1-row total. */
+  /** c29 (beyond-reference): one-step domain reweighting — the
+    * DoReMi-shaped mixture update (Xie et al., NeurIPS 2023: upweight
+    * domains with EXCESS loss over a reference) computed from corpus
+    * statistics alone: each source's "loss" proxy is the mean token
+    * surprisal −ln(corpus token frequency) (rare-vocabulary sources
+    * score high), the excess is vs the corpus-wide mean, and the new
+    * mixture weight is the baseline token share scaled by
+    * exp(η·excess) and renormalized. Output per source: token share,
+    * loss, excess, and the normalized next-round weight — the knob a
+    * data mixer turns between training runs. Scale shape: one
+    * token-keyed frequency aggregation (bounded by the vocabulary
+    * after map-side combine), one join riding the same token key, one
+    * per-source rollup, a broadcast 1-row total. Float discipline:
+    * per-token ln values round(·,9)→DECIMAL before the cross-row sum
+    * (the t13 entropy pattern), exp/normalization on 6-dp-rounded
+    * per-source scalars. */
+  val reweightEta = 0.5
+
+  private def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val toks = Tables(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokenize(col("text")))
+        .as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_ct"))
+    val total = freq.agg(sum(col("tok_ct")).cast(LongType).as("n_total"))
+    val surprisal = toks.join(freq, "tok").crossJoin(broadcast(total))
+      .select(col("source"),
+        round(-log(col("tok_ct").cast(DoubleType) / col("n_total")), 9)
+          .cast(DecimalType(28, 9)).as("surp_q"))
+    // the per-source sums STAY DECIMAL through the corpus rollup —
+    // exact and order-independent at every aggregation level; doubles
+    // appear only in the final one-shot divisions
+    val perSrc = surprisal.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_tokens"),
+        sum(col("surp_q")).as("surp_dec"))
+      .withColumn("loss",
+        round(col("surp_dec").cast(DoubleType) / col("src_tokens"), 6))
+    val corpus = perSrc.agg(
+      sum(col("src_tokens")).cast(LongType).as("all_tokens"),
+      round(sum(col("surp_dec")).cast(DoubleType) /
+        sum(col("src_tokens")).cast(DoubleType), 6).as("corpus_loss"))
+    val scored = perSrc.crossJoin(broadcast(corpus))
+      .withColumn("token_share",
+        round(col("src_tokens").cast(DoubleType) / col("all_tokens"), 6))
+      .withColumn("excess", round(col("loss") - col("corpus_loss"), 6))
+      .withColumn("raw_w",
+        round(col("token_share") * exp(lit(reweightEta) * col("excess")),
+          6))
+    val z = scored.agg(round(sum(col("raw_w")), 6).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("src_tokens"), col("token_share"),
+        col("loss"), col("excess"),
+        round(col("raw_w") / col("z"), 6).as("next_weight"))
+  }
+
   private def epochPlan(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir, "documents")
       .groupBy(col("source"))
@@ -1128,6 +1183,7 @@ object CurationOps extends QueryModule {
     "c15_decontam_report" -> decontamReport,
     "c17_fuzzy_contamination" -> fuzzyContamination,
     "c21_epoch_plan" -> epochPlan,
+    "c29_domain_reweight" -> domainReweight,
     "c18_snapshot_diff" -> snapshotDiff,
     "c25_reprocess_plan" -> reprocessPlan,
     "c19_curriculum_phases" -> curriculumPhases,
@@ -1561,6 +1617,48 @@ object CurationOps extends QueryModule {
         |       CAST(greatest(0, (2 * total) // nsrc - 4 * src_tokens)
         |            AS BIGINT) AS unfilled_tokens
         |FROM t CROSS JOIN tot""".stripMargin,
+    "c29_domain_reweight" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |freq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS tok_ct
+         |  FROM toks GROUP BY 1),
+         |total AS (SELECT CAST(sum(tok_ct) AS BIGINT) AS n_total
+         |          FROM freq),
+         |surp AS (
+         |  SELECT source,
+         |         CAST(round(-ln(CAST(tok_ct AS DOUBLE) / n_total), 9)
+         |              AS DECIMAL(28,9)) AS surp_q
+         |  FROM toks JOIN freq USING (tok) CROSS JOIN total),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS src_tokens,
+         |         sum(surp_q) AS surp_dec
+         |  FROM surp GROUP BY 1),
+         |per2 AS (
+         |  SELECT *, round(CAST(surp_dec AS DOUBLE) / src_tokens, 6)
+         |           AS loss
+         |  FROM per),
+         |corpus AS (
+         |  SELECT CAST(sum(src_tokens) AS BIGINT) AS all_tokens,
+         |         round(CAST(sum(surp_dec) AS DOUBLE)
+         |               / CAST(sum(src_tokens) AS DOUBLE), 6)
+         |           AS corpus_loss
+         |  FROM per2),
+         |sc AS (
+         |  SELECT source, src_tokens,
+         |         round(CAST(src_tokens AS DOUBLE) / all_tokens, 6)
+         |           AS token_share,
+         |         loss, round(loss - corpus_loss, 6) AS excess,
+         |         round(round(CAST(src_tokens AS DOUBLE) / all_tokens, 6)
+         |               * exp($reweightEta
+         |                     * round(loss - corpus_loss, 6)), 6)
+         |           AS raw_w
+         |  FROM per2 CROSS JOIN corpus),
+         |zz AS (SELECT round(sum(raw_w), 6) AS z FROM sc)
+         |SELECT source, src_tokens, token_share, loss, excess,
+         |       round(raw_w / z, 6) AS next_weight
+         |FROM sc CROSS JOIN zz""".stripMargin,
     "c5_contamination" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
          |            FROM documents),

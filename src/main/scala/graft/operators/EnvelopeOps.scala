@@ -577,6 +577,7 @@ object EnvelopeOps extends QueryModule {
     "k10_scd2_repair" -> scd2RepairReport,
     "k11_bitemporal_snapshot" -> bitemporalSnapshot,
     "k12_dim_scd2_history" -> dimScd2History,
+    "k13_dim_restatement" -> dimRestatement,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -585,6 +586,45 @@ object EnvelopeOps extends QueryModule {
     "g3_multiway_split" -> multiWaySplit,
     "k7_asof_snapshot" -> asOfSnapshot,
     "k5_dim_merge_snapshot" -> dimMergeSnapshot)
+
+  /** k13 (beyond-reference): late-arriving dimension correction — the
+    * RESTATEMENT report a warehouse publishes when a dim fix lands
+    * retroactively (here: customer keys ≡ 0 mod 17 had the wrong
+    * nation; the correction reassigns them deterministically). Facts
+    * are re-attributed under the corrected dimension and the report
+    * states, per nation, the order count and exact DECIMAL amount
+    * under the OLD vs CORRECTED attribution with deltas — what
+    * downstream dashboards must absorb. Scale shape: ONE orders scan,
+    * one broadcast dim join carrying both attributions, two rollups
+    * full-outer-joined on the 25-row nation key — the restatement
+    * never rescans history per affected key. */
+  private def dimRestatement(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").as("nation_old"),
+      when(pmod(col("c_custkey"), lit(17)) === 0,
+        pmod(col("c_nationkey") + 7, lit(25)))
+        .otherwise(col("c_nationkey")).as("nation_new"))
+    val j = Tables(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("nation_old"), col("nation_new"),
+        money(col("o_totalprice")).as("amt"))
+    val before = j.groupBy(col("nation_old").as("nation"))
+      .agg(count(lit(1)).as("orders_before"),
+        sum(col("amt")).cast("double").as("amount_before"))
+    val after = j.groupBy(col("nation_new").as("nation"))
+      .agg(count(lit(1)).as("orders_after"),
+        sum(col("amt")).cast("double").as("amount_after"))
+    before.join(after, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        coalesce(col("orders_before"), lit(0L)).as("orders_before"),
+        coalesce(col("orders_after"), lit(0L)).as("orders_after"),
+        (coalesce(col("orders_after"), lit(0L)) -
+          coalesce(col("orders_before"), lit(0L))).as("order_delta"),
+        coalesce(col("amount_before"), lit(0.0)).as("amount_before"),
+        coalesce(col("amount_after"), lit(0.0)).as("amount_after"),
+        round(coalesce(col("amount_after"), lit(0.0)) -
+          coalesce(col("amount_before"), lit(0.0)), 2).as("amount_delta"))
+  }
 
   /** k12 (round-8): the DIM pipeline's SCD2 output end to end — the
     * full Maxwell-envelope parse → validity ETL → broadcast config
@@ -604,6 +644,37 @@ object EnvelopeOps extends QueryModule {
         col("valid_from_seq"), col("valid_to_seq"), col("is_current"))
 
   val oracles = Map(
+    "k13_dim_restatement" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey AS nation_old,
+        |         CASE WHEN c_custkey % 17 = 0
+        |              THEN (c_nationkey + 7) % 25
+        |              ELSE c_nationkey END AS nation_new
+        |  FROM customer),
+        |j AS (
+        |  SELECT nation_old, nation_new,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+        |  FROM orders JOIN cust ON o_custkey = c_custkey),
+        |b AS (
+        |  SELECT nation_old AS nation,
+        |         CAST(count(*) AS BIGINT) AS orders_before,
+        |         CAST(sum(amt) AS DOUBLE) AS amount_before
+        |  FROM j GROUP BY 1),
+        |a AS (
+        |  SELECT nation_new AS nation,
+        |         CAST(count(*) AS BIGINT) AS orders_after,
+        |         CAST(sum(amt) AS DOUBLE) AS amount_after
+        |  FROM j GROUP BY 1)
+        |SELECT coalesce(b.nation, a.nation) AS nation,
+        |       CAST(coalesce(orders_before, 0) AS BIGINT) AS orders_before,
+        |       CAST(coalesce(orders_after, 0) AS BIGINT) AS orders_after,
+        |       CAST(coalesce(orders_after, 0) - coalesce(orders_before, 0)
+        |            AS BIGINT) AS order_delta,
+        |       coalesce(amount_before, 0.0) AS amount_before,
+        |       coalesce(amount_after, 0.0) AS amount_after,
+        |       round(coalesce(amount_after, 0.0)
+        |             - coalesce(amount_before, 0.0), 2) AS amount_delta
+        |FROM b FULL OUTER JOIN a ON b.nation = a.nation""".stripMargin,
     "k12_dim_scd2_history" ->
       """WITH ops AS (
         |  SELECT CAST(c_custkey AS VARCHAR) AS id, 'upsert' AS op,
