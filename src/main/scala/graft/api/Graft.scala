@@ -294,8 +294,10 @@ object Graft {
     * `outDir`. `mode = "bucket"` hash-partitions on `key` (co-located
     * join layout); `mode = "range"` range-partitions on `key` (files
     * carry non-overlapping key extents, so footer stats prune range
-    * scans — the x8 skipping win, applied). Returns the partition
-    * count written. */
+    * scans — the x8 skipping win, applied). Returns the PLANNED
+    * partition count; the landed file count is <= that plan (empty
+    * partitions — degenerate or low-cardinality keys — write no
+    * file). */
   def applyLayout(df: DataFrame, key: Column, estBytes: Column,
       targetBytes: Long, outDir: String, mode: String = "bucket"): Int =
     graft.operators.ScalePatterns.applyLayoutFor(df, key, estBytes,

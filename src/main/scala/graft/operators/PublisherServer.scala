@@ -90,10 +90,14 @@ object PublisherServer {
     // The order store comes in two layers, like the reference's Doris
     // tables: the DETAIL shape ([[ServingApi.buildStore]], one row per
     // order) and the DWS ROLLUP shape (the live ProvinceOrderApp
-    // streaming sink, one row per window×province). One schema probe at
-    // startup picks the read path — the serving queries differ only in
-    // how order_ct folds (countDistinct vs additive sum).
-    val orderIsDetail =
+    // streaming sink, one row per window×province). One schema probe,
+    // memoized on FIRST USE (lazy — the streaming DWS sink may not have
+    // committed its first batch when the server starts, and an eager
+    // startup read would crash the live topology's startup ordering; a
+    // failed probe is retried on the next request, per lazy-val
+    // semantics), picks the read path — the serving queries differ only
+    // in how order_ct folds (countDistinct vs additive sum).
+    lazy val orderIsDetail =
       s.read.parquet(orderStore).columns.contains("o_orderkey")
 
     // The store is written partitionBy("cur_date"), so the newest day is

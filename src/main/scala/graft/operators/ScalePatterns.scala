@@ -247,24 +247,39 @@ object ScalePatterns extends QueryModule {
     * The size estimate is a planning-time aggregate (one map-side
     * combinable pass, like x12 itself); at 100 TB this is the ingest
     * job's write step, not a query-time cost. Returns the planned
-    * partition count. Exposed as [[graft.api.Graft.applyLayout]];
-    * ApiSpec proves file count == plan and the range mode's
-    * non-overlapping extents. */
+    * partition count; the landed FILE count is <= that plan — hash or
+    * range repartitioning leaves empty partitions (which write no
+    * file) when the key's cardinality is below the plan or badly
+    * skewed, exactly like a real table writer (Delta's optimized
+    * writes make the same no-empty-files promise). Exposed as
+    * [[graft.api.Graft.applyLayout]]; ApiSpec proves file count ==
+    * plan on a well-spread key, file count <= plan on a degenerate
+    * one, and the range mode's non-overlapping extents. */
   private[graft] def applyLayoutFor(df: DataFrame, key: Column,
       estBytes: Column, targetBytes: Long, outDir: String,
       mode: String = "bucket"): Int = {
     require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
     require(mode == "bucket" || mode == "range",
       s"layout mode must be bucket|range (got $mode)")
-    val totalRow = df.agg(sum(estBytes).cast(LongType).as("t")).head()
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    val n = math.max(1L, math.ceil(total.toDouble / targetBytes).toLong)
-      .toInt
-    val laid =
-      if (mode == "bucket") df.repartition(n, key)
-      else df.repartitionByRange(n, key)
-    laid.write.mode("overwrite").parquet(outDir)
-    n
+    // the frame is scanned twice (sizing aggregate, then the write) —
+    // persist across the passes so the caller's upstream (at 100 TB:
+    // the ingest job's transform) runs once
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalRow = cached.agg(sum(estBytes).cast(LongType).as("t")).head()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val n = math.max(1L, math.ceil(total.toDouble / targetBytes).toLong)
+        .toInt
+      val laid =
+        if (mode == "bucket") cached.repartition(n, key)
+        else cached.repartitionByRange(n, key)
+      laid.write.mode("overwrite").parquet(outDir)
+      n
+    } finally {
+      cached.unpersist(false)
+      ()
+    }
   }
 
   /** Shared x13 stage: per-row layout assignment under x12's plan for

@@ -130,8 +130,11 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
   }
 
   /** The full maintained history (latest committed version). */
-  def current(s: SparkSession): DataFrame =
-    s.read.parquet(s"$storeDir/v${versions.max}")
+  def current(s: SparkSession): DataFrame = {
+    val vs = versions
+    require(vs.nonEmpty, s"no committed version under $storeDir")
+    s.read.parquet(s"$storeDir/v${vs.max}")
+  }
 }
 
 /** Versioned-parquet MergeSink: storeDir/v<batchId> is the snapshot
@@ -155,11 +158,7 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
     * next-version bookkeeping. */
   private[streaming] def committedVersions: Seq[Long] = versions
 
-  private def versions: Seq[Long] =
-    Option(new java.io.File(storeDir).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(d => new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+  private def versions: Seq[Long] = VersionedStore.committed(storeDir)
 
   /** Additive schema evolution (the Delta `mergeSchema` + `UPDATE SET
     * source-columns-only` behavior):
@@ -272,8 +271,11 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
       try cols.toSeq.sorted.foreach(w.println) finally w.close()
     }
 
-  def current(s: SparkSession): DataFrame =
-    s.read.parquet(s"$storeDir/v${versions.max}")
+  def current(s: SparkSession): DataFrame = {
+    val vs = versions
+    require(vs.nonEmpty, s"no committed version under $storeDir")
+    s.read.parquet(s"$storeDir/v${vs.max}")
+  }
 
   /** Time-travel read (`VERSION AS OF`): the latest committed snapshot
     * whose version ≤ `version` — reading history is a pruned scan of one

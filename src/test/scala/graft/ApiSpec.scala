@@ -533,6 +533,18 @@ class ApiSpec extends SparkSuite {
     // and the layout is a pure re-arrangement — nothing lost
     assert(spark.read.parquet(outR).count() == 4000 &&
       spark.read.parquet(outB).count() == 4000)
+    // degenerate key (one value): hash layout lands everything in one
+    // partition; the other planned partitions are empty and write no
+    // file — the documented file-count <= plan contract, not a failure
+    val skewed = spark.range(0, 4000).select(lit(7L).as("k"),
+      concat(lit("payload_"), col("id")).as("v"))
+    val outS = java.nio.file.Files.createTempDirectory("layout_s").toString
+    val nS = Graft.applyLayout(skewed, col("k"), est, 32768L, outS, "bucket")
+    assert(nS == 8, s"plan arithmetic is data-size-only: got $nS")
+    val skewFiles = partFiles(outS)
+    assert(skewFiles.size <= nS && skewFiles.nonEmpty,
+      s"degenerate key wrote ${skewFiles.size} files (plan $nS)")
+    assert(spark.read.parquet(outS).count() == 4000)
   }
 
   test("dpReleasedCounts: production draw has the Laplace scale; " +
