@@ -56,7 +56,10 @@ object Bench {
     // intermediate: labels after c2; band/candidate/simhash memos after
     // d9; parsed envelopes after s2_debezium (its users are p4/p9/s2_*)
     val releaseAfter: Map[String, QueryModule] = Map(
-      "c2_kept_corpus" -> operators.CurationOps,
+      // c5 reads the train-posting memo and sorts after c2_kept (the
+      // previous boundary) — the release must follow the family's LAST
+      // memo reader or it silently rebuilds inside a timed query
+      "c5_contamination" -> operators.CurationOps,
       // d9 > d7 > d6 in sort order and d9 reads the candidate memo —
       // releasing any earlier makes d9 silently rebuild the pipeline
       "d9_threshold_sweep" -> operators.DedupOps,

