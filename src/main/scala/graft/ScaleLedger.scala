@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicReference
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{ExecSubqueryExpression, QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -50,6 +48,11 @@ object ScaleLedger {
     * ratios of tiny numbers are noise, not scaling evidence. */
   val recordFloor = 20000L
 
+  /** Byte sibling of [[recordFloor]]: byte growth is only flagged once
+    * the big-scale shuffle moves a megabyte — below that, ratios track
+    * serialization jitter, not row width. */
+  val bytesFloor = 1000000L
+
   /** Recompute the flag PerfSpec asserts from a ledger row's numbers
     * (never trust a stored verdict column). The growth allowance is
     * OUTPUT-SENSITIVE: max(input growth, output-row growth) — a
@@ -71,13 +74,41 @@ object ScaleLedger {
         maxGrowthFactor * math.max(inputRatio, outGrowth)
   }
 
-  /** Captures the QueryExecution of the next action while armed. The
-    * listener bus delivery is async — readers poll [[last]]. */
+  /** Byte-growth flag under the same output-sensitive allowance —
+    * record-only flagging is blind to a row-WIDTH explosion (a payload
+    * column accidentally carried through a shuffle, a collect_list of
+    * documents): record counts grow linearly while bytes go
+    * quadratic. Flags shuffle BYTES growing past the allowance above
+    * the [[bytesFloor]]. */
+  def flaggedBytes(bytesSmall: Long, bytesBig: Long, outSmall: Long,
+      outBig: Long): Boolean = {
+    val outGrowth = outBig.toDouble / math.max(1L, outSmall)
+    bytesBig > bytesFloor &&
+      bytesBig.toDouble / math.max(1L, bytesSmall) >
+        maxGrowthFactor * math.max(inputRatio, outGrowth)
+  }
+
+  /** Captures EVERY QueryExecution completed while armed — not just
+    * the final sink action: a query whose CONSTRUCTION runs jobs
+    * (k10's eager localCheckpoint materializes the repair subtree
+    * before any consumer executes) must have that work on its ledger
+    * row too, or the guard never measures the exact stage the memo
+    * exists for. Readers sum across the buffer with one shared
+    * accumulator-id set, so a plan fragment visible in several QEs
+    * (the checkpoint build and the final plan's scan of it) never
+    * double-counts. The listener bus delivery is async — readers poll
+    * [[drain]] after the sink action lands at least one QE. */
   private final class Capture extends QueryExecutionListener {
-    val last = new AtomicReference[QueryExecution](null)
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
     @volatile var armed = false
+    def reset(): Unit = buf.clear()
+    def drain: Seq[QueryExecution] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq
+    }
     override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit = if (armed) last.set(qe)
+        durationNs: Long): Unit = if (armed) { buf.add(qe); () }
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit = ()
   }
@@ -98,27 +129,33 @@ object ScaleLedger {
   }
 
   /** (shuffle records written, shuffle bytes written, output rows)
-    * of an executed plan, each metric accumulator counted once
-    * (ReusedExchange shares its original's accumulators). Output rows
-    * come from the first row-tracking operator in pre-order — the one
-    * nearest the sink — which is the result cardinality the
-    * output-sensitive growth allowance needs. */
-  def shuffleTotals(qe: QueryExecution): (Long, Long, Long) = {
-    val nodes = flat(qe.executedPlan)
+    * summed over every captured execution of one query — the final
+    * sink action plus any construction-time jobs (eager checkpoints)
+    * — each metric accumulator counted once across ALL of them
+    * (ReusedExchange shares its original's accumulators; a
+    * checkpointed subtree's metrics appear only in its own build QE).
+    * Output rows come from the first row-tracking operator in
+    * pre-order of the LAST execution — the one nearest the final
+    * sink — which is the result cardinality the output-sensitive
+    * growth allowance needs. */
+  def shuffleTotals(qes: Seq[QueryExecution]): (Long, Long, Long) = {
     val seen = scala.collection.mutable.Set.empty[Long]
     var rec = 0L
     var bytes = 0L
-    nodes.foreach {
-      case se: ShuffleExchangeLike =>
-        se.metrics.get("shuffleRecordsWritten").foreach { m =>
-          if (seen.add(m.id)) rec += m.value
-        }
-        se.metrics.get("shuffleBytesWritten").foreach { m =>
-          if (seen.add(m.id)) bytes += m.value
-        }
-      case _ => ()
+    qes.foreach { qe =>
+      flat(qe.executedPlan).foreach {
+        case se: ShuffleExchangeLike =>
+          se.metrics.get("shuffleRecordsWritten").foreach { m =>
+            if (seen.add(m.id)) rec += m.value
+          }
+          se.metrics.get("shuffleBytesWritten").foreach { m =>
+            if (seen.add(m.id)) bytes += m.value
+          }
+        case _ => ()
+      }
     }
-    val outRows = nodes
+    val outRows = qes.lastOption.toSeq
+      .flatMap(qe => flat(qe.executedPlan))
       .flatMap(_.metrics.get("numOutputRows").map(_.value))
       .headOption.getOrElse(0L)
     (rec, bytes, outRows)
@@ -130,21 +167,31 @@ object ScaleLedger {
       if (names.exists(gate)) run(spark, dir)
     }
     names.map { name =>
-      // construction-time jobs (eager checkpoints, planning probes) run
-      // un-armed: the ledger measures the query's EXECUTION
-      val df = SparkEntry.queries(name)(spark, dir)
-      cap.last.set(null)
+      // armed ACROSS construction + execution: construction-time jobs
+      // (k10's eager localCheckpoint) are part of the query's work and
+      // belong on its row; family memo builds stay excluded (prestaged
+      // above, un-armed)
+      cap.reset()
       cap.armed = true
       try {
+        val df = SparkEntry.queries(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
+        // the bus is async and may still owe BOTH construction QEs and
+        // the sink QE: wait until the drained count has been stable
+        // for 300 ms (with at least one captured), bounded at 30 s
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        var qe = cap.last.get()
-        while (qe == null && System.nanoTime() < deadline) {
+        var qes = cap.drain
+        var stableSince = System.nanoTime()
+        var done = false
+        while (!done && System.nanoTime() < deadline) {
           Thread.sleep(20)
-          qe = cap.last.get()
+          val now = cap.drain
+          if (now.size != qes.size) { qes = now; stableSince = System.nanoTime() }
+          done = qes.nonEmpty &&
+            System.nanoTime() - stableSince > 300L * 1000 * 1000
         }
-        require(qe != null, s"no QueryExecution captured for $name")
-        name -> shuffleTotals(qe)
+        require(qes.nonEmpty, s"no QueryExecution captured for $name")
+        name -> shuffleTotals(qes)
       } finally cap.armed = false
     }.toMap
   }
@@ -172,9 +219,15 @@ object ScaleLedger {
       val (rs, bs, os) = sm(n)
       val (rb, bb, ob) = bg(n)
       val ratio = rb.toDouble / math.max(1L, rs)
+      val verdict = (flagged(rs, rb, os, ob),
+          flaggedBytes(bs, bb, os, ob)) match {
+        case (true, true) => "FLAG+BYTES"
+        case (true, false) => "FLAG"
+        case (false, true) => "FLAG_BYTES"
+        case _ => "ok"
+      }
       "%s\t%d\t%d\t%d\t%d\t%d\t%d\t%.3f\t%s".formatLocal(
-        java.util.Locale.ROOT, n, rs, rb, os, ob, bs, bb, ratio,
-        if (flagged(rs, rb, os, ob)) "FLAG" else "ok")
+        java.util.Locale.ROOT, n, rs, rb, os, ob, bs, bb, ratio, verdict)
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       "# query\trec_small\trec_big\tout_small\tout_big" +
@@ -182,7 +235,10 @@ object ScaleLedger {
         "graft.ScaleLedger; enforced by PerfSpec (flag = shuffle " +
         s"records grew >${maxGrowthFactor}x max(${inputRatio.toInt}x " +
         "input step, output-row growth) above the " +
-        s"$recordFloor-record floor)\n" +
+        s"$recordFloor-record floor; FLAG_BYTES = same rule on " +
+        s"shuffle bytes above $bytesFloor B — row-width explosions; " +
+        "capture is armed across query CONSTRUCTION too, so eager " +
+        "checkpoint subtrees are on their query's row)\n" +
         rows.mkString("", "\n", "\n"))
     println(s"wrote $out (${rows.size} queries, " +
       s"${rows.count(_.endsWith("FLAG"))} flagged)")

@@ -126,13 +126,15 @@ class PerfSpec extends SparkSuite {
       .asScala.filterNot(l => l.startsWith("#") || l.isBlank)
       .map { l =>
         val a = l.split("\t")
-        a(0) -> ((a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong))
+        a(0) -> ((a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong,
+          a(5).toLong, a(6).toLong))
       }.toMap
     val missing = SparkEntry.queries.keys.filterNot(rows.contains)
     assert(missing.isEmpty, s"queries without a scale-ledger row " +
       s"(run sbt 'runMain graft.ScaleLedger'): ${missing.toSeq.sorted}")
     val blown = rows.toSeq.sorted.collect {
-      case (n, (rs, rb, os, ob)) if ScaleLedger.flagged(rs, rb, os, ob) =>
+      case (n, (rs, rb, os, ob, _, _))
+          if ScaleLedger.flagged(rs, rb, os, ob) =>
         f"$n: $rs%d → $rb%d shuffle records " +
           f"(${rb.toDouble / math.max(1L, rs)}%.1f×) vs output " +
           f"$os%d → $ob%d across a ${ScaleLedger.inputRatio.toInt}× " +
@@ -140,6 +142,20 @@ class PerfSpec extends SparkSuite {
     }
     assert(blown.isEmpty,
       s"superlinear shuffle growth:\n${blown.mkString("\n")}")
+    // byte sibling: record counts growing linearly while row WIDTH
+    // explodes (a payload carried through a shuffle) only shows in
+    // shuffleBytesWritten
+    val blownBytes = rows.toSeq.sorted.collect {
+      case (n, (_, _, os, ob, bs, bb))
+          if ScaleLedger.flaggedBytes(bs, bb, os, ob) =>
+        f"$n: $bs%d → $bb%d shuffle bytes " +
+          f"(${bb.toDouble / math.max(1L, bs)}%.1f×) vs output " +
+          f"$os%d → $ob%d across a ${ScaleLedger.inputRatio.toInt}× " +
+          "input step"
+    }
+    assert(blownBytes.isEmpty,
+      s"superlinear shuffle BYTE growth (row-width explosion):\n" +
+        blownBytes.mkString("\n"))
   }
 
   test("salted agg spreads phase 1 over (key, salt) then merges") {
