@@ -520,18 +520,87 @@ object WindowAggs extends QueryModule {
     * the preceding hour, under BOTH classic models at once — last-touch
     * (all credit to the latest touch) and linear (credit split equally
     * across the window's touches) — plus the untouched-purchase bucket
-    * the budget meeting always asks about. Scale shape: ONE user-keyed
-    * equi-join pairs purchases with their horizon touches (never a
-    * time-range cross product — the horizon predicate rides the hash
-    * join), then one purchase-keyed window ranks/counts touches.
+    * the budget meeting always asks about.
+    *
+    * Scale shape (round-9, the j9 integer-bucket decomposition): the
+    * purchase-to-touch pairing joins on (user, HOUR BUCKET) — a
+    * 1-hour horizon spans at most two hour buckets, so each purchase
+    * probes exactly two (user, bucket) cells and the time predicate
+    * rides the hash join. A whale user's pair enumeration is thereby
+    * bounded per bucket (purchases-that-hour × touches-that-hour),
+    * never all-purchases × all-touches before the horizon filter —
+    * the round-8 verdict's hyperactive-user concern. Untouched
+    * purchases ride as ONE map-side sentinel row each (null channel,
+    * sorts last in the rank window), so the whole report stays a
+    * single linear plan — no left-outer over the bucket explosion, no
+    * second consumption of the join for an anti-join. One
+    * purchase-keyed window then ranks/counts touches, exactly as
+    * before.
     * Float discipline: the linear split value/n is a per-row IEEE
     * division (identical both engines), quantized to DECIMAL(28,6)
     * before the cross-row sum so partition order can't change the
     * cents. */
   val attributionHorizonSec = 3600L
 
-  private def attribution(s: SparkSession, dir: String): DataFrame = {
+  /** The bucketed purchase×touch pairing — exposed for the whale-user
+    * spec, which asserts the enumeration stays per-bucket-bounded.
+    * Inputs: purchases (p_uid, p_id, p_sec, p_value), touches
+    * (t_uid, t_id, t_sec, channel). Output: one row per qualifying
+    * (purchase, touch) pair — each pair matches in exactly ONE bucket
+    * (the touch's own), so no dedup is needed. */
+  private[graft] def attributionPairs(purchases: DataFrame,
+      touches: DataFrame): DataFrame = {
+    val h = attributionHorizonSec
+    val probes = purchases
+      .withColumn("pb0", floor(col("p_sec") / h))
+      .withColumn("pb", explode(array(col("pb0") - 1, col("pb0"))))
+    probes.join(touches.withColumn("tb", floor(col("t_sec") / h)),
+        col("p_uid") === col("t_uid") && col("pb") === col("tb") &&
+          col("t_sec") <= col("p_sec") &&
+          col("t_sec") >= col("p_sec") - h)
+      .select(col("p_id"), col("p_value"), col("channel"), col("t_sec"),
+        col("t_id"))
+  }
+
+  /** The full a36 report over arbitrary purchase/touch frames (the
+    * spec's semantic-equality handle). */
+  private[graft] def attributionFor(purchases: DataFrame,
+      touches: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one sentinel per purchase: null channel/touch, sorts last in the
+    // rank window — carries the untouched-purchase credit exactly like
+    // the previous left-outer's null-extended row, but map-side
+    val sentinels = purchases.select(col("p_id"), col("p_value"),
+      lit(null).cast(org.apache.spark.sql.types.StringType).as("channel"),
+      lit(null).cast(LongType).as("t_sec"),
+      lit(null).cast(LongType).as("t_id"))
+    val wP = Window.partitionBy(col("p_id"))
+    val ranked = attributionPairs(purchases, touches)
+      .unionByName(sentinels)
+      .withColumn("n_touches", count(col("t_id")).over(wP))
+      .withColumn("rk", row_number().over(
+        wP.orderBy(col("t_sec").desc_nulls_last, col("t_id").desc_nulls_last)))
+    ranked
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_last"),
+        when(col("rk") === 1, money(col("p_value")))
+          .otherwise(lit(null)).as("lt_rev"),
+        // the sentinel of a TOUCHED purchase (t_id null, n_touches>0)
+        // must not draw a linear share — only real touch rows split
+        when(col("n_touches") > 0 && col("t_id").isNotNull,
+          round(col("p_value") / col("n_touches"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .when(col("n_touches") === 0 && col("rk") === 1,
+            money(col("p_value")).cast(
+              org.apache.spark.sql.types.DecimalType(28, 6)))
+          .otherwise(lit(null)).as("lin_rev"))
+      .groupBy(col("channel"))
+      .agg(sum(col("is_last")).as("purchase_ct"),
+        sum(col("lt_rev")).cast(DoubleType).as("last_touch_revenue"),
+        sum(col("lin_rev")).cast(DoubleType).as("linear_revenue"))
+  }
+
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         nsToSec(col("ts")).as("sec"), col("value"))
@@ -541,30 +610,7 @@ object WindowAggs extends QueryModule {
     val touches = e.filter(col("event_type").isin("view", "click"))
       .select(col("user_id").as("t_uid"), col("event_id").as("t_id"),
         col("sec").as("t_sec"), col("event_type").as("channel"))
-    val joined = purchases.join(touches,
-      col("p_uid") === col("t_uid") &&
-        col("t_sec") <= col("p_sec") &&
-        col("t_sec") >= col("p_sec") - attributionHorizonSec, "left_outer")
-    val wP = Window.partitionBy(col("p_id"))
-    val ranked = joined
-      .withColumn("n_touches", count(col("t_id")).over(wP))
-      .withColumn("rk", row_number().over(
-        wP.orderBy(col("t_sec").desc_nulls_last, col("t_id").desc_nulls_last)))
-    ranked
-      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
-        when(col("rk") === 1, 1L).otherwise(0L).as("is_last"),
-        when(col("rk") === 1, money(col("p_value")))
-          .otherwise(lit(null)).as("lt_rev"),
-        when(col("n_touches") > 0,
-          round(col("p_value") / col("n_touches"), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-          .when(col("rk") === 1, money(col("p_value")).cast(
-            org.apache.spark.sql.types.DecimalType(28, 6)))
-          .otherwise(lit(null)).as("lin_rev"))
-      .groupBy(col("channel"))
-      .agg(sum(col("is_last")).as("purchase_ct"),
-        sum(col("lt_rev")).cast(DoubleType).as("last_touch_revenue"),
-        sum(col("lin_rev")).cast(DoubleType).as("linear_revenue"))
+    attributionFor(purchases, touches)
   }
 
   /** a29 (beyond-reference): top navigation paths — the classic

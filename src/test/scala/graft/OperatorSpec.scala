@@ -660,4 +660,98 @@ class OperatorSpec extends SparkSuite {
     assert(late > 0, "no late events: disorder model degenerate")
     assert(late < total, "everything late: watermark model broken")
   }
+
+  test("a36 attribution: bucketed pairing == naive horizon join; " +
+      "a whale user's enumeration is per-bucket-bounded") {
+    import spark.implicits._
+    val h = operators.WindowAggs.attributionHorizonSec
+    // planted whale: user 1 touches every 30 min and purchases every
+    // 2 h across 100 h — the round-8 verdict's hyperactive-user shape.
+    // Edges: a touch exactly at p_sec - h (qualifies, PREVIOUS hour
+    // bucket), an untouched purchase, a touch after the purchase
+    // (excluded), a user with touches but no purchases.
+    val touches = ((0 until 200).map(i =>
+        (1L, 1000L + i, i.toLong * 1800L,
+          if (i % 2 == 0) "view" else "click")) ++ Seq(
+        (2L, 5000L, 100L, "view"),       // exactly at 3700 - h
+        (2L, 5001L, 4000L, "click"),     // after the purchase: excluded
+        (3L, 5002L, 50L, "view")))       // user with no purchases
+      .toDF("t_uid", "t_id", "t_sec", "channel")
+    val purchases = ((0 until 50).map(i =>
+        (1L, 2000L + i, i.toLong * 7200L + 100L, 10.0)) ++ Seq(
+        (2L, 6000L, 3700L, 20.0),        // its only touch is the = edge
+        (2L, 6001L, 999999L, 5.0)))      // untouched purchase
+      .toDF("p_uid", "p_id", "p_sec", "p_value")
+
+    // 1. semantics: the bucketed pairing emits EXACTLY the naive
+    // user-keyed horizon join's pairs (each pair once)
+    val bucketed = operators.WindowAggs.attributionPairs(purchases, touches)
+    val naive = purchases.join(touches,
+        col("p_uid") === col("t_uid") &&
+          col("t_sec") <= col("p_sec") &&
+          col("t_sec") >= col("p_sec") - h)
+      .select(col("p_id"), col("p_value"), col("channel"), col("t_sec"),
+        col("t_id"))
+    assert(bucketed.count() == bucketed.distinct().count(),
+      "bucket decomposition duplicated a pair")
+    assert(bucketed.exceptAll(naive).isEmpty &&
+      naive.exceptAll(bucketed).isEmpty,
+      "bucketed pairing diverges from the naive horizon join")
+
+    // 2. the full report equals the naive (pre-round-9) formulation
+    val report = operators.WindowAggs.attributionFor(purchases, touches)
+    import org.apache.spark.sql.expressions.Window
+    val wP = Window.partitionBy(col("p_id"))
+    val naiveReport = purchases.join(touches,
+        col("p_uid") === col("t_uid") &&
+          col("t_sec") <= col("p_sec") &&
+          col("t_sec") >= col("p_sec") - h, "left_outer")
+      .withColumn("n_touches", count(col("t_id")).over(wP))
+      .withColumn("rk", row_number().over(wP.orderBy(
+        col("t_sec").desc_nulls_last, col("t_id").desc_nulls_last)))
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_last"),
+        when(col("rk") === 1, graft.functions.Fns.money(col("p_value")))
+          .otherwise(lit(null)).as("lt_rev"),
+        when(col("n_touches") > 0, round(col("p_value") / col("n_touches"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .when(col("rk") === 1, graft.functions.Fns.money(col("p_value"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .otherwise(lit(null)).as("lin_rev"))
+      .groupBy(col("channel"))
+      .agg(sum(col("is_last")).as("purchase_ct"),
+        sum(col("lt_rev")).cast("double").as("last_touch_revenue"),
+        sum(col("lin_rev")).cast("double").as("linear_revenue"))
+    assert(report.collect().toSet == naiveReport.collect().toSet,
+      s"report diverges:\n${report.collect().toSeq}\n" +
+        s"${naiveReport.collect().toSeq}")
+
+    // 3. the whale bound: the bucket join's enumeration is
+    // sum-over-buckets of (probes × touches), which must stay far
+    // below the naive user-keyed product the old plan enumerated
+    val probeCts = purchases
+      .withColumn("pb0", floor(col("p_sec") / h))
+      .withColumn("pb", explode(array(col("pb0") - 1, col("pb0"))))
+      .groupBy(col("p_uid"), col("pb")).count()
+      .select(col("p_uid").as("u"), col("pb").as("b"),
+        col("count").as("np"))
+    val touchCts = touches
+      .withColumn("tb", floor(col("t_sec") / h))
+      .groupBy(col("t_uid"), col("tb")).count()
+      .select(col("t_uid").as("u"), col("tb").as("b"),
+        col("count").as("nt"))
+    val bucketEnum = probeCts.join(touchCts, Seq("u", "b"))
+      .agg(sum(col("np") * col("nt"))).head.getLong(0)
+    val naiveEnum = purchases.groupBy(col("p_uid")).count()
+      .select(col("p_uid").as("u"), col("count").as("np"))
+      .join(touches.groupBy(col("t_uid")).count()
+        .select(col("t_uid").as("u"), col("count").as("nt")), Seq("u"))
+      .agg(sum(col("np") * col("nt"))).head.getLong(0)
+    assert(naiveEnum >= 10000L, s"fixture degenerate: naive $naiveEnum")
+    assert(bucketEnum * 10 <= naiveEnum,
+      s"bucket enumeration $bucketEnum not << naive $naiveEnum — " +
+        "the whale bound is broken")
+    assert(bucketEnum >= bucketed.count(),
+      "enumeration accounting inconsistent")
+  }
 }
