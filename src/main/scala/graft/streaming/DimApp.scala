@@ -174,6 +174,18 @@ object DimApp {
       : DataFrame =
     scd2SinkFor(storeDir, sinkTable).current(s)
 
+  /** One table's ordering-contract violators (see
+    * [[Scd2ParquetMergeSink.quarantined]]). */
+  def scd2Quarantine(s: SparkSession, storeDir: String, sinkTable: String)
+      : DataFrame =
+    scd2SinkFor(storeDir, sinkTable).quarantined(s)
+
+  /** One table's corrected history including the quarantined ops (see
+    * [[Scd2ParquetMergeSink.repaired]]). */
+  def scd2Repaired(s: SparkSession, storeDir: String, sinkTable: String)
+      : DataFrame =
+    scd2SinkFor(storeDir, sinkTable).repaired(s)
+
   /** Batch twin of the SCD2 mode — the k6 construction over the same
     * parsed op log: version = row_number in seq order per id, each row
     * closed at its successor's seq, the last row open (is_current

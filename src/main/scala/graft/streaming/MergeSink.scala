@@ -59,27 +59,72 @@ private[streaming] object VersionedStore {
   *
   * Ordering contract: batches must arrive per-key seq-nondecreasing
   * (an append-only CDC op log replayed in order — exactly what a
-  * per-key-ordered topic/file stream delivers). Out-of-order arrivals
-  * would need bitemporal corrections (the k10 repair is the batch
-  * remedy).
+  * per-key-ordered topic/file stream delivers). The contract is now
+  * CHECKED at merge time, not assumed: an op whose seq sorts BELOW its
+  * key's open version's valid_from_seq (a multi-partition CDC topic
+  * delivering cross-batch out of order) would close the open row at an
+  * earlier sequence than it began — a silently wrong chain the k9
+  * audit only catches if someone runs it. Such ops are ROUTED TO A
+  * QUARANTINE store (`storeDir/__quarantine/v<batchId>`, committed and
+  * replay-idempotent like the main versions) instead of being merged;
+  * the maintained chain stays k9-clean, and [[repaired]] rebuilds the
+  * full corrected history from the store's own ops plus the quarantine
+  * (the k10 remedy, applied to exactly the ops that need it).
+  * Within-batch disorder needs no quarantine — the batch window sorts
+  * its own ops.
   *
   * Scale shape: ONE key-partitioned window over the batch (order its
-  * own ops), one key-equi-join against the store's open rows, one
-  * against the per-key max version — all on the entity key, the same
-  * single-Exchange discipline as the type-1 sink; untouched keys'
-  * rows are carried forward (a real MERGE leaves them in place). */
+  * own ops), one key-equi-join against the store's open rows (the same
+  * join detects ordering violations), one against the per-key max
+  * version — all on the entity key, the same single-Exchange
+  * discipline as the type-1 sink; untouched keys' rows are carried
+  * forward (a real MERGE leaves them in place). */
 class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     seqCol: String, opCol: String, payloadCols: Seq[String])
     extends MergeSink {
 
   private def versions: Seq[Long] = VersionedStore.committed(storeDir)
 
+  private def quarantineDir = s"$storeDir/__quarantine"
+
   def merge(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val wk = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
-    val numbered = batch
+    val sel = batch
       .select((Seq(col(keyCol), col(opCol), col(seqCol)) ++
         payloadCols.map(col)): _*)
+    // ordering-contract check against the pre-batch snapshot: ops that
+    // sort below their key's open valid_from_seq are quarantined, the
+    // rest merge normally (detection must precede the batch window —
+    // version numbering may not count dropped ops)
+    val baseSnap = versions.filter(_ < batchId).sorted.lastOption
+      .map(v => s.read.parquet(s"$storeDir/v$v"))
+    val admitted = baseSnap match {
+      case None =>
+        // first batch: no store, no cross-batch order to violate; keep
+        // the quarantine ledger dense (one committed version per batch)
+        // so readers can distinguish "checked, clean" from "never ran"
+        writeQuarantine(sel.filter(lit(false))
+          .withColumn("open_from_seq",
+            lit(null).cast(sel.schema(seqCol).dataType)), batchId)
+        sel
+      case Some(hist) =>
+        val opens = hist.filter(col("valid_to_seq").isNull)
+          .select(col(keyCol).as("__qk"),
+            col("valid_from_seq").as("__open_from"))
+        val marked = sel
+          .join(opens, col(keyCol) === col("__qk"), "left_outer")
+        val bad = marked
+          .filter(col("__open_from").isNotNull &&
+            col(seqCol) < col("__open_from"))
+          .withColumn("open_from_seq", col("__open_from"))
+          .drop("__qk", "__open_from")
+        writeQuarantine(bad, batchId)
+        marked.filter(col("__open_from").isNull ||
+            col(seqCol) >= col("__open_from"))
+          .drop("__qk", "__open_from")
+    }
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val numbered = admitted
       .withColumn("__rn", row_number().over(wk))
       .withColumn("__next", lead(col(seqCol), 1).over(wk))
     val newRowsBase = (base: DataFrame) => base
@@ -102,11 +147,10 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     // base must be the pre-batch state. Every merge commits a version
     // for its batchId (even with zero matching rows), so the
     // predecessor is always the true pre-batch snapshot.
-    val out = versions.filter(_ < batchId).sorted.lastOption match {
+    val out = baseSnap match {
       case None =>
         newRowsBase(numbered.withColumn("__base", lit(0)))
-      case Some(v) =>
-        val hist = s.read.parquet(s"$storeDir/v$v")
+      case Some(hist) =>
         // close each touched key's open row at its first new op
         val firstNew = numbered.filter(col("__rn") === 1)
           .select(col(keyCol).as("__k"), col(seqCol).as("__first_seq"))
@@ -134,6 +178,57 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     val vs = versions
     require(vs.nonEmpty, s"no committed version under $storeDir")
     s.read.parquet(s"$storeDir/v${vs.max}")
+  }
+
+  /** Commit one batch's ordering-contract violators. Same committed-
+    * version protocol as the main store (overwrite per batchId →
+    * replay-idempotent; _SUCCESS gates visibility), written BEFORE the
+    * main version so a crash between the two replays both. */
+  private def writeQuarantine(bad: DataFrame, batchId: Long): Unit = {
+    bad.write.mode("overwrite").parquet(s"$quarantineDir/v$batchId")
+    ()
+  }
+
+  /** Every quarantined op across all committed batches, with the open
+    * valid_from_seq it violated (`open_from_seq`). Empty store → empty
+    * frame (the first-batch merge commits an empty ledger version, so
+    * the schema is always on disk once anything merged). */
+  def quarantined(s: SparkSession): DataFrame = {
+    val vs = VersionedStore.committed(quarantineDir)
+    require(vs.nonEmpty,
+      s"no committed quarantine version under $quarantineDir — " +
+        "has the sink merged at least one batch?")
+    vs.sorted.map(v => s.read.parquet(s"$quarantineDir/v$v"))
+      .reduce(_ unionByName _)
+  }
+
+  /** The corrected FULL history — the k10-style remedy applied to
+    * exactly the ops that were quarantined: every maintained version
+    * row is itself an op (its valid_from_seq is the op's seq), so the
+    * store's ops plus the quarantined ops, renumbered per key in seq
+    * order, rebuild the chain a perfectly-ordered replay would have
+    * produced. Read-only: committing the repair (write as the next
+    * version, clear the quarantine) is the operator's decision, like
+    * running the k10 repair in batch. */
+  def repaired(s: SparkSession): DataFrame = {
+    val opProjection = (Seq(col(keyCol), col(opCol),
+      col("valid_from_seq").as(seqCol)) ++ payloadCols.map(col))
+    val histOps = current(s).select(opProjection: _*)
+    val qOps = quarantined(s)
+      .select((Seq(col(keyCol), col(opCol), col(seqCol)) ++
+        payloadCols.map(col)): _*)
+    val all = histOps.unionByName(qOps)
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    all
+      .withColumn("version", row_number().over(wk))
+      .withColumn("__next", lead(col(seqCol), 1).over(wk))
+      .select((Seq(
+        col(keyCol), col("version")) ++ payloadCols.map(col) ++ Seq(
+        col(opCol),
+        col(seqCol).as("valid_from_seq"),
+        col("__next").as("valid_to_seq"),
+        (col("__next").isNull && col(opCol) =!= "delete")
+          .as("is_current"))): _*)
   }
 }
 

@@ -103,5 +103,82 @@ class DimAppSpec extends SparkSuite {
     assert(hist.filter(pmod(col("id").cast("long"), lit(13)) === 0 &&
       col("is_current")).count() == 0,
       "no deleted key may hold a current version")
+
+    // in-order replay: every quarantine ledger version is empty
+    DimApp.configRows.foreach { cfg =>
+      assert(DimApp.scd2Quarantine(spark, store, cfg.sink_table)
+        .count() == 0, s"in-order replay quarantined ops for " +
+          cfg.sink_table)
+    }
+  }
+
+  test("dim app SCD2 mode: OUT-OF-ORDER arrivals are quarantined, the " +
+      "store stays audit-clean, and the repair rebuilds the in-order twin") {
+    val src = java.nio.file.Files.createTempDirectory("dim3_src").toString
+    val store = java.nio.file.Files.createTempDirectory("dim3_store").toString
+    val ckp = java.nio.file.Files.createTempDirectory("dim3_ckp").toString
+    // shard 0 carries inserts@1000 AND deletes@3000; shard 1 delivers
+    // the updates@2000 LATE — the cross-batch disorder a multi-
+    // partition CDC topic produces. Keys with both an update (%7) and
+    // a delete (%13) now receive an op below their open (delete)
+    // version's valid_from_seq; keys with only the update are merely
+    // late, not out of order, and must merge normally.
+    val envs = DimApp.envelopes(spark, sf)
+      .select(col("envelope"),
+        get_json_object(col("envelope"), "$.ts").cast("long").as("ts"))
+    Seq(Seq(1000L, 3000L), Seq(2000L)).zipWithIndex.foreach {
+      case (tss, i) =>
+        val f = s"$src/envelopes_$i.parquet"
+        envs.filter(col("ts").isin(tss: _*)).select(col("envelope"))
+          .repartition(1).write.mode("overwrite").parquet(f)
+        val dir = new java.io.File(f)
+        (dir +: Option(dir.listFiles()).getOrElse(Array.empty).toSeq)
+          .foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val sq = DimApp.runScd2(spark, src, store, ckp)
+    sq.processAllAvailable()
+    sq.stop()
+
+    val table = "dim_customer_info"
+    val hist = DimApp.scd2Store(spark, store, table)
+    val quarantine = DimApp.scd2Quarantine(spark, store, table)
+
+    // 1. the violators (update@2000 onto keys deleted@3000 = %91 keys)
+    // are quarantined, with the open seq they violated
+    assert(quarantine.count() > 0, "disorder fixture quarantined nothing")
+    assert(quarantine.filter(col("seq") =!= 2000L ||
+      col("open_from_seq") =!= 3000L ||
+      pmod(col("id").cast("long"), lit(91)) =!= 0).count() == 0,
+      "unexpected quarantine membership")
+    // merely-LATE ops (update@2000 on a never-deleted key) merged
+    val lateButOrdered = hist.filter(
+      pmod(col("id").cast("long"), lit(7)) === 0 &&
+        pmod(col("id").cast("long"), lit(13)) =!= 0 &&
+        col("valid_from_seq") === 2000L)
+    assert(lateButOrdered.count() > 0,
+      "late-but-ordered updates must merge, not quarantine")
+
+    // 2. the maintained store is still k9-audit-clean
+    val audit = graft.api.Graft.scd2Audit(hist).head()
+    assert(audit.getAs[Boolean]("scd2_ok"),
+      s"out-of-order arrival corrupted the store: $audit")
+    // and the wrong chain was NOT built: no %91 key carries the update
+    assert(hist.filter(pmod(col("id").cast("long"), lit(91)) === 0 &&
+      col("valid_from_seq") === 2000L).count() == 0,
+      "a quarantined op leaked into the chain")
+
+    // 3. repair: store ops + quarantined ops rebuild the exact chain
+    // an in-order replay (the k6 batch construction) produces
+    val got = DimApp.scd2Repaired(spark, store, table)
+      .select(col("id"), col("version"), col("op"),
+        col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+        explode(col("data")))
+    val want = DimApp.batchScd2History(spark, sf, table)
+      .select(col("id"), col("version"), col("op"),
+        col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+        explode(col("data")))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "repaired history != in-order twin")
   }
 }
