@@ -206,7 +206,8 @@ object BaseLogApp {
   def run(s: SparkSession, srcDir: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = s.read.parquet(s"$srcDir/logs.parquet").schema
-    val src = s.readStream.schema(schema).parquet(s"$srcDir/logs*.parquet")
+    val src = StatefulStreams.reader(s, schema)
+      .parquet(s"$srcDir/logs*.parquet")
     fixStream(parsed(src)).toDF().writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

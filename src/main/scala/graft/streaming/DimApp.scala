@@ -117,7 +117,7 @@ object DimApp {
   def run(s: SparkSession, srcDir: String, storeDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = s.read.parquet(s"$srcDir/envelopes.parquet").schema
-    val src = s.readStream.schema(schema)
+    val src = StatefulStreams.reader(s, schema)
       .parquet(s"$srcDir/envelopes*.parquet")
     parsedDims(s, src).writeStream
       .option("checkpointLocation", checkpoint)

@@ -29,7 +29,7 @@ object ProvinceOrderApp {
   /** orders parquet as a bounded stream. */
   def orderStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
-    s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+    StatefulStreams.reader(s, schema).parquet(s"$dir/orders*.parquet")
   }
 
   /** Shared transform chain (stream or batch `orders` input). */

@@ -118,7 +118,8 @@ object SkuOrderApp {
   def run(s: SparkSession, srcDir: String, dimDir: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = s.read.parquet(s"$srcDir/lineitem.parquet").schema
-    val src = s.readStream.schema(schema).parquet(s"$srcDir/lineitem*.parquet")
+    val src = StatefulStreams.reader(s, schema)
+      .parquet(s"$srcDir/lineitem*.parquet")
     val deduped = withEventTime(src)
       .withWatermark("et", "1 day")
       .dropDuplicates("l_orderkey", "l_linenumber")

@@ -32,6 +32,21 @@ object StatefulStreams {
   case class LastSeen(user_id: Long, last_sec: Long, last_event_id: Long,
     last_event_type: String, last_value: Double)
 
+  /** Replay batch-granularity knob for every file-stream source in the
+    * composed apps: when the session conf
+    * `graft.stream.maxFilesPerTrigger` is set ([[graft.StreamBench]]
+    * sets 1 over shard-per-batch inputs), it maps to the file source's
+    * maxFilesPerTrigger so a sharded input replays as one micro-batch
+    * per shard file; unset — every spec and driver path — behavior is
+    * unchanged (all available files in one batch). */
+  private[streaming] def reader(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.streaming.DataStreamReader = {
+    val r = s.readStream.schema(schema)
+    s.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .fold(r)(v => r.option("maxFilesPerTrigger", v))
+  }
+
   /** events parquet as a bounded stream (file source; the Kafka source
     * S1 differs only in format("kafka") + value parsing). */
   def eventStream(s: SparkSession, dir: String): DataFrame = {
@@ -40,7 +55,7 @@ object StatefulStreams {
     // (ts normalized to the library-wide epoch-nanos LongType contract,
     // same seam as the batch Tables loader)
     graft.Tables.normalizeEventTs(
-      s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+      reader(s, schema).parquet(s"$dir/events*.parquet"))
   }
 
   /** W4: processing-time tumbling window — the reference's
