@@ -722,6 +722,63 @@ object CurationOps extends QueryModule {
       d.filter(isEvalDoc), 3L)
   }
 
+  /** Stop-shingle document-frequency cap for c30: a 3-gram appearing
+    * in more than this many TRAIN docs is template/boilerplate and
+    * carries no contamination signal. */
+  val stopShingleDf = 20L
+
+  /** c30 (beyond-reference): DF-based exact decontamination — the
+    * rank-cap-free alternative lens the round-8 advisor asked for.
+    * c5 bounds the quadratic by truncating EVERY shingle's posting
+    * list at its first [[DedupOps.bucketCliqueCap]] docs — eval-side
+    * detection preserved, train-side attribution lossy above the cap.
+    * c30 instead drops whole STOP SHINGLES (train document frequency
+    * > [[stopShingleDf]]) and keeps every posting of the informative
+    * rest: on surviving shingles the (train, eval) pair enumeration is
+    * EXACT — a contaminated train doc is always paired — and the
+    * quadratic risk is gone structurally, since a surviving shingle's
+    * posting list is ≤ the DF cap by definition (candidates per
+    * shingle ≤ df × its eval matches). The trade: a pair sharing ONLY
+    * template shingles is invisible here, where c5 still counts its
+    * first-cap slots — a release gate runs both lenses, like
+    * exact + fuzzy. Scale shape: df rides a window on the SAME
+    * shingle Exchange the eval join needs (one Exchange serves both),
+    * so the whole lens costs c5's join plus one partition-local
+    * count. */
+  /** t30 (beyond-reference): shingle document-frequency spectrum — the
+    * tuning table for BOTH posting-list disciplines (c5's rank cap,
+    * c30's stop-shingle DF threshold): per power-of-two DF bucket, how
+    * many distinct 3-gram shingles live there and how much posting
+    * MASS they carry (sum of df — the join cost a decontamination or
+    * near-dup pass pays on that bucket). Reading it top-down answers
+    * "what does a stop threshold of 2^k cut?" without re-running the
+    * join per candidate threshold — the same curve-over-the-knob shape
+    * as d9's Jaccard sweep. One shingle-keyed aggregate + a ≤~16-row
+    * fold. */
+  private def shingleDfSpectrum(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables(s, dir, "documents"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(floor(log2(col("df"))).cast(LongType).as("b"), col("df"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("shingle_ct"), sum(col("df")).as("posting_ct"))
+      .select(pow(lit(2.0), col("b")).cast(LongType).as("df_bucket_lo"),
+        col("shingle_ct"), col("posting_ct"))
+
+  private def dfDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val posted = shinglesOf(d.filter(!isEvalDoc))
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val wSh = Window.partitionBy(col("shingle"))
+    posted
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= stopShingleDf)
+      .join(shinglesOf(d.filter(isEvalDoc))
+        .select(col("doc_id").as("eval_id"), col("shingle")), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(countDistinct(col("shingle")).as("shared_ct"))
+      .filter(col("shared_ct") >= 3L)
+  }
+
   /** Generic FUZZY decontamination for arbitrary train/eval frames (the
     * c17 core, exposed through [[graft.api.Graft]]): near-duplicate
     * train×eval pairs found by MinHash-LSH banding — each side is
@@ -1244,6 +1301,8 @@ object CurationOps extends QueryModule {
     "c27_temperature_sweep" -> temperatureSweep,
     "c7_token_budget" -> tokenBudget,
     "c5_contamination" -> contamination,
+    "c30_df_decontam" -> dfDecontam,
+    "t30_shingle_df" -> shingleDfSpectrum,
     "c15_decontam_report" -> decontamReport,
     "c17_fuzzy_contamination" -> fuzzyContamination,
     "c21_epoch_plan" -> epochPlan,
@@ -1742,6 +1801,38 @@ object CurationOps extends QueryModule {
          |SELECT train_id, eval_id, count(DISTINCT shingle) AS shared_ct
          |FROM tr JOIN ev USING (shingle)
          |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3""".stripMargin,
+    "c30_df_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 1) + 1),
+         |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+         |  FROM tk),
+         |tr AS (SELECT train_id, shingle FROM (
+         |         SELECT doc_id AS train_id, shingle,
+         |                count(*) OVER (PARTITION BY shingle) AS df
+         |         FROM sh WHERE doc_id % 37 <> 0)
+         |       WHERE df <= $stopShingleDf),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+         |       WHERE doc_id % 37 = 0)
+         |SELECT train_id, eval_id, count(DISTINCT shingle) AS shared_ct
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3""".stripMargin,
+    "t30_shingle_df" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+        |  FROM tk),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |b AS (SELECT CAST(floor(log2(df)) AS BIGINT) AS b, df FROM df)
+        |SELECT CAST(power(2, b) AS BIGINT) AS df_bucket_lo,
+        |       CAST(count(*) AS BIGINT) AS shingle_ct,
+        |       CAST(sum(df) AS BIGINT) AS posting_ct
+        |FROM b GROUP BY b""".stripMargin,
     "c6_stratified_sample" ->
       s"""WITH b AS (
          |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -459,6 +459,43 @@ object EnvelopeOps extends QueryModule {
           col("broken_link_ct") === 0)
   }
 
+  /** k14 (beyond-reference): out-of-order arrival quarantine — the
+    * batch twin of [[graft.streaming.Scd2ParquetMergeSink]]'s round-9
+    * ordering check. The k6 op log's versions arrive in three shuffled
+    * batches (arrival batch = md5 hash of (id '#' seq) mod 3 — a
+    * deterministic stand-in for multi-partition CDC topic skew); a
+    * seq-ordered SCD2 maintainer admits an op iff its seq is >= its
+    * key's OPEN version at merge time (the max admitted seq so far)
+    * and quarantines it otherwise — merging it would close the open
+    * row at an earlier sequence than it began. The three-batch
+    * recursion unrolls into two conditional-max window aggregates on
+    * ONE id-keyed Exchange (m0 = open after batch 0, m1 = open after
+    * batch 1), each feeding the next batch's admission predicate.
+    * Output: the quarantined ops with the open seq each violated —
+    * exactly the rows the streaming sink's __quarantine store holds
+    * for the same arrival order (PipelineSpec proves the equality by
+    * driving the real sink with the same three batches). */
+  private def oooQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+    scd2History(s, dir)
+      .select(col("id"), col("version").cast(LongType).as("seq"),
+        col("op"))
+      .withColumn("b",
+        pmod(Fns.hex4(concat_ws("#", col("id"), col("seq"))), lit(3L)))
+      .withColumn("m0", max(when(col("b") === 0, col("seq"))).over(wId))
+      .withColumn("adm1",
+        col("b") === 1 && (col("m0").isNull || col("seq") >= col("m0")))
+      .withColumn("m1",
+        max(when(col("b") === 0 || col("adm1"), col("seq"))).over(wId))
+      .filter((col("b") === 1 && !col("adm1")) ||
+        (col("b") === 2 && col("m1").isNotNull && col("seq") < col("m1")))
+      .select(col("id"), col("seq"), col("op"),
+        col("b").as("arrival_batch"),
+        when(col("b") === 1, col("m0")).otherwise(col("m1"))
+          .as("open_from_seq"))
+  }
+
   /** k11 (beyond-reference): bitemporal as-of probes — the two-axis
     * time-travel query a versioned dimension store answers: "which
     * version covered VALID time v, as the store KNEW it at transaction
@@ -616,6 +653,7 @@ object EnvelopeOps extends QueryModule {
     "k11_bitemporal_snapshot" -> bitemporalSnapshot,
     "k12_dim_scd2_history" -> dimScd2History,
     "k13_dim_restatement" -> dimRestatement,
+    "k14_ooo_quarantine" -> oooQuarantine,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -976,6 +1014,39 @@ object EnvelopeOps extends QueryModule {
         |       next_ln AS valid_to_seq,
         |       (next_ln IS NULL AND l_returnflag <> 'R') AS is_current
         |FROM v""".stripMargin,
+    "k14_ooo_quarantine" -> {
+      val b = Oracle.hex4(
+        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(version AS VARCHAR)")
+      s"""WITH v AS (
+         |  SELECT l_orderkey, l_returnflag,
+         |         row_number() OVER w AS version
+         |  FROM lineitem
+         |  WINDOW w AS (PARTITION BY l_orderkey
+         |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+         |                        l_partkey, l_suppkey, l_quantity)),
+         |ops AS (
+         |  SELECT l_orderkey AS id, CAST(version AS BIGINT) AS seq,
+         |         CASE WHEN l_returnflag = 'R' THEN 'delete'
+         |              ELSE 'upsert' END AS op,
+         |         ($b) % 3 AS b
+         |  FROM v),
+         |m0t AS (
+         |  SELECT *, max(CASE WHEN b = 0 THEN seq END)
+         |           OVER (PARTITION BY id) AS m0
+         |  FROM ops),
+         |a1t AS (
+         |  SELECT *, (b = 1 AND (m0 IS NULL OR seq >= m0)) AS adm1
+         |  FROM m0t),
+         |m1t AS (
+         |  SELECT *, max(CASE WHEN b = 0 OR adm1 THEN seq END)
+         |           OVER (PARTITION BY id) AS m1
+         |  FROM a1t)
+         |SELECT id, seq, op, b AS arrival_batch,
+         |       CASE WHEN b = 1 THEN m0 ELSE m1 END AS open_from_seq
+         |FROM m1t
+         |WHERE (b = 1 AND NOT adm1)
+         |   OR (b = 2 AND m1 IS NOT NULL AND seq < m1)""".stripMargin
+    },
     "g1_explode_displays" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

@@ -382,6 +382,32 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("k14 batch twin == the streaming sink's quarantine over the " +
+      "same shuffled arrival") {
+    // the same three-batch arrival split k14 models (arrival batch =
+    // hex4(id#seq) mod 3), driven through the REAL Scd2ParquetMergeSink
+    val ops = q("k6_scd2_history")
+      .select(col("id"), col("version").cast("long").as("seq"), col("op"))
+      .withColumn("b", pmod(graft.functions.Fns.hex4(
+        concat_ws("#", col("id"), col("seq"))), lit(3L)))
+    val dir = tmp("k14_sink")
+    val sink = new streaming.Scd2ParquetMergeSink(dir, "id", "seq", "op",
+      Seq.empty)
+    (0L to 2L).foreach(b =>
+      sink.merge(ops.filter(col("b") === b).drop("b"), b))
+    val got = sink.quarantined(spark)
+      .select(col("id"), col("seq"), col("op"), col("open_from_seq"))
+    val want = q("k14_ooo_quarantine")
+      .select(col("id"), col("seq"), col("op"), col("open_from_seq"))
+    assert(got.count() > 0, "arrival split quarantined nothing")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "sink quarantine != k14 batch twin")
+    // the sink's maintained chain is audit-clean despite the disorder
+    assert(graft.api.Graft.scd2Audit(sink.current(spark)).head()
+      .getAs[Boolean]("scd2_ok"))
+  }
+
   test("p17 tombstone ledger: kept + purged = total, broadcast probe") {
     val r = SparkEntry.queries("p17_tombstone_purge")(spark, sf)
     val rows = r.collect()
