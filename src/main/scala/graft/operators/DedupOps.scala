@@ -563,6 +563,83 @@ object DedupOps extends QueryModule {
         (-col("best.nb")).as("best_store_id"))
   }
 
+  /** Banding shapes for the d11 sweep: every (bands, rows) factoring
+    * of the K=12 signature budget. Pure data — the shape grid both
+    * engines iterate. */
+  private[graft] val lshShapes: Seq[(Int, Int)] =
+    Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** Analytic LSH S-curve recall 1-(1-J^r)^b, computed ONCE in Scala
+    * and injected as a literal on BOTH engines (libm pow can differ by
+    * an ulp across engines — a literal can't). */
+  private def sCurve(b: Int, r: Int, j: Double): Double =
+    BigDecimal(1.0 - math.pow(1.0 - math.pow(j, r), b))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** d11 (beyond-reference): LSH banding-shape tuning sweep — the
+    * table that justifies (or indicts) the family's 4×3 banding on
+    * THIS corpus, not on folklore: for every (bands × rows) factoring
+    * of the K=12 minhash budget, the analytic S-curve recall at
+    * J ∈ {0.5, 0.8, 0.9} next to the MEASURED collision structure —
+    * bucket count, colliding buckets, and the exact candidate-pair
+    * mass the shape would generate. Scale shape: the pair mass is
+    * counted WITHOUT enumerating a single pair — candidates per
+    * bucket are k·(k−1)/2 of the bucket's member COUNT, so the sweep
+    * is one signature scan + one (shape, bucket)-keyed count + a
+    * 6-row fold, immune to the mega-cluster blowup the enumeration
+    * path needs [[bucketCliqueCap]] for (the 2.6k-doc cluster is just
+    * k=2600 in one counted bucket). Reading recall next to pair mass
+    * answers "is 4×3 on the knee?" — the d9/t30 curve-over-the-knob
+    * discipline applied to the banding itself. */
+  private def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.plans.MinhashSignature.minhashSig(s, col("hs"),
+      numHashes)
+    val sigs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        transform(array_distinct(tokenize(col("text"))),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+          .as("hs"))
+      .select(col("doc_id"), col("source"), sig.as("sig"))
+    // one struct per (shape, band): bands/rows/band signature — all
+    // static per element, so the md5 slice width is compile-time
+    val shapeBands = lshShapes.flatMap { case (b, r) =>
+      (0 until b).map { bn =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(bn).as("band_no"),
+          md5(concat_ws("|", (0 until r).map(i =>
+            element_at(col("sig"), bn * r + i + 1).cast(StringType)): _*))
+            .as("band_sig"))
+      }
+    }
+    def recallCase(j: Double): Column = {
+      val items = lshShapes.map { case (b, r) => b -> sCurve(b, r, j) }
+      items.tail.foldLeft(
+        when(col("bands") === items.head._1, lit(items.head._2))) {
+        case (acc, (b, v)) => acc.when(col("bands") === b, lit(v))
+      }
+    }
+    val (r05, r08, r09) = (recallCase(0.5), recallCase(0.8),
+      recallCase(0.9))
+    sigs
+      .select(col("doc_id"), col("source"),
+        explode(array(shapeBands: _*)).as("sb"))
+      .select(col("doc_id"), col("source"), col("sb.bands"),
+        col("sb.rows_per_band"), col("sb.band_no"), col("sb.band_sig"))
+      .groupBy(col("bands"), col("rows_per_band"), col("source"),
+        col("band_no"), col("band_sig"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("bucket_ct"),
+        sum(when(col("k") >= 2, 1L).otherwise(0L))
+          .as("colliding_bucket_ct"),
+        sum((col("k") * (col("k") - 1) / 2).cast(LongType))
+          .as("candidate_pairs"))
+      .select(col("bands"), col("rows_per_band"),
+        r05.as("recall_j05"), r08.as("recall_j08"), r09.as("recall_j09"),
+        col("bucket_ct"), col("colliding_bucket_ct"),
+        col("candidate_pairs"))
+  }
+
   /** d9: threshold-sweep curve — the tuning table for THE dedup knob:
     * exact unigram Jaccard for every LSH candidate (unthresholded),
     * bucketed to 0.1-wide bands with the count per band and the
@@ -662,6 +739,7 @@ object DedupOps extends QueryModule {
           .as("mean_chunk_len"))
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "d11_lsh_tuning" -> lshTuning,
     "d10_cdc_chunks" -> cdcChunks,
     "d8_crawl_dedup" -> crawlDedup,
     "d9_threshold_sweep" -> thresholdSweep,
@@ -759,6 +837,51 @@ object DedupOps extends QueryModule {
        |        >= $jaccardThreshold)""".stripMargin
 
   val oracles = Map(
+    "d11_lsh_tuning" -> {
+      val mhs = (0 until numHashes).map(mhSql).mkString(",\n        ")
+      val shapeSel = lshShapes.flatMap { case (b, r) =>
+        (0 until b).map { bn =>
+          val parts = (0 until r)
+            .map(i => s"CAST(mh${bn * r + i} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, source, $b AS bands, $r AS rows_per_band, " +
+            s"$bn AS band_no, md5($parts) AS band_sig FROM mhs"
+        }
+      }.mkString("\n        UNION ALL ")
+      // recall literals generated by the SAME Scala code the query
+      // injects (libm pow may differ across engines; a literal can't)
+      def recallCase(pick: ((Double, Double, Double)) => Double) =
+        "CASE bands " + lshShapes.map { case (b, r) =>
+          val v = pick((sCurve(b, r, 0.5), sCurve(b, r, 0.8),
+            sCurve(b, r, 0.9)))
+          f"WHEN $b THEN CAST($v%.6f AS DOUBLE) "
+        }.mkString + "END"
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, source, ${hexToIntSql("tok")} AS h FROM toks),
+         |mhs AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |        $mhs
+         |  FROM hashed GROUP BY doc_id, source),
+         |st AS (
+         |        $shapeSel),
+         |bk AS (
+         |  SELECT bands, rows_per_band, source, band_no, band_sig,
+         |         count(*) AS k
+         |  FROM st GROUP BY 1, 2, 3, 4, 5)
+         |SELECT bands, rows_per_band,
+         |       ${recallCase(_._1)} AS recall_j05,
+         |       ${recallCase(_._2)} AS recall_j08,
+         |       ${recallCase(_._3)} AS recall_j09,
+         |       CAST(count(*) AS BIGINT) AS bucket_ct,
+         |       CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS colliding_bucket_ct,
+         |       CAST(sum(CAST(k * (k - 1) / 2 AS BIGINT)) AS BIGINT)
+         |         AS candidate_pairs
+         |FROM bk GROUP BY 1, 2""".stripMargin
+    },
     // d10 replays the boundary rule exactly: same md5-prefix token
     // hash (hexToIntSql), same mod-16 cut, same [0, cuts..., n] bound
     // list, same md5 chunk fingerprint over the space-joined slice.

@@ -496,6 +496,42 @@ object EnvelopeOps extends QueryModule {
           .as("open_from_seq"))
   }
 
+  /** k15 (beyond-reference): CDC no-op squash report — the compaction
+    * every CDC-fed dimension pipeline wants before a type-2 store: a
+    * MySQL UPDATE that touches no tracked column still emits a binlog
+    * row, and merging it close-and-inserts a version identical to its
+    * predecessor (pure chain bloat — at 100 TB, most of a hot table's
+    * history). An op is a NO-OP when it upserts the same payload its
+    * key's previous surviving op carried and the previous op was not a
+    * delete (re-upserting after a delete is a revival, never squashed;
+    * deletes and first-ops always survive). ONE id-keyed window (lag
+    * of payload + op in seq order) classifies every op; the report
+    * folds to per-op-type totals with the squash ratio. Output is the
+    * DECISION ledger — the squashed history itself is k6 over the
+    * kept ops. */
+  private def noopSquash(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("version"))
+    scd2History(s, dir)
+      .select(col("id"), col("version"), col("op"), col("price"))
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("is_noop",
+        col("op") === "upsert" && col("prev_op") === "upsert" &&
+          col("prev_price").isNotNull &&
+          col("price") === col("prev_price"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("op_ct"),
+        sum(when(col("is_noop"), 1L).otherwise(0L)).as("noop_ct"),
+        // a first op's is_noop is NULL (lag has no predecessor):
+        // when/otherwise sends null to kept, matching the SQL CASE
+        sum(when(col("is_noop"), 0L).otherwise(1L)).as("kept_ct"))
+      .select(col("op"), col("op_ct"), col("noop_ct"), col("kept_ct"),
+        round(col("noop_ct").cast(DoubleType) / col("op_ct"), 6)
+          .as("squash_ratio"))
+  }
+
   /** k11 (beyond-reference): bitemporal as-of probes — the two-axis
     * time-travel query a versioned dimension store answers: "which
     * version covered VALID time v, as the store KNEW it at transaction
@@ -654,6 +690,7 @@ object EnvelopeOps extends QueryModule {
     "k12_dim_scd2_history" -> dimScd2History,
     "k13_dim_restatement" -> dimRestatement,
     "k14_ooo_quarantine" -> oooQuarantine,
+    "k15_noop_squash" -> noopSquash,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -1014,6 +1051,34 @@ object EnvelopeOps extends QueryModule {
         |       next_ln AS valid_to_seq,
         |       (next_ln IS NULL AND l_returnflag <> 'R') AS is_current
         |FROM v""".stripMargin,
+    "k15_noop_squash" ->
+      """WITH v AS (
+        |  SELECT l_orderkey AS id,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+        |           AS price,
+        |         CASE WHEN l_returnflag = 'R' THEN 'delete'
+        |              ELSE 'upsert' END AS op,
+        |         row_number() OVER w AS version
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+        |                        l_partkey, l_suppkey, l_quantity)),
+        |f AS (
+        |  SELECT op,
+        |         (op = 'upsert'
+        |          AND lag(op) OVER w2 = 'upsert'
+        |          AND lag(price) OVER w2 IS NOT NULL
+        |          AND price = lag(price) OVER w2) AS is_noop
+        |  FROM v
+        |  WINDOW w2 AS (PARTITION BY id ORDER BY version))
+        |SELECT op, count(*) AS op_ct,
+        |       CAST(sum(CASE WHEN is_noop THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS noop_ct,
+        |       CAST(sum(CASE WHEN is_noop THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS kept_ct,
+        |       round(CAST(sum(CASE WHEN is_noop THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / count(*), 6) AS squash_ratio
+        |FROM f GROUP BY op""".stripMargin,
     "k14_ooo_quarantine" -> {
       val b = Oracle.hex4(
         "CAST(l_orderkey AS VARCHAR) || '#' || CAST(version AS VARCHAR)")

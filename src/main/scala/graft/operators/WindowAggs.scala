@@ -600,6 +600,42 @@ object WindowAggs extends QueryModule {
         sum(col("lin_rev")).cast(DoubleType).as("linear_revenue"))
   }
 
+  /** a37 (beyond-reference): RFM segmentation — the classic
+    * marketing user-base cut the serving layer publishes next to the
+    * a34 concentration report: per user, Recency (latest event
+    * second), Frequency (purchase count) and Monetary (exact DECIMAL
+    * purchase value) are quintiled into 1..5 scores — ntile over a
+    * TOTAL order (metric, then user_id), so ties split
+    * deterministically and identically in both engines — and the
+    * report folds to one row per (r, f, m) segment with its user
+    * count and monetary mass. Scale shape: one user-keyed aggregate
+    * reduces events to |users| rows FIRST; the three ntile windows
+    * then sort the compact user table (at 100 TB: swap ntile for
+    * approx-percentile cut points — same report, no global sort). */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val perUser = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        nsToSec(col("ts")).as("sec"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("sec")).as("recency_sec"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("freq"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          money(col("value")))), zero).as("monetary"))
+    perUser
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_sec"), col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq"), col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary"), col("user_id"))))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("user_ct"),
+        sum(col("monetary")).cast(DoubleType).as("monetary_sum"))
+  }
+
   private def attribution(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -719,6 +755,7 @@ object WindowAggs extends QueryModule {
     "a34_user_concentration" -> userConcentration,
     "a35_markov_transitions" -> markovTransitions,
     "a36_attribution" -> attribution,
+    "a37_rfm_segments" -> rfmSegments,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -768,6 +805,27 @@ object WindowAggs extends QueryModule {
          |             CAST(CAST(p_value AS DECIMAL(18,2)) AS DECIMAL(28,6))
          |         END) AS DOUBLE) AS linear_revenue
          |FROM r GROUP BY 1""".stripMargin,
+    "a37_rfm_segments" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         max(${Oracle.sec()}) AS recency_sec,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS freq,
+         |         coalesce(sum(CASE WHEN event_type = 'purchase'
+         |                           THEN CAST("value" AS DECIMAL(18,2))
+         |                      END),
+         |                  CAST(0 AS DECIMAL(18,2))) AS monetary
+         |  FROM events GROUP BY 1),
+         |sc AS (
+         |  SELECT monetary,
+         |         ntile(5) OVER (ORDER BY recency_sec, user_id) AS r_score,
+         |         ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+         |         ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+         |  FROM pu)
+         |SELECT r_score, f_score, m_score,
+         |       CAST(count(*) AS BIGINT) AS user_ct,
+         |       CAST(sum(monetary) AS DOUBLE) AS monetary_sum
+         |FROM sc GROUP BY 1, 2, 3""".stripMargin,
     "w6_late_audit" ->
       s"""WITH e AS (
          |  SELECT (epoch_us(ts) + (event_id % 13) * 15000000) // 60000000
