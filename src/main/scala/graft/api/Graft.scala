@@ -100,6 +100,32 @@ object Graft {
     graft.operators.CurationOps.contaminationFor(train, eval, minShared,
       postingCap)
 
+  /** The stop-shingle companion lens to [[contamination]]: instead of
+    * rank-capping every posting list, DROP whole template shingles
+    * (train document frequency > maxDf) and keep every posting of the
+    * informative rest. Train-side attribution is EXACT on surviving
+    * shingles (no above-the-cap blind spot), and the quadratic risk is
+    * structurally bounded (a surviving shingle's posting list is <=
+    * maxDf by definition). The trade: a pair sharing ONLY template
+    * shingles is invisible here — a release gate runs both lenses. */
+  def contaminationByDf(train: DataFrame, eval: DataFrame,
+      minShared: Long = 3L,
+      maxDf: Long =
+        graft.operators.CurationOps.stopShingleDf): DataFrame =
+    graft.operators.CurationOps.dfContaminationFor(train, eval,
+      minShared, maxDf)
+
+  /** LSH banding-shape sweep over a (doc_id, source, text) corpus: for
+    * every (bands × rows) factoring of the K=12 minhash budget, the
+    * analytic S-curve recall at J ∈ {0.5, 0.8, 0.9} next to the
+    * MEASURED bucket counts and exact candidate-pair mass — counted as
+    * Σ k(k−1)/2 of bucket member counts, never by enumerating a pair,
+    * so the sweep costs one signature scan + one bucket-keyed count
+    * even when the corpus carries million-document duplicate clusters.
+    * The tuning table that justifies a banding on YOUR corpus. */
+  def lshShapeSweep(docs: DataFrame): DataFrame =
+    graft.operators.DedupOps.lshShapeSweepFor(docs)
+
   /** Corpus snapshot diff by content fingerprint: per-source
     * added / removed / changed / unchanged counts between two
     * (doc_id, source, text) snapshots. Only narrow fingerprint columns

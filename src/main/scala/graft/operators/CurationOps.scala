@@ -764,19 +764,28 @@ object CurationOps extends QueryModule {
       .select(pow(lit(2.0), col("b")).cast(LongType).as("df_bucket_lo"),
         col("shingle_ct"), col("posting_ct"))
 
-  private def dfDecontam(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val posted = shinglesOf(d.filter(!isEvalDoc))
+  /** The c30 core over ARBITRARY (doc_id, text) train/eval frames —
+    * exposed as [[graft.api.Graft.contaminationByDf]], the companion
+    * lens to the rank-capped [[contaminationFor]]. */
+  private[graft] def dfContaminationFor(train: DataFrame, eval: DataFrame,
+      minShared: Long, maxDf: Long): DataFrame = {
+    val posted = shinglesOf(train)
       .select(col("doc_id").as("train_id"), col("shingle"))
     val wSh = Window.partitionBy(col("shingle"))
     posted
       .withColumn("df", count(lit(1)).over(wSh))
-      .filter(col("df") <= stopShingleDf)
-      .join(shinglesOf(d.filter(isEvalDoc))
+      .filter(col("df") <= maxDf)
+      .join(shinglesOf(eval)
         .select(col("doc_id").as("eval_id"), col("shingle")), "shingle")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("shingle")).as("shared_ct"))
-      .filter(col("shared_ct") >= 3L)
+      .filter(col("shared_ct") >= minShared)
+  }
+
+  private def dfDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    dfContaminationFor(d.filter(!isEvalDoc), d.filter(isEvalDoc), 3L,
+      stopShingleDf)
   }
 
   /** Generic FUZZY decontamination for arbitrary train/eval frames (the

@@ -591,10 +591,17 @@ object DedupOps extends QueryModule {
     * k=2600 in one counted bucket). Reading recall next to pair mass
     * answers "is 4×3 on the knee?" — the d9/t30 curve-over-the-knob
     * discipline applied to the banding itself. */
-  private def lshTuning(s: SparkSession, dir: String): DataFrame = {
+  private def lshTuning(s: SparkSession, dir: String): DataFrame =
+    lshShapeSweepFor(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** The d11 core over an ARBITRARY (doc_id, source, text) frame —
+    * exposed as [[graft.api.Graft.lshShapeSweep]]. */
+  private[graft] def lshShapeSweepFor(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     val sig = graft.plans.MinhashSignature.minhashSig(s, col("hs"),
       numHashes)
-    val sigs = Tables(s, dir, "documents")
+    val sigs = docs
       .select(col("doc_id"), col("source"),
         transform(array_distinct(tokenize(col("text"))),
           t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))

@@ -148,6 +148,54 @@ class ApiSpec extends SparkSuite {
     assert(got == Set((10L, 20L)), s"got $got")
   }
 
+  test("contaminationByDf finds past-the-cap train docs the rank lens " +
+      "misses, and drops template shingles") {
+    // 30 train docs all share one eval doc's informative phrase — with
+    // a rank cap of 5 only the first 5 pair, but every shingle's DF is
+    // 30 (under maxDf=50), so the DF lens pairs ALL 30: exact
+    // train-side attribution, the documented asymmetry
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val train = (1L to 30L).map(i => (i, phrase))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, phrase)).toDF("doc_id", "text")
+    val rank = Graft.contamination(train, eval, minShared = 3L,
+      postingCap = 5)
+    val byDf = Graft.contaminationByDf(train, eval, minShared = 3L,
+      maxDf = 50L)
+    assert(rank.count() == 5, s"rank lens: ${rank.count()}")
+    assert(byDf.count() == 30, s"DF lens: ${byDf.count()}")
+    // and a TEMPLATE shingle (df above the cap) stops carrying signal
+    // in the DF lens — the complementary blind spot, also documented
+    val byDfStop = Graft.contaminationByDf(train, eval, minShared = 3L,
+      maxDf = 10L)
+    assert(byDfStop.count() == 0,
+      "df > maxDf shingles must be dropped whole")
+  }
+
+  test("lshShapeSweep: every K=12 factoring, analytic recall literals, " +
+      "pair mass counted without enumeration") {
+    // three identical docs + one unrelated: the identical trio shares
+    // its full signature, so every shape's bands each hold one k=3
+    // bucket -> candidate_pairs == 3 * bands exactly
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, "s", dup), (2L, "s", dup), (3L, "s", dup),
+      (4L, "s", "entirely different content with no shared trigrams")
+    ).toDF("doc_id", "source", "text")
+    val rows = Graft.lshShapeSweep(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(3),
+        r.getLong(7))).toSeq
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      Set((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)))
+    rows.foreach { case (b, r, recall08, pairs) =>
+      val want = BigDecimal(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(recall08 == want, s"recall drifted for $b x $r")
+      assert(pairs == 3L * b,
+        s"shape $b x $r: expected ${3 * b} pairs, got $pairs")
+    }
+  }
+
   test("fuzzyContamination flags the near-identical cross-split copy") {
     val train = Seq(
       (10L, "s", "alpha beta gamma delta epsilon zeta eta theta iota"),
