@@ -69,6 +69,8 @@ object StreamBench {
     * apps' schema probes read. */
   private def shard(df: DataFrame, order: Column, dir: String,
       name: String): Unit = {
+    // bench PREP, not measured work: the global ntile sort is fine at
+    // replay scale (sf0.01); a bigger replay would repartitionByRange
     val withB = df.withColumn("__b", ntile(shards).over(Window.orderBy(order)))
     (1 to shards).foreach { i =>
       val f =

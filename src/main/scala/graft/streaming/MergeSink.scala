@@ -209,7 +209,9 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     * order, rebuild the chain a perfectly-ordered replay would have
     * produced. Read-only: committing the repair (write as the next
     * version, clear the quarantine) is the operator's decision, like
-    * running the k10 repair in batch. */
+    * running the k10 repair in batch. Requires seqCol to be per-key
+    * UNIQUE (the sink's total-order contract) — duplicate seqs would
+    * make the rebuilt version order nondeterministic. */
   def repaired(s: SparkSession): DataFrame = {
     val opProjection = (Seq(col(keyCol), col(opCol),
       col("valid_from_seq").as(seqCol)) ++ payloadCols.map(col))
