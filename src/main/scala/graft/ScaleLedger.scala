@@ -241,7 +241,7 @@ object ScaleLedger {
         "checkpoint subtrees are on their query's row)\n" +
         rows.mkString("", "\n", "\n"))
     println(s"wrote $out (${rows.size} queries, " +
-      s"${rows.count(_.endsWith("FLAG"))} flagged)")
+      s"${rows.count(!_.endsWith("\tok"))} flagged)")
     spark.stop()
   }
 }

@@ -263,9 +263,14 @@ object ScalePatterns extends QueryModule {
       s"layout mode must be bucket|range (got $mode)")
     // the frame is scanned twice (sizing aggregate, then the write) —
     // persist across the passes so the caller's upstream (at 100 TB:
-    // the ingest job's transform) runs once
-    val cached = df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ingest job's transform) runs once. Only OUR persist is
+    // unpersisted: Spark's CacheManager uncaches by PLAN, so dropping
+    // an already-cached caller frame here would silently evict the
+    // caller's own memo and every later consumer would rebuild it.
+    val wasCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (wasCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val totalRow = cached.agg(sum(estBytes).cast(LongType).as("t")).head()
       val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
@@ -277,7 +282,7 @@ object ScalePatterns extends QueryModule {
       laid.write.mode("overwrite").parquet(outDir)
       n
     } finally {
-      cached.unpersist(false)
+      if (!wasCached) cached.unpersist(false)
       ()
     }
   }

@@ -598,6 +598,13 @@ object WindowAggs extends QueryModule {
       .agg(sum(col("is_last")).as("purchase_ct"),
         sum(col("lt_rev")).cast(DoubleType).as("last_touch_revenue"),
         sum(col("lin_rev")).cast(DoubleType).as("linear_revenue"))
+      // a TOUCHED purchase's sentinel contributes nothing (rk >= 2,
+      // null credits) — but it still creates the "(none)" GROUP, which
+      // the left-outer formulation only had when an untouched purchase
+      // existed. Drop the group when it carries no purchases, exactly
+      // restoring the join semantics (an all-touched corpus must not
+      // grow a zero-purchase channel).
+      .filter(col("channel") =!= "(none)" || col("purchase_ct") > 0)
   }
 
   /** a37 (beyond-reference): RFM segmentation — the classic

@@ -593,6 +593,17 @@ class ApiSpec extends SparkSuite {
     assert(skewFiles.size <= nS && skewFiles.nonEmpty,
       s"degenerate key wrote ${skewFiles.size} files (plan $nS)")
     assert(spark.read.parquet(outS).count() == 4000)
+    // a caller-cached frame keeps ITS cache (CacheManager uncaches by
+    // plan — applyLayout must only drop a persist it created itself)
+    val mine = df.persist()
+    mine.count()
+    val outC = java.nio.file.Files.createTempDirectory("layout_c").toString
+    Graft.applyLayout(mine, col("k"), est, 32768L, outC, "bucket")
+    assert(mine.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "applyLayout evicted the caller's own cache")
+    mine.unpersist()
+    ()
   }
 
   test("dpReleasedCounts: production draw has the Laplace scale; " +

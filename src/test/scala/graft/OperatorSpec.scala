@@ -702,7 +702,8 @@ class OperatorSpec extends SparkSuite {
     val report = operators.WindowAggs.attributionFor(purchases, touches)
     import org.apache.spark.sql.expressions.Window
     val wP = Window.partitionBy(col("p_id"))
-    val naiveReport = purchases.join(touches,
+    def naiveReportOf(purchases: org.apache.spark.sql.DataFrame) =
+      purchases.join(touches,
         col("p_uid") === col("t_uid") &&
           col("t_sec") <= col("p_sec") &&
           col("t_sec") >= col("p_sec") - h, "left_outer")
@@ -722,9 +723,19 @@ class OperatorSpec extends SparkSuite {
       .agg(sum(col("is_last")).as("purchase_ct"),
         sum(col("lt_rev")).cast("double").as("last_touch_revenue"),
         sum(col("lin_rev")).cast("double").as("linear_revenue"))
+    val naiveReport = naiveReportOf(purchases)
     assert(report.collect().toSet == naiveReport.collect().toSet,
       s"report diverges:\n${report.collect().toSeq}\n" +
         s"${naiveReport.collect().toSeq}")
+    // all-touched corpus: the sentinel rows must NOT grow a
+    // zero-purchase "(none)" group the left-outer form never had
+    val allTouched = purchases.filter(col("p_id") =!= 6001L)
+    val reportAT =
+      operators.WindowAggs.attributionFor(allTouched, touches)
+    assert(reportAT.filter(col("channel") === "(none)").count() == 0,
+      "phantom (none) group on an all-touched corpus")
+    assert(reportAT.collect().toSet ==
+      naiveReportOf(allTouched).collect().toSet)
 
     // 3. the whale bound: the bucket join's enumeration is
     // sum-over-buckets of (probes × touches), which must stay far
