@@ -31,6 +31,11 @@ import graft.streaming.{BaseDbApp, BaseLogApp, CartAddUuApp, DimApp,
   *    number; 0 = every window visible in the first batch its
   *    watermark allows).
   *
+  * Plus ONE concurrent pass — the full 12-app topology live at once,
+  * the reference's actual operating mode — recording the topology
+  * wall-clock next to the sequential sum (pipelining evidence: on a
+  * shared cluster the fleet must interleave, not serialize).
+  *
   * Artifacts: STREAM_BENCH.json (at SPARK_GRAFT_SF_DIR, default
   * sf0.01) and STATE_LEDGER.tsv (state rows/bytes at sf0.001 vs the
   * big scale — the cross-scale growth ledger for STATE, sibling of
@@ -220,6 +225,48 @@ object StreamBench {
           "daily_first")))
   }
 
+  /** One CONCURRENT pass — all 12 apps live at once over freshly
+    * staged inputs (the reference's actual operating mode,
+    * BaseApp.java's always-on fleet; ConcurrentAppsSpec proves store
+    * isolation, this measures the schedule): returns the topology
+    * wall-clock and total input rows consumed. Compared against the
+    * sequential walls it answers "do 12 apps pipeline on one cluster,
+    * or serialize?" — the contention number per-app rows/sec cannot
+    * see. */
+  private def runTopology(s: SparkSession, sfDir: String): (Double, Long) = {
+    val src = prepare(s, sfDir)
+    def noop(df: DataFrame, name: String): StreamingQuery =
+      df.writeStream.option("checkpointLocation", tmp(s"sbt_ckp_$name"))
+        .outputMode("append").format("noop").start()
+    val t0 = System.nanoTime()
+    val queries = Seq(
+      DimApp.run(s, src, tmp("sbt_dim"), tmp("sbt_ck1")),
+      BaseDbApp.run(s, src, tmp("sbt_db"), tmp("sbt_ck2")),
+      BaseLogApp.run(s, src, tmp("sbt_log"), tmp("sbt_ck3")),
+      ProvinceOrderApp.run(s, src, tmp("sbt_prov"), tmp("sbt_ck4")),
+      KeywordApp.run(s, src, tmp("sbt_kw"), tmp("sbt_ck5")),
+      SkuOrderApp.run(s, src, sfDir, tmp("sbt_sku"), tmp("sbt_ck6")),
+      noop(StatefulStreams.windowedCounts(s, src), "channel"),
+      noop(UserLoginApp.windowSums(UserLoginApp.flagStream(
+        UserLoginApp.logins(StatefulStreams.eventStream(s, src))).toDF()),
+        "user_login"),
+      noop(CartAddUuApp.windowCounts(CartAddUuApp.uuStream(
+        CartAddUuApp.cartAdds(StatefulStreams.eventStream(s, src))).toDF()),
+        "cart_add"),
+      noop(HomeDetailApp.windowSums(HomeDetailApp.flagStream(
+        HomeDetailApp.pageViews(StatefulStreams.eventStream(s, src))).toDF()),
+        "home_detail"),
+      noop(TrafficPageViewApp.windowSums(TrafficPageViewApp.measureStream(
+        TrafficPageViewApp.pageViews(
+          StatefulStreams.eventStream(s, src))).toDF()), "page_view"),
+      noop(StatefulStreams.dailyFirstStream(s, src).toDF(), "daily_first"))
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val rows = queries.flatMap(_.recentProgress).map(_.numInputRows).sum
+    (wall, rows)
+  }
+
   private def fmt(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
 
   private def appJson(r: AppRun): String = {
@@ -263,8 +310,14 @@ object StreamBench {
         s"input step above the $stateRowFloor-row floor; scales: " +
         s"$small vs $big)\n" + ledger.mkString("", "\n", "\n"))
 
-    val json = s"""{"sf":"$big","shards":$shards,"apps":{""" +
-      bigRuns.map(appJson).mkString(",") + "}}"
+    val (topoWall, topoRows) = runTopology(spark, big)
+    val seqWall = bigRuns.map(_.wallSec).sum
+    val json = s"""{"sf":"$big","shards":$shards,""" +
+      s""""topology":{"apps":12,"wall_sec":${fmt(topoWall)},""" +
+      s""""input_rows":$topoRows,""" +
+      s""""rows_per_sec":${fmt(topoRows / math.max(1e-9, topoWall))},""" +
+      s""""sequential_wall_sec":${fmt(seqWall)}},""" +
+      s""""apps":{""" + bigRuns.map(appJson).mkString(",") + "}}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()

@@ -65,6 +65,25 @@ class StreamBenchSpec extends AnyFunSuite {
     }
   }
 
+  test("the concurrent 12-app topology pipelines instead of " +
+      "serializing") {
+    val topo = """"topology":\{([^}]*)\}""".r
+      .findFirstMatchIn(bench).map(_.group(1))
+    assert(topo.nonEmpty, "no topology section — rerun StreamBench")
+    def field(f: String): Double = s""""$f":([^,}]+)""".r
+      .findFirstMatchIn(topo.get).map(_.group(1).toDouble).get
+    val wall = field("wall_sec")
+    val seq = field("sequential_wall_sec")
+    assert(field("input_rows") > 0)
+    // generous bound: 12 concurrent apps must beat 90% of the
+    // sequential sum — catches scheduler serialization collapse, not
+    // machine variance (the recorded run pipelines ~1.4x: micro-batch
+    // barriers bound the overlap on 16 local threads)
+    assert(wall < 0.9 * seq,
+      f"topology wall $wall%.1f s vs sequential sum $seq%.1f s — " +
+        "the fleet is serializing")
+  }
+
   test("cross-scale STATE growth stays ~linear (STATE_LEDGER.tsv)") {
     val rows = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("STATE_LEDGER.tsv"),
