@@ -661,6 +661,15 @@ class OperatorSpec extends SparkSuite {
     assert(late < total, "everything late: watermark model broken")
   }
 
+  test("d11 shape grid covers exactly the factorings of the K budget") {
+    // a future K change must not silently leave the sweep partial —
+    // the table's claim is EVERY way to spend the signature budget
+    val k = operators.DedupOps.numHashes
+    val want = (1 to k).filter(k % _ == 0).map(b => (b, k / b)).toSet
+    assert(operators.DedupOps.lshShapes.toSet == want,
+      s"lshShapes != all factorings of K=$k")
+  }
+
   test("a36 attribution: bucketed pairing == naive horizon join; " +
       "a whale user's enumeration is per-bucket-bounded") {
     import spark.implicits._
