@@ -157,6 +157,10 @@ object StreamBench {
         .option("checkpointLocation", tmp(s"sb_ckp_$name"))
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          // bench instrumentation, not pipeline code: a micro-batch
+          // emits a handful of closed windows; collecting their edt
+          // strings is the freshness probe, like the publisher
+          // rendering an aggregated serving row
           batch.select(col("edt")).collect().foreach { r =>
             val end = java.time.LocalDateTime
               .parse(r.getString(0), fmt)
