@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.{QueryModule, Tables}
 import graft.functions.{Fns, Oracle}
 
@@ -239,6 +240,7 @@ object Joins extends QueryModule {
     "j7_anti_customers" -> custNoOrders,
     "j8_semi_parts_sold" -> partsSold,
     "j10_asof_attribution" -> asofAttribution,
+    "j13_stale_asof" -> staleAsof,
     "j11_struct_dic_lookup" -> structDicLookup)
 
   /** S4/§1.3 ROW type: the HBase dimension row shape — one column family
@@ -282,6 +284,48 @@ object Joins extends QueryModule {
       .select(col("event_id").as("p_event_id"), col("user_id"),
         col("us").as("p_us"), col("v_us"),
         (col("us") - col("v_us")).as("gap_us"))
+  }
+
+  /** j13's staleness bound: an as-of match older than this is REJECTED
+    * (1 hour in event micros) — the feature-store serving rule. */
+  val asofStaleToleranceUs: Long = 3600L * 1000000L
+
+  /** j13 (beyond-reference): tolerance-bounded as-of join — the
+    * feature-store serving pattern j10's plain as-of lacks: "join the
+    * user's latest view, but only if it is fresh enough" (a stale
+    * feature is worse than no feature — training-serving skew). Each
+    * purchase classifies as `fresh` (latest prior view within the
+    * tolerance), `stale` (a prior view exists but too old — the match
+    * is REJECTED), or `cold` (no prior view at all); the report folds
+    * to per-outcome purchase counts and the mean matched-gap seconds —
+    * the monitoring table a feature-serving SLA reads. Same
+    * single-Exchange tagged-union recipe as j10 (one user_id window,
+    * no range cross-product); the classification is a map-side CASE
+    * over the running-max view time. */
+  private def staleAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val tagged = e.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), nsToUs(col("ts")).as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("v_us", max(when(col("tag") === 0, col("us"))).over(w))
+      .filter(col("tag") === 1)
+      .select((col("us") - col("v_us")).as("gap_us"))
+      .select(when(col("gap_us").isNull, "cold")
+          .when(col("gap_us") <= asofStaleToleranceUs, "fresh")
+          .otherwise("stale").as("outcome"),
+        col("gap_us"))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("purchase_ct"),
+        // exact integer gap sum, ONE division at the end — a float
+        // accumulation would make the mean partition-order-sensitive
+        round(sum(col("gap_us")).cast(DoubleType) /
+          count(col("gap_us")) / 1000000.0, 6).as("mean_gap_sec"))
   }
 
   /** Generic as-of join core for ARBITRARY frames — the same
@@ -355,6 +399,23 @@ object Joins extends QueryModule {
         |       v.us AS v_us, p.us - v.us AS gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin,
+    "j13_stale_asof" ->
+      s"""WITH p AS (SELECT user_id, epoch_us(ts) AS us
+         |           FROM events WHERE event_type = 'purchase'),
+         |     v AS (SELECT user_id, epoch_us(ts) AS us
+         |           FROM events WHERE event_type = 'view'),
+         |m AS (SELECT p.us - v.us AS gap_us
+         |      FROM p ASOF LEFT JOIN v
+         |        ON p.user_id = v.user_id AND v.us <= p.us),
+         |o AS (SELECT CASE WHEN gap_us IS NULL THEN 'cold'
+         |                  WHEN gap_us <= $asofStaleToleranceUs
+         |                    THEN 'fresh'
+         |                  ELSE 'stale' END AS outcome, gap_us
+         |      FROM m)
+         |SELECT outcome, count(*) AS purchase_ct,
+         |       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us)
+         |             / 1000000.0, 6) AS mean_gap_sec
+         |FROM o GROUP BY 1""".stripMargin,
     "j1_order_wide" ->
       s"""SELECT o_orderpriority,
          |       CAST(SUM(${Oracle.money("l_extendedprice")} * (1 - ${Oracle.money("l_discount")})) AS DOUBLE) AS revenue,
