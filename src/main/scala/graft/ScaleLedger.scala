@@ -53,6 +53,28 @@ object ScaleLedger {
     * serialization jitter, not row width. */
   val bytesFloor = 1000000L
 
+  /** Single-task exchanges (SinglePartition, or hash/range partitioning
+    * on constants — `Window.partitionBy(lit(1))`) above this record
+    * count at the big scale are candidates for the GLOBAL flag: a
+    * global sort/window is only 100×-safe when the frame it moves is
+    * METADATA-sized (domain-bounded buckets, per-distinct-value
+    * aggregates, scalar partials), and those stay in the low thousands
+    * here by construction. */
+  val globalFloor = 2500L
+
+  /** A big single-task frame is tolerated only if it is SATURATED —
+    * flat across the 10× input step (a fixed domain: distinct order
+    * dates, a 16-bit Z-cell space). Growth past this cap above
+    * [[globalFloor]] means the frame tracks the DATA, and the global
+    * sort becomes the single-task bottleneck at 100×. */
+  val globalGrowthCap = 2.0
+
+  /** GLOBAL flag rule (PerfSpec re-derives from raw columns): the
+    * largest single-task exchange is both big and data-tracking. */
+  def flaggedGlobal(globSmall: Long, globBig: Long): Boolean =
+    globBig > globalFloor &&
+      globBig.toDouble / math.max(1L, globSmall) > globalGrowthCap
+
   /** Recompute the flag PerfSpec asserts from a ledger row's numbers
     * (never trust a stored verdict column). The growth allowance is
     * OUTPUT-SENSITIVE: max(input growth, output-row growth) — a
@@ -161,8 +183,64 @@ object ScaleLedger {
     (rec, bytes, outRows)
   }
 
+  /** A partitioning that lands every row on ONE task: an explicit
+    * SinglePartition (global sort/limit/final agg), any 1-partition
+    * layout, or hash/range partitioning on constant expressions — the
+    * `Window.partitionBy(lit(1))` idiom hashes all rows to a single
+    * bucket even though the exchange claims N partitions. */
+  private def isSingleTask(
+      p: org.apache.spark.sql.catalyst.plans.physical.Partitioning)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.physical._
+    p match {
+      case SinglePartition => true
+      case h: HashPartitioning => h.expressions.forall(_.foldable)
+      case _ => p.numPartitions <= 1
+    }
+  }
+
+  /** Records written into the LARGEST single-task exchange across a
+    * query's captured executions (0 when it has none) — the plan-walk
+    * behind the GLOBAL flag: SCALE_LEDGER already proves total shuffle
+    * work grows linearly; this column proves no single TASK is handed
+    * a data-sized frame to sort. */
+  def globalExchangeMax(qes: Seq[QueryExecution]): Long =
+    qes.flatMap(qe => flat(qe.executedPlan)).collect {
+      case se: ShuffleExchangeLike if isSingleTask(se.outputPartitioning) =>
+        se.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+    }.foldLeft(0L)(math.max)
+
+  /** Output column name of the fence query — how a drained QE is
+    * recognized as the fence rather than measured work. */
+  private val fenceCol = "__ledger_fence__"
+
+  private def isFence(qe: QueryExecution): Boolean =
+    qe.analyzed.exists(_.output.exists(_.name == fenceCol))
+
+  /** Deterministic listener-bus drain: run a recognizable no-shuffle
+    * FENCE action after the measured sink and wait for ITS QE. The
+    * execution-listener queue delivers events in posting order, and
+    * every measured action completed (so posted its end event) before
+    * the fence ran — once the fence QE arrives, every QE the query
+    * produced is in the buffer. This replaces the former fixed 300 ms
+    * stability window, which silently dropped any QE the loaded bus
+    * delivered late (nondeterministically understated ledger rows). */
+  private def awaitFenced(spark: SparkSession,
+      cap: Capture): Seq[QueryExecution] = {
+    spark.range(1).withColumnRenamed("id", fenceCol).collect()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var qes = cap.drain
+    while (!qes.exists(isFence) && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      qes = cap.drain
+    }
+    require(qes.exists(isFence), "fence QE never delivered (60 s)")
+    qes.filterNot(isFence)
+  }
+
   private def measureScale(spark: SparkSession, cap: Capture,
-      dir: String, names: Seq[String]): Map[String, (Long, Long, Long)] = {
+      dir: String, names: Seq[String])
+      : Map[String, (Long, Long, Long, Long)] = {
     Prestage.stages.foreach { case (_, gate, run) =>
       if (names.exists(gate)) run(spark, dir)
     }
@@ -176,22 +254,10 @@ object ScaleLedger {
       try {
         val df = SparkEntry.queries(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
-        // the bus is async and may still owe BOTH construction QEs and
-        // the sink QE: wait until the drained count has been stable
-        // for 300 ms (with at least one captured), bounded at 30 s
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        var qes = cap.drain
-        var stableSince = System.nanoTime()
-        var done = false
-        while (!done && System.nanoTime() < deadline) {
-          Thread.sleep(20)
-          val now = cap.drain
-          if (now.size != qes.size) { qes = now; stableSince = System.nanoTime() }
-          done = qes.nonEmpty &&
-            System.nanoTime() - stableSince > 300L * 1000 * 1000
-        }
+        val qes = awaitFenced(spark, cap)
         require(qes.nonEmpty, s"no QueryExecution captured for $name")
-        name -> shuffleTotals(qes)
+        val (rec, bytes, out) = shuffleTotals(qes)
+        name -> ((rec, bytes, out, globalExchangeMax(qes)))
       } finally cap.armed = false
     }.toMap
   }
@@ -216,29 +282,37 @@ object ScaleLedger {
       operators.VectorOps, operators.ScalePatterns).foreach(_.release())
     val bg = measureScale(spark, cap, big, names)
     val rows = names.map { n =>
-      val (rs, bs, os) = sm(n)
-      val (rb, bb, ob) = bg(n)
+      val (rs, bs, os, gs) = sm(n)
+      val (rb, bb, ob, gb) = bg(n)
       val ratio = rb.toDouble / math.max(1L, rs)
-      val verdict = (flagged(rs, rb, os, ob),
-          flaggedBytes(bs, bb, os, ob)) match {
-        case (true, true) => "FLAG+BYTES"
-        case (true, false) => "FLAG"
-        case (false, true) => "FLAG_BYTES"
-        case _ => "ok"
+      val verdict = Seq(
+        if (flagged(rs, rb, os, ob)) Some("FLAG") else None,
+        if (flaggedBytes(bs, bb, os, ob)) Some("FLAG_BYTES") else None,
+        if (flaggedGlobal(gs, gb)) Some("FLAG_GLOBAL") else None)
+        .flatten match {
+        case Nil => "ok"
+        case fs => fs.mkString("+")
       }
-      "%s\t%d\t%d\t%d\t%d\t%d\t%d\t%.3f\t%s".formatLocal(
-        java.util.Locale.ROOT, n, rs, rb, os, ob, bs, bb, ratio, verdict)
+      "%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%.3f\t%s".formatLocal(
+        java.util.Locale.ROOT, n, rs, rb, os, ob, bs, bb, gs, gb,
+        ratio, verdict)
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       "# query\trec_small\trec_big\tout_small\tout_big" +
-        "\tbytes_small\tbytes_big\tgrowth\tverdict - generated by " +
-        "graft.ScaleLedger; enforced by PerfSpec (flag = shuffle " +
+        "\tbytes_small\tbytes_big\tglob_small\tglob_big" +
+        "\tgrowth\tverdict - generated by " +
+        "graft.ScaleLedger; enforced by PerfSpec (FLAG = shuffle " +
         s"records grew >${maxGrowthFactor}x max(${inputRatio.toInt}x " +
         "input step, output-row growth) above the " +
         s"$recordFloor-record floor; FLAG_BYTES = same rule on " +
         s"shuffle bytes above $bytesFloor B — row-width explosions; " +
-        "capture is armed across query CONSTRUCTION too, so eager " +
-        "checkpoint subtrees are on their query's row)\n" +
+        "FLAG_GLOBAL = largest SINGLE-TASK exchange [SinglePartition " +
+        "or constant-hash, i.e. global sorts/windows] exceeds " +
+        s"$globalFloor records at the big scale AND grew " +
+        s">${globalGrowthCap}x across the step — a data-sized frame " +
+        "on one task; capture is armed across query CONSTRUCTION " +
+        "too, so eager checkpoint subtrees are on their query's row; " +
+        "drain is fenced by a sentinel QE, not a stability window)\n" +
         rows.mkString("", "\n", "\n"))
     println(s"wrote $out (${rows.size} queries, " +
       s"${rows.count(!_.endsWith("\tok"))} flagged)")

@@ -301,11 +301,18 @@ object Graft {
     * `rightTime <= leftTime` for the same key — the single-shuffle
     * tagged-union form (one Exchange on the key, no range
     * cross-product). Output: left key/time plus `asof_time` (null when
-    * no earlier right row exists). */
+    * no earlier right row exists) and the serving `outcome` —
+    * `fresh` (matched within `tolerance`), `stale` (matched but older
+    * than the tolerance: the feature-store serving rule says REJECT,
+    * and `asof_time` still reports the match so an SLA monitor can
+    * measure how stale), `cold` (no match). `tolerance` None = every
+    * match is fresh (the plain as-of, j10); Some(0) = only exact-time
+    * matches are fresh; j13 is this call with the 1-hour bound. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTime: String, rightTime: String): DataFrame =
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
     graft.operators.Joins.asofJoinFor(left, right, keyCol, leftTime,
-      rightTime)
+      rightTime, tolerance)
 
   // ---- sketches ----------------------------------------------------------
 

@@ -261,14 +261,17 @@ object CurationOps extends QueryModule {
     * The report is the per-phase manifest: doc count, token budget,
     * DECIMAL-quantized mean quality. Engine-exact: same score op
     * order as t3, integer ntile partitioning, quantized mean. Scale:
-    * one window sort over (score, md5) — the same single total-order
-    * pass c10's weighted sampling pays; phase assignment itself would
-    * ship as a column on the training manifest. */
+    * phase assignment goes through [[WindowAggs.exactNtile]]
+    * (bit-equal to the window ntile, spec-proven) with
+    * floor(score×256) buckets — the score lives in [0,1], so the
+    * offset aggregate is ≤257 rows no matter the corpus size; no
+    * single-task sort of the document table anywhere. */
   private def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
     val scored = qualityCols(Tables(s, dir, "documents"))
-    val w = Window.orderBy(col("quality_score"),
-      md5(col("doc_id").cast(StringType)), col("doc_id"))
-    scored.withColumn("phase", ntile(4).over(w))
+    WindowAggs.exactNtile(scored, 4,
+        floor(col("quality_score") * 256).cast(LongType), desc = false,
+        Seq(col("quality_score"), md5(col("doc_id").cast(StringType)),
+          col("doc_id")), "phase")
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("doc_ct"),
         sum(col("n_tokens")).as("token_sum"),

@@ -298,28 +298,20 @@ object Joins extends QueryModule {
     * tolerance), `stale` (a prior view exists but too old — the match
     * is REJECTED), or `cold` (no prior view at all); the report folds
     * to per-outcome purchase counts and the mean matched-gap seconds —
-    * the monitoring table a feature-serving SLA reads. Same
-    * single-Exchange tagged-union recipe as j10 (one user_id window,
-    * no range cross-product); the classification is a map-side CASE
-    * over the running-max view time. */
+    * the monitoring table a feature-serving SLA reads. Expressed over
+    * the GENERIC [[asofJoinFor]] core (same single-Exchange
+    * tagged-union, no range cross-product) — the classification is
+    * the core's own tolerance `outcome`, so the facade
+    * ([[graft.api.Graft.asofJoin]]) and this query cannot drift. */
   private def staleAsof(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events")
-    val tagged = e.filter(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"), col("user_id"), nsToUs(col("ts")).as("us"),
-        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("us"), col("tag"), col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    tagged
-      .withColumn("v_us", max(when(col("tag") === 0, col("us"))).over(w))
-      .filter(col("tag") === 1)
-      .select((col("us") - col("v_us")).as("gap_us"))
-      .select(when(col("gap_us").isNull, "cold")
-          .when(col("gap_us") <= asofStaleToleranceUs, "fresh")
-          .otherwise("stale").as("outcome"),
-        col("gap_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), nsToUs(col("ts")).as("p_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), nsToUs(col("ts")).as("v_us"))
+    asofJoinFor(purchases, views, "user_id", "p_us", "v_us",
+        Some(asofStaleToleranceUs))
+      .select(col("outcome"), (col("p_us") - col("asof_time")).as("gap_us"))
       .groupBy(col("outcome"))
       .agg(count(lit(1)).as("purchase_ct"),
         // exact integer gap sum, ONE division at the end — a float
@@ -333,10 +325,17 @@ object Joins extends QueryModule {
     * [[asofAttribution]] (j10, oracle-checked against DuckDB's native
     * ASOF JOIN), kept beside it so the two cannot drift: each left row
     * gets the latest right time <= its own time per key (`asof_time`,
-    * null when no earlier right row exists). Exposed via
+    * null when no earlier right row exists) plus the j13 serving
+    * classification `outcome`: `fresh` (a match within `tolerance`),
+    * `stale` (a match exists but is older — the serving path should
+    * reject it; `asof_time` still reports it so SLA monitors can
+    * measure HOW stale), `cold` (no earlier right row). tolerance
+    * None = every match is fresh (the plain as-of); Some(0) = only
+    * exact-time matches are fresh. Exposed via
     * [[graft.api.Graft.asofJoin]]. */
   private[graft] def asofJoinFor(left: DataFrame, right: DataFrame,
-      keyCol: String, leftTime: String, rightTime: String): DataFrame = {
+      keyCol: String, leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val l = left.select(col(keyCol).as("k"), col(leftTime).as("t"))
       .withColumn("tag", lit(1))
     val r = right.select(col(keyCol).as("k"), col(rightTime).as("t"))
@@ -349,7 +348,11 @@ object Joins extends QueryModule {
       .withColumn("asof_time",
         last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col("k").as(keyCol), col("t").as(leftTime), col("asof_time"))
+      .select(col("k").as(keyCol), col("t").as(leftTime), col("asof_time"),
+        when(col("asof_time").isNull, "cold")
+          .when(tolerance.map(tol => col("t") - col("asof_time") <= tol)
+            .getOrElse(lit(true)), "fresh")
+          .otherwise("stale").as("outcome"))
   }
 
   val oracles = Map(

@@ -339,10 +339,13 @@ object ScalePatterns extends QueryModule {
     * parquet row-group stats prune scans filtered on either one. The
     * query materializes the evidence: the same 32-bucket split under a
     * Z-value order vs a plain date order, with each bucket's custkey and
-    * date spans. Bucketing uses ntile over the unique (key, orderkey)
-    * total order so the oracle replays it exactly; the production form
-    * is `repartitionByRange($"zval")` + write — a distributed range
-    * sort, no global window. The interleave itself is four mask-shift
+    * date spans. Bucketing is exact ntile over the unique (key,
+    * orderkey) total order so the oracle replays it exactly — via
+    * [[WindowAggs.exactNtile]] (zval DIV 64 / date-day offset buckets,
+    * both domain-bounded: ≤1024 cells / the date range), never a
+    * single-task sort of the orders table; the production form is
+    * `repartitionByRange($"zval")` + write — a distributed range
+    * sort, no global window (the x12/x13 applyLayout path). The interleave itself is four mask-shift
     * rounds (standard Morton magic numbers), pure codegen'd integer
     * arithmetic, identical in both engines. This shared stage emits the
     * per-row (layout, bucket, ck, dt) assignment; x4 aggregates spans
@@ -375,12 +378,16 @@ object ScalePatterns extends QueryModule {
         norm(col("dt"), col("dt_min"), col("dt_max")).as("dtn"))
     val z = base.withColumn("zval",
       spread(col("ckn")).bitwiseOR(shiftleft(spread(col("dtn")), 1)))
-    val zb = ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey")))
-    val db = ntile(32).over(Window.orderBy(col("dt"), col("o_orderkey")))
-    z.select(lit("zorder").as("layout"), zb.as("bucket"),
+    val zb = WindowAggs.exactNtile(z, 32,
+        expr("zval DIV 64"), desc = false,
+        Seq(col("zval"), col("o_orderkey")), "bucket")
+      .select(lit("zorder").as("layout"), col("bucket"),
         col("ck"), col("dt"))
-      .unionAll(z.select(lit("bydate").as("layout"), db.as("bucket"),
-        col("ck"), col("dt")))
+    val db = WindowAggs.exactNtile(z, 32, col("dt"), desc = false,
+        Seq(col("o_orderkey")), "bucket")
+      .select(lit("bydate").as("layout"), col("bucket"),
+        col("ck"), col("dt"))
+    zb.unionAll(db)
   }
 
   private def zorderLayout(s: SparkSession, dir: String): DataFrame =

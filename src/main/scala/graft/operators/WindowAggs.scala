@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables}
@@ -259,10 +259,13 @@ object WindowAggs extends QueryModule {
       .filter(col("v1").isNotNull && col("p1").isNotNull)
       .select(col("user_id"), col("sess"),
         (col("p1") - col("v1")).as("lat_us"))
-    val ranked = lat
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("lat_us"), col("user_id"), col("sess"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // exact global rank via [[globalRank]] (minute-of-latency buckets:
+    // offsets come from a time-domain-bounded aggregate, not a
+    // single-task sort of the converted-session frame)
+    val ranked = globalRank(lat, expr("lat_us DIV 60000000"),
+        desc = false, Seq(col("lat_us"), col("user_id"), col("sess")))
+      .withColumnRenamed("__rank", "rn")
+      .withColumnRenamed("__n", "n")
     def pick(q: Double) = max(when(
       col("rn") === greatest(ceil(lit(q) * col("n")).cast("long"), lit(1L)),
       col("lat_us")))
@@ -422,42 +425,68 @@ object WindowAggs extends QueryModule {
           .as("cum_share"))
   }
 
-  /** ntile(10) over (sortCol DESC, tiebreak ASC) without the global
-    * single-task sort an unpartitioned window needs. Adds `decile`
-    * (INT, 1..10). Decomposition: global rank = cumulative count of
-    * strictly-better sortCol values (offset, computed on the
-    * per-sortCol-value aggregate — |distinct values| rows, the only
-    * unpartitioned window and it is metadata-sized) + row_number within
-    * the sortCol partition (parallel). ntile's front-loaded tiles (the
-    * first n%10 tiles take n/10+1 rows) become closed-form integer
-    * arithmetic. n < 10 never reaches the divide-by-(n DIV 10) branch:
-    * every rank ≤ rem·(q+1) = n, and CaseWhen evaluates lazily. */
-  private[graft] def deciles(df: DataFrame, sortCol: String,
-      tiebreak: String): DataFrame = {
+  /** Global rank under a total order WITHOUT the single-task sort an
+    * unpartitioned window pays: rank = cumulative count of rows in
+    * strictly-earlier `bucket` groups (the offset, computed on the
+    * per-distinct-bucket COUNT aggregate — the only unpartitioned
+    * window, and it runs over |distinct buckets| rows, not over data)
+    * + row_number within the bucket partition (parallel). `bucket`
+    * must be monotone in the intended order: the sort column itself
+    * for exact-value grouping, or any fixed-width coarsening (hour of
+    * a timestamp, value DIV 8, floor(score×256)) when the sort column
+    * is near-unique — coarsening keeps the offset aggregate
+    * DOMAIN-bounded (time range, value range) instead of data-sized,
+    * which is what survives a 100× corpus. `inBucket` is the
+    * within-bucket residual order (sort column + tiebreaks, direction
+    * applied by the caller; must totally order rows inside a bucket).
+    * Adds `__rank` (LONG, 1-based) and `__n` (LONG, total rows). */
+  private[graft] def globalRank(df: DataFrame, bucket: Column,
+      desc: Boolean, inBucket: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cumW = Window.orderBy(col(sortCol).desc)
+    val ord = if (desc) col("__obk").desc else col("__obk").asc
+    val cumW = Window.orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val offs = df.groupBy(col(sortCol)).agg(count(lit(1)).as("__g"))
+    val offs = df.groupBy(bucket.as("__obk")).agg(count(lit(1)).as("__g"))
       .withColumn("__off", sum(col("__g")).over(cumW) - col("__g"))
       .withColumn("__n",
         sum(col("__g")).over(Window.partitionBy(lit(1))))
-      .select(col(sortCol).as("__osv"), col("__off"), col("__n"))
-    val inW = Window.partitionBy(col(sortCol)).orderBy(col(tiebreak))
-    // null-SAFE join: ntile ranks NULL sortCol rows too (desc puts
-    // them last); a plain equi-join would silently drop them while
-    // __n still counted them, shifting every tile boundary
-    df.join(broadcast(offs), col(sortCol) <=> col("__osv"))
+      .select(col("__obk"), col("__off"), col("__n"))
+    val inW = Window.partitionBy(bucket).orderBy(inBucket: _*)
+    // null-SAFE join: ranking covers NULL bucket rows too (desc puts
+    // them last, asc first — matching Spark's window null ordering); a
+    // plain equi-join would silently drop them while __n still counted
+    // them, shifting every downstream tile boundary
+    df.join(broadcast(offs), bucket <=> col("__obk"))
       .withColumn("__rank", col("__off") + row_number().over(inW))
-      .withColumn("decile",
-        when(col("__rank") <=
-            (col("__n") % 10) * (expr("__n DIV 10") + lit(1L)),
-          expr("(__rank - 1) DIV (__n DIV 10 + 1) + 1"))
-          .otherwise(expr(
-            "__n % 10 + (__rank - (__n % 10) * (__n DIV 10 + 1) - 1)" +
-              " DIV (__n DIV 10) + 1"))
-          .cast(IntegerType))
-      .drop("__osv", "__off", "__n", "__rank")
+      .drop("__obk", "__off")
   }
+
+  /** Exact ntile(n) over the [[globalRank]] decomposition — bit-equal
+    * to `ntile(n).over(Window.orderBy(...))` (spec-proven) with no
+    * single-task data sort. ntile's front-loaded tiles (the first
+    * N%n tiles take N/n+1 rows) become closed-form integer arithmetic
+    * on the rank. N < n never reaches the divide-by-(N DIV n) branch:
+    * every rank ≤ rem·(q+1) = N, and CaseWhen evaluates lazily. */
+  private[graft] def exactNtile(df: DataFrame, n: Int, bucket: Column,
+      desc: Boolean, inBucket: Seq[Column], out: String): DataFrame =
+    globalRank(df, bucket, desc, inBucket)
+      .withColumn(out,
+        when(col("__rank") <=
+            (col("__n") % n) * (expr(s"__n DIV $n") + lit(1L)),
+          expr(s"(__rank - 1) DIV (__n DIV $n + 1) + 1"))
+          .otherwise(expr(
+            s"__n % $n + (__rank - (__n % $n) * (__n DIV $n + 1) - 1)" +
+              s" DIV (__n DIV $n) + 1"))
+          .cast(IntegerType))
+      .drop("__n", "__rank")
+
+  /** ntile(10) over (sortCol DESC, tiebreak ASC) — the a34 shape, a
+    * direct [[exactNtile]] with exact-value buckets (a34's sort key is
+    * a small-count aggregate, already domain-bounded). */
+  private[graft] def deciles(df: DataFrame, sortCol: String,
+      tiebreak: String): DataFrame =
+    exactNtile(df, 10, col(sortCol), desc = true, Seq(col(tiebreak)),
+      "decile")
 
   /** a34 (beyond-reference): user-concentration deciles — the Pareto
     * table behind every "whales" question (and the skew early-warning
@@ -616,11 +645,14 @@ object WindowAggs extends QueryModule {
     * deterministically and identically in both engines — and the
     * report folds to one row per (r, f, m) segment with its user
     * count and monetary mass. Scale shape: one user-keyed aggregate
-    * reduces events to |users| rows FIRST; the three ntile windows
-    * then sort the compact user table (at 100 TB: swap ntile for
-    * approx-percentile cut points — same report, no global sort). */
+    * reduces events to |users| rows FIRST; the three quintile
+    * assignments go through [[exactNtile]] (bit-equal to the window
+    * ntile, spec-proven) so no score ever pays a single-task sort of
+    * the user table — offsets come from DOMAIN-bounded buckets
+    * (recency by hour: bounded by the time range; monetary DIV 8:
+    * bounded by the spend range; frequency exact: purchase counts are
+    * a small set), each a broadcast-joined metadata-sized aggregate. */
   private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
     val perUser = Tables(s, dir, "events")
       .select(col("user_id"), col("event_type"),
@@ -631,13 +663,14 @@ object WindowAggs extends QueryModule {
           .as("freq"),
         coalesce(sum(when(col("event_type") === "purchase",
           money(col("value")))), zero).as("monetary"))
-    perUser
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_sec"), col("user_id"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("freq"), col("user_id"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary"), col("user_id"))))
+    val r = exactNtile(perUser, 5,
+      expr("recency_sec DIV 3600"), desc = false,
+      Seq(col("recency_sec"), col("user_id")), "r_score")
+    val rf = exactNtile(r, 5, col("freq"), desc = false,
+      Seq(col("user_id")), "f_score")
+    val rfm = exactNtile(rf, 5, floor(col("monetary") / 8).cast(LongType),
+      desc = false, Seq(col("monetary"), col("user_id")), "m_score")
+    rfm
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("user_ct"),
         sum(col("monetary")).cast(DoubleType).as("monetary_sum"))
@@ -733,10 +766,29 @@ object WindowAggs extends QueryModule {
       .select(col("event_id"), nsToUs(col("ts")).as("us"))
       .withColumn("blk", divFloor(
         col("us") + (col("event_id") % 13) * lit(15000000L), 60000000L))
-    val wmW = Window.orderBy(col("blk"))
+    // the watermark is an EXCLUSIVE running max over minute blocks —
+    // decomposed as a two-level prefix scan so no single task ever
+    // sorts the block table (minute blocks grow with stream DURATION;
+    // one global window over them is the 100×-run bottleneck the
+    // FLAG_GLOBAL ledger column catches): a parallel within-day
+    // running max + a day-level prefix max over the ~|days| aggregate
+    // (the only unpartitioned window — calendar-sized).
+    val wDayPrev = Window.partitionBy(col("day")).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val blocks = e.groupBy(col("blk")).agg(max(col("us")).as("blk_max_us"))
-      .withColumn("wm_us", max(col("blk_max_us")).over(wmW) - delayUs)
+    val wDaysPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blk0 = e.groupBy(col("blk")).agg(max(col("us")).as("blk_max_us"))
+      .withColumn("day", expr("blk DIV 1440"))
+      .withColumn("in_day_prev", max(col("blk_max_us")).over(wDayPrev))
+    val dayPrefix = blk0.groupBy(col("day"))
+      .agg(max(col("blk_max_us")).as("day_max"))
+      .withColumn("prev_day_max", max(col("day_max")).over(wDaysPrev))
+      .select(col("day").as("p_day"), col("prev_day_max"))
+    val blocks = blk0
+      .join(broadcast(dayPrefix), col("day") === col("p_day"))
+      // greatest skips nulls: null only for the very first block ever
+      .withColumn("wm_us",
+        greatest(col("in_day_prev"), col("prev_day_max")) - delayUs)
       .select(col("blk").as("b_blk"), col("wm_us"))
     e.join(broadcast(blocks), col("blk") === col("b_blk"))
       .withColumn("ws_sec", divFloor(col("us"), winUs) * lit(10L))

@@ -186,6 +186,12 @@ object DimApp {
       : DataFrame =
     scd2SinkFor(storeDir, sinkTable).repaired(s)
 
+  /** Commit one table's repair and clear its quarantine (see
+    * [[Scd2ParquetMergeSink.commitRepaired]]). */
+  def scd2CommitRepaired(s: SparkSession, storeDir: String,
+      sinkTable: String): Option[String] =
+    scd2SinkFor(storeDir, sinkTable).commitRepaired(s)
+
   /** Batch twin of the SCD2 mode — the k6 construction over the same
     * parsed op log: version = row_number in seq order per id, each row
     * closed at its successor's seq, the last row open (is_current

@@ -34,11 +34,33 @@ trait MergeSink {
   * are visible — a torn write (crash mid-commit) leaves a dir without
   * the marker and readers skip it. */
 private[streaming] object VersionedStore {
-  def committed(storeDir: String): Seq[Long] =
+  /** Names of committed version dirs (any naming scheme). */
+  def committedNames(storeDir: String): Seq[String] =
     Option(new java.io.File(storeDir).listFiles())
       .getOrElse(Array.empty).toSeq
       .filter(d => new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .map(_.getName)
+
+  /** Plain `v<batchId>` committed versions (the type-1/seam scheme). */
+  def committed(storeDir: String): Seq[Long] =
+    committedNames(storeDir).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong)
+
+  /** Decommit-then-delete a version dir: the _SUCCESS marker goes
+    * FIRST, so a crash mid-removal can never leave a half-emptied dir
+    * that still looks committed (the torn-write invariant in reverse —
+    * shared by VACUUM and the quarantine clear). */
+  def remove(dir: java.io.File): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    require(!marker.exists() || marker.delete(),
+      s"could not decommit $dir")
+    val leftovers = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.delete()) ++
+      (if (dir.delete()) Nil else Seq(dir))
+    require(leftovers.isEmpty,
+      s"removal of decommitted $dir left undeletable files: " +
+        leftovers.map(_.getName).mkString(", "))
+  }
 }
 
 /** SCD TYPE-2 versioned-parquet MergeSink — the streaming maintenance
@@ -67,9 +89,12 @@ private[streaming] object VersionedStore {
   * audit only catches if someone runs it. Such ops are ROUTED TO A
   * QUARANTINE store (`storeDir/__quarantine/v<batchId>`, committed and
   * replay-idempotent like the main versions) instead of being merged;
-  * the maintained chain stays k9-clean, and [[repaired]] rebuilds the
+  * the maintained chain stays k9-clean, [[repaired]] rebuilds the
   * full corrected history from the store's own ops plus the quarantine
-  * (the k10 remedy, applied to exactly the ops that need it).
+  * (the k10 remedy, applied to exactly the ops that need it), and
+  * [[commitRepaired]] folds it back as a committed `v<B>r<k>` repair
+  * version and clears the quarantine — crash-safe and replay-
+  * idempotent (see its doc for the commit order).
   * Within-batch disorder needs no quarantine — the batch window sorts
   * its own ops.
   *
@@ -83,7 +108,26 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     seqCol: String, opCol: String, payloadCols: Seq[String])
     extends MergeSink {
 
-  private def versions: Seq[Long] = VersionedStore.committed(storeDir)
+  /** Version naming: batches commit `v<batchId>`; quarantine-repair
+    * commits ([[commitRepaired]]) are `v<batchId>r<k>` — (batchId, k)
+    * ordering puts a repair AFTER the batch it repairs and BEFORE the
+    * next batch, so an append-only repair never collides with a
+    * resumed stream's batchIds (batch B+1's base is the latest
+    * version with numeric part < B+1, which IS the repair of B) and a
+    * REPLAYED batch B excludes its own repair from its base (numeric
+    * B is not < B) while `current` still reads the repair. */
+  private val versionName = "^v(\\d+)(?:r(\\d+))?$".r
+
+  /** Committed (batchId, repairIdx) versions, unordered. */
+  private def parsedVersions: Seq[(Long, Long)] =
+    VersionedStore.committedNames(storeDir).flatMap {
+      case versionName(b, r) =>
+        Some((b.toLong, Option(r).map(_.toLong).getOrElse(0L)))
+      case _ => None
+    }
+
+  private def dirOf(v: (Long, Long)): String =
+    if (v._2 == 0L) s"$storeDir/v${v._1}" else s"$storeDir/v${v._1}r${v._2}"
 
   private def quarantineDir = s"$storeDir/__quarantine"
 
@@ -96,8 +140,8 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     // sort below their key's open valid_from_seq are quarantined, the
     // rest merge normally (detection must precede the batch window —
     // version numbering may not count dropped ops)
-    val baseSnap = versions.filter(_ < batchId).sorted.lastOption
-      .map(v => s.read.parquet(s"$storeDir/v$v"))
+    val baseSnap = parsedVersions.filter(_._1 < batchId)
+      .maxOption.map(v => s.read.parquet(dirOf(v)))
     val admitted = baseSnap match {
       case None =>
         // first batch: no store, no cross-batch order to violate; keep
@@ -173,11 +217,12 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     ()
   }
 
-  /** The full maintained history (latest committed version). */
+  /** The full maintained history (latest committed version — a repair
+    * of batch B outranks v<B> and is outranked by v<B+1>). */
   def current(s: SparkSession): DataFrame = {
-    val vs = versions
+    val vs = parsedVersions
     require(vs.nonEmpty, s"no committed version under $storeDir")
-    s.read.parquet(s"$storeDir/v${vs.max}")
+    s.read.parquet(dirOf(vs.max))
   }
 
   /** Commit one batch's ordering-contract violators. Same committed-
@@ -190,16 +235,25 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
   }
 
   /** Every quarantined op across all committed batches, with the open
-    * valid_from_seq it violated (`open_from_seq`). Empty store → empty
-    * frame (the first-batch merge commits an empty ledger version, so
-    * the schema is always on disk once anything merged). */
+    * valid_from_seq it violated (`open_from_seq`). A store with
+    * committed MAIN versions but no quarantine ledger (merged by
+    * pre-ledger code, or cleared by [[commitRepaired]]) reads as an
+    * empty, correctly-typed frame — the ledger's absence means "no
+    * pending violators", not an error; only a store that never merged
+    * anything still fails. */
   def quarantined(s: SparkSession): DataFrame = {
     val vs = VersionedStore.committed(quarantineDir)
-    require(vs.nonEmpty,
-      s"no committed quarantine version under $quarantineDir — " +
-        "has the sink merged at least one batch?")
-    vs.sorted.map(v => s.read.parquet(s"$quarantineDir/v$v"))
-      .reduce(_ unionByName _)
+    if (vs.isEmpty) {
+      require(parsedVersions.nonEmpty,
+        s"no committed version under $storeDir — " +
+          "has the sink merged at least one batch?")
+      current(s).select((Seq(col(keyCol), col(opCol),
+          col("valid_from_seq").as(seqCol)) ++ payloadCols.map(col) :+
+          col("valid_from_seq").as("open_from_seq")): _*)
+        .filter(lit(false))
+    } else
+      vs.sorted.map(v => s.read.parquet(s"$quarantineDir/v$v"))
+        .reduce(_ unionByName _)
   }
 
   /** The corrected FULL history — the k10-style remedy applied to
@@ -207,11 +261,13 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     * row is itself an op (its valid_from_seq is the op's seq), so the
     * store's ops plus the quarantined ops, renumbered per key in seq
     * order, rebuild the chain a perfectly-ordered replay would have
-    * produced. Read-only: committing the repair (write as the next
-    * version, clear the quarantine) is the operator's decision, like
-    * running the k10 repair in batch. Requires seqCol to be per-key
-    * UNIQUE (the sink's total-order contract) — duplicate seqs would
-    * make the rebuilt version order nondeterministic. */
+    * produced. Read-only: [[commitRepaired]] is the write path.
+    * Requires seqCol to be per-key UNIQUE (the sink's total-order
+    * contract) — duplicate seqs would make the rebuilt version order
+    * nondeterministic. The (key, seq) dedup makes the rebuild
+    * CONVERGENT: after a crash between a repair commit and its
+    * quarantine clear, the surviving quarantine ops are already in
+    * the chain and fold to the identical result. */
   def repaired(s: SparkSession): DataFrame = {
     val opProjection = (Seq(col(keyCol), col(opCol),
       col("valid_from_seq").as(seqCol)) ++ payloadCols.map(col))
@@ -219,7 +275,13 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
     val qOps = quarantined(s)
       .select((Seq(col(keyCol), col(opCol), col(seqCol)) ++
         payloadCols.map(col)): _*)
+    // (key, seq) dedup as an explicit aggregate (duplicates only exist
+    // in the crash-between-commit-and-clear state, and are then exact
+    // copies — first() is deterministic over identical rows)
     val all = histOps.unionByName(qOps)
+      .groupBy(col(keyCol), col(seqCol))
+      .agg(first(col(opCol)).as(opCol),
+        payloadCols.map(c => first(col(c)).as(c)): _*)
     val wk = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
     all
       .withColumn("version", row_number().over(wk))
@@ -231,6 +293,46 @@ class Scd2ParquetMergeSink(storeDir: String, keyCol: String,
         col("__next").as("valid_to_seq"),
         (col("__next").isNull && col(opCol) =!= "delete")
           .as("is_current"))): _*)
+  }
+
+  /** COMMIT the repair: write [[repaired]] as a `v<B>r<k>` version
+    * (B = the latest version's batchId, k = next repair index) and
+    * clear the quarantine — the operator action that folds disordered
+    * arrivals back into the maintained history, the weekly ritual of
+    * anyone running a DIM pipeline on a multi-partition CDC topic. On
+    * a real table format this is one repair MERGE commit.
+    *
+    * Crash-safe in THIS order, and replay-idempotent:
+    *  1. write the repair version (overwrite; _SUCCESS gates
+    *     visibility — a torn write is invisible and the re-run
+    *     overwrites it);
+    *  2. clear the quarantine (decommit-then-delete per version).
+    * A crash between 1 and 2 leaves the repair committed AND the
+    * quarantine populated with ops that are now ALREADY in the chain:
+    * the re-run detects that (anti-join on (key, seq) against the
+    * current chain), skips the redundant write, and finishes the
+    * clear — converging to the same store. A quarantined op is folded
+    * exactly once, ever.
+    *
+    * Returns the committed repair dir, or None when every quarantined
+    * op was already folded (replay / nothing pending). */
+  def commitRepaired(s: SparkSession): Option[String] = {
+    val vs = parsedVersions
+    require(vs.nonEmpty, s"no committed version under $storeDir")
+    val pending = quarantined(s).join(
+      current(s).select(col(keyCol).as("__rk"),
+        col("valid_from_seq").as("__rs")),
+      col(keyCol) === col("__rk") && col(seqCol) === col("__rs"),
+      "left_anti")
+    val target = if (pending.isEmpty) None else {
+      val top = vs.max
+      val dir = dirOf((top._1, top._2 + 1))
+      repaired(s).write.mode("overwrite").parquet(dir)
+      Some(dir)
+    }
+    VersionedStore.committedNames(quarantineDir).foreach(n =>
+      VersionedStore.remove(new java.io.File(s"$quarantineDir/$n")))
+    target
   }
 }
 
@@ -388,29 +490,13 @@ class VersionedParquetMergeSink(storeDir: String, keyCol: String,
   /** Retention (`VACUUM` analog): drop all but the newest `retain`
     * committed versions. `current` is never touched (retain >= 1 is
     * enforced); `snapshotAt` older than the horizon then fails, exactly
-    * like a vacuumed Delta table. Returns the versions removed. */
+    * like a vacuumed Delta table. Returns the versions removed.
+    * Removal is decommit-then-delete ([[VersionedStore.remove]]). */
   def expireVersions(retain: Int): Seq[Long] = {
     require(retain >= 1, "must retain at least the current version")
     val doomed = versions.sorted.dropRight(retain)
-    doomed.foreach { v =>
-      val dir = new java.io.File(s"$storeDir/v$v")
-      // decommit FIRST: once _SUCCESS is gone, `versions` no longer
-      // reports this dir, so a crash mid-delete can never leave a
-      // half-emptied directory that still looks committed (the same
-      // invariant torn writes rely on, in reverse)
-      val marker = new java.io.File(dir, "_SUCCESS")
-      require(!marker.exists() || marker.delete(),
-        s"could not decommit $dir")
-      // the version is already decommitted (invisible) at this point,
-      // but a silent delete failure would strand vacuumed bytes on disk
-      // while the caller is told the version is gone — surface it
-      val leftovers = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filterNot(_.delete()) ++
-        (if (dir.delete()) Nil else Seq(dir))
-      require(leftovers.isEmpty,
-        s"vacuum of decommitted $dir left undeletable files: " +
-          leftovers.map(_.getName).mkString(", "))
-    }
+    doomed.foreach(v => VersionedStore.remove(
+      new java.io.File(s"$storeDir/v$v")))
     doomed
   }
 }

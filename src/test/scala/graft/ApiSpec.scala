@@ -120,6 +120,31 @@ class ApiSpec extends SparkSuite {
       (3L, 9L, -1L)), s"got $got")
   }
 
+  test("asofJoin tolerance: None ≡ all matches fresh; 0 ⇒ only " +
+      "exact-time matches fresh; stale keeps the measurable match") {
+    val quotes = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "qt")
+    val trades = Seq((1L, 15L), (1L, 20L), (2L, 10L), (3L, 9L))
+      .toDF("k", "tt")
+    def rows(tol: Option[Long]) =
+      Graft.asofJoin(trades, quotes, "k", "tt", "qt", tol)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSet
+    // tolerance=None: identical asof_time to the plain call, and every
+    // matched row is fresh / every unmatched row cold
+    val none = rows(None)
+    assert(none == Set((1L, 15L, 10L, "fresh"), (1L, 20L, 20L, "fresh"),
+      (2L, 10L, -1L, "cold"), (3L, 9L, -1L, "cold")), s"got $none")
+    // tolerance=0: only the exact-time match stays fresh; the older
+    // match flips to stale but its asof_time is still reported
+    val zero = rows(Some(0L))
+    assert(zero == Set((1L, 15L, 10L, "stale"), (1L, 20L, 20L, "fresh"),
+      (2L, 10L, -1L, "cold"), (3L, 9L, -1L, "cold")), s"got $zero")
+    // a mid tolerance splits on the gap bound (gap 5 vs tolerance 4/5)
+    val four = rows(Some(4L))
+    assert(four.contains((1L, 15L, 10L, "stale")), s"got $four")
+    assert(rows(Some(5L)).contains((1L, 15L, 10L, "fresh")))
+  }
+
   test("hll and cms sketches aggregate arbitrary columns") {
     val events = (1 to 1000).map(i => (s"user${i % 137}", s"tok${i % 7}"))
       .toDF("user", "tok")

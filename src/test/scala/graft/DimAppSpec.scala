@@ -180,5 +180,44 @@ class DimAppSpec extends SparkSuite {
     assert(got.exceptAll(want).count() == 0 &&
       want.exceptAll(got).count() == 0,
       "repaired history != in-order twin")
+
+    // 4. COMMIT the repair: the maintained store becomes the in-order
+    // twin, the quarantine empties, the audit stays clean
+    val qSnapshot = quarantine.collect()
+    val committed = DimApp.scd2CommitRepaired(spark, store, table)
+    assert(committed.exists(_.contains("r1")),
+      s"repair must commit as a v<B>r<k> version, got $committed")
+    val afterStore = DimApp.scd2Store(spark, store, table)
+      .select(col("id"), col("version"), col("op"),
+        col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+        explode(col("data")))
+    assert(afterStore.exceptAll(want).count() == 0 &&
+      want.exceptAll(afterStore).count() == 0,
+      "committed store != in-order twin")
+    assert(DimApp.scd2Quarantine(spark, store, table).count() == 0,
+      "commit must clear the quarantine")
+    assert(graft.api.Graft.scd2Audit(
+        DimApp.scd2Store(spark, store, table)).head()
+      .getAs[Boolean]("scd2_ok"), "committed repair failed the k9 audit")
+
+    // 5. crash replay: simulate a crash BETWEEN the repair write and
+    // the quarantine clear by re-committing the old quarantine ops,
+    // then re-run — the ops are already in the chain, so the re-run
+    // must skip the write (None), clear again, and leave the store
+    // bit-identical (a quarantined op folds exactly once, ever)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(qSnapshot.toIndexedSeq),
+        quarantine.schema)
+      .write.mode("overwrite").parquet(s"$store/$table/__quarantine/v99")
+    assert(DimApp.scd2CommitRepaired(spark, store, table).isEmpty,
+      "replayed commit must not write a second repair version")
+    assert(DimApp.scd2Quarantine(spark, store, table).count() == 0)
+    val afterReplay = DimApp.scd2Store(spark, store, table)
+      .select(col("id"), col("version"), col("op"),
+        col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+        explode(col("data")))
+    assert(afterReplay.exceptAll(want).count() == 0 &&
+      want.exceptAll(afterReplay).count() == 0,
+      "replayed commit changed the store")
   }
 }

@@ -508,6 +508,45 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("exactNtile: bit-equal to ntile(n) for any n, direction, and " +
+      "coarse monotone buckets") {
+    import org.apache.spark.sql.expressions.Window
+    val sess = spark
+    import sess.implicits._
+    // same stress shapes as the deciles case (ties, skew, tiny, NULLs)
+    val shapes = Seq(
+      (1 to 997).map(i => (s"u$i", Option((i % 37).toLong))),
+      (1 to 1000).map(i =>
+        (s"u$i", Option(if (i < 900) 1L else i.toLong))),
+      (1 to 7).map(i => (s"u$i", Option(i.toLong))),
+      (1 to 40).map(i =>
+        (s"u$i", if (i % 5 == 0) Option.empty[Long] else Some(i.toLong))))
+    for (rows <- shapes; n <- Seq(4, 5, 32); desc <- Seq(true, false)) {
+      val df = rows.toDF("user_id", "ev_ct")
+      val ord = if (desc) col("ev_ct").desc else col("ev_ct").asc
+      val want = df.withColumn("t", ntile(n).over(
+          Window.orderBy(ord, col("user_id"))))
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      // exact-value buckets AND a coarse DIV-3 bucket (the domain-
+      // bounded form a37/c19/x4 use): both must reproduce ntile —
+      // the bucket only relocates WHERE the offset aggregate splits
+      val gotExact = graft.operators.WindowAggs.exactNtile(
+          df, n, col("ev_ct"), desc, Seq(col("user_id")), "t")
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      // integer DIV truncates toward zero — monotone here because the
+      // test values are non-negative (as are all production buckets).
+      // The within-bucket residual order must carry the DIRECTION too
+      // (a coarse bucket holds several sort values; exact buckets
+      // don't care)
+      val gotCoarse = graft.operators.WindowAggs.exactNtile(
+          df, n, expr("ev_ct DIV 3"), desc,
+          Seq(ord, col("user_id")), "t")
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      assert(gotExact == want, s"exact n=$n desc=$desc sz=${rows.length}")
+      assert(gotCoarse == want, s"coarse n=$n desc=$desc sz=${rows.length}")
+    }
+  }
+
   test("a33 gap calibration: dense spine, closed totals, monotone curve") {
     val r = q("a33_session_gap_calibration").collect()
     assert(r.length == 6, "all six buckets must be stated")

@@ -127,13 +127,13 @@ class PerfSpec extends SparkSuite {
       .map { l =>
         val a = l.split("\t")
         a(0) -> ((a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong,
-          a(5).toLong, a(6).toLong))
+          a(5).toLong, a(6).toLong, a(7).toLong, a(8).toLong))
       }.toMap
     val missing = SparkEntry.queries.keys.filterNot(rows.contains)
     assert(missing.isEmpty, s"queries without a scale-ledger row " +
       s"(run sbt 'runMain graft.ScaleLedger'): ${missing.toSeq.sorted}")
     val blown = rows.toSeq.sorted.collect {
-      case (n, (rs, rb, os, ob, _, _))
+      case (n, (rs, rb, os, ob, _, _, _, _))
           if ScaleLedger.flagged(rs, rb, os, ob) =>
         f"$n: $rs%d → $rb%d shuffle records " +
           f"(${rb.toDouble / math.max(1L, rs)}%.1f×) vs output " +
@@ -146,7 +146,7 @@ class PerfSpec extends SparkSuite {
     // explodes (a payload carried through a shuffle) only shows in
     // shuffleBytesWritten
     val blownBytes = rows.toSeq.sorted.collect {
-      case (n, (_, _, os, ob, bs, bb))
+      case (n, (_, _, os, ob, bs, bb, _, _))
           if ScaleLedger.flaggedBytes(bs, bb, os, ob) =>
         f"$n: $bs%d → $bb%d shuffle bytes " +
           f"(${bb.toDouble / math.max(1L, bs)}%.1f×) vs output " +
@@ -156,6 +156,22 @@ class PerfSpec extends SparkSuite {
     assert(blownBytes.isEmpty,
       s"superlinear shuffle BYTE growth (row-width explosion):\n" +
         blownBytes.mkString("\n"))
+    // single-task sibling: linear TOTAL shuffle work can still hide a
+    // global sort/window handing one task a data-sized frame (the a37
+    // ntile family this round retired) — the ledger records the
+    // largest SinglePartition/constant-hash exchange per query at
+    // both scales; tolerated only while metadata-sized (under the
+    // floor) or saturated (flat across the 10× step)
+    val blownGlobal = rows.toSeq.sorted.collect {
+      case (n, (_, _, _, _, _, _, gs, gb))
+          if ScaleLedger.flaggedGlobal(gs, gb) =>
+        f"$n: $gs%d → $gb%d records into one single-task exchange " +
+          f"(${gb.toDouble / math.max(1L, gs)}%.1f×) across a " +
+          f"${ScaleLedger.inputRatio.toInt}× input step"
+    }
+    assert(blownGlobal.isEmpty,
+      s"data-sized single-task sort (100× bottleneck):\n" +
+        blownGlobal.mkString("\n"))
   }
 
   test("salted agg spreads phase 1 over (key, salt) then merges") {
