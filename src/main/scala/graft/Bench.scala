@@ -64,22 +64,62 @@ object Bench {
       // releasing any earlier makes d9 silently rebuild the pipeline
       "d9_threshold_sweep" -> operators.DedupOps,
       "s2_debezium_snapshot" -> operators.EnvelopeOps,
+      // k12 is the last reader of the synthesized-topic memos (sorted
+      // after g5/g6); releasing at g6 would leave k12 rebuilding the
+      // dim envelope log inside its timed window
+      "k12_dim_scd2_history" -> operators.ComposedApps,
       // v10 runs before v9 in sorted order; both read the Lloyd memo
       "v9_kmeans_assign" -> operators.VectorOps,
       // x9 sorts last in the x family; its release deletes the
       // partitioned temp store (disk, not just cache)
       "x9_dpp_prune" -> operators.ScalePatterns)
-    val results = selected.map { case (name, fn) =>
+    // Self-diagnosis stamps (the round-9 g5 17.66 s lesson: a sandbox
+    // slow phase put a 6.4× single-run outlier into the permanent
+    // record with no in-artifact rebuttal): each per-query line carries
+    // the GC milliseconds spent DURING that query and the JIT code
+    // cache occupancy at its end — a slow-phase run shows outsized
+    // gc_ms (or a full code cache → compilation stalls) on the slow
+    // query, a real regression shows neither.
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def codeCacheMb: Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName == "Code Cache")
+      .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    def timed(key: String, name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val g0 = gcMs
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column
       // (a bare count() would let Catalyst prune the projections).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"query":"$name","sec":${fmt(sec)}}""")
+      println(s"""{"$key":"$name","sec":${fmt(sec)},"gc_ms":${gcMs - g0},"cc_mb":$codeCacheMb}""")
       System.out.flush()
+      sec
+    }
+    val results = selected.map { case (name, fn) =>
+      val sec = timed("query", name, fn)
       releaseAfter.get(name).foreach(_.release())
       name -> sec
+    }
+    // Repeat-of-the-slowest: re-run the single slowest query once at
+    // suite end (its prestage state restored first, so both numbers
+    // measured the same warm-memo state). A slow phase that has passed
+    // re-runs near its usual time; a real plan regression reproduces.
+    // The line's key is NOT "query" — medians never ingest it.
+    if (results.nonEmpty) {
+      val (name, first) = results.maxBy(_._2)
+      Prestage.stages.foreach { case (_, gate, run) =>
+        if (gate(name)) run(spark, sfDir)
+      }
+      val again = timed("rerun_slowest", name, SparkEntry.queries(name))
+      println(s"""{"rerun_of":"$name","first_sec":${fmt(first)},"rerun_sec":${fmt(again)}}""")
+      System.out.flush()
     }
     spark.stop()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

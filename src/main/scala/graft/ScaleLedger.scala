@@ -279,7 +279,8 @@ object ScaleLedger {
     // release family memos between scales so the big-scale pass
     // rebuilds (and therefore re-measures) its own intermediates
     Seq(operators.CurationOps, operators.DedupOps, operators.EnvelopeOps,
-      operators.VectorOps, operators.ScalePatterns).foreach(_.release())
+      operators.VectorOps, operators.ScalePatterns, operators.ComposedApps)
+      .foreach(_.release())
     val bg = measureScale(spark, cap, big, names)
     val rows = names.map { n =>
       val (rs, bs, os, gs) = sm(n)

@@ -78,7 +78,11 @@ object BaseDbApp {
     * type, exercising the compound probe key), unrouted order_info fact
     * rows (≡2 mod 3), and bootstrap-insert replays (≡0 mod 9) the ETL
     * must drop before the probe. */
-  def envelopes(s: SparkSession, dir: String): DataFrame = {
+  def envelopes(s: SparkSession, dir: String): DataFrame =
+    SyntheticTopics.memoized("basedb_topic_db", s, dir)(
+      envelopesUncached(s, dir))
+
+  private def envelopesUncached(s: SparkSession, dir: String): DataFrame = {
     def env(table: String, typ: String, data: Column): Column =
       to_json(struct(lit("gmall2024").as("database"), lit(table).as("table"),
         lit(typ).as("type"), unix_timestamp(col("o_orderdate")).as("ts"),

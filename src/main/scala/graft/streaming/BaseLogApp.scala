@@ -44,7 +44,11 @@ object BaseLogApp {
     * others → page log (views carry a displays array, clicks an actions
     * array, errors an err object); claimed is_new flips wrongly on
     * event_id ≡ 0 mod 3; every 97th event is truncated (dirty). */
-  def logLines(s: SparkSession, dir: String): DataFrame = {
+  def logLines(s: SparkSession, dir: String): DataFrame =
+    SyntheticTopics.memoized("topic_log", s, dir)(
+      logLinesUncached(s, dir))
+
+  private def logLinesUncached(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events")
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     val common = struct(

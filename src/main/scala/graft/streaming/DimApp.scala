@@ -54,7 +54,11 @@ object DimApp {
     * keys ≡0 mod 7 update at 2000 (name suffixed "_u"); customer keys
     * ≡0 mod 13 / part keys ≡0 mod 11 delete at 3000. The extra acctbal/
     * brandbase fields exercise the sinkColumns pruning. */
-  def envelopes(s: SparkSession, dir: String): DataFrame = {
+  def envelopes(s: SparkSession, dir: String): DataFrame =
+    SyntheticTopics.memoized("dim_topic_db", s, dir)(
+      envelopesUncached(s, dir))
+
+  private def envelopesUncached(s: SparkSession, dir: String): DataFrame = {
     def env(table: String, typ: String, ts: Long, data: Column): Column =
       to_json(struct(lit("gmall2024").as("database"), lit(table).as("table"),
         lit(typ).as("type"), lit(ts).as("ts"), data.as("data")))
