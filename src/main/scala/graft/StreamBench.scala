@@ -181,9 +181,16 @@ object StreamBench {
     val delays = emitted.synchronized { emitted.toSeq }.map {
       case (bid, end) =>
         val eligible = wm.toSeq.filter(_._2 >= end).map(_._1)
-        if (eligible.isEmpty) 0L else bid - eligible.min
+        // ADVICE round-9: an emitted window with NO watermark-eligible
+        // batch means the progress stream never recorded (or failed to
+        // parse) a watermark covering it — fail CLOSED with a -1
+        // sentinel instead of folding the missing evidence into
+        // "perfectly fresh" (StreamBenchSpec rejects -1)
+        if (eligible.isEmpty) -1L else bid - eligible.min
     }
-    run.copy(freshnessMaxDelay = Some(if (delays.isEmpty) 0L
+    run.copy(freshnessMaxDelay = Some(
+      if (delays.isEmpty) 0L
+      else if (delays.contains(-1L)) -1L
       else delays.max))
   }
 
@@ -298,20 +305,38 @@ object StreamBench {
 
     val smallRuns = runAll(spark, small)
     val bigRuns = runAll(spark, big)
+    // the PRODUCTION state backend: at 100 TB the stateful fleet runs
+    // on RocksDB (state no longer bounded by executor heap), so its
+    // throughput/state profile is the number that matters — same big
+    // scale, same apps, fresh checkpoints, provider switched for the
+    // whole pass (W7's spec proves result identity; this measures it)
+    val rocksRuns = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try runAll(spark, big)
+      finally spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
 
     val ledger = bigRuns.map { b =>
       val sm = smallRuns.find(_.name == b.name).get
+      val rk = rocksRuns.find(_.name == b.name).get
       val growth = b.stateRows.toDouble / math.max(1L, sm.stateRows)
-      "%s\t%d\t%d\t%d\t%d\t%.3f\t%s".formatLocal(Locale.ROOT, b.name,
-        sm.stateRows, b.stateRows, sm.stateBytes, b.stateBytes, growth,
+      "%s\t%d\t%d\t%d\t%d\t%d\t%d\t%.3f\t%s".formatLocal(Locale.ROOT,
+        b.name, sm.stateRows, b.stateRows, sm.stateBytes, b.stateBytes,
+        rk.stateRows, rk.stateBytes, growth,
         if (flaggedState(sm.stateRows, b.stateRows)) "FLAG" else "ok")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outLedger),
       "# app\tstate_rows_small\tstate_rows_big\tstate_bytes_small" +
-        "\tstate_bytes_big\tgrowth\tverdict - generated by " +
+        "\tstate_bytes_big\trocks_rows_big\trocks_bytes_big" +
+        "\tgrowth\tverdict - generated by " +
         "graft.StreamBench; enforced by StreamBenchSpec (flag = state " +
         s"rows grew >${maxGrowthFactor}x the ${inputRatio.toInt}x " +
-        s"input step above the $stateRowFloor-row floor; scales: " +
+        s"input step above the $stateRowFloor-row floor; rocks_* = " +
+        "the same big-scale run under RocksDBStateStoreProvider — " +
+        "row identity asserted by the spec; scales: " +
         s"$small vs $big)\n" + ledger.mkString("", "\n", "\n"))
 
     val (topoWall, topoRows) = runTopology(spark, big)
@@ -321,7 +346,8 @@ object StreamBench {
       s""""input_rows":$topoRows,""" +
       s""""rows_per_sec":${fmt(topoRows / math.max(1e-9, topoWall))},""" +
       s""""sequential_wall_sec":${fmt(seqWall)}},""" +
-      s""""apps":{""" + bigRuns.map(appJson).mkString(",") + "}}"
+      s""""apps":{""" + bigRuns.map(appJson).mkString(",") + "}," +
+      s""""apps_rocksdb":{""" + rocksRuns.map(appJson).mkString(",") + "}}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()

@@ -107,9 +107,9 @@ object DedupOps extends QueryModule {
     * intermediate (NOT d8 — it reads only the band table below). */
   private[graft] val nearDupConsumers: Set[String] = Set(
     "d2_lsh_candidates", "d3_near_dup_pairs", "d5_shingle_jaccard",
-    "d7_minhash_estimate", "d9_threshold_sweep", "c1_dedup_clusters",
-    "c12_pagerank_authority", "c14_canonical_selection",
-    "c16_data_card", "c22_dedup_waterfall")
+    "d7_minhash_estimate", "d9_threshold_sweep", "d11_lsh_tuning",
+    "c1_dedup_clusters", "c12_pagerank_authority",
+    "c14_canonical_selection", "c16_data_card", "c22_dedup_waterfall")
 
   /** Queries whose plan reads the memoized band table — the candidate
     * consumers reach it transitively (candidatePairsUncached reads the
@@ -593,11 +593,31 @@ object DedupOps extends QueryModule {
     * discipline applied to the banding itself. */
   private def lshTuning(s: SparkSession, dir: String): DataFrame =
     lshShapeSweepFor(Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), col("text")),
+      // the MEMOIZED d3 verified pairs — the same ground truth the
+      // d3/d9 consumers read, built once per (session, dir)
+      Some(nearDupPairs(s, dir)))
 
   /** The d11 core over an ARBITRARY (doc_id, source, text) frame —
-    * exposed as [[graft.api.Graft.lshShapeSweep]]. */
-  private[graft] def lshShapeSweepFor(docs: DataFrame): DataFrame = {
+    * exposed as [[graft.api.Graft.lshShapeSweep]]. `truePairsOpt`
+    * supplies the verified near-dup ground truth for the measured
+    * recall column (defaults to running the d3 verify pipeline over
+    * `docs`).
+    *
+    * `measured_recall_j08` = fraction of the d3-VERIFIED pairs
+    * (exact unigram Jaccard ≥ 0.8 over LSH candidates) that would
+    * collide in ≥1 band under each shape — the empirical number to
+    * read NEXT TO the analytic S-curve. Honest caveat, stated where
+    * the number is made: the ground truth is itself discovered
+    * through the family's 4×3 banding, so 4×3 scores 1.0 by
+    * construction and the column measures recall RELATIVE to the
+    * 4×3-discovered pair set (what switching shapes would LOSE or
+    * re-find), not absolute recall over all true pairs — the
+    * analytic columns carry the absolute story. NULL when the corpus
+    * has no verified pairs (zero is an answer; a ratio of 0/0 is
+    * not). */
+  private[graft] def lshShapeSweepFor(docs: DataFrame,
+      truePairsOpt: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     val sig = graft.plans.MinhashSignature.minhashSig(s, col("hs"),
       numHashes)
@@ -627,11 +647,30 @@ object DedupOps extends QueryModule {
     }
     val (r05, r08, r09) = (recallCase(0.5), recallCase(0.8),
       recallCase(0.9))
-    sigs
+    val bandTable = sigs
       .select(col("doc_id"), col("source"),
         explode(array(shapeBands: _*)).as("sb"))
       .select(col("doc_id"), col("source"), col("sb.bands"),
         col("sb.rows_per_band"), col("sb.band_no"), col("sb.band_sig"))
+    // measured recall: does a VERIFIED pair share ≥1 band per shape?
+    // |true pairs| is tiny next to the band table — broadcast the
+    // pair list through two doc-keyed joins (band sigs are per-doc,
+    // and verified pairs are same-source, so (bands, band_no,
+    // band_sig) equality is the bucket-collision test)
+    val truePairs = truePairsOpt
+      .getOrElse(nearDupPairsFor(docs, jaccardThreshold))
+      .select(col("a_id"), col("b_id"))
+    val tpCt = truePairs.agg(count(lit(1)).as("true_pairs"))
+    val hits = broadcast(truePairs)
+      .join(bandTable.as("ba"), col("a_id") === col("ba.doc_id"))
+      .join(bandTable.as("bb"),
+        col("b_id") === col("bb.doc_id") &&
+          col("ba.bands") === col("bb.bands") &&
+          col("ba.band_no") === col("bb.band_no") &&
+          col("ba.band_sig") === col("bb.band_sig"))
+      .groupBy(col("ba.bands").as("m_bands"))
+      .agg(count_distinct(col("a_id"), col("b_id")).as("hit_pairs"))
+    bandTable
       .groupBy(col("bands"), col("rows_per_band"), col("source"),
         col("band_no"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
@@ -639,12 +678,24 @@ object DedupOps extends QueryModule {
       .agg(count(lit(1)).as("bucket_ct"),
         sum(when(col("k") >= 2, 1L).otherwise(0L))
           .as("colliding_bucket_ct"),
-        sum((col("k") * (col("k") - 1) / 2).cast(LongType))
-          .as("candidate_pairs"))
+        // ADVICE round-9: k(k−1) summed as exact integers, ONE halving
+        // of the (even) total — Column `/` is double division and
+        // loses exactness past 2^53 (a ~95M-member bucket)
+        sum(col("k") * (col("k") - lit(1L))).as("kk2"))
+      .join(broadcast(hits), col("bands") === col("m_bands"),
+        "left_outer")
+      .crossJoin(broadcast(tpCt))
       .select(col("bands"), col("rows_per_band"),
         r05.as("recall_j05"), r08.as("recall_j08"), r09.as("recall_j09"),
+        when(col("true_pairs") === 0,
+            lit(null).cast(org.apache.spark.sql.types.DoubleType))
+          .otherwise(round(
+            coalesce(col("hit_pairs"), lit(0L)).cast(
+              org.apache.spark.sql.types.DoubleType) /
+              col("true_pairs"), 6))
+          .as("measured_recall_j08"),
         col("bucket_ct"), col("colliding_bucket_ct"),
-        col("candidate_pairs"))
+        expr("kk2 DIV 2").as("candidate_pairs"))
   }
 
   /** d9: threshold-sweep curve — the tuning table for THE dedup knob:
@@ -858,36 +909,47 @@ object DedupOps extends QueryModule {
       // recall literals generated by the SAME Scala code the query
       // injects (libm pow may differ across engines; a literal can't)
       def recallCase(pick: ((Double, Double, Double)) => Double) =
-        "CASE bands " + lshShapes.map { case (b, r) =>
+        "CASE sh.bands " + lshShapes.map { case (b, r) =>
           val v = pick((sCurve(b, r, 0.5), sCurve(b, r, 0.8),
             sCurve(b, r, 0.9)))
           f"WHEN $b THEN CAST($v%.6f AS DOUBLE) "
         }.mkString + "END"
-      s"""WITH toks AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |hashed AS (
-         |  SELECT doc_id, source, ${hexToIntSql("tok")} AS h FROM toks),
-         |mhs AS MATERIALIZED (
-         |  SELECT doc_id, source,
-         |        $mhs
-         |  FROM hashed GROUP BY doc_id, source),
-         |st AS (
+      s"""WITH $verifiedPairsCte,
+         |st AS MATERIALIZED (
          |        $shapeSel),
          |bk AS (
          |  SELECT bands, rows_per_band, source, band_no, band_sig,
          |         count(*) AS k
-         |  FROM st GROUP BY 1, 2, 3, 4, 5)
-         |SELECT bands, rows_per_band,
+         |  FROM st GROUP BY 1, 2, 3, 4, 5),
+         |sh AS (
+         |  SELECT bands, rows_per_band,
+         |         CAST(count(*) AS BIGINT) AS bucket_ct,
+         |         CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS colliding_bucket_ct,
+         |         CAST(sum(k * (k - 1)) AS BIGINT) // 2
+         |           AS candidate_pairs
+         |  FROM bk GROUP BY 1, 2),
+         |hitp AS (
+         |  SELECT sa.bands,
+         |         CAST(count(DISTINCT CAST(ndp.a_id AS VARCHAR) || '|' ||
+         |           CAST(ndp.b_id AS VARCHAR)) AS BIGINT) AS hit_pairs
+         |  FROM ndp
+         |  JOIN st sa ON ndp.a_id = sa.doc_id
+         |  JOIN st sb ON ndp.b_id = sb.doc_id AND sa.bands = sb.bands
+         |    AND sa.band_no = sb.band_no AND sa.band_sig = sb.band_sig
+         |  GROUP BY 1),
+         |tc AS (SELECT count(*) AS true_pairs FROM ndp)
+         |SELECT sh.bands, sh.rows_per_band,
          |       ${recallCase(_._1)} AS recall_j05,
          |       ${recallCase(_._2)} AS recall_j08,
          |       ${recallCase(_._3)} AS recall_j09,
-         |       CAST(count(*) AS BIGINT) AS bucket_ct,
-         |       CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS colliding_bucket_ct,
-         |       CAST(sum(CAST(k * (k - 1) / 2 AS BIGINT)) AS BIGINT)
-         |         AS candidate_pairs
-         |FROM bk GROUP BY 1, 2""".stripMargin
+         |       CASE WHEN tc.true_pairs = 0 THEN NULL
+         |         ELSE round(CAST(coalesce(hitp.hit_pairs, 0) AS DOUBLE)
+         |                    / tc.true_pairs, 6) END
+         |         AS measured_recall_j08,
+         |       sh.bucket_ct, sh.colliding_bucket_ct, sh.candidate_pairs
+         |FROM sh LEFT JOIN hitp ON sh.bands = hitp.bands
+         |CROSS JOIN tc""".stripMargin
     },
     // d10 replays the boundary rule exactly: same md5-prefix token
     // hash (hexToIntSql), same mod-16 cut, same [0, cuts..., n] bound

@@ -496,6 +496,27 @@ object EnvelopeOps extends QueryModule {
           .as("open_from_seq"))
   }
 
+  /** k16 (beyond-reference): quarantine repair-commit ledger — the
+    * decision report an operator reads before running
+    * [[graft.streaming.Scd2ParquetMergeSink.commitRepaired]] (this
+    * round's commit path): per arrival batch, how many ops the
+    * ordering contract quarantined, across how many keys, and how far
+    * below their key's open version they landed (max + exact mean
+    * displacement in sequence units — how stale the disordered
+    * deliveries were; the number that decides "repair weekly" vs
+    * "repartition the topic"). Rides the k14 construction's single
+    * id Exchange; the fold is metadata-sized. */
+  private def repairLedger(s: SparkSession, dir: String): DataFrame =
+    oooQuarantine(s, dir)
+      .groupBy(col("arrival_batch"))
+      .agg(count(lit(1)).as("quarantined_ct"),
+        count_distinct(col("id")).as("key_ct"),
+        max(col("open_from_seq") - col("seq")).as("max_displacement"),
+        // exact integer displacement sum, ONE final division — a
+        // float accumulation would be partition-order-sensitive
+        round(sum(col("open_from_seq") - col("seq")).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_displacement"))
+
   /** k15 (beyond-reference): CDC no-op squash report — the compaction
     * every CDC-fed dimension pipeline wants before a type-2 store: a
     * MySQL UPDATE that touches no tracked column still emits a binlog
@@ -691,6 +712,7 @@ object EnvelopeOps extends QueryModule {
     "k13_dim_restatement" -> dimRestatement,
     "k14_ooo_quarantine" -> oooQuarantine,
     "k15_noop_squash" -> noopSquash,
+    "k16_repair_ledger" -> repairLedger,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -755,6 +777,42 @@ object EnvelopeOps extends QueryModule {
       .select(col("id"), col("version"), col("op"),
         col("data")("name").as("name"),
         col("valid_from_seq"), col("valid_to_seq"), col("is_current"))
+
+  /** The k14 quarantine-admission statement, shared verbatim by the
+    * k14 oracle and (as a derived table) the k16 fold. */
+  private lazy val k14Sql: String = {
+    val b = Oracle.hex4(
+      "CAST(l_orderkey AS VARCHAR) || '#' || CAST(version AS VARCHAR)")
+    s"""WITH v AS (
+       |  SELECT l_orderkey, l_returnflag,
+       |         row_number() OVER w AS version
+       |  FROM lineitem
+       |  WINDOW w AS (PARTITION BY l_orderkey
+       |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
+       |                        l_partkey, l_suppkey, l_quantity)),
+       |ops AS (
+       |  SELECT l_orderkey AS id, CAST(version AS BIGINT) AS seq,
+       |         CASE WHEN l_returnflag = 'R' THEN 'delete'
+       |              ELSE 'upsert' END AS op,
+       |         ($b) % 3 AS b
+       |  FROM v),
+       |m0t AS (
+       |  SELECT *, max(CASE WHEN b = 0 THEN seq END)
+       |           OVER (PARTITION BY id) AS m0
+       |  FROM ops),
+       |a1t AS (
+       |  SELECT *, (b = 1 AND (m0 IS NULL OR seq >= m0)) AS adm1
+       |  FROM m0t),
+       |m1t AS (
+       |  SELECT *, max(CASE WHEN b = 0 OR adm1 THEN seq END)
+       |           OVER (PARTITION BY id) AS m1
+       |  FROM a1t)
+       |SELECT id, seq, op, b AS arrival_batch,
+       |       CASE WHEN b = 1 THEN m0 ELSE m1 END AS open_from_seq
+       |FROM m1t
+       |WHERE (b = 1 AND NOT adm1)
+       |   OR (b = 2 AND m1 IS NOT NULL AND seq < m1)""".stripMargin
+  }
 
   val oracles = Map(
     "k13_dim_restatement" ->
@@ -1079,39 +1137,19 @@ object EnvelopeOps extends QueryModule {
         |       round(CAST(sum(CASE WHEN is_noop THEN 1 ELSE 0 END)
         |             AS DOUBLE) / count(*), 6) AS squash_ratio
         |FROM f GROUP BY op""".stripMargin,
-    "k14_ooo_quarantine" -> {
-      val b = Oracle.hex4(
-        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(version AS VARCHAR)")
-      s"""WITH v AS (
-         |  SELECT l_orderkey, l_returnflag,
-         |         row_number() OVER w AS version
-         |  FROM lineitem
-         |  WINDOW w AS (PARTITION BY l_orderkey
-         |               ORDER BY l_linenumber, l_returnflag, l_extendedprice,
-         |                        l_partkey, l_suppkey, l_quantity)),
-         |ops AS (
-         |  SELECT l_orderkey AS id, CAST(version AS BIGINT) AS seq,
-         |         CASE WHEN l_returnflag = 'R' THEN 'delete'
-         |              ELSE 'upsert' END AS op,
-         |         ($b) % 3 AS b
-         |  FROM v),
-         |m0t AS (
-         |  SELECT *, max(CASE WHEN b = 0 THEN seq END)
-         |           OVER (PARTITION BY id) AS m0
-         |  FROM ops),
-         |a1t AS (
-         |  SELECT *, (b = 1 AND (m0 IS NULL OR seq >= m0)) AS adm1
-         |  FROM m0t),
-         |m1t AS (
-         |  SELECT *, max(CASE WHEN b = 0 OR adm1 THEN seq END)
-         |           OVER (PARTITION BY id) AS m1
-         |  FROM a1t)
-         |SELECT id, seq, op, b AS arrival_batch,
-         |       CASE WHEN b = 1 THEN m0 ELSE m1 END AS open_from_seq
-         |FROM m1t
-         |WHERE (b = 1 AND NOT adm1)
-         |   OR (b = 2 AND m1 IS NOT NULL AND seq < m1)""".stripMargin
-    },
+    "k14_ooo_quarantine" -> k14Sql,
+    // k16 folds the SAME construction — the SQL wraps k14's statement
+    // as a derived table so the two can never drift
+    "k16_repair_ledger" ->
+      s"""SELECT arrival_batch,
+         |       CAST(count(*) AS BIGINT) AS quarantined_ct,
+         |       CAST(count(DISTINCT id) AS BIGINT) AS key_ct,
+         |       CAST(max(open_from_seq - seq) AS BIGINT)
+         |         AS max_displacement,
+         |       round(CAST(sum(open_from_seq - seq) AS DOUBLE)
+         |             / count(*), 6) AS mean_displacement
+         |FROM ($k14Sql) q
+         |GROUP BY 1""".stripMargin,
     "g1_explode_displays" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

@@ -274,6 +274,34 @@ object WindowAggs extends QueryModule {
       divFloor(pick(0.95), 1000000L).as("p95_latency_s"))
   }
 
+  /** a38 (beyond-reference): exact engagement percentiles — the EXACT
+    * sibling of the a26 histogram sketch: the per-user event-count
+    * distribution's p25/p50/p75/p90/p99 picked at exact rank
+    * positions (ceil(q·n), the classic discrete quantile), the
+    * capacity-planning spine behind per-user state sizing and the a34
+    * concentration read. Scale shape: events reduce to |users| rows
+    * first; the rank comes from [[globalRank]] with exact-value
+    * buckets (per-user event counts are a small distinct set — the
+    * only unpartitioned window runs over that aggregate), so the
+    * exact quantile never pays a single-task sort — when even the
+    * count table is too wide, a26 is the fixed-memory path. */
+  private def eventPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ev_ct"))
+    val ranked = globalRank(perUser, col("ev_ct"), desc = false,
+        Seq(col("user_id")))
+      .withColumnRenamed("__rank", "rn")
+      .withColumnRenamed("__n", "n")
+    def pick(q: Double) = max(when(
+      col("rn") === greatest(ceil(lit(q) * col("n")).cast("long"), lit(1L)),
+      col("ev_ct")))
+    ranked.agg(max(col("n")).as("user_ct"),
+      min(col("ev_ct")).as("min_ct"),
+      pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"),
+      pick(0.9).as("p90"), pick(0.99).as("p99"),
+      max(col("ev_ct")).as("max_ct"))
+  }
+
   /** a22: per-channel landing bounce rate — the traffic-window family's
     * user-jump metric (the reference pairs
     * DwsTrafficVcChArIsNewPageViewWindow's vc/ch/ar/is_new page-view
@@ -815,6 +843,7 @@ object WindowAggs extends QueryModule {
     "a35_markov_transitions" -> markovTransitions,
     "a36_attribution" -> attribution,
     "a37_rfm_segments" -> rfmSegments,
+    "a38_event_percentiles" -> eventPercentiles,
     "a27_conversion_latency" -> conversionLatency,
     "a24_cohort_retention" -> cohortRetention,
     "a23_session_funnel" -> sessionFunnel,
@@ -885,6 +914,29 @@ object WindowAggs extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS user_ct,
          |       CAST(sum(monetary) AS DOUBLE) AS monetary_sum
          |FROM sc GROUP BY 1, 2, 3""".stripMargin,
+    "a38_event_percentiles" -> {
+      def pick(q: String) =
+        s"""CAST(max(CASE WHEN rn = greatest(
+           |           CAST(ceil($q * n) AS BIGINT), 1)
+           |         THEN ev_ct END) AS BIGINT)""".stripMargin
+      s"""WITH pu AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS ev_ct
+         |  FROM events GROUP BY 1),
+         |r AS (
+         |  SELECT ev_ct,
+         |         row_number() OVER (ORDER BY ev_ct, user_id) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM pu)
+         |SELECT CAST(max(n) AS BIGINT) AS user_ct,
+         |       min(ev_ct) AS min_ct,
+         |       ${pick("0.25")} AS p25,
+         |       ${pick("0.5")} AS p50,
+         |       ${pick("0.75")} AS p75,
+         |       ${pick("0.9")} AS p90,
+         |       ${pick("0.99")} AS p99,
+         |       max(ev_ct) AS max_ct
+         |FROM r""".stripMargin
+    },
     "w6_late_audit" ->
       s"""WITH e AS (
          |  SELECT (epoch_us(ts) + (event_id % 13) * 15000000) // 60000000

@@ -209,13 +209,16 @@ class ApiSpec extends SparkSuite {
     ).toDF("doc_id", "source", "text")
     val rows = Graft.lshShapeSweep(docs).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(3),
-        r.getLong(7))).toSeq
+        r.getDouble(5), r.getLong(8))).toSeq
     assert(rows.map(r => (r._1, r._2)).toSet ==
       Set((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)))
-    rows.foreach { case (b, r, recall08, pairs) =>
+    rows.foreach { case (b, r, recall08, measured, pairs) =>
       val want = BigDecimal(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(recall08 == want, s"recall drifted for $b x $r")
+      // identical triple: all 3 verified pairs share every band sig,
+      // so MEASURED recall is 1.0 under every shape
+      assert(measured == 1.0, s"shape $b x $r measured $measured")
       assert(pairs == 3L * b,
         s"shape $b x $r: expected ${3 * b} pairs, got $pairs")
     }

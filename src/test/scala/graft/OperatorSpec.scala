@@ -547,6 +547,36 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("a38 percentiles: monotone, bracketed by min/max, exact count") {
+    val r = q("a38_event_percentiles").head()
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("user_ct") == users)
+    val seq = Seq("min_ct", "p25", "p50", "p75", "p90", "p99", "max_ct")
+      .map(c => r.getAs[Long](c))
+    assert(seq.sliding(2).forall(p => p(0) <= p(1)),
+      s"percentile curve not monotone: $seq")
+    // p50 equals the rank-picked median of the exact distribution
+    val want = Tables(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ev_ct"))
+      .orderBy(col("ev_ct"), col("user_id"))
+      .collect().map(_.getLong(1))
+    assert(r.getAs[Long]("p50") ==
+      want(math.max(math.ceil(0.5 * want.length).toInt, 1) - 1))
+  }
+
+  test("k16 repair ledger: folds exactly the k14 quarantine set") {
+    val q14 = q("k14_ooo_quarantine")
+    val r = q("k16_repair_ledger").collect()
+    assert(r.map(_.getAs[Long]("quarantined_ct")).sum == q14.count())
+    r.foreach { row =>
+      // displacement is positive by construction: a quarantined op's
+      // seq sorts strictly below the open version it violated
+      assert(row.getAs[Long]("max_displacement") > 0)
+      assert(row.getAs[Double]("mean_displacement") > 0)
+    }
+  }
+
   test("a33 gap calibration: dense spine, closed totals, monotone curve") {
     val r = q("a33_session_gap_calibration").collect()
     assert(r.length == 6, "all six buckets must be stated")

@@ -26,11 +26,23 @@ class StreamBenchSpec extends AnyFunSuite {
   private lazy val bench: String = java.nio.file.Files.readString(
     java.nio.file.Paths.get("STREAM_BENCH.json"))
 
-  private def appField(app: String, field: String): Option[String] = {
+  private def appField(app: String, field: String): Option[String] =
+    sectionField(bench, app, field)
+
+  /** Same extraction inside the RocksDB-backend section (the default
+    * `apps` section precedes `apps_rocksdb`, so [[appField]]'s
+    * first-match reads the default run). */
+  private def rocksField(app: String, field: String): Option[String] = {
+    val at = bench.indexOf("\"apps_rocksdb\"")
+    if (at < 0) None else sectionField(bench.substring(at), app, field)
+  }
+
+  private def sectionField(in: String, app: String,
+      field: String): Option[String] = {
     // minimal extraction (no JSON lib on the test classpath): the app
     // objects are flat, so a regex over `"app":{...}` is exact
     val obj = s""""$app":\\{([^}]*)\\}""".r
-      .findFirstMatchIn(bench).map(_.group(1))
+      .findFirstMatchIn(in).map(_.group(1))
     obj.flatMap(o => s""""$field":([^,}]+)""".r
       .findFirstMatchIn(o).map(_.group(1)))
   }
@@ -58,10 +70,37 @@ class StreamBenchSpec extends AnyFunSuite {
       "app's max delay is zero batches") {
     windowed.foreach { a =>
       val d = appField(a, "freshness_max_delay")
+      // "-1" is the fail-closed sentinel: a window emitted with no
+      // recorded watermark covering it (missing evidence, not
+      // freshness) — it must fail here, never read as fresh
       assert(d.contains("0"),
         s"$a freshness regressed: max delay $d batches (a window " +
           "became visible later than the first batch its watermark " +
-          "allowed)")
+          "allowed; -1 = watermark evidence missing from progress)")
+    }
+  }
+
+  test("RocksDB backend run: same state rows as the default provider, " +
+      "bounded throughput floor") {
+    apps.foreach { a =>
+      val rows = rocksField(a, "input_rows").map(_.toLong)
+      assert(rows.exists(_ > 0), s"$a missing from the apps_rocksdb " +
+        "section (run sbt 'runMain graft.StreamBench')")
+      // result identity, measured: the provider changes WHERE state
+      // lives, never what it holds — state row counts must match the
+      // default-provider run exactly (the W7 spec proves result
+      // identity on one app; this pins it across the fleet)
+      val def_ = appField(a, "state_rows").map(_.toLong)
+      val rks = rocksField(a, "state_rows").map(_.toLong)
+      assert(def_ == rks,
+        s"$a state rows differ across providers: default=$def_ " +
+          s"rocksdb=$rks")
+      // RocksDB pays JNI + working-set churn per batch: floor at half
+      // the default-provider collapse floor — catches a provider-level
+      // collapse, not the expected constant-factor slowdown
+      val rps = rocksField(a, "rows_per_sec").map(_.toDouble)
+      assert(rps.exists(_ >= 25.0),
+        s"$a rocksdb throughput collapsed: rows_per_sec=$rps")
     }
   }
 
