@@ -118,7 +118,7 @@ object DedupOps extends QueryModule {
     * (band signatures are per-doc, so filtering the standing table is
     * identical to re-signing each side). */
   private[graft] val bandConsumers: Set[String] =
-    nearDupConsumers ++ Set("d8_crawl_dedup",
+    nearDupConsumers ++ Set("d8_crawl_dedup", "d12_bucket_skew",
       "c15_decontam_report", "c17_fuzzy_contamination")
 
   /** Materialize just the standing band table (the d8 dependency, and
@@ -698,6 +698,36 @@ object DedupOps extends QueryModule {
         expr("kk2 DIV 2").as("candidate_pairs"))
   }
 
+  /** d12 (beyond-reference): band-bucket skew report — the
+    * mega-cluster evidence behind [[bucketCliqueCap]], quantified:
+    * the bucket-size distribution of the STANDING 4×3 band table
+    * (bucket size = max rank, already in the ranked memo — no new
+    * window), folded to the singleton/colliding split, the exact p99
+    * bucket size (rank-picked via [[WindowAggs.globalRank]] over the
+    * metadata-sized size distribution), the max, and the doc mass
+    * past the clique cap (the rows the pivot-star path carries). The
+    * table that says whether the cap is a safety net or a daily tax
+    * on THIS corpus — read next to d11's shape sweep. */
+  private def bucketSkew(s: SparkSession, dir: String): DataFrame = {
+    val buckets = docBands(s, dir)
+      .groupBy(col("source"), col("band_no"), col("band_sig"))
+      .agg(max(col("rk")).cast(LongType).as("k"))
+    val ranked = WindowAggs.globalRank(buckets, col("k"), desc = false,
+        Seq(col("source"), col("band_no"), col("band_sig")))
+      .withColumnRenamed("__rank", "rn")
+      .withColumnRenamed("__n", "n")
+    def pick(q: Double) = max(when(
+      col("rn") === greatest(ceil(lit(q) * col("n")).cast("long"), lit(1L)),
+      col("k")))
+    ranked.agg(max(col("n")).as("bucket_ct"),
+      sum(when(col("k") === 1, 1L).otherwise(0L)).as("singleton_ct"),
+      sum(when(col("k") >= 2, 1L).otherwise(0L)).as("colliding_ct"),
+      pick(0.99).as("p99_bucket"),
+      max(col("k")).as("max_bucket"),
+      sum(greatest(col("k") - bucketCliqueCap, lit(0L)))
+        .as("overcap_docs"))
+  }
+
   /** d9: threshold-sweep curve — the tuning table for THE dedup knob:
     * exact unigram Jaccard for every LSH candidate (unthresholded),
     * bucketed to 0.1-wide bands with the count per band and the
@@ -799,6 +829,7 @@ object DedupOps extends QueryModule {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "d11_lsh_tuning" -> lshTuning,
     "d10_cdc_chunks" -> cdcChunks,
+    "d12_bucket_skew" -> bucketSkew,
     "d8_crawl_dedup" -> crawlDedup,
     "d9_threshold_sweep" -> thresholdSweep,
     "d7_minhash_estimate" -> minhashEstimate,
@@ -954,6 +985,29 @@ object DedupOps extends QueryModule {
     // d10 replays the boundary rule exactly: same md5-prefix token
     // hash (hexToIntSql), same mod-16 cut, same [0, cuts..., n] bound
     // list, same md5 chunk fingerprint over the space-joined slice.
+    "d12_bucket_skew" ->
+      s"""WITH $candidateCte,
+         |bks AS (
+         |  SELECT source, band_no, band_sig, CAST(max(rk) AS BIGINT) AS k
+         |  FROM rb GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT k,
+         |         row_number() OVER (ORDER BY k, source, band_no,
+         |                            band_sig) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM bks)
+         |SELECT CAST(max(n) AS BIGINT) AS bucket_ct,
+         |       CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS singleton_ct,
+         |       CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS colliding_ct,
+         |       CAST(max(CASE WHEN rn = greatest(
+         |                  CAST(ceil(0.99 * n) AS BIGINT), 1)
+         |                THEN k END) AS BIGINT) AS p99_bucket,
+         |       CAST(max(k) AS BIGINT) AS max_bucket,
+         |       CAST(sum(greatest(k - $bucketCliqueCap, 0)) AS BIGINT)
+         |         AS overcap_docs
+         |FROM r""".stripMargin,
     "d10_cdc_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, string_split(text, ' ') AS toks,

@@ -496,6 +496,27 @@ object EnvelopeOps extends QueryModule {
           .as("open_from_seq"))
   }
 
+  /** k17 (beyond-reference): SCD2 chain-depth histogram — the
+    * monitoring table behind k15's squash decision and k9/k10's
+    * per-key window cost: per version-chain depth, how many keys hold
+    * a chain that deep and what share of all history rows that depth
+    * class owns. A heavy tail here is chain bloat (k15's target) and
+    * per-key state pressure at 100 TB. Scale shape: ops reduce to
+    * |keys| rows on the id Exchange first; the histogram and its
+    * one-row total are metadata-sized. */
+  private def chainDepth(s: SparkSession, dir: String): DataFrame = {
+    val depths = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("depth"))
+    val total = depths.agg(sum(col("depth")).as("total_rows"))
+    depths.groupBy(col("depth"))
+      .agg(count(lit(1)).as("key_ct"))
+      .crossJoin(broadcast(total))
+      .select(col("depth"), col("key_ct"),
+        (col("depth") * col("key_ct")).as("row_ct"),
+        round((col("depth") * col("key_ct")).cast(DoubleType) /
+          col("total_rows"), 6).as("row_share"))
+  }
+
   /** k16 (beyond-reference): quarantine repair-commit ledger — the
     * decision report an operator reads before running
     * [[graft.streaming.Scd2ParquetMergeSink.commitRepaired]] (this
@@ -713,6 +734,7 @@ object EnvelopeOps extends QueryModule {
     "k14_ooo_quarantine" -> oooQuarantine,
     "k15_noop_squash" -> noopSquash,
     "k16_repair_ledger" -> repairLedger,
+    "k17_chain_depth" -> chainDepth,
     "g1_explode_displays" -> explodeDisplays,
     "s2_cdc_parse" -> cdcParse,
     "p2_dirty_split" -> dirtySplit,
@@ -1138,6 +1160,17 @@ object EnvelopeOps extends QueryModule {
         |             AS DOUBLE) / count(*), 6) AS squash_ratio
         |FROM f GROUP BY op""".stripMargin,
     "k14_ooo_quarantine" -> k14Sql,
+    "k17_chain_depth" ->
+      """WITH d AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS depth
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(depth) AS total_rows FROM d)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS key_ct,
+        |       CAST(depth * count(*) AS BIGINT) AS row_ct,
+        |       round(CAST(depth * count(*) AS DOUBLE) / max(t.total_rows),
+        |             6) AS row_share
+        |FROM d CROSS JOIN t
+        |GROUP BY depth""".stripMargin,
     // k16 folds the SAME construction — the SQL wraps k14's statement
     // as a derived table so the two can never drift
     "k16_repair_ledger" ->
