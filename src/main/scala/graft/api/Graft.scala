@@ -274,6 +274,31 @@ object Graft {
     graft.operators.ScalePatterns.autoSaltedAgg(df, keys, aggs,
       saltBuckets, skewThreshold)
 
+  /** Materialized-aggregate navigation (plans/AggRewrite.scala). Build
+    * the summary `base.groupBy(keys).agg(partials)` at `path`, register
+    * it for base's session, and return its scan. `measures` rows are
+    * (summary column, "sum"|"min"|"max"|"count"|"count_star", input
+    * column over base). After registration, [[navigate]] (or the
+    * session-wide optimizer rule when the session was built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions`) rewrites any
+    * derivable aggregate written against the RAW base table onto the
+    * summary — the reference's Doris DWS serving layer made automatic,
+    * and at 100 TB the difference between a fact-table pass and a
+    * metadata-sized read. */
+  def materializeSummary(name: String, base: DataFrame,
+      keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
+      path: String): DataFrame =
+    graft.plans.AggRewrite.materialize(base.sparkSession, name, base,
+      keys, measures, path)
+
+  /** Rewrite ONE query's plan onto any registered summary it is
+    * derivable from; returns the frame unchanged when no rewrite
+    * applies. Sound by construction: exact canonical-expression
+    * matching, DISTINCT/FILTER-clause/non-key shapes always fall
+    * through (spec: AggRewriteSpec). */
+  def navigate(df: DataFrame): DataFrame =
+    graft.plans.AggRewrite.navigate(df)
+
   /** Top-k rows per group by `order` descending (ties broken by the
     * tiebreak column for determinism). One shuffle on the group keys. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,

@@ -1,0 +1,411 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-aggregate navigation: a Catalyst optimizer rule that
+  * rewrites an `Aggregate` written against a RAW fact table onto a
+  * registered, pre-aggregated summary table whenever the query is
+  * derivable from it — grouping keys a (function of a) subset of the
+  * summary's keys, filters touching only key-derived expressions, and
+  * every aggregate a re-aggregable partial (SUM→SUM, COUNT→SUM of the
+  * partial count, MIN→MIN, MAX→MAX).
+  *
+  * This is the reference's DWS/ADS split made automatic: the Flink jobs
+  * write day-grain pre-aggregates to Doris and the publisher's SQL reads
+  * the summary table BY NAME (`dws_trade_province_order_window` etc.,
+  * reference TradeStatsMapper.java:16-22). Here the serving query keeps
+  * the raw-table semantics — the optimizer proves derivability and swaps
+  * the scan. At 100 TB that turns a full fact-table pass into a
+  * metadata-sized summary read; the rewrite is sound because it fires
+  * only on exact canonical-expression matches, and every non-derivable
+  * shape (DISTINCT aggregates, FILTER clauses, non-key predicates,
+  * unknown scan) falls through to the raw plan untouched.
+  *
+  * Two deployment routes, same rule object:
+  *  - cluster-wide: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (injected via `injectOptimizerRule`, see [[GraftExtensions]]);
+  *  - embedded: [[AggRewrite.enable]] adds the rule to
+  *    `spark.experimental.extraOptimizations` for one session.
+  * Summaries are registered per-session ([[AggRewrite.register]] /
+  * [[AggRewrite.materialize]]); sessions with no registrations pay one
+  * map lookup and are otherwise untouched.
+  */
+object AggRewrite {
+
+  /** One registered summary: canonical key/measure definitions over the
+    * base relation, the analyzed scan of the materialized table, and the
+    * base's file-listing signature at registration time (freshness). */
+  final case class SummaryDef(
+      name: String,
+      basePaths: Set[String],
+      keyDefs: Map[String, Expression], // summary col -> canon(def over base)
+      measureDefs: Seq[(String, String, Expression)], // (col, op, canon child)
+      summaryRelation: LogicalPlan,
+      baseSig: String)
+
+  private val registry = TrieMap.empty[SparkSession, Vector[SummaryDef]]
+
+  /** Canonical form of an expression over a single base relation:
+    * attributes become NAME-carrying literal markers (names are unique
+    * within one parquet schema; Catalyst's canonicalizer would erase the
+    * name and make every attribute compare equal), aliases are stripped,
+    * then the canonicalizer normalizes commutative shapes. */
+  private def canon(e: Expression): Expression =
+    e.transformUp {
+      case al: Alias => al.child
+      case a: AttributeReference =>
+        Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString("__graft_attr:" + a.name),
+          org.apache.spark.sql.types.StringType)
+    }.canonicalized
+
+  /** Digest of the base's current data files (path, length, mtime) —
+    * the staleness fence: a summary registered before the base changed
+    * must NOT serve a query written against the changed base, so the
+    * rewrite re-lists and falls through (to the always-correct raw
+    * plan) on any mismatch. The listing is driver-side and O(files),
+    * the same work Catalyst's own FileIndex does for every scan of the
+    * base — and the fall-through path would pay a full fact-table READ,
+    * so the listing is never the expensive side. The reference's Doris
+    * DWS tables are continuously refreshed by the stream (staleness =
+    * one micro-batch); this model re-materializes per refresh and the
+    * fence makes the in-between window serve raw truth, never stale
+    * aggregates. */
+  private def baseSignature(session: SparkSession,
+      paths: Set[String]): String = {
+    val conf = session.sessionState.newHadoopConf()
+    def ls(fs: org.apache.hadoop.fs.FileSystem,
+        st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.toString)
+          .flatMap(ls(fs, _))
+      else if (st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith(".")) Nil
+      else Seq(s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+    val entries = paths.toSeq.sorted.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path)) ls(fs, fs.getFileStatus(path))
+      else Seq(s"$p:absent")
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def leafPaths(p: LogicalPlan): Option[Set[String]] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    case s: SubqueryAlias => leafPaths(s.child)
+    case _ => None
+  }
+
+  /** Peel Project/Filter/SubqueryAlias down to a single file-source leaf:
+    * (alias substitution to base terms, filter conditions as written,
+    * leaf paths). None when any other operator intervenes — the sound
+    * bail-out. Shared by registration and matching so both phrase every
+    * expression over the SAME base attributes (e.g. through the events
+    * ts-normalization projection in [[graft.Tables]]). */
+  private def peel(plan: LogicalPlan)
+      : Option[(Map[ExprId, Expression], Vector[Expression], Set[String])] = {
+    var cur = plan
+    var sub = Map.empty[ExprId, Expression]
+    val filters = Vector.newBuilder[Expression]
+    while (true) cur match {
+      case s: SubqueryAlias => cur = s.child
+      case v: View => cur = v.child // temp views in SQL-text queries
+      case f: Filter => filters += f.condition; cur = f.child
+      case p: Project =>
+        sub ++= p.projectList.collect { case al @ Alias(c, _) =>
+          al.exprId -> c
+        }
+        cur = p.child
+      case lr: LogicalRelation =>
+        return leafPaths(lr).map(paths => (sub, filters.result(), paths))
+      case _ => return None
+    }
+    None // unreachable
+  }
+
+  /** Substitute project aliases until the expression is phrased over the
+    * leaf's own attributes (bounded; alias chains are shallow). */
+  private def resolveVia(sub: Map[ExprId, Expression])(e: Expression)
+      : Expression = {
+    var x = e
+    var i = 0
+    while (i < 10 && x.exists {
+        case a: AttributeReference => sub.contains(a.exprId)
+        case _ => false
+      }) {
+      x = x.transformUp {
+        case a: AttributeReference => sub.getOrElse(a.exprId, a)
+      }
+      i += 1
+    }
+    x
+  }
+
+  /** Register a summary for `session`. `keys` / `measures` define each
+    * summary column as an expression over `base`'s columns; `summary` is
+    * the scan of the materialized table whose rows are
+    * `base.groupBy(keys).agg(partials)`. Ops: sum | min | max | count
+    * (non-null count of the child) | count_star. The caller owns the
+    * contract that the summary data matches the definitions —
+    * [[materialize]] builds both from one spec so they cannot drift. */
+  def register(session: SparkSession, name: String, base: DataFrame,
+      keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
+      summary: DataFrame): Unit = {
+    // analyze the defining expressions in the base's own context, then
+    // resolve them down to the leaf relation's attributes so canonical
+    // forms match what matching computes for candidate plans
+    val probe = base.select(
+      (keys.map { case (n, c) => c.as(n) } ++
+        measures.map { case (n, _, c) => c.as(n) }): _*)
+    val analyzed = probe.queryExecution.analyzed
+    val (sub, probeFilters, paths) = peel(analyzed match {
+      case Project(_, child) => child
+      case other => other
+    }).getOrElse(throw new IllegalArgumentException(
+      "base must be Project/Filter chains over one file-source relation"))
+    require(probeFilters.isEmpty,
+      "base must not carry filters — register the full-table summary")
+    val defs: Map[String, Expression] = analyzed match {
+      case Project(list, _) =>
+        list.collect { case al @ Alias(child, _) =>
+          al.name -> canon(resolveVia(sub)(child))
+        }.toMap
+      case other => throw new IllegalStateException(
+        s"unexpected probe plan shape: ${other.nodeName}")
+    }
+    val d = SummaryDef(name, paths,
+      keys.map { case (n, _) => n -> defs(n) }.toMap,
+      measures.map { case (n, op, _) => (n, op, defs(n)) },
+      summary.queryExecution.analyzed,
+      baseSignature(session, paths))
+    registry.updateWith(session) {
+      case Some(v) => Some(v.filterNot(_.name == name) :+ d)
+      case None => Some(Vector(d))
+    }
+  }
+
+  /** Build the summary `base.groupBy(keys).agg(partials)` from the same
+    * spec used for matching, write it to `path` (overwrite), read it
+    * back, and register it — definition and data from one source. */
+  def materialize(session: SparkSession, name: String, base: DataFrame,
+      keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+    val partials = measures.map {
+      case (n, "sum", c) => sum(c).as(n)
+      case (n, "min", c) => min(c).as(n)
+      case (n, "max", c) => max(c).as(n)
+      case (n, "count", c) => count(c).as(n)
+      case (n, "count_star", _) => count(lit(1)).as(n)
+      case (n, op, _) => throw new IllegalArgumentException(
+        s"unsupported partial op '$op' for measure '$n'")
+    }
+    base.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
+      .agg(partials.head, partials.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    val summary = session.read.parquet(path)
+    register(session, name, base, keys, measures, summary)
+    summary
+  }
+
+  /** Explicit-rewrite route: apply the registered summaries to ONE
+    * DataFrame's plan and return the (possibly) rewritten frame. This is
+    * how an embedded caller opts a single query into navigation without
+    * changing how every other query in the session plans — the suite's
+    * x14/x15 run through here so the rest of the 214-query suite keeps
+    * its recorded plans byte-stable. Session-wide deployments use
+    * [[enable]] / [[GraftExtensions]] instead and never call this. */
+  def navigate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = Rewrite(s)(analyzed)
+    if (rewritten fastEquals analyzed) df
+    else org.apache.spark.sql.graft.PlanDF.ofRows(s, rewritten)
+  }
+
+  /** Add the rule to one session's `experimental.extraOptimizations`
+    * (idempotent). The extensions route does this cluster-wide instead. */
+  def enable(session: SparkSession): Unit = {
+    val cur = session.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[Rewrite]))
+      session.experimental.extraOptimizations = cur :+ Rewrite(session)
+  }
+
+  def clear(session: SparkSession): Unit = registry.remove(session)
+
+  /** Drop ONE registration by name (tests and rotating summaries). */
+  def unregister(session: SparkSession, name: String): Unit =
+    registry.updateWith(session) {
+      case Some(v) =>
+        val rest = v.filterNot(_.name == name)
+        if (rest.isEmpty) None else Some(rest)
+      case None => None
+    }
+
+  /** The rule proper. Fires only on sessions with registrations. */
+  final case class Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      registry.get(session) match {
+        case None | Some(Vector()) => plan
+        case Some(defs) =>
+          plan.transformUp {
+            case agg: Aggregate =>
+              defs.view.flatMap(d => tryRewrite(session, agg, d)).headOption
+                .getOrElse(agg)
+          }
+      }
+  }
+
+  /** Attempt one Aggregate → summary rewrite; None = leave untouched. */
+  private def tryRewrite(session: SparkSession, agg: Aggregate,
+      d: SummaryDef): Option[Aggregate] = {
+    // 1. peel Project/Filter/SubqueryAlias down to the scan, building a
+    //    substitution of project aliases so every expression we match is
+    //    phrased over the base relation's own attributes
+    val (sub, filters) = peel(agg.child) match {
+      case Some((s0, f0, paths)) if paths == d.basePaths => (s0, f0)
+      case _ => return None
+    }
+    // staleness fence: fall through when the base's files changed since
+    // materialization — the raw plan is always correct, a stale summary
+    // never is (see baseSignature)
+    if (baseSignature(session, d.basePaths) != d.baseSig) return None
+    // a non-deterministic filter (rand() sampling) selects base ROWS,
+    // not whole groups — never derivable from a per-group summary; same
+    // bail for non-deterministic grouping/aggregate expressions
+    if (filters.exists(!_.deterministic) ||
+      agg.groupingExpressions.exists(!_.deterministic) ||
+      agg.aggregateExpressions.exists(!_.deterministic)) return None
+    val resolve = resolveVia(sub) _
+
+    // 2. fresh instance of the summary scan (self-join safe), attributes
+    //    resolved by name
+    val freshSummary = d.summaryRelation match {
+      case m: MultiInstanceRelation => m.newInstance()
+      case p => p
+    }
+    val sOut = freshSummary.output.map(a => a.name -> a).toMap
+    val keyAttrByDef: Map[Expression, Attribute] =
+      d.keyDefs.flatMap { case (n, defExpr) =>
+        sOut.get(n).map(defExpr -> _)
+      }
+    val measureAttr: Map[(String, Expression), Attribute] =
+      d.measureDefs.flatMap { case (n, op, child) =>
+        sOut.get(n).map(a => (op, child) -> a)
+      }.toMap
+    if (keyAttrByDef.size != d.keyDefs.size ||
+      measureAttr.size != d.measureDefs.size) return None
+
+    // AVG is deliberately NOT derived: re-aggregating a double partial
+    // sum reorders floating-point addition, so the navigated result
+    // could differ in the last bits from the raw plan — the rewrite
+    // must be bit-invisible. A caller who wants a navigable mean
+    // phrases it as sum(x)/count(*), which derives exactly.
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      val rebuilt: Option[Expression] = ae.aggregateFunction match {
+        case f: Sum =>
+          measureAttr.get(("sum", canon(resolve(f.child)))).map { a =>
+            AggregateExpression(
+              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
+              ae.mode, isDistinct = false, None, NamedExpression.newExprId)
+          }
+        case f: Min =>
+          measureAttr.get(("min", canon(resolve(f.child)))).map { a =>
+            AggregateExpression(
+              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
+              ae.mode, isDistinct = false, None, NamedExpression.newExprId)
+          }
+        case f: Max =>
+          measureAttr.get(("max", canon(resolve(f.child)))).map { a =>
+            AggregateExpression(
+              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
+              ae.mode, isDistinct = false, None, NamedExpression.newExprId)
+          }
+        case f: Count if f.children.forall(_.foldable) =>
+          // count(*) / count(1): sum the partial counts; coalesce keeps
+          // count's zero-on-empty + non-null contract through the Sum
+          measureAttr.get(("count_star", canon(Literal(1)))).map { a =>
+            Coalesce(Seq(
+              AggregateExpression(Sum(a), ae.mode, isDistinct = false,
+                None, NamedExpression.newExprId),
+              Literal(0L)))
+          }
+        case f: Count if f.children.size == 1 =>
+          measureAttr.get(("count", canon(resolve(f.children.head)))).map {
+            a =>
+              Coalesce(Seq(
+                AggregateExpression(Sum(a), ae.mode, isDistinct = false,
+                  None, NamedExpression.newExprId),
+                Literal(0L)))
+          }
+        case _ => None
+      }
+      // re-aggregation can widen the type (sum of a decimal sum); pin the
+      // original type so the rewritten plan is schema-identical
+      rebuilt.map(r =>
+        if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
+    }
+
+    // 3. generic mapper: aggregates first, then key-def subtrees, and no
+    //    base attribute may survive unmapped
+    def rw(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case _ =>
+        keyAttrByDef.get(canon(resolve(e))) match {
+          case Some(attr) => Some(attr)
+          case None => e match {
+            case a: AttributeReference =>
+              sub.get(a.exprId) match {
+                case Some(under) => rw(under)
+                case None => None // raw base attr with no key mapping
+              }
+            case _ =>
+              val kids = e.children.map(rw)
+              if (kids.exists(_.isEmpty)) None
+              else Some(e.withNewChildren(kids.map(_.get)))
+          }
+        }
+    }
+
+    val newGroup = agg.groupingExpressions.map(rw)
+    if (newGroup.exists(_.isEmpty)) return None
+    val newFilters = filters.map(rw)
+    if (newFilters.exists(_.isEmpty)) return None
+    val newNamed: Seq[Option[NamedExpression]] =
+      agg.aggregateExpressions.map {
+        case al @ Alias(child, name) =>
+          rw(child).map(nc => Alias(nc, name)(al.exprId, al.qualifier,
+            al.explicitMetadata))
+        case ar: AttributeReference =>
+          rw(ar).map(nc => Alias(nc, ar.name)(ar.exprId, ar.qualifier))
+        case other => rw(other) match {
+          case Some(ne: NamedExpression) => Some(ne)
+          case _ => None
+        }
+      }
+    if (newNamed.exists(_.isEmpty)) return None
+
+    val conds = newFilters.map(_.get)
+    val child0 =
+      if (conds.isEmpty) freshSummary
+      else Filter(conds.reduce(And), freshSummary)
+    Some(agg.copy(groupingExpressions = newGroup.map(_.get),
+      aggregateExpressions = newNamed.map(_.get), child = child0))
+  }
+}

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // materialized-aggregate navigation (AggRewrite.scala): sessions that
+    // register summaries get raw-table aggregates rewritten onto them;
+    // sessions without registrations pay one map lookup
+    ext.injectOptimizerRule(s => AggRewrite.Rewrite(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim",

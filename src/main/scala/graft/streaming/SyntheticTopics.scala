@@ -22,13 +22,23 @@ object SyntheticTopics {
     .empty[(SparkSession, String, String), DataFrame]
 
   private[streaming] def memoized(topic: String, s: SparkSession,
-      dir: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir, topic), {
+      dir: String)(build: => DataFrame): DataFrame = {
+    val key = (s, dir, topic)
+    memo.get(key).getOrElse {
+      // TrieMap.getOrElseUpdate is not atomic for the builder: under the
+      // concurrent 12-app topology two first readers can both build and
+      // persist; the losing frame would leak in the executor cache. Build
+      // outside the map, then race on putIfAbsent and unpersist the loser.
       val df = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // eager: build cost lands on the prestage line (or the
-      df         // first consumer when un-prestaged), never mid-family
-    })
+      memo.putIfAbsent(key, df) match {
+        case Some(winner) => df.unpersist(false); winner
+        case None =>
+          df.count() // eager: build cost lands on the prestage line (or
+          df         // the first consumer when un-prestaged), never
+      }            // mid-family
+    }
+  }
 
   def release(): Unit = {
     memo.values.foreach(_.unpersist(false))

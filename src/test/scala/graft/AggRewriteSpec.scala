@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.Fns._
+import graft.plans.AggRewrite
+
+/** Materialized-aggregate navigation (plans/AggRewrite.scala): the
+  * rewrite must FIRE where derivable (plan scans the summary, not the
+  * fact table), produce bit-identical results to the raw plan, and fall
+  * through untouched on every non-derivable shape. */
+class AggRewriteSpec extends SparkSuite {
+
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }.toSet
+
+  private lazy val summaryDir = {
+    val d = operators.ScalePatterns.navSummaryDir(spark, sf)
+    // temp-dir paths come back from the scan as file: URIs
+    s"file:$d"
+  }
+  private def ordersPath = s"file:$sf/orders.parquet"
+
+  private def rawMonthly: DataFrame = {
+    val o = Tables(spark, sf, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    o.filter(substring(day, 1, 4) === "1997")
+      .groupBy(substring(day, 1, 7).as("order_month"),
+        col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("order_amount"),
+        count(lit(1)).as("order_ct"),
+        min(money(col("o_totalprice"))).cast(DoubleType).as("min_price"),
+        max(money(col("o_totalprice"))).cast(DoubleType).as("max_price"))
+  }
+
+  test("x14 rewrite fires: plan scans the summary, not the fact table") {
+    summaryDir // force registration
+    val nav = AggRewrite.navigate(rawMonthly)
+    val paths = scanPaths(nav)
+    assert(paths.exists(_.startsWith(summaryDir)),
+      s"expected summary scan, got $paths")
+    assert(!paths.contains(ordersPath),
+      s"fact table still scanned: $paths")
+    // and the suite entries go through navigate too
+    assert(scanPaths(q("x14_agg_rewrite")).exists(_.startsWith(summaryDir)))
+    assert(scanPaths(q("x15_rollup_navigate"))
+      .exists(_.startsWith(summaryDir)))
+  }
+
+  test("rewritten results are bit-identical to the raw plan") {
+    summaryDir
+    val raw = rawMonthly
+    val nav = AggRewrite.navigate(raw)
+    assert(nav.schema == raw.schema, "schema drift through the rewrite")
+    val cols = raw.columns.map(col).toSeq
+    val a = raw.sort(cols: _*).collect().toSeq
+    val b = nav.sort(cols: _*).collect().toSeq
+    assert(a == b)
+  }
+
+  test("non-derivable shapes fall through untouched") {
+    summaryDir
+    val o = Tables(spark, sf, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    // (a) DISTINCT aggregate is not derivable from partials
+    val distinctAgg = AggRewrite.navigate(
+      o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("custs")))
+    assert(scanPaths(distinctAgg).contains(ordersPath))
+    // (b) filter on a NON-key expression cannot push onto the summary
+    val nonKeyFilter = AggRewrite.navigate(
+      o.filter(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")))
+    assert(scanPaths(nonKeyFilter).contains(ordersPath))
+    // (c) grouping by a non-key column
+    val nonKeyGroup = AggRewrite.navigate(
+      o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(nonKeyGroup).contains(ordersPath))
+    // (d) an aggregate with no registered partial (avg)
+    val noPartial = AggRewrite.navigate(
+      o.groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("m")))
+    assert(scanPaths(noPartial).contains(ordersPath))
+    // (e) a join between scan and aggregate blocks the peel
+    val c = Tables(spark, sf, "customer")
+    val joined = AggRewrite.navigate(
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(joined).contains(ordersPath))
+    // (f) a non-deterministic (row-sampling) filter selects base ROWS,
+    // never derivable from per-group partials
+    val sampled = AggRewrite.navigate(
+      o.filter(rand(42) < 0.5)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(sampled).contains(ordersPath))
+    // (g) an unregistered table navigates to itself
+    val sq = Tables(spark, sf, "supplier")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+    assert(AggRewrite.navigate(sq) eq sq)
+  }
+
+  test("count(*) keeps its zero-on-empty, non-null contract") {
+    summaryDir
+    val o = Tables(spark, sf, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    // a key-only filter selecting nothing: global aggregate over zero
+    // rows must still return one row with count 0 after the rewrite
+    val empty = AggRewrite.navigate(
+      o.filter(substring(day, 1, 4) === "2099")
+        .agg(count(lit(1)).as("n")))
+    assert(scanPaths(empty).exists(_.startsWith(summaryDir)))
+    val r = empty.collect()
+    assert(r.length == 1 && !r.head.isNullAt(0) && r.head.getLong(0) == 0L)
+  }
+
+  test("staleness fence: a changed base falls through to raw truth") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_fresh_").toString
+    import spark.implicits._
+    def q(facts: org.apache.spark.sql.DataFrame) =
+      facts.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s"))
+    try {
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      val facts = spark.read.parquet(s"$base/facts")
+      AggRewrite.materialize(spark, "fresh_spec", facts,
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary")
+      assert(scanPaths(AggRewrite.navigate(q(facts)))
+        .exists(_.contains("summary")), "should fire while fresh")
+      // the base changes AFTER materialization: serving the summary now
+      // would be WRONG — navigation must fall through to the raw scan
+      Seq(("a", 100L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$base/facts")
+      val facts2 = spark.read.parquet(s"$base/facts")
+      val nav2 = AggRewrite.navigate(q(facts2))
+      assert(scanPaths(nav2).exists(_.contains("facts")),
+        s"stale summary served: ${scanPaths(nav2)}")
+      val fresh = nav2.filter(col("k") === "a").head
+      assert(fresh.getLong(1) == 3L && fresh.getDouble(2) == 103.0)
+      // re-materializing restores navigation
+      AggRewrite.materialize(spark, "fresh_spec", facts2,
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary2")
+      val nav3 = AggRewrite.navigate(q(facts2))
+      assert(scanPaths(nav3).exists(_.contains("summary2")))
+      assert(nav3.filter(col("k") === "a").head.getLong(1) == 3L)
+    } finally {
+      AggRewrite.unregister(spark, "fresh_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("SQL-text serving queries navigate too (temp view over the fact)") {
+    summaryDir
+    Tables(spark, sf, "orders").createOrReplaceTempView("nav_orders")
+    try {
+      val sqlQ = spark.sql(
+        """SELECT substring(date_format(o_orderdate, 'yyyy-MM-dd'), 1, 7)
+          |         AS order_month,
+          |       count(1) AS order_ct,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS order_amount
+          |FROM nav_orders GROUP BY 1""".stripMargin)
+      val nav = AggRewrite.navigate(sqlQ)
+      assert(scanPaths(nav).exists(_.startsWith(summaryDir)),
+        s"SQL route did not navigate: ${scanPaths(nav)}")
+      val a = sqlQ.sort("order_month").collect().toSeq
+      val b = nav.sort("order_month").collect().toSeq
+      assert(a == b)
+    } finally spark.catalog.dropTempView("nav_orders")
+  }
+
+  test("session-wide route: GraftExtensions rewrites without navigate") {
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(ext => new graft.plans.GraftExtensions().apply(ext))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      assert(s2 ne shared)
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_aggrw_spec_").toString
+      try {
+        AggRewrite.materialize(s2, "spec_summary",
+          s2.read.parquet(s"$sf/orders.parquet"),
+          operators.ScalePatterns.navKeys,
+          operators.ScalePatterns.navMeasures, sd)
+        val o = s2.read.parquet(s"$sf/orders.parquet")
+        val auto = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("o_totalprice")).as("amt"))
+        // NO navigate call: the injected optimizer rule does the swap
+        assert(scanPaths(auto).exists(_.startsWith(s"file:$sd")),
+          s"injected rule did not fire: ${scanPaths(auto)}")
+        val direct = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("o_totalprice")).as("amt"))
+          .sort("o_orderpriority").collect().toSeq
+        // results equal those of the unextended shared session
+        val expect = Tables(shared, sf, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("o_totalprice")).as("amt"))
+          .sort("o_orderpriority").collect().toSeq
+        assert(direct == expect)
+      } finally {
+        AggRewrite.clear(s2)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(sd))
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+}

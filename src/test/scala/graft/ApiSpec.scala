@@ -679,4 +679,50 @@ class ApiSpec extends SparkSuite {
     assert(r.filter(col("cur_date") < "2024-01-35")
       .filter(col("z") =!= 0.0).count() == 0)
   }
+
+  test("materializeSummary + navigate serve a user fact table") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_api_nav_").toString
+    try {
+      (1 to 200).map { i =>
+        (i.toLong, f"2024-01-${i % 5 + 1}%02d",
+          if (i % 3 == 0) "gold" else "std", i * 1.5)
+      }.toDF("id", "day", "tier", "amt")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      val facts = spark.read.parquet(s"$base/facts")
+      Graft.materializeSummary("api_nav", facts,
+        keys = Seq("day" -> col("day"), "tier" -> col("tier")),
+        measures = Seq(("amt_sum", "sum", col("amt")),
+          ("n", "count_star", lit(1))),
+        path = s"$base/summary")
+      val raw = facts.filter(col("tier") === "gold")
+        .groupBy(col("day"))
+        .agg(sum(col("amt")).as("amt_sum"), count(lit(1)).as("n"))
+      val nav = Graft.navigate(raw)
+      // the rewritten plan reads the summary, not the facts
+      val leaves = nav.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+      assert(leaves.exists(_.contains("summary")) &&
+        !leaves.exists(_.contains("facts")),
+        s"navigate did not swap the scan: $leaves")
+      val a = raw.sort("day").collect().toSeq
+      val b = nav.sort("day").collect().toSeq
+      assert(a == b)
+    } finally {
+      graft.plans.AggRewrite.unregister(spark, "api_nav")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
