@@ -49,7 +49,8 @@ object AggRewrite {
       keyDefs: Map[String, Expression], // summary col -> canon(def over base)
       measureDefs: Seq[(String, String, Expression)], // (col, op, canon child)
       summaryRelation: LogicalPlan,
-      baseSig: String)
+      baseSig: String,
+      rowCount: Long) // summary cardinality — the cost-based tiebreak
 
   private val registry = TrieMap.empty[SparkSession, Vector[SummaryDef]]
 
@@ -192,7 +193,8 @@ object AggRewrite {
       keys.map { case (n, _) => n -> defs(n) }.toMap,
       measures.map { case (n, op, _) => (n, op, defs(n)) },
       summary.queryExecution.analyzed,
-      baseSignature(session, paths))
+      baseSignature(session, paths),
+      summary.count()) // one metadata-sized count; the selection cost
     registry.updateWith(session) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None => Some(Vector(d))
@@ -265,8 +267,13 @@ object AggRewrite {
         case Some(defs) =>
           plan.transformUp {
             case agg: Aggregate =>
-              defs.view.flatMap(d => tryRewrite(session, agg, d)).headOption
-                .getOrElse(agg)
+              // cost-based selection: of every summary the query is
+              // derivable from, read the SMALLEST (a priority-only
+              // rollup beats the (day, priority) grain for a
+              // priority-only query — fewer rows, same answer)
+              val candidates = defs.sortBy(_.rowCount)
+              candidates.view.flatMap(d => tryRewrite(session, agg, d))
+                .headOption.getOrElse(agg)
           }
       }
   }

@@ -123,6 +123,51 @@ class AggRewriteSpec extends SparkSuite {
     assert(r.length == 1 && !r.head.isNullAt(0) && r.head.getLong(0) == 0L)
   }
 
+  test("cost-based selection: the smallest derivable summary wins") {
+    summaryDir // the fine (day, priority) summary, registered
+    val coarse = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_coarse_").toString
+    try {
+      // a second, coarser summary over the SAME base: priority-only
+      AggRewrite.materialize(spark, "orders_priority_only",
+        Tables(spark, sf, "orders"),
+        keys = Seq("o_orderpriority" -> col("o_orderpriority")),
+        measures = Seq(
+          ("sum_price", "sum", money(col("o_totalprice"))),
+          ("cnt", "count_star", lit(1))),
+        path = coarse)
+      val o = Tables(spark, sf, "orders")
+      // priority-only query: BOTH summaries derive it; the 5-row
+      // coarse one must win over the ~2300-row (day, priority) grain
+      val byPriority = AggRewrite.navigate(
+        o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("o_totalprice")).as("amt")))
+      assert(scanPaths(byPriority).exists(_.startsWith(s"file:$coarse")),
+        s"coarse summary not chosen: ${scanPaths(byPriority)}")
+      // day-grained query: only the fine summary derives it
+      val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+      val byDay = AggRewrite.navigate(
+        o.groupBy(day.as("order_day"))
+          .agg(count(lit(1)).as("n")))
+      assert(scanPaths(byDay).exists(_.startsWith(summaryDir)),
+        s"fine summary not chosen: ${scanPaths(byDay)}")
+      // and the coarse answer equals the raw one
+      val raw = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("amt"))
+        .sort("o_orderpriority").collect().toSeq
+      assert(byPriority.sort("o_orderpriority").collect().toSeq == raw)
+    } finally {
+      AggRewrite.unregister(spark, "orders_priority_only")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(coarse))
+    }
+  }
+
   test("staleness fence: a changed base falls through to raw truth") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_aggrw_fresh_").toString
