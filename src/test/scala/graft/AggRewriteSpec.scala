@@ -123,6 +123,41 @@ class AggRewriteSpec extends SparkSuite {
     assert(r.length == 1 && !r.head.isNullAt(0) && r.head.getLong(0) == 0L)
   }
 
+  test("derivability sweep: navigate == raw across key/aggregate combos") {
+    summaryDir
+    val o = Tables(spark, sf, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    // every non-empty subset of groupings (as written by a user who
+    // knows the summary grain) x every subset of derivable aggregates
+    val groupings = Seq(
+      "day" -> day.as("d"),
+      "month" -> substring(day, 1, 7).as("m"),
+      "priority" -> col("o_orderpriority"))
+    val aggsAll = Seq(
+      "sum" -> moneySum(col("o_totalprice")).as("s"),
+      "cnt" -> count(lit(1)).as("c"),
+      "min" -> min(money(col("o_totalprice"))).cast("double").as("lo"),
+      "max" -> max(money(col("o_totalprice"))).cast("double").as("hi"),
+      "cntcol" -> count(col("o_orderstatus")).as("cc"))
+    var checked = 0
+    for {
+      gs <- groupings.toSet.subsets(1) ++ groupings.toSet.subsets(2)
+      as <- Seq(aggsAll.take(2), aggsAll.drop(2), aggsAll)
+    } {
+      val g = gs.toSeq.sortBy(_._1).map(_._2)
+      val raw = o.groupBy(g: _*).agg(as.head._2, as.tail.map(_._2): _*)
+      val nav = AggRewrite.navigate(raw)
+      assert(scanPaths(nav).exists(_.startsWith(summaryDir)),
+        s"not navigated: groups=${gs.map(_._1)} aggs=${as.map(_._1)}")
+      val cols = raw.columns.map(col).toSeq
+      assert(raw.sort(cols: _*).collect().toSeq ==
+        nav.sort(cols: _*).collect().toSeq,
+        s"mismatch: groups=${gs.map(_._1)} aggs=${as.map(_._1)}")
+      checked += 1
+    }
+    assert(checked == 18, s"expected 18 combos, swept $checked")
+  }
+
   test("cost-based selection: the smallest derivable summary wins") {
     summaryDir // the fine (day, priority) summary, registered
     val coarse = java.nio.file.Files
