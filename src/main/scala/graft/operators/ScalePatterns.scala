@@ -758,6 +758,28 @@ object ScalePatterns extends QueryModule {
       .orderBy("order_month", "o_orderpriority")
   }
 
+  /** x16: grouping-sets navigation — a ROLLUP over (month, priority)
+    * written against the RAW orders table; AggRewrite re-roots the
+    * analyzer's Expand onto the summary (group slots onto keys, base
+    * pass-through replaced by the partial-measure columns, null/
+    * grouping-id slots untouched), so every grain of the rollup
+    * re-aggregates from partials. The subtotal and grand-total rows
+    * come out bit-equal to the raw plan — DuckDB's native ROLLUP is
+    * the oracle. */
+  private def rollupSetsNavigate(s: SparkSession, dir: String): DataFrame = {
+    navSummaryDir(s, dir)
+    val o = Tables(s, dir, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    val raw = o.filter(substring(day, 1, 4) === "1997")
+      .rollup(substring(day, 1, 7).as("order_month"),
+        col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+    graft.plans.AggRewrite.navigate(raw)
+      .orderBy(col("order_month").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   /** x15: coarser grain + partial-count derivation — priority-only
     * grouping (day key re-aggregated away entirely), an IN filter on the
     * surviving key pushed onto the summary, and count(column) served
@@ -891,7 +913,8 @@ object ScalePatterns extends QueryModule {
     "x13_layout_audit" -> layoutAudit,
     "x4_zorder_layout" -> zorderLayout,
     "x14_agg_rewrite" -> aggRewriteMonthly,
-    "x15_rollup_navigate" -> rollupNavigate)
+    "x15_rollup_navigate" -> rollupNavigate,
+    "x16_rollup_sets_navigate" -> rollupSetsNavigate)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -917,6 +940,18 @@ object ScalePatterns extends QueryModule {
          |FROM orders
          |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x16_rollup_sets_navigate" ->
+      s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
+         |         AS order_month,
+         |       o_orderpriority,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(*) AS order_ct
+         |FROM orders
+         |WHERE substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) = '1997'
+         |GROUP BY ROLLUP (
+         |  substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7),
+         |  o_orderpriority)
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "x13_layout_audit" -> {
       s"""WITH e AS (
          |  SELECT event_id,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -277,46 +277,34 @@ object AggRewrite {
           }
       }
   }
-
-  /** Attempt one Aggregate → summary rewrite; None = leave untouched. */
+  /** Attempt one Aggregate → summary rewrite; None = leave untouched.
+    * Dispatches on the Aggregate's child: a plain Project/Filter chain
+    * (simple GROUP BY) or an Expand (ROLLUP/CUBE/GROUPING SETS). */
   private def tryRewrite(session: SparkSession, agg: Aggregate,
       d: SummaryDef): Option[Aggregate] = {
-    // 1. peel Project/Filter/SubqueryAlias down to the scan, building a
-    //    substitution of project aliases so every expression we match is
-    //    phrased over the base relation's own attributes
-    val (sub, filters) = peel(agg.child) match {
-      case Some((s0, f0, paths)) if paths == d.basePaths => (s0, f0)
-      case _ => return None
+    var under = agg.child
+    while (under.isInstanceOf[SubqueryAlias] || under.isInstanceOf[View])
+      under = under.children.head
+    under match {
+      case e: Expand => Ctx.build(session, e.children.head, d)
+        .flatMap(_.rewriteExpand(agg, e))
+      case _ => Ctx.build(session, agg.child, d)
+        .flatMap(_.rewriteSimple(agg))
     }
-    // staleness fence: fall through when the base's files changed since
-    // materialization — the raw plan is always correct, a stale summary
-    // never is (see baseSignature)
-    if (baseSignature(session, d.basePaths) != d.baseSig) return None
-    // a non-deterministic filter (rand() sampling) selects base ROWS,
-    // not whole groups — never derivable from a per-group summary; same
-    // bail for non-deterministic grouping/aggregate expressions
-    if (filters.exists(!_.deterministic) ||
-      agg.groupingExpressions.exists(!_.deterministic) ||
-      agg.aggregateExpressions.exists(!_.deterministic)) return None
-    val resolve = resolveVia(sub) _
+  }
 
-    // 2. fresh instance of the summary scan (self-join safe), attributes
-    //    resolved by name
-    val freshSummary = d.summaryRelation match {
-      case m: MultiInstanceRelation => m.newInstance()
-      case p => p
-    }
-    val sOut = freshSummary.output.map(a => a.name -> a).toMap
-    val keyAttrByDef: Map[Expression, Attribute] =
-      d.keyDefs.flatMap { case (n, defExpr) =>
-        sOut.get(n).map(defExpr -> _)
-      }
-    val measureAttr: Map[(String, Expression), Attribute] =
-      d.measureDefs.flatMap { case (n, op, child) =>
-        sOut.get(n).map(a => (op, child) -> a)
-      }.toMap
-    if (keyAttrByDef.size != d.keyDefs.size ||
-      measureAttr.size != d.measureDefs.size) return None
+  /** Shared per-(candidate, summary) matching context: the peeled
+    * substitution, the fresh summary instance, canonical key/measure
+    * lookup, and the aggregate/key expression mappers. */
+  private final class Ctx(
+      val sub: Map[ExprId, Expression],
+      val filters: Vector[Expression],
+      val freshSummary: LogicalPlan,
+      keyAttrByDef: Map[Expression, Attribute],
+      measureAttr: Map[(String, Expression), Attribute]) {
+
+    val resolve: Expression => Expression = resolveVia(sub) _
+    private val summaryIds = freshSummary.output.map(_.exprId).toSet
 
     // AVG is deliberately NOT derived: re-aggregating a double partial
     // sum reorders floating-point addition, so the navigated result
@@ -325,42 +313,28 @@ object AggRewrite {
     // phrases it as sum(x)/count(*), which derives exactly.
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def reagg(f: AggregateFunction, a: Attribute) =
+        AggregateExpression(
+          f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
+          ae.mode, isDistinct = false, None, NamedExpression.newExprId)
+      def sumCounts(a: Attribute) =
+        // coalesce keeps count's zero-on-empty + non-null contract
+        Coalesce(Seq(
+          AggregateExpression(Sum(a), ae.mode, isDistinct = false,
+            None, NamedExpression.newExprId),
+          Literal(0L)))
       val rebuilt: Option[Expression] = ae.aggregateFunction match {
         case f: Sum =>
-          measureAttr.get(("sum", canon(resolve(f.child)))).map { a =>
-            AggregateExpression(
-              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
-              ae.mode, isDistinct = false, None, NamedExpression.newExprId)
-          }
+          measureAttr.get(("sum", canon(resolve(f.child)))).map(reagg(f, _))
         case f: Min =>
-          measureAttr.get(("min", canon(resolve(f.child)))).map { a =>
-            AggregateExpression(
-              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
-              ae.mode, isDistinct = false, None, NamedExpression.newExprId)
-          }
+          measureAttr.get(("min", canon(resolve(f.child)))).map(reagg(f, _))
         case f: Max =>
-          measureAttr.get(("max", canon(resolve(f.child)))).map { a =>
-            AggregateExpression(
-              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
-              ae.mode, isDistinct = false, None, NamedExpression.newExprId)
-          }
+          measureAttr.get(("max", canon(resolve(f.child)))).map(reagg(f, _))
         case f: Count if f.children.forall(_.foldable) =>
-          // count(*) / count(1): sum the partial counts; coalesce keeps
-          // count's zero-on-empty + non-null contract through the Sum
-          measureAttr.get(("count_star", canon(Literal(1)))).map { a =>
-            Coalesce(Seq(
-              AggregateExpression(Sum(a), ae.mode, isDistinct = false,
-                None, NamedExpression.newExprId),
-              Literal(0L)))
-          }
+          measureAttr.get(("count_star", canon(Literal(1)))).map(sumCounts)
         case f: Count if f.children.size == 1 =>
-          measureAttr.get(("count", canon(resolve(f.children.head)))).map {
-            a =>
-              Coalesce(Seq(
-                AggregateExpression(Sum(a), ae.mode, isDistinct = false,
-                  None, NamedExpression.newExprId),
-                Literal(0L)))
-          }
+          measureAttr.get(("count", canon(resolve(f.children.head))))
+            .map(sumCounts)
         case _ => None
       }
       // re-aggregation can widen the type (sum of a decimal sum); pin the
@@ -369,50 +343,170 @@ object AggRewrite {
         if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
     }
 
-    // 3. generic mapper: aggregates first, then key-def subtrees, and no
-    //    base attribute may survive unmapped
-    def rw(e: Expression): Option[Expression] = e match {
+    /** Generic mapper: aggregates first, then key-def subtrees; no base
+      * attribute may survive unmapped. `passIds`: attributes allowed
+      * through untouched (Expand group outputs in the rollup path). */
+    def rw(e: Expression, passIds: Set[ExprId] = Set.empty)
+        : Option[Expression] = e match {
       case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference
+          if passIds(a.exprId) || summaryIds(a.exprId) => Some(a)
       case _ =>
         keyAttrByDef.get(canon(resolve(e))) match {
           case Some(attr) => Some(attr)
           case None => e match {
             case a: AttributeReference =>
               sub.get(a.exprId) match {
-                case Some(under) => rw(under)
+                case Some(u) => rw(u, passIds)
                 case None => None // raw base attr with no key mapping
               }
             case _ =>
-              val kids = e.children.map(rw)
+              val kids = e.children.map(rw(_, passIds))
               if (kids.exists(_.isEmpty)) None
               else Some(e.withNewChildren(kids.map(_.get)))
           }
         }
     }
 
-    val newGroup = agg.groupingExpressions.map(rw)
-    if (newGroup.exists(_.isEmpty)) return None
-    val newFilters = filters.map(rw)
-    if (newFilters.exists(_.isEmpty)) return None
-    val newNamed: Seq[Option[NamedExpression]] =
-      agg.aggregateExpressions.map {
-        case al @ Alias(child, name) =>
-          rw(child).map(nc => Alias(nc, name)(al.exprId, al.qualifier,
-            al.explicitMetadata))
-        case ar: AttributeReference =>
-          rw(ar).map(nc => Alias(nc, ar.name)(ar.exprId, ar.qualifier))
-        case other => rw(other) match {
-          case Some(ne: NamedExpression) => Some(ne)
-          case _ => None
-        }
-      }
-    if (newNamed.exists(_.isEmpty)) return None
+    def rewrittenFilterChild: Option[LogicalPlan] = {
+      val mapped = filters.map(rw(_))
+      if (mapped.exists(_.isEmpty)) None
+      else Some(
+        if (mapped.isEmpty) freshSummary
+        else Filter(mapped.map(_.get).reduce(And), freshSummary))
+    }
 
-    val conds = newFilters.map(_.get)
-    val child0 =
-      if (conds.isEmpty) freshSummary
-      else Filter(conds.reduce(And), freshSummary)
-    Some(agg.copy(groupingExpressions = newGroup.map(_.get),
-      aggregateExpressions = newNamed.map(_.get), child = child0))
+    /** Preserve each output NamedExpression's name and exprId so the
+      * plan above the Aggregate keeps resolving. */
+    def keepIdentity(orig: NamedExpression, rewritten: Expression)
+        : Option[NamedExpression] = orig match {
+      case al: Alias =>
+        Some(Alias(rewritten, al.name)(al.exprId, al.qualifier,
+          al.explicitMetadata))
+      case ar: AttributeReference => rewritten match {
+        case same: AttributeReference if same.exprId == ar.exprId =>
+          Some(same)
+        case _ => Some(Alias(rewritten, ar.name)(ar.exprId, ar.qualifier))
+      }
+      case _ => rewritten match {
+        case ne: NamedExpression => Some(ne)
+        case _ => None
+      }
+    }
+
+    /** Plain GROUP BY over the base scan. */
+    def rewriteSimple(agg: Aggregate): Option[Aggregate] = {
+      if (agg.groupingExpressions.exists(!_.deterministic) ||
+        agg.aggregateExpressions.exists(!_.deterministic)) return None
+      val newGroup = agg.groupingExpressions.map(rw(_))
+      if (newGroup.exists(_.isEmpty)) return None
+      val newNamed = agg.aggregateExpressions.map { ne =>
+        rw(ne).flatMap(keepIdentity(ne, _))
+      }
+      if (newNamed.exists(_.isEmpty)) return None
+      rewrittenFilterChild.map { child0 =>
+        agg.copy(groupingExpressions = newGroup.map(_.get),
+          aggregateExpressions = newNamed.map(_.get), child = child0)
+      }
+    }
+
+    /** ROLLUP / CUBE / GROUPING SETS: the analyzer plants an Expand
+      * whose projections replicate each base row once per grouping set
+      * (group expressions or typed nulls, plus the grouping-id
+      * literal), with the base columns passed through for the
+      * aggregates. The navigation keeps the Expand STRUCTURE — same
+      * group output attributes, same null/grouping-id slots, so the
+      * Aggregate's grouping expressions and grouping()/grouping_id()
+      * calls are untouched — and re-roots it: group slots are rewritten
+      * onto summary keys, the base pass-through columns are dropped,
+      * and the summary measure columns the re-aggregated functions
+      * need are passed through instead. Each summary row replicates
+      * per grouping set exactly as each base row did, so every grain
+      * re-aggregates from partials just like the simple path. */
+    def rewriteExpand(agg: Aggregate, expand: Expand)
+        : Option[Aggregate] = {
+      if (agg.groupingExpressions.exists(!_.deterministic) ||
+        agg.aggregateExpressions.exists(!_.deterministic)) return None
+      // output slots the Aggregate actually groups on (incl. the
+      // grouping-id column) keep their attributes; everything else is
+      // base pass-through and gets dropped
+      val groupIds = agg.groupingExpressions
+        .flatMap(_.references.toSeq).map(_.exprId).toSet
+      val keepIdx = expand.output.zipWithIndex.collect {
+        case (a, i) if groupIds(a.exprId) => i
+      }
+      // rewrite the aggregate list first, collecting which summary
+      // measure columns the re-aggregated functions reference
+      val newNamed = agg.aggregateExpressions.map { ne =>
+        rw(ne, passIds = groupIds).flatMap(keepIdentity(ne, _))
+      }
+      if (newNamed.exists(_.isEmpty)) return None
+      val named = newNamed.map(_.get)
+      val usedSummary: Seq[Attribute] = {
+        val ids = scala.collection.mutable.LinkedHashMap
+          .empty[ExprId, Attribute]
+        named.foreach(_.foreach {
+          case a: AttributeReference if summaryIds(a.exprId) =>
+            ids.getOrElseUpdate(a.exprId, a); ()
+          case _ => ()
+        })
+        ids.values.toSeq
+      }
+      // group slots: each projection carries the group expression, a
+      // typed null, or the grouping-id literal — literals stay, group
+      // expressions map onto summary keys
+      val newProjections = expand.projections.map { proj =>
+        val slots = keepIdx.map { i =>
+          proj(i) match {
+            case l: Literal => Some(l)
+            case e => rw(e)
+          }
+        }
+        if (slots.exists(_.isEmpty)) return None
+        slots.map(_.get) ++ usedSummary
+      }
+      val newOutput = keepIdx.map(expand.output) ++ usedSummary
+      rewrittenFilterChild.map { child0 =>
+        agg.copy(aggregateExpressions = named,
+          child = Expand(newProjections, newOutput, child0))
+      }
+    }
+  }
+
+  private object Ctx {
+    /** Peel `child` to the summary's base scan and build the matching
+      * context; None = not this summary's base (or freshness/shape
+      * bail). */
+    def build(session: SparkSession, child: LogicalPlan, d: SummaryDef)
+        : Option[Ctx] = {
+      val (sub, filters) = peel(child) match {
+        case Some((s0, f0, paths)) if paths == d.basePaths => (s0, f0)
+        case _ => return None
+      }
+      // staleness fence: fall through when the base's files changed
+      // since materialization — the raw plan is always correct, a stale
+      // summary never is (see baseSignature)
+      if (baseSignature(session, d.basePaths) != d.baseSig) return None
+      // a non-deterministic filter (rand() sampling) selects base ROWS,
+      // not whole groups — never derivable from a per-group summary
+      if (filters.exists(!_.deterministic)) return None
+      val freshSummary = d.summaryRelation match {
+        case m: MultiInstanceRelation => m.newInstance()
+        case p => p
+      }
+      val sOut = freshSummary.output.map(a => a.name -> a).toMap
+      val keyAttrByDef: Map[Expression, Attribute] =
+        d.keyDefs.flatMap { case (n, defExpr) =>
+          sOut.get(n).map(defExpr -> _)
+        }
+      val measureAttr: Map[(String, Expression), Attribute] =
+        d.measureDefs.flatMap { case (n, op, c) =>
+          sOut.get(n).map(a => (op, c) -> a)
+        }.toMap
+      if (keyAttrByDef.size != d.keyDefs.size ||
+        measureAttr.size != d.measureDefs.size) None
+      else Some(new Ctx(sub, filters, freshSummary, keyAttrByDef,
+        measureAttr))
+    }
   }
 }

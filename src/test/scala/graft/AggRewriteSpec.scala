@@ -158,6 +158,39 @@ class AggRewriteSpec extends SparkSuite {
     assert(checked == 18, s"expected 18 combos, swept $checked")
   }
 
+  test("grouping sets navigate: rollup/cube re-root their Expand") {
+    summaryDir
+    val o = Tables(spark, sf, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    def collectSorted(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.map(col).toSeq
+      df.sort(cols: _*).collect().toSeq
+    }
+    // ROLLUP with a coarsened key, a key filter, and grouping_id
+    val roll = o.filter(substring(day, 1, 4) === "1997")
+      .rollup(substring(day, 1, 7).as("m"), col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("amt"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+    val rollNav = AggRewrite.navigate(roll)
+    assert(scanPaths(rollNav).exists(_.startsWith(summaryDir)),
+      s"rollup did not navigate: ${scanPaths(rollNav)}")
+    assert(rollNav.schema == roll.schema)
+    assert(collectSorted(rollNav) == collectSorted(roll))
+    // CUBE over both keys
+    val cube = o.cube(col("o_orderpriority"), substring(day, 1, 4).as("y"))
+      .agg(count(lit(1)).as("n"),
+        max(money(col("o_totalprice"))).cast("double").as("hi"))
+    val cubeNav = AggRewrite.navigate(cube)
+    assert(scanPaths(cubeNav).exists(_.startsWith(summaryDir)),
+      s"cube did not navigate: ${scanPaths(cubeNav)}")
+    assert(collectSorted(cubeNav) == collectSorted(cube))
+    // non-derivable aggregate under rollup falls through
+    val bad = AggRewrite.navigate(
+      o.rollup(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("d")))
+    assert(scanPaths(bad).contains(ordersPath))
+  }
+
   test("cost-based selection: the smallest derivable summary wins") {
     summaryDir // the fine (day, priority) summary, registered
     val coarse = java.nio.file.Files
