@@ -287,9 +287,20 @@ object Graft {
     * metadata-sized read. */
   def materializeSummary(name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
-      path: String): DataFrame =
+      path: String, partitionBy: Option[String] = None): DataFrame =
     graft.plans.AggRewrite.materialize(base.sparkSession, name, base,
-      keys, measures, path)
+      keys, measures, path, partitionBy)
+
+  /** Partition-level summary refresh (the 100 TB loop: a CDC batch
+    * touches a few days — recompute only those partitions, dynamic-
+    * overwrite them, re-register). Count-reconciled: a missed changed
+    * partition fails the refresh and navigation keeps serving raw
+    * truth. Requires materializeSummary(..., partitionBy=Some(key))
+    * and a count_star measure. */
+  def refreshSummaryPartitions(name: String, base: DataFrame,
+      values: Seq[Any]): DataFrame =
+    graft.plans.AggRewrite.refreshPartitions(base.sparkSession, name,
+      base, values)
 
   /** Rewrite ONE query's plan onto any registered summary it is
     * derivable from; returns the frame unchanged when no rewrite

@@ -50,7 +50,12 @@ object AggRewrite {
       measureDefs: Seq[(String, String, Expression)], // (col, op, canon child)
       summaryRelation: LogicalPlan,
       baseSig: String,
-      rowCount: Long) // summary cardinality — the cost-based tiebreak
+      rowCount: Long, // summary cardinality — the cost-based tiebreak
+      // original column specs + layout, kept for partition-level refresh
+      keyCols: Seq[(String, Column)] = Nil,
+      measureCols: Seq[(String, String, Column)] = Nil,
+      path: Option[String] = None,
+      partitionKey: Option[String] = None)
 
   private val registry = TrieMap.empty[SparkSession, Vector[SummaryDef]]
 
@@ -166,7 +171,8 @@ object AggRewrite {
     * [[materialize]] builds both from one spec so they cannot drift. */
   def register(session: SparkSession, name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
-      summary: DataFrame): Unit = {
+      summary: DataFrame, path: Option[String] = None,
+      partitionKey: Option[String] = None): Unit = {
     // analyze the defining expressions in the base's own context, then
     // resolve them down to the leaf relation's attributes so canonical
     // forms match what matching computes for candidate plans
@@ -194,7 +200,8 @@ object AggRewrite {
       measures.map { case (n, op, _) => (n, op, defs(n)) },
       summary.queryExecution.analyzed,
       baseSignature(session, paths),
-      summary.count()) // one metadata-sized count; the selection cost
+      summary.count(), // one metadata-sized count; the selection cost
+      keys, measures, path, partitionKey)
     registry.updateWith(session) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None => Some(Vector(d))
@@ -206,7 +213,18 @@ object AggRewrite {
     * back, and register it — definition and data from one source. */
   def materialize(session: SparkSession, name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
-      path: String): DataFrame = {
+      path: String, partitionBy: Option[String] = None): DataFrame = {
+    val rows = summaryRows(base, keys, measures)
+    val w = rows.write.mode("overwrite")
+    partitionBy.fold(w)(w.partitionBy(_)).parquet(path)
+    val summary = session.read.parquet(path)
+    register(session, name, base, keys, measures, summary,
+      Some(path), partitionBy)
+    summary
+  }
+
+  private def summaryRows(base: DataFrame, keys: Seq[(String, Column)],
+      measures: Seq[(String, String, Column)]): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min, sum}
     val partials = measures.map {
       case (n, "sum", c) => sum(c).as(n)
@@ -219,9 +237,64 @@ object AggRewrite {
     }
     base.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
       .agg(partials.head, partials.tail: _*)
-      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Partition-level refresh — the production loop at 100 TB, where a
+    * CDC batch touches a handful of days and full re-materialization
+    * would re-aggregate the whole fact table. Recomputes summary rows
+    * ONLY for the partition-key values in `values` (one predicate-pruned
+    * base scan), lands them with dynamic partition overwrite, then
+    * re-registers with a fresh base signature so navigation resumes.
+    *
+    * The residual risk of any partial refresh is the caller missing a
+    * changed partition — the re-registration would bless a wrong
+    * summary. Guard: before re-registering, the refreshed store's total
+    * partial count must equal the base's current row count (metadata-
+    * cheap on parquet). A missed partition whose row count changed is
+    * caught and the refresh REFUSES to re-register — the old
+    * registration stays stale, so navigation keeps falling through to
+    * raw truth (sound). Blind spot, documented: an in-place mutation
+    * that preserves a missed partition's row count passes the guard;
+    * callers whose base mutates (rather than appends) should re-
+    * materialize fully. Requires a `count_star` measure. */
+  def refreshPartitions(session: SparkSession, name: String,
+      base: DataFrame, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val d = registry.get(session).flatMap(_.find(_.name == name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no summary '$name' registered for this session"))
+    val pk = d.partitionKey.getOrElse(throw new IllegalArgumentException(
+      s"summary '$name' was not materialized with a partition key"))
+    val path = d.path.getOrElse(throw new IllegalStateException(
+      s"summary '$name' has no recorded path"))
+    val cntCol = d.measureCols.collectFirst {
+      case (n, "count_star", _) => n
+    }.getOrElse(throw new IllegalArgumentException(
+      "partition refresh needs a count_star measure for reconciliation"))
+    val pkExpr = d.keyCols.collectFirst { case (n, c) if n == pk => c }
+      .getOrElse(throw new IllegalStateException(
+        s"partition key '$pk' not among summary keys"))
+    val fresh = summaryRows(
+      base.filter(pkExpr.isin(values: _*)),
+      d.keyCols, d.measureCols)
+    fresh.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(pk).parquet(path)
     val summary = session.read.parquet(path)
-    register(session, name, base, keys, measures, summary)
+    val total = summary.agg(sum(col(cntCol))).head
+    val stored = if (total.isNullAt(0)) 0L else total.getLong(0)
+    val actual = base.count()
+    if (stored != actual) {
+      // leave the OLD (stale-signed) registration in place: navigation
+      // keeps falling through, which is correct; the store is already
+      // overwritten but never blessed
+      throw new IllegalStateException(
+        s"refresh reconciliation failed for '$name': summary counts " +
+          s"$stored rows, base has $actual — a changed partition was " +
+          "not refreshed; re-materialize fully")
+    }
+    register(session, name, base, d.keyCols, d.measureCols, summary,
+      Some(path), Some(pk))
     summary
   }
 

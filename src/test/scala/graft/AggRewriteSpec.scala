@@ -283,6 +283,62 @@ class AggRewriteSpec extends SparkSuite {
     }
   }
 
+  test("partition refresh: only changed days recompute, reconciled") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_refresh_").toString
+    import spark.implicits._
+    def facts = spark.read.parquet(s"$base/facts")
+    def q = AggRewrite.navigate(
+      facts.groupBy(col("day")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s")))
+    try {
+      Seq(("d1", 1L), ("d1", 2L), ("d2", 10L), ("d3", 100L))
+        .toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      AggRewrite.materialize(spark, "refresh_spec", facts,
+        keys = Seq("day" -> col("day")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary", partitionBy = Some("day"))
+      assert(scanPaths(q).exists(_.contains("summary")))
+      // day d2 changes: stale -> falls through
+      Seq(("d2", 20L)).toDF("day", "v")
+        .write.mode("append").parquet(s"$base/facts")
+      assert(scanPaths(q).exists(_.contains("facts")), "stale must bail")
+      // refresh ONLY d2: navigation resumes with the fresh truth
+      AggRewrite.refreshPartitions(spark, "refresh_spec", facts,
+        Seq("d2"))
+      val nav = q
+      assert(scanPaths(nav).exists(_.contains("summary")),
+        s"refresh did not resume navigation: ${scanPaths(nav)}")
+      val d2 = nav.filter(col("day") === "d2").head
+      assert(d2.getLong(1) == 2L && d2.getDouble(2) == 30.0)
+      // unrefreshed day d1 still serves its (unchanged) truth
+      val d1 = nav.filter(col("day") === "d1").head
+      assert(d1.getLong(1) == 2L && d1.getDouble(2) == 3.0)
+      // a change to d3 followed by a refresh of ONLY d2 must be CAUGHT
+      // by the count reconciliation and refuse to re-register
+      Seq(("d3", 200L)).toDF("day", "v")
+        .write.mode("append").parquet(s"$base/facts")
+      val err = intercept[IllegalStateException] {
+        AggRewrite.refreshPartitions(spark, "refresh_spec", facts,
+          Seq("d2"))
+      }
+      assert(err.getMessage.contains("reconciliation"))
+      // and navigation keeps serving raw truth (old registration stale)
+      val after = q
+      assert(scanPaths(after).exists(_.contains("facts")))
+      assert(after.filter(col("day") === "d3").head.getLong(1) == 2L)
+    } finally {
+      AggRewrite.unregister(spark, "refresh_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("SQL-text serving queries navigate too (temp view over the fact)") {
     summaryDir
     Tables(spark, sf, "orders").createOrReplaceTempView("nav_orders")
