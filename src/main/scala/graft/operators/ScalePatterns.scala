@@ -758,6 +758,54 @@ object ScalePatterns extends QueryModule {
       .orderBy("order_month", "o_orderpriority")
   }
 
+  /** x17: navigation THROUGH the events ts-normalization projection —
+    * the peel/substitution path in production use: Tables(events)
+    * interposes a Project rewriting the MICROS timestamp to the
+    * library's epoch-nanos contract, and both the summary definitions
+    * and the candidate query phrase their day key over that projected
+    * column. Summary grain (day, event_type); the serving query asks
+    * channel totals for one day range. */
+  private val navEventsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def navEventsDir(s: SparkSession, dir: String): String =
+    navEventsMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x17_summary_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      graft.plans.AggRewrite.materialize(s, s"events_day_channel@$dir",
+        Tables(s, dir, "events"),
+        keys = Seq(
+          "event_day" -> curDate(nsToSec(col("ts"))),
+          "event_type" -> col("event_type")),
+        measures = Seq(
+          ("value_sum", "sum", money(col("value"))),
+          ("cnt", "count_star", lit(1)),
+          ("user_min", "min", col("user_id")),
+          ("user_max", "max", col("user_id"))),
+        path = sd)
+      sd
+    })
+
+  private[graft] def prestageNavEvents(s: SparkSession, dir: String)
+      : Unit = {
+    navEventsDir(s, dir)
+    ()
+  }
+
+  private def eventsNavigate(s: SparkSession, dir: String): DataFrame = {
+    navEventsDir(s, dir)
+    val e = Tables(s, dir, "events")
+    val day = curDate(nsToSec(col("ts")))
+    val raw = e.filter(day >= "2024-01-08" && day <= "2024-01-21")
+      .groupBy(col("event_type").as("ch"))
+      .agg(count(lit(1)).as("pv_ct"),
+        moneySum(col("value")).as("value_sum"),
+        min(col("user_id")).as("first_user"),
+        max(col("user_id")).as("last_user"))
+    graft.plans.AggRewrite.navigate(raw).orderBy("ch")
+  }
+
   /** x16: grouping-sets navigation — a ROLLUP over (month, priority)
     * written against the RAW orders table; AggRewrite re-roots the
     * analyzer's Expand onto the summary (group slots onto keys, base
@@ -886,11 +934,12 @@ object ScalePatterns extends QueryModule {
   override def release(): Unit = {
     dppMemo.values.foreach(rmTree)
     dppMemo.clear()
-    navMemo.foreach { case ((s, _), sd) =>
+    (navMemo ++ navEventsMemo).foreach { case ((s, _), sd) =>
       graft.plans.AggRewrite.clear(s)
       rmTree(sd)
     }
     navMemo.clear()
+    navEventsMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
@@ -914,7 +963,8 @@ object ScalePatterns extends QueryModule {
     "x4_zorder_layout" -> zorderLayout,
     "x14_agg_rewrite" -> aggRewriteMonthly,
     "x15_rollup_navigate" -> rollupNavigate,
-    "x16_rollup_sets_navigate" -> rollupSetsNavigate)
+    "x16_rollup_sets_navigate" -> rollupSetsNavigate,
+    "x17_events_navigate" -> eventsNavigate)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -939,6 +989,16 @@ object ScalePatterns extends QueryModule {
          |       ${Oracle.moneySum("o_totalprice")} AS order_amount
          |FROM orders
          |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x17_events_navigate" ->
+      s"""SELECT event_type AS ch,
+         |       count(*) AS pv_ct,
+         |       ${Oracle.moneySum("\"value\"")} AS value_sum,
+         |       min(user_id) AS first_user,
+         |       max(user_id) AS last_user
+         |FROM events
+         |WHERE ${Oracle.fmtDate(Oracle.sec())} >= '2024-01-08'
+         |  AND ${Oracle.fmtDate(Oracle.sec())} <= '2024-01-21'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_rollup_sets_navigate" ->
       s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)

@@ -54,6 +54,14 @@ class AggRewriteSpec extends SparkSuite {
     assert(scanPaths(q("x14_agg_rewrite")).exists(_.startsWith(summaryDir)))
     assert(scanPaths(q("x15_rollup_navigate"))
       .exists(_.startsWith(summaryDir)))
+    assert(scanPaths(q("x16_rollup_sets_navigate"))
+      .exists(_.startsWith(summaryDir)))
+    // x17 navigates THROUGH the events ts-normalization projection —
+    // proves the peel/substitution path against the MICROS layout
+    val evDir = s"file:${operators.ScalePatterns.navEventsDir(spark, sf)}"
+    val x17 = q("x17_events_navigate")
+    assert(scanPaths(x17).exists(_.startsWith(evDir)),
+      s"x17 did not navigate: ${scanPaths(x17)}")
   }
 
   test("rewritten results are bit-identical to the raw plan") {
@@ -336,6 +344,76 @@ class AggRewriteSpec extends SparkSuite {
         f.delete()
       }
       rm(new java.io.File(base))
+    }
+  }
+
+  test("streaming maintenance: foreachBatch refresh keeps navigation live") {
+    // the reference's loop end-to-end: the stream lands each CDC batch
+    // on the fact store, refreshes ONLY the touched day partitions of
+    // the summary, and the serving query keeps navigating — never
+    // serving stale aggregates in between (the fence covers the gap)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_stream_").toString
+    import spark.implicits._
+    val factsDir = s"$root/facts"
+    val srcDir = s"$root/src"
+    def facts = spark.read.parquet(factsDir)
+    def serving = AggRewrite.navigate(
+      facts.groupBy(col("day")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s")))
+    try {
+      // day-0 seed + the initial materialization
+      Seq(("d0", 1L), ("d0", 2L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(factsDir)
+      AggRewrite.materialize(spark, "stream_spec", facts,
+        keys = Seq("day" -> col("day")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary", partitionBy = Some("day"))
+      assert(scanPaths(serving).exists(_.contains("summary")))
+      // two day-sharded CDC files, streamed one per micro-batch
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(srcDir))
+      Seq(("d1", 10L), ("d1", 20L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$srcDir/shard1")
+      Seq(("d0", 3L), ("d2", 100L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$srcDir/shard2")
+      val stream = spark.readStream
+        .schema("day STRING, v BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val sq = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            id: Long) =>
+          batch.persist()
+          batch.write.mode("append").parquet(factsDir)
+          val days = batch.select("day").distinct()
+            .collect().map(_.getString(0)).toSeq
+          AggRewrite.refreshPartitions(spark, "stream_spec", facts, days)
+          batch.unpersist()
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination(120000)
+      // after the stream drains: navigation fires and equals the raw
+      // recompute over everything the stream landed
+      val nav = serving
+      assert(scanPaths(nav).exists(_.contains("summary")),
+        s"post-stream navigation fell through: ${scanPaths(nav)}")
+      val got = nav.sort("day").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq(("d0", 3L, 6.0), ("d1", 2L, 30.0),
+        ("d2", 1L, 100.0)), s"got $got")
+    } finally {
+      AggRewrite.unregister(spark, "stream_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
     }
   }
 
