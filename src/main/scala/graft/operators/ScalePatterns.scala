@@ -934,8 +934,16 @@ object ScalePatterns extends QueryModule {
   override def release(): Unit = {
     dppMemo.values.foreach(rmTree)
     dppMemo.clear()
-    (navMemo ++ navEventsMemo).foreach { case ((s, _), sd) =>
-      graft.plans.AggRewrite.clear(s)
+    // unregister only THIS module's summaries (clear() would drop a
+    // user's own registrations on the shared session) and delete both
+    // temp stores — the two memos share (session, dir) keys, so they
+    // must be walked separately or one dir leaks
+    navMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.AggRewrite.unregister(s, s"orders_day_priority@$dir")
+      rmTree(sd)
+    }
+    navEventsMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.AggRewrite.unregister(s, s"events_day_channel@$dir")
       rmTree(sd)
     }
     navMemo.clear()

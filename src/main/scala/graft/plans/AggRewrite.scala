@@ -85,26 +85,58 @@ object AggRewrite {
     * one micro-batch); this model re-materializes per refresh and the
     * fence makes the in-between window serve raw truth, never stale
     * aggregates. */
+  private def digest(entries: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def statusEntry(st: org.apache.hadoop.fs.FileStatus): String =
+    // scheme-less path so snapshot and live forms compare equal
+    s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+
+  /** LIVE listing of the base's current data files — the match-time side
+    * of the fence. */
   private def baseSignature(session: SparkSession,
       paths: Set[String]): String = {
     val conf = session.sessionState.newHadoopConf()
     def ls(fs: org.apache.hadoop.fs.FileSystem,
         st: org.apache.hadoop.fs.FileStatus): Seq[String] =
       if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.toString)
-          .flatMap(ls(fs, _))
+        fs.listStatus(st.getPath).toSeq.flatMap(ls(fs, _))
       else if (st.getPath.getName.startsWith("_") ||
         st.getPath.getName.startsWith(".")) Nil
-      else Seq(s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
-    val entries = paths.toSeq.sorted.flatMap { p =>
+      else Seq(statusEntry(st))
+    digest(paths.toSeq.sorted.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
       if (fs.exists(path)) ls(fs, fs.getFileStatus(path))
       else Seq(s"$p:absent")
+    })
+  }
+
+  /** SNAPSHOT signature of the files a base DataFrame actually reads —
+    * the registration-time side of the fence. A DataFrame's FileIndex
+    * lists once at construction; signing THAT listing (not the live
+    * filesystem) closes the TOCTOU window where files land between the
+    * snapshot the summary was built from and the registration call —
+    * the live form would bless a summary missing those rows. */
+  private def snapshotSignature(session: SparkSession,
+      base: DataFrame): String = {
+    val idx = base.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
     }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    idx match {
+      case Some(p: org.apache.spark.sql.execution.datasources
+          .PartitioningAwareFileIndex) =>
+        digest(p.allFiles().map(statusEntry))
+      case Some(other) =>
+        // no snapshot listing exposed: fall back to live (window stays)
+        baseSignature(session, other.rootPaths.map(_.toString).toSet)
+      case None => throw new IllegalArgumentException(
+        "base must be a file-source relation")
+    }
   }
 
   private def leafPaths(p: LogicalPlan): Option[Set[String]] = p match {
@@ -197,11 +229,22 @@ object AggRewrite {
     }
     val d = SummaryDef(name, paths,
       keys.map { case (n, _) => n -> defs(n) }.toMap,
-      measures.map { case (n, op, _) => (n, op, defs(n)) },
+      // count_star's placeholder column is irrelevant to matching —
+      // normalize its def so count(*)/count(1) queries always find it
+      // whatever literal the caller registered with
+      measures.map { case (n, op, _) =>
+        (n, op, if (op == "count_star") canon(Literal(1)) else defs(n))
+      },
       summary.queryExecution.analyzed,
-      baseSignature(session, paths),
+      snapshotSignature(session, base),
       summary.count(), // one metadata-sized count; the selection cost
       keys, measures, path, partitionKey)
+    // registrations pin their session (the summary plan references it);
+    // evict sessions whose context has stopped so a long-lived service
+    // registering per-session summaries doesn't accumulate dead ones —
+    // live sessions still need an explicit clear() on retirement
+    registry.keys.filter(_.sparkContext.isStopped)
+      .foreach(registry.remove)
     registry.updateWith(session) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None => Some(Vector(d))
@@ -217,7 +260,11 @@ object AggRewrite {
     val rows = summaryRows(base, keys, measures)
     val w = rows.write.mode("overwrite")
     partitionBy.fold(w)(w.partitionBy(_)).parquet(path)
-    val summary = session.read.parquet(path)
+    // read back with the WRITTEN schema: partition-column type inference
+    // would otherwise re-type a date-like partitioned key (e.g. a
+    // 'yyyy-MM-dd' day string comes back DATE) and the rewritten plan's
+    // schema would silently drift from the raw plan's
+    val summary = session.read.schema(rows.schema).parquet(path)
     register(session, name, base, keys, measures, summary,
       Some(path), partitionBy)
     summary
@@ -277,10 +324,21 @@ object AggRewrite {
     val fresh = summaryRows(
       base.filter(pkExpr.isin(values: _*)),
       d.keyCols, d.measureCols)
+    // a named partition with NO remaining base rows cannot be landed by
+    // dynamic overwrite (nothing overwrites the old files) — catch it
+    // BEFORE writing, with the right advice
+    val freshVals = fresh.select(col(pk)).distinct()
+      .collect().map(_.get(0)).toSet
+    val deleted = values.filterNot(freshVals.contains)
+    if (deleted.nonEmpty) throw new IllegalStateException(
+      s"partition(s) ${deleted.mkString(", ")} of '$name' have no " +
+        "remaining base rows — dynamic overwrite cannot drop a " +
+        "partition; re-materialize fully")
     fresh.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(pk).parquet(path)
-    val summary = session.read.parquet(path)
+    // explicit schema: see materialize — no partition-type re-inference
+    val summary = session.read.schema(fresh.schema).parquet(path)
     val total = summary.agg(sum(col(cntCol))).head
     val stored = if (total.isNullAt(0)) 0L else total.getLong(0)
     val actual = base.count()
@@ -317,7 +375,14 @@ object AggRewrite {
     * (idempotent). The extensions route does this cluster-wide instead. */
   def enable(session: SparkSession): Unit = {
     val cur = session.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[Rewrite]))
+    // dedup by SESSION, not class: a cloned session inherits the
+    // parent's Rewrite(parent) instance, which consults the parent's
+    // registry — the clone still needs its own
+    val mine = cur.exists {
+      case r: Rewrite => r.session eq session
+      case _ => false
+    }
+    if (!mine)
       session.experimental.extraOptimizations = cur :+ Rewrite(session)
   }
 
@@ -370,6 +435,8 @@ object AggRewrite {
     * substitution, the fresh summary instance, canonical key/measure
     * lookup, and the aggregate/key expression mappers. */
   private final class Ctx(
+      session: SparkSession,
+      d: SummaryDef,
       val sub: Map[ExprId, Expression],
       val filters: Vector[Expression],
       val freshSummary: LogicalPlan,
@@ -378,6 +445,14 @@ object AggRewrite {
 
     val resolve: Expression => Expression = resolveVia(sub) _
     private val summaryIds = freshSummary.output.map(_.exprId).toSet
+
+    /** The staleness fence, checked LAST — only a query that would
+      * otherwise rewrite pays the live file listing (a DISTINCT or
+      * non-key query over a many-filed base costs nothing extra). Fall
+      * through when the base's files changed since materialization: the
+      * raw plan is always correct, a stale summary never is. */
+    def fenceFresh: Boolean =
+      baseSignature(session, d.basePaths) == d.baseSig
 
     // AVG is deliberately NOT derived: re-aggregating a double partial
     // sum reorders floating-point addition, so the navigated result
@@ -403,7 +478,9 @@ object AggRewrite {
           measureAttr.get(("min", canon(resolve(f.child)))).map(reagg(f, _))
         case f: Max =>
           measureAttr.get(("max", canon(resolve(f.child)))).map(reagg(f, _))
-        case f: Count if f.children.forall(_.foldable) =>
+        // foldable AND non-null: count(lit(null)) is a constant ZERO
+        // per group, not a row count — it must not map to count_star
+        case f: Count if f.children.forall(c => c.foldable && !c.nullable) =>
           measureAttr.get(("count_star", canon(Literal(1)))).map(sumCounts)
         case f: Count if f.children.size == 1 =>
           measureAttr.get(("count", canon(resolve(f.children.head))))
@@ -477,6 +554,7 @@ object AggRewrite {
         rw(ne).flatMap(keepIdentity(ne, _))
       }
       if (newNamed.exists(_.isEmpty)) return None
+      if (!fenceFresh) return None
       rewrittenFilterChild.map { child0 =>
         agg.copy(groupingExpressions = newGroup.map(_.get),
           aggregateExpressions = newNamed.map(_.get), child = child0)
@@ -539,6 +617,7 @@ object AggRewrite {
         slots.map(_.get) ++ usedSummary
       }
       val newOutput = keepIdx.map(expand.output) ++ usedSummary
+      if (!fenceFresh) return None
       rewrittenFilterChild.map { child0 =>
         agg.copy(aggregateExpressions = named,
           child = Expand(newProjections, newOutput, child0))
@@ -556,10 +635,6 @@ object AggRewrite {
         case Some((s0, f0, paths)) if paths == d.basePaths => (s0, f0)
         case _ => return None
       }
-      // staleness fence: fall through when the base's files changed
-      // since materialization — the raw plan is always correct, a stale
-      // summary never is (see baseSignature)
-      if (baseSignature(session, d.basePaths) != d.baseSig) return None
       // a non-deterministic filter (rand() sampling) selects base ROWS,
       // not whole groups — never derivable from a per-group summary
       if (filters.exists(!_.deterministic)) return None
@@ -578,8 +653,8 @@ object AggRewrite {
         }.toMap
       if (keyAttrByDef.size != d.keyDefs.size ||
         measureAttr.size != d.measureDefs.size) None
-      else Some(new Ctx(sub, filters, freshSummary, keyAttrByDef,
-        measureAttr))
+      else Some(new Ctx(session, d, sub, filters, freshSummary,
+        keyAttrByDef, measureAttr))
     }
   }
 }

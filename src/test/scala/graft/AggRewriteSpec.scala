@@ -111,6 +111,13 @@ class AggRewriteSpec extends SparkSuite {
       o.filter(rand(42) < 0.5)
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
     assert(scanPaths(sampled).contains(ordersPath))
+    // (f2) count of a foldable-but-NULL expression is a constant zero
+    // per group, NOT a row count — must not map to the count partial
+    val nullCount = AggRewrite.navigate(
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(null)).as("z")))
+    assert(scanPaths(nullCount).contains(ordersPath))
+    assert(nullCount.head.getLong(1) == 0L)
     // (g) an unregistered table navigates to itself
     val sq = Tables(spark, sf, "supplier")
       .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
@@ -291,6 +298,48 @@ class AggRewriteSpec extends SparkSuite {
     }
   }
 
+  test("fence is snapshot-anchored: registering from a stale DataFrame " +
+      "cannot bless rows it never read") {
+    // the TOCTOU case: the caller holds a DataFrame whose file listing
+    // SNAPSHOTTED before new files landed; a summary (re-)registered
+    // from it must sign the snapshot, so live matching detects the gap
+    // and navigation falls through instead of serving the stale summary
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_toctou_").toString
+    import spark.implicits._
+    try {
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      val snapshot = spark.read.parquet(s"$base/facts") // listing pinned
+      snapshot.count() // force the FileIndex to list NOW
+      // new rows land AFTER the snapshot
+      Seq(("a", 100L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$base/facts")
+      // materialize FROM the stale snapshot: the summary is built from
+      // (and signed for) the old files only
+      AggRewrite.materialize(spark, "toctou_spec", snapshot,
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary")
+      val live = spark.read.parquet(s"$base/facts")
+      val nav = AggRewrite.navigate(
+        live.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("s")))
+      assert(scanPaths(nav).exists(_.contains("facts")),
+        s"stale snapshot summary was blessed: ${scanPaths(nav)}")
+      val a = nav.filter(col("k") === "a").head
+      assert(a.getLong(1) == 2L && a.getDouble(2) == 101.0)
+    } finally {
+      AggRewrite.unregister(spark, "toctou_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("partition refresh: only changed days recompute, reconciled") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_aggrw_refresh_").toString
@@ -300,7 +349,7 @@ class AggRewriteSpec extends SparkSuite {
       facts.groupBy(col("day")).agg(count(lit(1)).as("n"),
         sum(col("v")).cast("double").as("s")))
     try {
-      Seq(("d1", 1L), ("d1", 2L), ("d2", 10L), ("d3", 100L))
+      Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 10L), ("2024-01-03", 100L))
         .toDF("day", "v")
         .write.mode("overwrite").parquet(s"$base/facts")
       AggRewrite.materialize(spark, "refresh_spec", facts,
@@ -310,33 +359,38 @@ class AggRewriteSpec extends SparkSuite {
         path = s"$base/summary", partitionBy = Some("day"))
       assert(scanPaths(q).exists(_.contains("summary")))
       // day d2 changes: stale -> falls through
-      Seq(("d2", 20L)).toDF("day", "v")
+      Seq(("2024-01-02", 20L)).toDF("day", "v")
         .write.mode("append").parquet(s"$base/facts")
       assert(scanPaths(q).exists(_.contains("facts")), "stale must bail")
       // refresh ONLY d2: navigation resumes with the fresh truth
       AggRewrite.refreshPartitions(spark, "refresh_spec", facts,
-        Seq("d2"))
+        Seq("2024-01-02"))
       val nav = q
       assert(scanPaths(nav).exists(_.contains("summary")),
         s"refresh did not resume navigation: ${scanPaths(nav)}")
-      val d2 = nav.filter(col("day") === "d2").head
+      // day values are date-SHAPED strings: partition-column type
+      // inference on readback would re-type them DATE and drift the
+      // navigated schema — the explicit-schema readback must prevent it
+      assert(nav.schema("day").dataType ==
+        org.apache.spark.sql.types.StringType, nav.schema.toString)
+      val d2 = nav.filter(col("day") === "2024-01-02").head
       assert(d2.getLong(1) == 2L && d2.getDouble(2) == 30.0)
       // unrefreshed day d1 still serves its (unchanged) truth
-      val d1 = nav.filter(col("day") === "d1").head
+      val d1 = nav.filter(col("day") === "2024-01-01").head
       assert(d1.getLong(1) == 2L && d1.getDouble(2) == 3.0)
       // a change to d3 followed by a refresh of ONLY d2 must be CAUGHT
       // by the count reconciliation and refuse to re-register
-      Seq(("d3", 200L)).toDF("day", "v")
+      Seq(("2024-01-03", 200L)).toDF("day", "v")
         .write.mode("append").parquet(s"$base/facts")
       val err = intercept[IllegalStateException] {
         AggRewrite.refreshPartitions(spark, "refresh_spec", facts,
-          Seq("d2"))
+          Seq("2024-01-02"))
       }
       assert(err.getMessage.contains("reconciliation"))
       // and navigation keeps serving raw truth (old registration stale)
       val after = q
       assert(scanPaths(after).exists(_.contains("facts")))
-      assert(after.filter(col("day") === "d3").head.getLong(1) == 2L)
+      assert(after.filter(col("day") === "2024-01-03").head.getLong(1) == 2L)
     } finally {
       AggRewrite.unregister(spark, "refresh_spec")
       def rm(f: java.io.File): Unit = {
@@ -374,9 +428,9 @@ class AggRewriteSpec extends SparkSuite {
       // two day-sharded CDC files, streamed one per micro-batch
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(srcDir))
-      Seq(("d1", 10L), ("d1", 20L)).toDF("day", "v")
+      Seq(("2024-01-01", 10L), ("2024-01-01", 20L)).toDF("day", "v")
         .write.mode("overwrite").parquet(s"$srcDir/shard1")
-      Seq(("d0", 3L), ("d2", 100L)).toDF("day", "v")
+      Seq(("d0", 3L), ("2024-01-02", 100L)).toDF("day", "v")
         .write.mode("overwrite").parquet(s"$srcDir/shard2")
       val stream = spark.readStream
         .schema("day STRING, v BIGINT")
@@ -405,8 +459,8 @@ class AggRewriteSpec extends SparkSuite {
         s"post-stream navigation fell through: ${scanPaths(nav)}")
       val got = nav.sort("day").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-      assert(got == Seq(("d0", 3L, 6.0), ("d1", 2L, 30.0),
-        ("d2", 1L, 100.0)), s"got $got")
+      assert(got == Seq(("2024-01-01", 2L, 30.0),
+        ("2024-01-02", 1L, 100.0), ("d0", 3L, 6.0)), s"got $got")
     } finally {
       AggRewrite.unregister(spark, "stream_spec")
       def rm(f: java.io.File): Unit = {
