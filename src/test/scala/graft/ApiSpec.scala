@@ -718,6 +718,49 @@ class ApiSpec extends SparkSuite {
       assert(a == b)
     } finally {
       graft.plans.AggRewrite.unregister(spark, "api_nav")
+      def rm0(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm0)
+        f.delete()
+      }
+      rm0(new java.io.File(base))
+    }
+  }
+
+  test("refreshSummaryPartitions refreshes only the touched partition") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_api_refresh_").toString
+    try {
+      Seq((1L, "p1", 2.0), (2L, "p1", 3.0), (3L, "p2", 5.0))
+        .toDF("id", "part", "amt")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      def facts = spark.read.parquet(s"$base/facts")
+      Graft.materializeSummary("api_refresh", facts,
+        keys = Seq("part" -> col("part")),
+        measures = Seq(("amt_sum", "sum", col("amt")),
+          ("n", "count_star", lit(1))),
+        path = s"$base/summary", partitionBy = Some("part"))
+      Seq((4L, "p2", 7.0)).toDF("id", "part", "amt")
+        .write.mode("append").parquet(s"$base/facts")
+      Graft.refreshSummaryPartitions("api_refresh", facts, Seq("p2"))
+      val nav = Graft.navigate(facts.groupBy(col("part"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("s")))
+      val leaves2 = nav.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+      assert(leaves2.exists(_.contains("summary")),
+        s"refresh did not resume navigation: $leaves2")
+      val p2 = nav.filter(col("part") === "p2").head
+      assert(p2.getLong(1) == 2L && p2.getDouble(2) == 12.0)
+    } finally {
+      graft.plans.AggRewrite.unregister(spark, "api_refresh")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
