@@ -720,14 +720,18 @@ object ScalePatterns extends QueryModule {
   /** Materialize + register the (day, priority) orders summary once per
     * (session, dir); returns the summary path. */
   private[graft] def navSummaryDir(s: SparkSession, dir: String): String =
-    navMemo.getOrElseUpdate((s, dir), {
+    // synchronized builder: a racing duplicate would also REGISTER, and
+    // the losing registration would point at a deleted temp dir (the
+    // SyntheticTopics race, with a registry attached) — these builds are
+    // one-per-(session, dir), so a lock is the simple sound form
+    navMemo.synchronized(navMemo.getOrElseUpdate((s, dir), {
       val sd = java.nio.file.Files
         .createTempDirectory("graft_x14_summary_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
       graft.plans.AggRewrite.materialize(s, s"orders_day_priority@$dir",
         Tables(s, dir, "orders"), navKeys, navMeasures, sd)
       sd
-    })
+    }))
 
   private[graft] def prestageNavSummary(s: SparkSession, dir: String)
       : Unit = {
@@ -769,7 +773,8 @@ object ScalePatterns extends QueryModule {
     .empty[(SparkSession, String), String]
 
   private[graft] def navEventsDir(s: SparkSession, dir: String): String =
-    navEventsMemo.getOrElseUpdate((s, dir), {
+    // synchronized builder — same reasoning as navSummaryDir
+    navEventsMemo.synchronized(navEventsMemo.getOrElseUpdate((s, dir), {
       val sd = java.nio.file.Files
         .createTempDirectory("graft_x17_summary_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
@@ -785,7 +790,7 @@ object ScalePatterns extends QueryModule {
           ("user_max", "max", col("user_id"))),
         path = sd)
       sd
-    })
+    }))
 
   private[graft] def prestageNavEvents(s: SparkSession, dir: String)
       : Unit = {
