@@ -711,6 +711,10 @@ object ScalePatterns extends QueryModule {
     ("sum_price", "sum", money(col("o_totalprice"))),
     ("cnt", "count_star", lit(1)),
     ("cnt_status", "count", col("o_orderstatus")),
+    // the non-null count of the MONEY child itself: with the sum_price
+    // partial it makes avg(money) derivable (x18) — AVG needs both
+    // partials of the SAME child expression
+    ("price_cnt", "count", money(col("o_totalprice"))),
     ("min_price", "min", money(col("o_totalprice"))),
     ("max_price", "max", money(col("o_totalprice"))))
 
@@ -809,6 +813,90 @@ object ScalePatterns extends QueryModule {
         min(col("user_id")).as("first_user"),
         max(col("user_id")).as("last_user"))
     graft.plans.AggRewrite.navigate(raw).orderBy("ch")
+  }
+
+  /** x18: AVG navigation — the serving query asks a monthly mean of the
+    * money column and the optimizer re-derives it from the (day,
+    * priority) summary's sum + count partials: avg(x) over the months'
+    * base rows == checkedDecimalDivide(SUM(sum_partial),
+    * SUM(count_partial)) re-aggregated across the month's day rows,
+    * bit-equal because DECIMAL addition is exact and the divide is
+    * reconstructed with Average's own operand types (the exact case of
+    * the reference's money columns, DwdTradeOrderDetail.java:40-41;
+    * DOUBLE child keeps the documented fall-through — FP re-ordering).
+    * Cross-engine contract: DuckDB's native avg is a binary DOUBLE
+    * (different bits than the decimal-exact mean), so the oracle
+    * reconstructs Spark's round-half-up-at-scale-6 DECIMAL in exact
+    * HUGEINT arithmetic; both engines then correctly-round the SAME
+    * exact decimal to the final DOUBLE — bit-equal. */
+  private def avgNavigate(s: SparkSession, dir: String): DataFrame = {
+    navSummaryDir(s, dir)
+    val o = Tables(s, dir, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    val raw = o.filter(substring(day, 1, 4) === "1997")
+      .groupBy(substring(day, 1, 7).as("order_month"))
+      .agg(avg(money(col("o_totalprice")))
+        .cast(DoubleType).as("avg_price"),
+        count(lit(1)).as("order_ct"))
+    graft.plans.AggRewrite.navigate(raw).orderBy("order_month")
+  }
+
+  // ---- x19: navigation THROUGH a fact⋈dim join --------------------
+
+  private[graft] def navLineKeys: Seq[(String, Column)] =
+    Seq("l_partkey" -> col("l_partkey"))
+
+  private[graft] def navLineMeasures: Seq[(String, String, Column)] = Seq(
+    ("rev_sum", "sum", money(col("l_extendedprice"))),
+    ("line_cnt", "count_star", lit(1)),
+    ("qty_max", "max", col("l_quantity")))
+
+  private val navLineMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Materialize + register the part-grain lineitem summary once per
+    * (session, dir) — the fact side of the x19 join navigation. */
+  private[graft] def navLineDir(s: SparkSession, dir: String): String =
+    // synchronized builder — same reasoning as navSummaryDir
+    navLineMemo.synchronized(navLineMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x19_summary_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      graft.plans.AggRewrite.materialize(s, s"lineitem_by_part@$dir",
+        Tables(s, dir, "lineitem"), navLineKeys, navLineMeasures, sd)
+      sd
+    }))
+
+  private[graft] def prestageNavLine(s: SparkSession, dir: String)
+      : Unit = {
+    navLineDir(s, dir)
+    ()
+  }
+
+  /** x19: the reference's /province serving shape (the Flink job
+    * denormalizes province_name before the Doris write —
+    * DwsTradeProvinceOrderWindow → TradeStatsMapper.java:20-22) kept
+    * RAW: the query joins the fact table to the dimension and groups by
+    * the dim name; AggRewrite proves the join key is a summary key and
+    * every fact reference key-derivable, swaps the fact scan for the
+    * part-grain summary, and keeps the dim subtree verbatim — at 100 TB
+    * the join's probe side shrinks from the 6 B-row fact table to the
+    * 200 M-row summary (≈30× fewer rows) BEFORE the broadcast-hash
+    * join, and the aggregates re-derive from partials (count(*) from
+    * the summed count_star partial, so dim-join multiplicity stays
+    * exact; min over the dim column passes through — multiplicity-
+    * insensitive). Oracle: the raw join in DuckDB. */
+  private def dimJoinNavigate(s: SparkSession, dir: String): DataFrame = {
+    navLineDir(s, dir)
+    val l = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    val raw = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("line_ct"),
+        moneySum(col("l_extendedprice")).as("revenue"),
+        min(col("p_type")).as("first_type"),
+        max(col("l_quantity")).as("qty_max"))
+    graft.plans.AggRewrite.navigate(raw).orderBy("p_brand")
   }
 
   /** x16: grouping-sets navigation — a ROLLUP over (month, priority)
@@ -951,8 +1039,13 @@ object ScalePatterns extends QueryModule {
       graft.plans.AggRewrite.unregister(s, s"events_day_channel@$dir")
       rmTree(sd)
     }
+    navLineMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.AggRewrite.unregister(s, s"lineitem_by_part@$dir")
+      rmTree(sd)
+    }
     navMemo.clear()
     navEventsMemo.clear()
+    navLineMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
@@ -977,7 +1070,9 @@ object ScalePatterns extends QueryModule {
     "x14_agg_rewrite" -> aggRewriteMonthly,
     "x15_rollup_navigate" -> rollupNavigate,
     "x16_rollup_sets_navigate" -> rollupSetsNavigate,
-    "x17_events_navigate" -> eventsNavigate)
+    "x17_events_navigate" -> eventsNavigate,
+    "x18_avg_navigate" -> avgNavigate,
+    "x19_dim_join_navigate" -> dimJoinNavigate)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1012,6 +1107,35 @@ object ScalePatterns extends QueryModule {
          |FROM events
          |WHERE ${Oracle.fmtDate(Oracle.sec())} >= '2024-01-08'
          |  AND ${Oracle.fmtDate(Oracle.sec())} <= '2024-01-21'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x18's oracle reconstructs Spark's avg(DECIMAL(18,2)) — round-
+    // half-up at scale 6 — in exact HUGEINT arithmetic, because
+    // DuckDB's native avg is a binary DOUBLE and could differ in the
+    // last printed digit: round_half_up(n/d) = (2n + d) // (2d) on the
+    // 10^6-scaled integer numerator (prices are positive), then scaled
+    // back into a DECIMAL(28,6) by exact decimal multiplication
+    "x18_avg_navigate" ->
+      s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
+         |         AS order_month,
+         |       CAST(CAST(CAST((2 * CAST(SUM(${Oracle.money("o_totalprice")})
+         |                           * 1000000 AS HUGEINT)
+         |                  + COUNT(*)) // (2 * COUNT(*))
+         |                 AS DECIMAL(22,0))
+         |            * CAST(0.000001 AS DECIMAL(7,6))
+         |            AS DECIMAL(28,6)) AS DOUBLE) AS avg_price,
+         |       count(*) AS order_ct
+         |FROM orders
+         |WHERE substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) = '1997'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x19's oracle runs the RAW fact⋈dim join — the hash match proves
+    // the summary⋈dim rewrite preserves join multiplicity exactly
+    "x19_dim_join_navigate" ->
+      s"""SELECT p_brand,
+         |       count(*) AS line_ct,
+         |       ${Oracle.moneySum("l_extendedprice")} AS revenue,
+         |       min(p_type) AS first_type,
+         |       max(l_quantity) AS qty_max
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_rollup_sets_navigate" ->
       s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)

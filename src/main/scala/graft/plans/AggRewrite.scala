@@ -6,9 +6,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+import org.apache.spark.sql.types.{DecimalType, IntegralType}
 
 /** Materialized-aggregate navigation: a Catalyst optimizer rule that
   * rewrites an `Aggregate` written against a RAW fact table onto a
@@ -122,14 +124,16 @@ object AggRewrite {
     * the live form would bless a summary missing those rows. */
   private def snapshotSignature(session: SparkSession,
       base: DataFrame): String = {
+    // one flat guard (not a nested match): a non-file leaf (JDBC, an
+    // in-memory relation) must fall to None and raise the intended
+    // IllegalArgumentException, not a MatchError from a half-matched
+    // LogicalRelation
     val idx = base.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location
-      }
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location
     }
     idx match {
-      case Some(p: org.apache.spark.sql.execution.datasources
-          .PartitioningAwareFileIndex) =>
+      case Some(p: PartitioningAwareFileIndex) =>
         digest(p.allFiles().map(statusEntry))
       case Some(other) =>
         // no snapshot listing exposed: fall back to live (window stays)
@@ -139,28 +143,28 @@ object AggRewrite {
     }
   }
 
-  private def leafPaths(p: LogicalPlan): Option[Set[String]] = p match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        Some(fs.location.rootPaths.map(_.toString).toSet)
+  private def leafInfo(p: LogicalPlan): Option[(Set[String], FileIndex)] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          Some((fs.location.rootPaths.map(_.toString).toSet, fs.location))
+        case _ => None
+      }
+      case s: SubqueryAlias => leafInfo(s.child)
       case _ => None
     }
-    case s: SubqueryAlias => leafPaths(s.child)
-    case _ => None
-  }
 
-  /** Peel Project/Filter/SubqueryAlias down to a single file-source leaf:
-    * (alias substitution to base terms, filter conditions as written,
-    * leaf paths). None when any other operator intervenes — the sound
-    * bail-out. Shared by registration and matching so both phrase every
-    * expression over the SAME base attributes (e.g. through the events
-    * ts-normalization projection in [[graft.Tables]]). */
-  private def peel(plan: LogicalPlan)
-      : Option[(Map[ExprId, Expression], Vector[Expression], Set[String])] = {
+  /** Walk a Project/Filter/SubqueryAlias/View chain, accumulating the
+    * alias substitution and the filter conditions as written, and stop
+    * at the first node of any other shape (the "rest" — a leaf, a Join,
+    * an Expand, or something the rewrite can't see through). */
+  private def peelChain(plan: LogicalPlan)
+      : (Map[ExprId, Expression], Vector[Expression], LogicalPlan) = {
     var cur = plan
     var sub = Map.empty[ExprId, Expression]
     val filters = Vector.newBuilder[Expression]
-    while (true) cur match {
+    var done = false
+    while (!done) cur match {
       case s: SubqueryAlias => cur = s.child
       case v: View => cur = v.child // temp views in SQL-text queries
       case f: Filter => filters += f.condition; cur = f.child
@@ -169,11 +173,26 @@ object AggRewrite {
           al.exprId -> c
         }
         cur = p.child
-      case lr: LogicalRelation =>
-        return leafPaths(lr).map(paths => (sub, filters.result(), paths))
-      case _ => return None
+      case _ => done = true
     }
-    None // unreachable
+    (sub, filters.result(), cur)
+  }
+
+  /** Peel Project/Filter/SubqueryAlias down to a single file-source leaf:
+    * (alias substitution to base terms, filter conditions as written,
+    * leaf paths, the leaf's own FileIndex). None when any other operator
+    * intervenes — the sound bail-out. Shared by registration and
+    * matching so both phrase every expression over the SAME base
+    * attributes (e.g. through the events ts-normalization projection in
+    * [[graft.Tables]]). */
+  private def peel(plan: LogicalPlan): Option[(Map[ExprId, Expression],
+      Vector[Expression], Set[String], FileIndex)] = {
+    val (sub, filters, rest) = peelChain(plan)
+    rest match {
+      case lr: LogicalRelation =>
+        leafInfo(lr).map { case (paths, idx) => (sub, filters, paths, idx) }
+      case _ => None
+    }
   }
 
   /** Substitute project aliases until the expression is phrased over the
@@ -212,7 +231,7 @@ object AggRewrite {
       (keys.map { case (n, c) => c.as(n) } ++
         measures.map { case (n, _, c) => c.as(n) }): _*)
     val analyzed = probe.queryExecution.analyzed
-    val (sub, probeFilters, paths) = peel(analyzed match {
+    val (sub, probeFilters, paths, _) = peel(analyzed match {
       case Project(_, child) => child
       case other => other
     }).getOrElse(throw new IllegalArgumentException(
@@ -417,23 +436,68 @@ object AggRewrite {
   }
   /** Attempt one Aggregate → summary rewrite; None = leave untouched.
     * Dispatches on the Aggregate's child: a plain Project/Filter chain
-    * (simple GROUP BY) or an Expand (ROLLUP/CUBE/GROUPING SETS). */
+    * (simple GROUP BY), an Expand (ROLLUP/CUBE/GROUPING SETS), or an
+    * inner equi-join between the base and a dimension subtree (the
+    * reference's fact⋈province_dim serving shape). */
   private def tryRewrite(session: SparkSession, agg: Aggregate,
       d: SummaryDef): Option[Aggregate] = {
-    var under = agg.child
-    while (under.isInstanceOf[SubqueryAlias] || under.isInstanceOf[View])
-      under = under.children.head
-    under match {
-      case e: Expand => Ctx.build(session, e.children.head, d)
-        .flatMap(_.rewriteExpand(agg, e))
+    val (aboveSub, aboveFilters, rest) = peelChain(agg.child)
+    rest match {
+      case e: Expand if aboveSub.isEmpty && aboveFilters.isEmpty =>
+        Ctx.build(session, e.children.head, d)
+          .flatMap(_.rewriteExpand(agg, e))
+      case j: Join =>
+        rewriteJoin(session, agg, aboveSub, aboveFilters, j, d)
       case _ => Ctx.build(session, agg.child, d)
         .flatMap(_.rewriteSimple(agg))
     }
   }
 
+  /** Aggregate over fact⋈dim: when ONE join side peels to the summary's
+    * base and every fact-side reference in the join condition, the
+    * filters, and the grouping resolves through summary KEYS, the fact
+    * scan is replaced by the summary and the dim subtree is kept
+    * VERBATIM (scanned live — no second staleness fence needed). Sound
+    * because rows within one summary group share identical key values,
+    * so they match exactly the same dim rows: joining the group row and
+    * re-aggregating partials commutes with joining every base row
+    * first. Multiplicity-sensitive aggregates over DIM columns
+    * (sum/count/avg of a dim attribute) do NOT commute — each dim match
+    * would count once per summary row instead of once per base row —
+    * and fall through via [[Ctx.mapAgg]]'s pass-attribute guard;
+    * count(*)/count(1) stays exact because it maps to the summed
+    * count_star partial, which carries the base-row multiplicity. The
+    * reference's serving layer reads exactly this shape denormalized by
+    * hand (province joined before the Doris write,
+    * DwsTradeProvinceOrderWindow.java → TradeStatsMapper.java:20-22);
+    * here the raw fact⋈dim query keeps its semantics and the optimizer
+    * swaps in the summary. Multi-hop dim chains (fact⋈d1⋈d2) are not
+    * navigated yet — the inner Join blocks the fact-side peel and the
+    * query falls through whole. */
+  private def rewriteJoin(session: SparkSession, agg: Aggregate,
+      aboveSub: Map[ExprId, Expression], aboveFilters: Vector[Expression],
+      j: Join, d: SummaryDef): Option[Aggregate] = {
+    if (j.joinType != Inner) return None
+    val cond = j.condition.getOrElse(return None)
+    def attempt(factPlan: LogicalPlan, dimPlan: LogicalPlan)
+        : Option[Aggregate] = {
+      // a non-deterministic dim subtree (row sampling inside the dim
+      // scan) has no fixed result to be invisible AGAINST — bail
+      if (dimPlan.exists(_.expressions.exists(!_.deterministic)))
+        return None
+      val dimIds = dimPlan.outputSet.map(_.exprId).toSet
+      Ctx.build(session, factPlan, d, aboveSub, dimIds)
+        .flatMap(_.rewriteJoinAgg(agg, dimPlan, cond, aboveFilters, j))
+    }
+    attempt(j.left, j.right).orElse(attempt(j.right, j.left))
+  }
+
   /** Shared per-(candidate, summary) matching context: the peeled
     * substitution, the fresh summary instance, canonical key/measure
-    * lookup, and the aggregate/key expression mappers. */
+    * lookup, and the aggregate/key expression mappers. `pass`: attribute
+    * ids that flow through the rewrite untouched (the dim side of a
+    * navigated join); `candIndex`: the candidate plan's own pinned
+    * file listing, the query-side half of the staleness fence. */
   private final class Ctx(
       session: SparkSession,
       d: SummaryDef,
@@ -441,29 +505,62 @@ object AggRewrite {
       val filters: Vector[Expression],
       val freshSummary: LogicalPlan,
       keyAttrByDef: Map[Expression, Attribute],
-      measureAttr: Map[(String, Expression), Attribute]) {
+      measureAttr: Map[(String, Expression), Attribute],
+      candIndex: FileIndex,
+      pass: Set[ExprId]) {
 
     val resolve: Expression => Expression = resolveVia(sub) _
     private val summaryIds = freshSummary.output.map(_.exprId).toSet
 
     /** The staleness fence, checked LAST — only a query that would
-      * otherwise rewrite pays the live file listing (a DISTINCT or
-      * non-key query over a many-filed base costs nothing extra). Fall
-      * through when the base's files changed since materialization: the
-      * raw plan is always correct, a stale summary never is. */
-    def fenceFresh: Boolean =
-      baseSignature(session, d.basePaths) == d.baseSig
+      * otherwise rewrite pays it (a DISTINCT or non-key query over a
+      * many-filed base costs nothing extra). The fence compares the
+      * CANDIDATE plan's own pinned file listing (what this query would
+      * actually read — a DataFrame's FileIndex lists once, at
+      * construction) against the registration-time snapshot: equal
+      * listings mean the summary aggregates exactly the files this plan
+      * scans, which closes BOTH staleness directions — a base that
+      * changed after registration (live ≠ snapshot) AND a plan
+      * constructed before a base append + re-materialization (whose
+      * pinned listing is older than the re-registered signature). It is
+      * also cheaper than re-listing: no filesystem I/O at match time.
+      * Only a leaf that hides its listing (non-partitioning-aware
+      * index) falls back to a live listing, where the second direction
+      * stays open but the first is still fenced. Fall through on any
+      * mismatch: the raw plan is always correct, a stale summary never
+      * is. */
+    def fenceFresh: Boolean = candIndex match {
+      case p: PartitioningAwareFileIndex =>
+        digest(p.allFiles().map(statusEntry)) == d.baseSig
+      case _ => baseSignature(session, d.basePaths) == d.baseSig
+    }
 
-    // AVG is deliberately NOT derived: re-aggregating a double partial
-    // sum reorders floating-point addition, so the navigated result
-    // could differ in the last bits from the raw plan — the rewrite
-    // must be bit-invisible. A caller who wants a navigable mean
-    // phrases it as sum(x)/count(*), which derives exactly.
-    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+    /** Map one aggregate onto the summary's partials. SUM→SUM of
+      * partial sums (EXACT types only — integral and DECIMAL children;
+      * a double partial sum re-aggregates in a different addition order
+      * and could differ in the last bits, the same reorder argument
+      * that gates AVG, so float/double sums fall through to raw),
+      * COUNT→SUM of partial counts, MIN/MAX→MIN/MAX of partials, and
+      * AVG over a DECIMAL child → the exact Average evaluate shape
+      * (checked decimal divide of summed sum-partials by summed
+      * count-partials — bit-equal because decimal addition is exact and
+      * the divide is reconstructed with Average's own operand types).
+      * AVG over float/double keeps the documented bail-out. MIN/MAX
+      * whose argument is key- or pass-derived (e.g. min of a dim
+      * column, or of a function of a summary key) re-aggregate over the
+      * rewritten argument: the distinct value set per group is
+      * preserved, and min/max are multiplicity-insensitive. `passIds`:
+      * extra pass-through attributes from the caller (Expand group
+      * slots). */
+    def mapAgg(ae: AggregateExpression, passIds: Set[ExprId])
+        : Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
-      def reagg(f: AggregateFunction, a: Attribute) =
+      val passAll = pass ++ passIds
+      def touchesPass(e: Expression): Boolean =
+        e.references.exists(a => passAll(a.exprId))
+      def reagg(f: AggregateFunction, child: Expression) =
         AggregateExpression(
-          f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction],
+          f.withNewChildren(Seq(child)).asInstanceOf[AggregateFunction],
           ae.mode, isDistinct = false, None, NamedExpression.newExprId)
       def sumCounts(a: Attribute) =
         // coalesce keeps count's zero-on-empty + non-null contract
@@ -471,20 +568,66 @@ object AggRewrite {
           AggregateExpression(Sum(a), ae.mode, isDistinct = false,
             None, NamedExpression.newExprId),
           Literal(0L)))
+      def exact(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      // a child that references pass-through (dim) attributes must NOT
+      // consult the measure table: canonical forms mark attributes by
+      // NAME, so a dim column could collide with a same-named base
+      // measure and map onto the wrong partial
+      def measureFor(op: String, child: Expression): Option[Attribute] =
+        if (touchesPass(child)) None
+        else measureAttr.get((op, canon(resolve(child))))
       val rebuilt: Option[Expression] = ae.aggregateFunction match {
-        case f: Sum =>
-          measureAttr.get(("sum", canon(resolve(f.child)))).map(reagg(f, _))
+        case f: Sum if exact(f.child.dataType) =>
+          measureFor("sum", f.child).map(reagg(f, _))
         case f: Min =>
-          measureAttr.get(("min", canon(resolve(f.child)))).map(reagg(f, _))
+          measureFor("min", f.child).map(reagg(f, _))
+            .orElse(rw(f.child, passIds).map(reagg(f, _)))
         case f: Max =>
-          measureAttr.get(("max", canon(resolve(f.child)))).map(reagg(f, _))
+          measureFor("max", f.child).map(reagg(f, _))
+            .orElse(rw(f.child, passIds).map(reagg(f, _)))
         // foldable AND non-null: count(lit(null)) is a constant ZERO
         // per group, not a row count — it must not map to count_star
         case f: Count if f.children.forall(c => c.foldable && !c.nullable) =>
           measureAttr.get(("count_star", canon(Literal(1)))).map(sumCounts)
         case f: Count if f.children.size == 1 =>
-          measureAttr.get(("count", canon(resolve(f.children.head))))
-            .map(sumCounts)
+          measureFor("count", f.children.head).map(sumCounts)
+        case f: Average if f.child.dataType.isInstanceOf[DecimalType] =>
+          // avg(x) = checkedDiv(sum(sum_partial), sum(count_partial)) —
+          // reconstructed with Average's OWN evaluate shape so the
+          // navigated value is bit-equal: sum cast to Average's buffer
+          // type (overflow → null exactly where the raw buffer would),
+          // count cast to Decimal(20,0), divide checked into
+          // resultType(p+4, s+4), empty/all-null group → typed null
+          for {
+            sumA <- measureFor("sum", f.child)
+            cntA <- measureFor("count", f.child)
+          } yield {
+            val dt = f.child.dataType.asInstanceOf[DecimalType]
+            // DecimalType.bounded / LongDecimal are private[sql]; these
+            // are their public definitions (cap at MAX_PRECISION = 38)
+            def bounded(p: Int, s: Int) =
+              DecimalType(math.min(p, 38), math.min(s, 38))
+            val sumDT = bounded(dt.precision + 10, dt.scale)
+            val resT = bounded(dt.precision + 4, dt.scale + 4)
+            def cntE = AggregateExpression(Sum(cntA), ae.mode,
+              isDistinct = false, None, NamedExpression.newExprId)
+            val sumE = AggregateExpression(Sum(sumA), ae.mode,
+              isDistinct = false, None, NamedExpression.newExprId)
+            If(EqualTo(cntE, Literal(0L)),
+              Literal(null, resT),
+              new DecimalDivideWithOverflowCheck(
+                Cast(sumE, sumDT),
+                Cast(cntE, DecimalType(20, 0)), // = LongDecimal
+                resT, null,
+                f.evalMode != EvalMode.ANSI))
+          }
         case _ => None
       }
       // re-aggregation can widen the type (sum of a decimal sum); pin the
@@ -495,14 +638,23 @@ object AggRewrite {
 
     /** Generic mapper: aggregates first, then key-def subtrees; no base
       * attribute may survive unmapped. `passIds`: attributes allowed
-      * through untouched (Expand group outputs in the rollup path). */
+      * through untouched (Expand group outputs in the rollup path), on
+      * top of the Ctx-level pass set (the dim side of a join). */
     def rw(e: Expression, passIds: Set[ExprId] = Set.empty)
         : Option[Expression] = e match {
-      case ae: AggregateExpression => mapAgg(ae)
+      case ae: AggregateExpression => mapAgg(ae, passIds)
       case a: AttributeReference
-          if passIds(a.exprId) || summaryIds(a.exprId) => Some(a)
+          if passIds(a.exprId) || pass(a.exprId) ||
+            summaryIds(a.exprId) => Some(a)
       case _ =>
-        keyAttrByDef.get(canon(resolve(e))) match {
+        // an expression touching pass-through (dim) attributes must not
+        // consult the key table — canonical name-markers could collide
+        // with a same-named base column (see measureFor)
+        val keyHit =
+          if (e.references.exists(a => pass(a.exprId) || passIds(a.exprId)))
+            None
+          else keyAttrByDef.get(canon(resolve(e)))
+        keyHit match {
           case Some(attr) => Some(attr)
           case None => e match {
             case a: AttributeReference =>
@@ -541,6 +693,39 @@ object AggRewrite {
       case _ => rewritten match {
         case ne: NamedExpression => Some(ne)
         case _ => None
+      }
+    }
+
+    /** Aggregate over fact⋈dim (see [[rewriteJoin]] for the soundness
+      * argument): fact-side references map through keys/partials, the
+      * dim subtree and its attributes pass through verbatim, and the
+      * join condition + above-join filters rewrite like any other
+      * expression. */
+    def rewriteJoinAgg(agg: Aggregate, dimPlan: LogicalPlan,
+        cond: Expression, aboveFilters: Vector[Expression], j: Join)
+        : Option[Aggregate] = {
+      if (agg.groupingExpressions.exists(!_.deterministic) ||
+        agg.aggregateExpressions.exists(!_.deterministic) ||
+        aboveFilters.exists(!_.deterministic)) return None
+      val newCond = rw(cond)
+      if (newCond.isEmpty) return None
+      val newGroup = agg.groupingExpressions.map(rw(_))
+      if (newGroup.exists(_.isEmpty)) return None
+      val newNamed = agg.aggregateExpressions.map { ne =>
+        rw(ne).flatMap(keepIdentity(ne, _))
+      }
+      if (newNamed.exists(_.isEmpty)) return None
+      val newAbove = aboveFilters.map(rw(_))
+      if (newAbove.exists(_.isEmpty)) return None
+      if (!fenceFresh) return None
+      rewrittenFilterChild.map { factChild =>
+        val newJoin =
+          Join(factChild, dimPlan, Inner, Some(newCond.get), j.hint)
+        val withAbove =
+          if (newAbove.isEmpty) newJoin
+          else Filter(newAbove.map(_.get).reduce(And), newJoin)
+        agg.copy(groupingExpressions = newGroup.map(_.get),
+          aggregateExpressions = newNamed.map(_.get), child = withAbove)
       }
     }
 
@@ -628,11 +813,15 @@ object AggRewrite {
   private object Ctx {
     /** Peel `child` to the summary's base scan and build the matching
       * context; None = not this summary's base (or freshness/shape
-      * bail). */
-    def build(session: SparkSession, child: LogicalPlan, d: SummaryDef)
-        : Option[Ctx] = {
-      val (sub, filters) = peel(child) match {
-        case Some((s0, f0, paths)) if paths == d.basePaths => (s0, f0)
+      * bail). `extraSub`: substitutions from Projects ABOVE the peeled
+      * chain (the join path's above-join aliases); `passIds`: attribute
+      * ids that pass through the rewrite untouched (the dim side). */
+    def build(session: SparkSession, child: LogicalPlan, d: SummaryDef,
+        extraSub: Map[ExprId, Expression] = Map.empty,
+        passIds: Set[ExprId] = Set.empty): Option[Ctx] = {
+      val (sub, filters, candIdx) = peel(child) match {
+        case Some((s0, f0, paths, idx)) if paths == d.basePaths =>
+          (s0 ++ extraSub, f0, idx)
         case _ => return None
       }
       // a non-deterministic filter (rand() sampling) selects base ROWS,
@@ -654,7 +843,7 @@ object AggRewrite {
       if (keyAttrByDef.size != d.keyDefs.size ||
         measureAttr.size != d.measureDefs.size) None
       else Some(new Ctx(session, d, sub, filters, freshSummary,
-        keyAttrByDef, measureAttr))
+        keyAttrByDef, measureAttr, candIdx, passIds))
     }
   }
 }

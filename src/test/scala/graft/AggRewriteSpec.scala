@@ -471,6 +471,221 @@ class AggRewriteSpec extends SparkSuite {
     }
   }
 
+  test("avg navigation: DECIMAL derives from sum+count partials, " +
+      "DOUBLE falls through") {
+    summaryDir
+    val o = Tables(spark, sf, "orders")
+    val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    // x18 itself: plan scans the summary
+    val x18 = q("x18_avg_navigate")
+    assert(scanPaths(x18).exists(_.startsWith(summaryDir)),
+      s"x18 did not navigate: ${scanPaths(x18)}")
+    // bit-identical to the raw plan, at the avg's own DECIMAL type
+    val raw = o.filter(substring(day, 1, 4) === "1997")
+      .groupBy(substring(day, 1, 7).as("m"))
+      .agg(avg(money(col("o_totalprice"))).as("a"),
+        count(lit(1)).as("n"))
+    val nav = AggRewrite.navigate(raw)
+    assert(scanPaths(nav).exists(_.startsWith(summaryDir)))
+    assert(nav.schema == raw.schema, "avg schema drift")
+    assert(raw.sort("m").collect().toSeq == nav.sort("m").collect().toSeq)
+    // coarse grain too: priority-only avg re-aggregates the day away
+    val byPrio = o.groupBy(col("o_orderpriority"))
+      .agg(avg(money(col("o_totalprice"))).as("a"))
+    val byPrioNav = AggRewrite.navigate(byPrio)
+    assert(scanPaths(byPrioNav).exists(_.startsWith(summaryDir)))
+    assert(byPrio.sort("o_orderpriority").collect().toSeq ==
+      byPrioNav.sort("o_orderpriority").collect().toSeq)
+    // the DOUBLE child keeps the FP bail-out
+    val dbl = AggRewrite.navigate(
+      o.groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a")))
+    assert(scanPaths(dbl).contains(ordersPath),
+      s"double avg must fall through: ${scanPaths(dbl)}")
+  }
+
+  test("avg navigation rounds half-up at scale+4 (the oracle contract)") {
+    // 0.01 over 32 rows: exact mean 0.0003125 — a tie at DECIMAL(22,6)'s
+    // last digit. Spark's Average(decimal) rounds HALF_UP → 0.000313;
+    // the x18 DuckDB oracle reconstructs the same (2n+d)//(2d) value.
+    // If either engine's rounding mode drifted, this canary and the
+    // oracle hash would catch it.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_avg_").toString
+    import spark.implicits._
+    try {
+      (Seq(("a", "0.01")) ++ Seq.fill(31)(("a", "0.00")))
+        .toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+        .write.mode("overwrite").parquet(s"$base/facts")
+      val facts = spark.read.parquet(s"$base/facts")
+      AggRewrite.materialize(spark, "avg_tie_spec", facts,
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("v_cnt", "count", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary")
+      val raw = facts.groupBy(col("k")).agg(avg(col("v")).as("a"))
+      val nav = AggRewrite.navigate(raw)
+      assert(scanPaths(nav).exists(_.contains("summary")))
+      val r = raw.head.getDecimal(1)
+      val n = nav.head.getDecimal(1)
+      assert(r.toPlainString == "0.000313",
+        s"Spark avg rounding drifted from HALF_UP: $r")
+      assert(n.toPlainString == r.toPlainString, s"nav $n != raw $r")
+    } finally {
+      AggRewrite.unregister(spark, "avg_tie_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("join navigation: fact⋈dim rewrites the fact side onto the " +
+      "summary, keeps the dim verbatim") {
+    val lineDir = s"file:${operators.ScalePatterns.navLineDir(spark, sf)}"
+    val lineitemPath = s"file:$sf/lineitem.parquet"
+    val partPath = s"file:$sf/part.parquet"
+    val l = Tables(spark, sf, "lineitem")
+    val p = Tables(spark, sf, "part")
+    // x19 itself: summary + dim scanned, fact not
+    val x19 = q("x19_dim_join_navigate")
+    val x19Paths = scanPaths(x19)
+    assert(x19Paths.exists(_.startsWith(lineDir)),
+      s"x19 did not navigate: $x19Paths")
+    assert(x19Paths.contains(partPath), s"dim side dropped: $x19Paths")
+    assert(!x19Paths.contains(lineitemPath),
+      s"fact table still scanned: $x19Paths")
+    // bit-identical to the raw join (count(*) multiplicity included)
+    def rawJoin = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_extendedprice")).as("rev"),
+        min(col("p_type")).as("t"),
+        max(col("l_quantity")).as("qm"))
+    val nav = AggRewrite.navigate(rawJoin)
+    assert(nav.schema == rawJoin.schema)
+    assert(rawJoin.sort("p_brand").collect().toSeq ==
+      nav.sort("p_brand").collect().toSeq)
+    // dim-side filter above the join passes through
+    val filtered = AggRewrite.navigate(
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_size") > 20)
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(filtered).exists(_.startsWith(lineDir)),
+      s"dim filter blocked navigation: ${scanPaths(filtered)}")
+    val rawFiltered = l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") > 20)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    assert(rawFiltered.sort("p_brand").collect().toSeq ==
+      filtered.sort("p_brand").collect().toSeq)
+  }
+
+  test("join navigation fall-throughs: non-equi key, non-key fact ref, " +
+      "outer join, dim-side multiplicity aggregates") {
+    operators.ScalePatterns.navLineDir(spark, sf)
+    val lineitemPath = s"file:$sf/lineitem.parquet"
+    val l = Tables(spark, sf, "lineitem")
+    val p = Tables(spark, sf, "part")
+    // (a) join key is NOT a summary key (suppkey grain not registered)
+    val wrongKey = AggRewrite.navigate(
+      l.join(p, col("l_suppkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(wrongKey).contains(lineitemPath))
+    // (b) non-equi condition over a non-key fact column
+    val nonEqui = AggRewrite.navigate(
+      l.join(p, col("l_partkey") === col("p_partkey") &&
+        col("l_quantity") > col("p_size"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(nonEqui).contains(lineitemPath))
+    // (c) outer joins change null semantics — never navigated
+    val outer = AggRewrite.navigate(
+      l.join(p, col("l_partkey") === col("p_partkey"), "left")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(outer).contains(lineitemPath))
+    // (d) sum over a DIM column is multiplicity-sensitive: each dim row
+    // would count once per summary row instead of once per fact row
+    val dimSum = AggRewrite.navigate(
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("p_size")).as("s")))
+    assert(scanPaths(dimSum).contains(lineitemPath))
+    // (e) count of a dim column likewise
+    val dimCount = AggRewrite.navigate(
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(col("p_type")).as("c")))
+    assert(scanPaths(dimCount).contains(lineitemPath))
+    // (f) a non-key fact filter above the join
+    val factFilter = AggRewrite.navigate(
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")))
+    assert(scanPaths(factFilter).contains(lineitemPath))
+  }
+
+  test("fence is direction-complete: a plan pinned BEFORE an append + " +
+      "re-materialization must not navigate") {
+    // the reverse-staleness case: the serving DataFrame's FileIndex
+    // listed the base BEFORE new rows landed; the summary was then
+    // re-materialized from the live base, so the LIVE listing matches
+    // the new registration — but THIS plan would read fewer files than
+    // the summary aggregates. The fence compares the candidate's own
+    // pinned listing, so navigation falls through to the plan's truth.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_pinned_").toString
+    import spark.implicits._
+    try {
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      val pinned = spark.read.parquet(s"$base/facts")
+      pinned.count() // force the FileIndex to list NOW
+      val servedBefore = pinned.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"))
+      // rows land, and the summary is re-materialized from the LIVE base
+      Seq(("a", 100L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$base/facts")
+      AggRewrite.materialize(spark, "pinned_spec",
+        spark.read.parquet(s"$base/facts"),
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary")
+      // a LIVE plan navigates (its listing == the registration's)
+      val live = spark.read.parquet(s"$base/facts")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"))
+      assert(scanPaths(AggRewrite.navigate(live))
+        .exists(_.contains("summary")))
+      // the PINNED plan must not: its listing predates the append
+      val nav = AggRewrite.navigate(servedBefore)
+      assert(scanPaths(nav).exists(_.contains("facts")),
+        s"pinned-stale plan navigated: ${scanPaths(nav)}")
+      val a = nav.filter(col("k") === "a").head
+      assert(a.getLong(1) == 1L && a.getDouble(2) == 1.0,
+        "pinned plan must serve its own snapshot truth")
+    } finally {
+      AggRewrite.unregister(spark, "pinned_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("registering a non-file base raises the intended argument error") {
+    import spark.implicits._
+    val mem = Seq(("a", 1L)).toDF("k", "v") // LocalRelation, not a file
+    val err = intercept[IllegalArgumentException] {
+      AggRewrite.register(spark, "nonfile_spec", mem,
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("cnt", "count_star", lit(1))),
+        summary = mem)
+    }
+    assert(err.getMessage.contains("file-source"))
+  }
+
   test("SQL-text serving queries navigate too (temp view over the fact)") {
     summaryDir
     Tables(spark, sf, "orders").createOrReplaceTempView("nav_orders")

@@ -690,14 +690,19 @@ class ApiSpec extends SparkSuite {
       }.toDF("id", "day", "tier", "amt")
         .write.mode("overwrite").parquet(s"$base/facts")
       val facts = spark.read.parquet(s"$base/facts")
+      // sum derivation is EXACT-types-only: the money measure goes
+      // through a DECIMAL cast (a raw double sum would re-order FP
+      // addition under re-aggregation and must fall through — asserted
+      // below)
+      val amt = col("amt").cast("decimal(18,2)")
       Graft.materializeSummary("api_nav", facts,
         keys = Seq("day" -> col("day"), "tier" -> col("tier")),
-        measures = Seq(("amt_sum", "sum", col("amt")),
+        measures = Seq(("amt_sum", "sum", amt),
           ("n", "count_star", lit(1))),
         path = s"$base/summary")
       val raw = facts.filter(col("tier") === "gold")
         .groupBy(col("day"))
-        .agg(sum(col("amt")).as("amt_sum"), count(lit(1)).as("n"))
+        .agg(sum(amt).as("amt_sum"), count(lit(1)).as("n"))
       val nav = Graft.navigate(raw)
       // the rewritten plan reads the summary, not the facts
       val leaves = nav.queryExecution.optimizedPlan.collectLeaves().flatMap {
@@ -716,6 +721,21 @@ class ApiSpec extends SparkSuite {
       val a = raw.sort("day").collect().toSeq
       val b = nav.sort("day").collect().toSeq
       assert(a == b)
+      // the float-sum shape is NOT navigable (exact-types-only policy)
+      val floatSum = Graft.navigate(
+        facts.groupBy(col("day")).agg(sum(col("amt")).as("s")))
+      val floatLeaves = floatSum.queryExecution.optimizedPlan
+        .collectLeaves().flatMap {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+      assert(floatLeaves.exists(_.contains("facts")),
+        s"double sum must fall through to raw: $floatLeaves")
     } finally {
       graft.plans.AggRewrite.unregister(spark, "api_nav")
       def rm0(f: java.io.File): Unit = {
@@ -734,16 +754,17 @@ class ApiSpec extends SparkSuite {
         .toDF("id", "part", "amt")
         .write.mode("overwrite").parquet(s"$base/facts")
       def facts = spark.read.parquet(s"$base/facts")
+      val amt = col("amt").cast("decimal(18,2)") // exact-types-only sums
       Graft.materializeSummary("api_refresh", facts,
         keys = Seq("part" -> col("part")),
-        measures = Seq(("amt_sum", "sum", col("amt")),
+        measures = Seq(("amt_sum", "sum", amt),
           ("n", "count_star", lit(1))),
         path = s"$base/summary", partitionBy = Some("part"))
       Seq((4L, "p2", 7.0)).toDF("id", "part", "amt")
         .write.mode("append").parquet(s"$base/facts")
       Graft.refreshSummaryPartitions("api_refresh", facts, Seq("p2"))
       val nav = Graft.navigate(facts.groupBy(col("part"))
-        .agg(count(lit(1)).as("n"), sum(col("amt")).as("s")))
+        .agg(count(lit(1)).as("n"), sum(amt).cast("double").as("s")))
       val leaves2 = nav.queryExecution.optimizedPlan.collectLeaves()
         .flatMap {
           case lr: org.apache.spark.sql.execution.datasources
