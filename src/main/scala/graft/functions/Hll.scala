@@ -74,3 +74,35 @@ object HllSketch extends Aggregator[Long, Array[Byte], Long] {
   def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** [[HllSketch]]'s PARTIAL form: same registers, finished as the raw
+  * byte array instead of the estimate — the re-aggregable measure a
+  * summary table stores per group (plans/AggRewrite's "hll" op).
+  * Because merge is a per-register max, the merge of stored partials
+  * carries exactly the registers a direct [[HllSketch]] pass over the
+  * union would — so an estimate derived from partials is BIT-EQUAL to
+  * the raw one, and HLL navigation stays inside the rewrite's
+  * bit-invisibility contract (unlike floating-point re-aggregation). */
+object HllSketchPartial extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  def zero: Array[Byte] = HllSketch.zero
+  def reduce(b: Array[Byte], a: Long): Array[Byte] = HllSketch.reduce(b, a)
+  def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HllSketch.merge(b1, b2)
+  def finish(b: Array[Byte]): Array[Byte] = b
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Merge-and-estimate over stored [[HllSketchPartial]] sketches: the
+  * re-aggregation side of HLL navigation. A null input (a summary read
+  * through an outer shape) merges as empty. */
+object HllMerge extends Aggregator[Array[Byte], Array[Byte], Long] {
+  def zero: Array[Byte] = HllSketch.zero
+  def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+    if (a == null) b else HllSketch.merge(b, a)
+  def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HllSketch.merge(b1, b2)
+  def finish(b: Array[Byte]): Long = HllSketch.finish(b)
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

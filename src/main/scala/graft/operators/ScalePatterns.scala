@@ -791,7 +791,10 @@ object ScalePatterns extends QueryModule {
           ("value_sum", "sum", money(col("value"))),
           ("cnt", "count_star", lit(1)),
           ("user_min", "min", col("user_id")),
-          ("user_max", "max", col("user_id"))),
+          ("user_max", "max", col("user_id")),
+          // per-group HLL registers: the approximate-UV partial x20
+          // navigates onto (merge is register-max — estimate bit-equal)
+          ("uv_sketch", "hll", col("user_id"))),
         path = sd)
       sd
     }))
@@ -897,6 +900,37 @@ object ScalePatterns extends QueryModule {
         min(col("p_type")).as("first_type"),
         max(col("l_quantity")).as("qty_max"))
     graft.plans.AggRewrite.navigate(raw).orderBy("p_brand")
+  }
+
+  /** x20: approximate-distinct navigation — the serving query asks
+    * per-channel UV via the library's own [[graft.functions.HllSketch]]
+    * (the a16 estimator) and the optimizer re-roots it onto the events
+    * summary's stored sketch partials, merging registers instead of
+    * re-hashing every fact row. Register-max merging makes the merged
+    * registers IDENTICAL to a direct pass over the base, so the
+    * navigated estimate is bit-equal — approximate in VALUE, exact in
+    * REWRITE. At 100 TB this is the Doris bitmap-UV pattern
+    * (DwsTrafficVcChArIsNewPageViewWindow keeps per-window UV state)
+    * with sketches as the re-aggregable currency. The exact-UV checker
+    * column deliberately stays a raw count(DISTINCT) — the spec proves
+    * that shape falls through rather than silently degrading to an
+    * estimate. Oracle contract: a16's — exact UV from DuckDB plus the
+    * within-5% flag (3σ for m=4096) expected TRUE. */
+  private def hllNavigate(s: SparkSession, dir: String): DataFrame = {
+    navEventsDir(s, dir)
+    val e = Tables(s, dir, "events")
+    val hll = udaf(graft.functions.HllSketch)
+    val est = graft.plans.AggRewrite.navigate(
+      e.groupBy(col("event_type").as("ch"))
+        .agg(hll(col("user_id")).as("uv_est"),
+          count(lit(1)).as("pv_ct")))
+    val exact = e.groupBy(col("event_type").as("ch"))
+      .agg(countDistinct(col("user_id")).as("exact_uv"))
+    est.join(exact, "ch")
+      .select(col("ch"), col("pv_ct"), col("exact_uv"),
+        (abs(col("uv_est") - col("exact_uv")).cast(DoubleType) <=
+          col("exact_uv") * lit(0.05)).as("hll_ok"))
+      .orderBy("ch")
   }
 
   /** x16: grouping-sets navigation — a ROLLUP over (month, priority)
@@ -1072,7 +1106,8 @@ object ScalePatterns extends QueryModule {
     "x16_rollup_sets_navigate" -> rollupSetsNavigate,
     "x17_events_navigate" -> eventsNavigate,
     "x18_avg_navigate" -> avgNavigate,
-    "x19_dim_join_navigate" -> dimJoinNavigate)
+    "x19_dim_join_navigate" -> dimJoinNavigate,
+    "x20_hll_navigate" -> hllNavigate)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1127,6 +1162,15 @@ object ScalePatterns extends QueryModule {
          |FROM orders
          |WHERE substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) = '1997'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x20: a16's error-bound contract — DuckDB supplies the exact UV
+    // and the within-5% flag is expected TRUE; the navigated estimate
+    // itself is bit-equal to the raw estimator (spec-proven), so the
+    // approximation is in the VALUE, never in the rewrite
+    "x20_hll_navigate" ->
+      s"""SELECT event_type AS ch, count(*) AS pv_ct,
+         |       count(DISTINCT user_id) AS exact_uv,
+         |       true AS hll_ok
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // x19's oracle runs the RAW fact⋈dim join — the hash match proves
     // the summary⋈dim rewrite preserves join multiplicity exactly
     "x19_dim_join_navigate" ->

@@ -508,6 +508,64 @@ object WindowAggs extends QueryModule {
           .cast(IntegerType))
       .drop("__n", "__rank")
 
+  /** Several [[exactNtile]] assignments over ONE frame, sharing a
+    * single bucket-statistics pass. The sequential chain pays one
+    * offsets aggregate per tile — and because each stage's offsets
+    * re-aggregate the PREVIOUS stage's frame, the frame's lineage
+    * (for a37: the whole events→per-user reduction) re-executes per
+    * tile, which is what tripled a37's wall time in round 10. Every
+    * spec's bucket is a function of the frame's own columns, so all
+    * the per-bucket counts fold into one GROUPING SETS aggregate (one
+    * Expand ×k over ONE execution of the frame); each set's rows are
+    * picked out by grouping_id, cumulated into offsets on the
+    * domain-bounded bucket counts, and broadcast back exactly like
+    * the single-spec path. Each spec is (n, bucket, desc, inBucket,
+    * out) with [[exactNtile]]'s semantics; assignments are bit-equal
+    * to the chained form (spec-proven) because a tile depends only on
+    * its own (bucket, inBucket) columns. */
+  private[graft] def exactNtileMulti(df: DataFrame,
+      specs: Seq[(Int, Column, Boolean, Seq[Column], String)])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = specs.size
+    val withBuckets = specs.zipWithIndex.foldLeft(df) {
+      case (acc, ((_, bucket, _, _, _), i)) =>
+        acc.withColumn(s"__b$i", bucket)
+    }
+    // one pass: per-set bucket counts; grouping_id for set i (only
+    // __b{i} grouped, the rest aggregated away) = (2^k - 1) - 2^(k-1-i)
+    val sets = withBuckets.groupingSets(
+        specs.indices.map(i => Seq(col(s"__b$i"))),
+        specs.indices.map(i => col(s"__b$i")): _*)
+      .agg(count(lit(1)).as("__g"), grouping_id().as("__gid"))
+    specs.zipWithIndex.foldLeft(withBuckets) {
+      case (acc, ((n, _, desc, inBucket, out), i)) =>
+        val gid = (1L << k) - 1L - (1L << (k - 1 - i))
+        val ord = if (desc) col("__obk").desc else col("__obk").asc
+        val cumW = Window.orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val offs = sets.filter(col("__gid") === gid)
+          .select(col(s"__b$i").as("__obk"), col("__g"))
+          .withColumn("__off", sum(col("__g")).over(cumW) - col("__g"))
+          .withColumn("__n",
+            sum(col("__g")).over(Window.partitionBy(lit(1))))
+          .select(col("__obk"), col("__off"), col("__n"))
+        val inW = Window.partitionBy(col(s"__b$i")).orderBy(inBucket: _*)
+        // null-SAFE join — same contract as [[globalRank]]
+        acc.join(broadcast(offs), col(s"__b$i") <=> col("__obk"))
+          .withColumn("__rank", col("__off") + row_number().over(inW))
+          .withColumn(out,
+            when(col("__rank") <=
+                (col("__n") % n) * (expr(s"__n DIV $n") + lit(1L)),
+              expr(s"(__rank - 1) DIV (__n DIV $n + 1) + 1"))
+              .otherwise(expr(
+                s"__n % $n + (__rank - (__n % $n) * (__n DIV $n + 1) - 1)" +
+                  s" DIV (__n DIV $n) + 1"))
+              .cast(IntegerType))
+          .drop("__obk", "__off", "__n", "__rank")
+    }.drop(specs.indices.map(i => s"__b$i"): _*)
+  }
+
   /** ntile(10) over (sortCol DESC, tiebreak ASC) — the a34 shape, a
     * direct [[exactNtile]] with exact-value buckets (a34's sort key is
     * a small-count aggregate, already domain-bounded). */
@@ -691,13 +749,25 @@ object WindowAggs extends QueryModule {
           .as("freq"),
         coalesce(sum(when(col("event_type") === "purchase",
           money(col("value")))), zero).as("monetary"))
-    val r = exactNtile(perUser, 5,
-      expr("recency_sec DIV 3600"), desc = false,
-      Seq(col("recency_sec"), col("user_id")), "r_score")
-    val rf = exactNtile(r, 5, col("freq"), desc = false,
-      Seq(col("user_id")), "f_score")
-    val rfm = exactNtile(rf, 5, floor(col("monetary") / 8).cast(LongType),
-      desc = false, Seq(col("monetary"), col("user_id")), "m_score")
+    // all three tiles over the SAME per-user frame, one shared
+    // bucket-statistics pass ([[exactNtileMulti]]): the chained form
+    // re-executed the events reduction once per tile's offsets. The
+    // frame is locally checkpointed (lazily — the materialization runs
+    // inside the query's own first action, so ledgers see it): the
+    // offsets pass and the three tile windows are FOUR consumers of
+    // one |users|-sized reduction, and Catalyst's exchange reuse can't
+    // cover them (column pruning specializes each branch's partial
+    // aggregate, so the canonical exchanges differ); pinning the RDD
+    // makes the scheduler run the events reduction once. At 100 TB the
+    // pinned frame is |users|-sized — orders of magnitude under the
+    // fact table the reduction reads.
+    val pinned = perUser.localCheckpoint(false)
+    val rfm = exactNtileMulti(pinned, Seq(
+      (5, expr("recency_sec DIV 3600"), false,
+        Seq(col("recency_sec"), col("user_id")), "r_score"),
+      (5, col("freq"), false, Seq(col("user_id")), "f_score"),
+      (5, floor(col("monetary") / 8).cast(LongType), false,
+        Seq(col("monetary"), col("user_id")), "m_score")))
     rfm
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("user_ct"),

@@ -57,7 +57,18 @@ object AggRewrite {
       keyCols: Seq[(String, Column)] = Nil,
       measureCols: Seq[(String, String, Column)] = Nil,
       path: Option[String] = None,
-      partitionKey: Option[String] = None)
+      partitionKey: Option[String] = None,
+      // per-"hll"-measure merge templates, pre-ANALYZED at registration
+      // (a ScalaAggregator's encoders only resolve through the
+      // analyzer; the optimizer can't build one from scratch) — the
+      // rewrite re-roots a template's child onto the fresh summary attr
+      mergeTemplates: Map[String, AggregateExpression] = Map.empty,
+      // delta-maintenance state: the store ROOT (version dirs live
+      // under it), the CURRENT version dir the registration reads, and
+      // the last folded batch id (idempotent replay skip)
+      storeRoot: Option[String] = None,
+      dataDir: Option[String] = None,
+      lastDelta: Long = -1L)
 
   private val registry = TrieMap.empty[SparkSession, Vector[SummaryDef]]
 
@@ -223,7 +234,16 @@ object AggRewrite {
   def register(session: SparkSession, name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
       summary: DataFrame, path: Option[String] = None,
-      partitionKey: Option[String] = None): Unit = {
+      partitionKey: Option[String] = None): Unit =
+    registerInternal(session, name, base, keys, measures, summary,
+      path, partitionKey, None, path, -1L)
+
+  private def registerInternal(session: SparkSession, name: String,
+      base: DataFrame, keys: Seq[(String, Column)],
+      measures: Seq[(String, String, Column)], summary: DataFrame,
+      path: Option[String], partitionKey: Option[String],
+      storeRoot: Option[String], dataDir: Option[String],
+      lastDelta: Long): Unit = {
     // analyze the defining expressions in the base's own context, then
     // resolve them down to the leaf relation's attributes so canonical
     // forms match what matching computes for candidate plans
@@ -246,6 +266,23 @@ object AggRewrite {
       case other => throw new IllegalStateException(
         s"unexpected probe plan shape: ${other.nodeName}")
     }
+    // "hll" measures carry a pre-analyzed merge-and-estimate template:
+    // analysis resolves the ScalaAggregator's encoders, which a
+    // post-analysis rewrite cannot — the rewrite only swaps the child
+    val mergeTemplates: Map[String, AggregateExpression] =
+      measures.collect { case (n, "hll", _) =>
+        val probeAgg = summary.agg(
+          org.apache.spark.sql.functions.udaf(graft.functions.HllMerge)
+            .apply(org.apache.spark.sql.functions.col(n)))
+        val tmpl = probeAgg.queryExecution.analyzed.collectFirst {
+          case a: Aggregate => a.aggregateExpressions.collectFirst {
+            case Alias(ae: AggregateExpression, _) => ae
+            case ae: AggregateExpression => ae
+          }
+        }.flatten.getOrElse(throw new IllegalStateException(
+          s"could not extract the hll merge template for '$n'"))
+        n -> tmpl
+      }.toMap
     val d = SummaryDef(name, paths,
       keys.map { case (n, _) => n -> defs(n) }.toMap,
       // count_star's placeholder column is irrelevant to matching —
@@ -257,7 +294,8 @@ object AggRewrite {
       summary.queryExecution.analyzed,
       snapshotSignature(session, base),
       summary.count(), // one metadata-sized count; the selection cost
-      keys, measures, path, partitionKey)
+      keys, measures, path, partitionKey, mergeTemplates,
+      storeRoot, dataDir, lastDelta)
     // registrations pin their session (the summary plan references it);
     // evict sessions whose context has stopped so a long-lived service
     // registering per-session summaries doesn't accumulate dead ones —
@@ -271,33 +309,148 @@ object AggRewrite {
   }
 
   /** Build the summary `base.groupBy(keys).agg(partials)` from the same
-    * spec used for matching, write it to `path` (overwrite), read it
-    * back, and register it — definition and data from one source. */
+    * spec used for matching, write it under `path` (the store ROOT —
+    * data lands in a `v0` version dir so [[applyDelta]] can land later
+    * versions beside it and re-point atomically), read it back, and
+    * register it — definition and data from one source. */
   def materialize(session: SparkSession, name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
       path: String, partitionBy: Option[String] = None): DataFrame = {
     val rows = summaryRows(base, keys, measures)
+    val dir = s"$path/v0"
     val w = rows.write.mode("overwrite")
-    partitionBy.fold(w)(w.partitionBy(_)).parquet(path)
+    partitionBy.fold(w)(w.partitionBy(_)).parquet(dir)
     // read back with the WRITTEN schema: partition-column type inference
     // would otherwise re-type a date-like partitioned key (e.g. a
     // 'yyyy-MM-dd' day string comes back DATE) and the rewritten plan's
     // schema would silently drift from the raw plan's
-    val summary = session.read.schema(rows.schema).parquet(path)
-    register(session, name, base, keys, measures, summary,
-      Some(path), partitionBy)
+    val summary = session.read.schema(rows.schema).parquet(dir)
+    registerInternal(session, name, base, keys, measures, summary,
+      Some(path), partitionBy, Some(path), Some(dir), -1L)
     summary
+  }
+
+  /** Incremental summary maintenance — the k8 delta algebra applied to
+    * the partials: fold ONE CDC batch's signed rows (`signCol` = +1
+    * insert / −1 delete; an update is −old +new) into the registered
+    * summary, land the folded rows as a NEW version dir under the
+    * store root, and re-sign the fence from the post-batch `base`.
+    * No base-partition rescan: the fold reads |summary| + |batch|
+    * rows. Exact because every foldable partial is group-additive
+    * under signed rows — SUM (exact types: integral/DECIMAL addition
+    * commutes with subtraction), COUNT (± per non-null child), and
+    * COUNT_STAR (± per row); groups whose count_star reaches zero are
+    * DROPPED (a group with no base rows must not exist). MIN/MAX/HLL
+    * are NOT delta-foldable (a delete can't lower a max or clear a
+    * register) — summaries carrying them refuse, use
+    * [[refreshPartitions]].
+    *
+    * Crash/replay contract (the SCD2 sink's discipline):
+    *  - `batchId` ≤ the last folded id → no-op (a foreachBatch replay
+    *    after a crash that committed the fold but not the checkpoint).
+    *  - crash BETWEEN the fold write and the re-sign → the old
+    *    registration stays (stale → navigation falls through, sound);
+    *    the replay re-folds from the still-registered OLD version into
+    *    the SAME deterministic dir and registers — self-healed.
+    *  - reconciliation: the folded store's count_star total must equal
+    *    `base.count()`; on mismatch the new version is never blessed
+    *    and the call throws (delta stream and base have drifted —
+    *    re-materialize).
+    * The previous version dir is kept (an in-flight reader may still
+    * be scanning it); versions older than that are deleted. */
+  def applyDelta(session: SparkSession, name: String, base: DataFrame,
+      deltas: DataFrame, signCol: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    val d = registry.get(session).flatMap(_.find(_.name == name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no summary '$name' registered for this session"))
+    if (batchId <= d.lastDelta) return // replayed batch: already folded
+    val root = d.storeRoot.getOrElse(throw new IllegalArgumentException(
+      s"summary '$name' was not created by materialize — no store root"))
+    val curDir = d.dataDir.getOrElse(root + "/v0")
+    val bad = d.measureCols.collect {
+      case (n, op, _) if !Set("sum", "count", "count_star")(op) => s"$n($op)"
+    }
+    require(bad.isEmpty,
+      s"summary '$name' carries non-delta-foldable partials: " +
+        s"${bad.mkString(", ")} — min/max/hll need refreshPartitions " +
+        "or a re-materialize")
+    val cntCol = d.measureCols.collectFirst {
+      case (n, "count_star", _) => n
+    }.getOrElse(throw new IllegalArgumentException(
+      "delta maintenance needs a count_star measure for group drops " +
+        "and reconciliation"))
+    val sign = col(signCol).cast("long")
+    val signedPartials = d.measureCols.map {
+      case (n, "sum", c) =>
+        sum(when(sign >= 0, c).otherwise(c * lit(-1))).as(n)
+      case (n, "count", c) =>
+        sum(when(c.isNotNull, sign).otherwise(lit(0L))).as(n)
+      case (n, "count_star", _) => sum(sign).as(n)
+      case (n, op, _) => throw new IllegalStateException(s"$n/$op")
+    }
+    val deltaPartials = deltas
+      .groupBy(d.keyCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(signedPartials.head, signedPartials.tail: _*)
+    val storedSchema = org.apache.spark.sql.types.StructType(
+      d.summaryRelation.output
+        .map(a => org.apache.spark.sql.types.StructField(
+          a.name, a.dataType, a.nullable)))
+    val cur = session.read.schema(storedSchema).parquet(curDir)
+    val keyNames = d.keyCols.map(_._1)
+    val joinCond = keyNames
+      .map(k => cur(k) <=> deltaPartials(k)) // null-safe: null keys fold
+      .reduce(_ && _)
+    val folded = cur.join(deltaPartials, joinCond, "full_outer")
+      .select(
+        keyNames.map(k => coalesce(cur(k), deltaPartials(k)).as(k)) ++
+          d.measureCols.map { case (n, _, _) =>
+            val t = storedSchema(n).dataType
+            // schema pin: decimal addition widens; fold back to the
+            // stored partial type so versions stay schema-identical
+            (coalesce(cur(n), lit(0).cast(t)) +
+              coalesce(deltaPartials(n), lit(0).cast(t))).cast(t).as(n)
+          }: _*)
+      .filter(col(cntCol) > 0L) // emptied groups leave the summary
+    val newDir = s"$root/v$batchId"
+    val w = folded.write.mode("overwrite")
+    d.partitionKey.fold(w)(w.partitionBy(_)).parquet(newDir)
+    val summary = session.read.schema(storedSchema).parquet(newDir)
+    val total = summary.agg(sum(col(cntCol))).head
+    val stored = if (total.isNullAt(0)) 0L else total.getLong(0)
+    val actual = base.count()
+    if (stored != actual) throw new IllegalStateException(
+      s"delta reconciliation failed for '$name': folded summary counts " +
+        s"$stored rows, base has $actual — delta stream and base " +
+        "drifted; re-materialize")
+    registerInternal(session, name, base, d.keyCols, d.measureCols,
+      summary, Some(root), d.partitionKey, Some(root), Some(newDir),
+      batchId)
+    // GC versions older than the PREVIOUS one (an in-flight reader may
+    // still scan the previous; anything older has no live reader)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(session.sessionState.newHadoopConf())
+    val keep = Set(newDir, curDir).map(p =>
+      new org.apache.hadoop.fs.Path(p).getName)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .filterNot(st => keep(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   private def summaryRows(base: DataFrame, keys: Seq[(String, Column)],
       measures: Seq[(String, String, Column)]): DataFrame = {
-    import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum, udaf}
     val partials = measures.map {
       case (n, "sum", c) => sum(c).as(n)
       case (n, "min", c) => min(c).as(n)
       case (n, "max", c) => max(c).as(n)
       case (n, "count", c) => count(c).as(n)
       case (n, "count_star", _) => count(lit(1)).as(n)
+      // per-group HLL registers (binary) — re-aggregable by
+      // construction (register-max merge); child must be a 64-bit key
+      case (n, "hll", c) =>
+        udaf(graft.functions.HllSketchPartial).apply(c).as(n)
       case (n, op, _) => throw new IllegalArgumentException(
         s"unsupported partial op '$op' for measure '$n'")
     }
@@ -331,8 +484,10 @@ object AggRewrite {
         s"no summary '$name' registered for this session"))
     val pk = d.partitionKey.getOrElse(throw new IllegalArgumentException(
       s"summary '$name' was not materialized with a partition key"))
-    val path = d.path.getOrElse(throw new IllegalStateException(
-      s"summary '$name' has no recorded path"))
+    // the CURRENT version dir (materialize lands v0 under the root)
+    val path = d.dataDir.orElse(d.path.map(_ + "/v0")).getOrElse(
+      throw new IllegalStateException(
+        s"summary '$name' has no recorded path"))
     val cntCol = d.measureCols.collectFirst {
       case (n, "count_star", _) => n
     }.getOrElse(throw new IllegalArgumentException(
@@ -370,8 +525,10 @@ object AggRewrite {
           s"$stored rows, base has $actual — a changed partition was " +
           "not refreshed; re-materialize fully")
     }
-    register(session, name, base, d.keyCols, d.measureCols, summary,
-      Some(path), Some(pk))
+    // in-place partition overwrite: the version dir is unchanged, so
+    // the delta-maintenance state carries over as-is
+    registerInternal(session, name, base, d.keyCols, d.measureCols,
+      summary, d.path, Some(pk), d.storeRoot, d.dataDir, d.lastDelta)
     summary
   }
 
@@ -598,6 +755,23 @@ object AggRewrite {
           measureAttr.get(("count_star", canon(Literal(1)))).map(sumCounts)
         case f: Count if f.children.size == 1 =>
           measureFor("count", f.children.head).map(sumCounts)
+        // the library's own HLL estimate navigates onto stored sketch
+        // partials: per-register max merging makes the merged registers
+        // IDENTICAL to a direct pass, so the estimate is bit-equal (an
+        // exact count(DISTINCT) never maps — isDistinct bails above)
+        case sa: org.apache.spark.sql.execution.aggregate
+            .ScalaAggregator[_, _, _]
+            if (sa.agg.asInstanceOf[AnyRef] eq
+              graft.functions.HllSketch) && sa.children.size == 1 =>
+          measureFor("hll", sa.children.head).flatMap { attr =>
+            d.mergeTemplates.get(attr.name).map { tmpl =>
+              AggregateExpression(
+                tmpl.aggregateFunction.withNewChildren(Seq(attr))
+                  .asInstanceOf[AggregateFunction],
+                ae.mode, isDistinct = false, None,
+                NamedExpression.newExprId)
+            }
+          }
         case f: Average if f.child.dataType.isInstanceOf[DecimalType] =>
           // avg(x) = checkedDiv(sum(sum_partial), sum(count_partial)) —
           // reconstructed with Average's OWN evaluate shape so the

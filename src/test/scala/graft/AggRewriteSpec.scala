@@ -686,6 +686,314 @@ class AggRewriteSpec extends SparkSuite {
     assert(err.getMessage.contains("file-source"))
   }
 
+  test("hll navigation: the estimate re-roots onto sketch partials, " +
+      "bit-equal; exact count(DISTINCT) falls through") {
+    val evDir = s"file:${operators.ScalePatterns.navEventsDir(spark, sf)}"
+    val eventsPath = s"file:$sf/events.parquet"
+    val e = Tables(spark, sf, "events")
+    val hll = udaf(graft.functions.HllSketch)
+    def estQ = e.groupBy(col("event_type").as("ch"))
+      .agg(hll(col("user_id")).as("uv_est"), count(lit(1)).as("pv"))
+    val nav = AggRewrite.navigate(estQ)
+    assert(scanPaths(nav).exists(_.startsWith(evDir)),
+      s"hll estimate did not navigate: ${scanPaths(nav)}")
+    assert(!scanPaths(nav).contains(eventsPath))
+    // bit-equal: merged partial registers == direct-pass registers
+    assert(estQ.sort("ch").collect().toSeq ==
+      nav.sort("ch").collect().toSeq)
+    // the x20 suite entry's estimate branch navigates too (its exact-UV
+    // checker branch deliberately scans raw)
+    val x20 = q("x20_hll_navigate")
+    assert(scanPaths(x20).exists(_.startsWith(evDir)))
+    // exact distinct never degrades to an estimate
+    val exact = AggRewrite.navigate(
+      e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uv")))
+    assert(scanPaths(exact).contains(eventsPath),
+      s"exact distinct must fall through: ${scanPaths(exact)}")
+  }
+
+  test("registry releases cleared registrations (plans weak-reachable " +
+      "after clear)") {
+    // a long-lived service registers summaries on short-lived child
+    // sessions; after clear() the registry must hold NOTHING of the
+    // registration — the heavyweight state is the analyzed summary
+    // plan (it pins a FileIndex listing and, through its relation, the
+    // whole child session). The session SHELL itself can stay briefly
+    // thread-local-reachable in local mode (pooled executor threads
+    // inherit the active-session InheritableThreadLocal and die after
+    // their keepalive), so the spec pins the PLAN: once cleared, the
+    // registry was its only holder. Stopped-context sessions are
+    // additionally evicted wholesale on the next register().
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_evict_").toString
+    // the whole clone lifecycle runs inside a helper FRAME: a local val
+    // in the test body (the summary DataFrame, the clone) would keep
+    // the plan stack-reachable through the GC loop
+    def lifecycle(): java.lang.ref.WeakReference[AnyRef] = {
+      val clone = spark.newSession()
+      val sess = spark
+      import sess.implicits._
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$base/facts")
+      AggRewrite.enable(clone)
+      val summary = AggRewrite.materialize(clone, "evict_spec",
+        clone.read.parquet(s"$base/facts"),
+        keys = Seq("k" -> col("k")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$base/summary")
+      // this analyzed plan object is exactly what register() stored
+      val stored = summary.queryExecution.analyzed
+      // the registration works on the clone before the clear
+      val nav = AggRewrite.navigate(
+        clone.read.parquet(s"$base/facts").groupBy(col("k"))
+          .agg(count(lit(1)).as("n")))
+      assert(scanPaths(nav).exists(_.contains("summary")))
+      AggRewrite.clear(clone)
+      // and after it: the registration is observably gone
+      val after = AggRewrite.navigate(
+        clone.read.parquet(s"$base/facts").groupBy(col("k"))
+          .agg(count(lit(1)).as("n")))
+      assert(scanPaths(after).exists(_.contains("facts")),
+        "clear() left a live registration")
+      new java.lang.ref.WeakReference(stored)
+    }
+    try {
+      val ref = lifecycle()
+      var tries = 0
+      while (ref.get != null && tries < 40) {
+        System.gc()
+        // some collectors need allocation pressure to finish reference
+        // processing
+        val junk = new Array[Array[Byte]](64)
+        var i = 0
+        while (i < junk.length) { junk(i) = new Array[Byte](1 << 16); i += 1 }
+        Thread.sleep(50)
+        tries += 1
+      }
+      assert(ref.get == null,
+        "cleared registration's plan still strongly reachable — the " +
+          "registry (or rule wiring) retains it")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("delta maintenance: signed folds equal a from-scratch rebuild " +
+      "(inserts, updates, deletes, group drops)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_delta_").toString
+    import spark.implicits._
+    def navQ(facts: DataFrame) = AggRewrite.navigate(
+      facts.groupBy(col("day")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s")))
+    try {
+      // money-typed measure: the DECIMAL-exact case the fold guarantees
+      def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      Seq(("d1", 1L, "10.50"), ("d1", 2L, "20.25"), ("d2", 3L, "5.00"))
+        .toDF("day", "id", "amt")
+        .select(col("day"), col("id"), money(col("amt")).as("amt"),
+          col("id").as("v"))
+        .write.mode("overwrite").parquet(s"$root/facts1")
+      val facts1 = spark.read.parquet(s"$root/facts1")
+      val keys = Seq("day" -> col("day"))
+      val measures = Seq(
+        ("amt_sum", "sum", money(col("amt"))),
+        ("v_sum", "sum", col("v")),
+        ("cnt", "count_star", lit(1)))
+      AggRewrite.materialize(spark, "delta_spec", facts1, keys, measures,
+        s"$root/summary", partitionBy = Some("day"))
+      // one CDC batch: insert d3, update a d1 row (−old +new), delete
+      // ALL of d2 (the group must drop out of the summary)
+      val batch = Seq(
+        ("d3", 9L, "7.77", 9L, 1),   // insert
+        ("d1", 2L, "20.25", 2L, -1), // update: retract old…
+        ("d1", 2L, "99.75", 2L, 1),  // …assert new
+        ("d2", 3L, "5.00", 3L, -1))  // delete the only d2 row
+        .toDF("day", "id", "amt", "v", "sign")
+        .select(col("day"), col("id"), money(col("amt")).as("amt"),
+          col("v"), col("sign"))
+      // the post-batch base truth, landed as the new fact state
+      batch.filter(col("sign") === 1).drop("sign")
+        .unionByName(facts1
+          .join(batch.filter(col("sign") === -1)
+            .select(col("day").as("dd"), col("id").as("di"),
+              col("amt").as("da")),
+            col("day") === col("dd") && col("id") === col("di") &&
+              col("amt") === col("da"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$root/facts2")
+      val facts2 = spark.read.parquet(s"$root/facts2")
+      AggRewrite.applyDelta(spark, "delta_spec", facts2, batch,
+        "sign", batchId = 1L)
+      // folded rows == a from-scratch rebuild over the new base
+      val folded = spark.read.parquet(s"$root/summary/v1")
+      val scratch = facts2.groupBy(col("day"))
+        .agg(sum(money(col("amt"))).as("amt_sum"),
+          sum(col("v")).as("v_sum"), count(lit(1)).as("cnt"))
+      val a = folded.select(col("day"), col("amt_sum").cast("string"),
+        col("v_sum"), col("cnt")).sort("day").collect().toSeq
+      val b = scratch.select(col("day"), col("amt_sum").cast("string"),
+        col("v_sum"), col("cnt")).sort("day").collect().toSeq
+      assert(a == b, s"fold drifted from rebuild:\n$a\n$b")
+      assert(folded.filter(col("day") === "d2").isEmpty,
+        "emptied group must leave the summary")
+      // navigation fires on the new base and serves the folded truth
+      val nav = navQ(facts2)
+      assert(scanPaths(nav).exists(_.contains("/v1")),
+        s"post-delta navigation missed the new version: ${scanPaths(nav)}")
+      val d1 = nav.filter(col("day") === "d1").head
+      assert(d1.getLong(1) == 2L && d1.getDouble(2) == 3.0)
+      // a summary carrying min/max refuses the fold with advice
+      AggRewrite.materialize(spark, "delta_spec_minmax", facts2, keys,
+        measures :+ (("v_max", "max", col("v"))), s"$root/summary_mm")
+      val err = intercept[IllegalArgumentException] {
+        AggRewrite.applyDelta(spark, "delta_spec_minmax", facts2, batch,
+          "sign", 1L)
+      }
+      assert(err.getMessage.contains("refreshPartitions"))
+    } finally {
+      AggRewrite.unregister(spark, "delta_spec")
+      AggRewrite.unregister(spark, "delta_spec_minmax")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("delta maintenance self-heals: replay is a no-op, a torn fold " +
+      "re-folds deterministically") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_heal_").toString
+    import spark.implicits._
+    try {
+      Seq(("d1", 1L), ("d1", 2L), ("d2", 10L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$root/facts1")
+      val facts1 = spark.read.parquet(s"$root/facts1")
+      val keys = Seq("day" -> col("day"))
+      val measures = Seq(("v_sum", "sum", col("v")),
+        ("cnt", "count_star", lit(1)))
+      AggRewrite.materialize(spark, "heal_spec", facts1, keys, measures,
+        s"$root/summary")
+      val batch = Seq(("d2", 5L, 1)).toDF("day", "v", "sign")
+      facts1.unionByName(batch.drop("sign"))
+        .write.mode("overwrite").parquet(s"$root/facts2")
+      val facts2 = spark.read.parquet(s"$root/facts2")
+      // TORN fold: garbage lands in the target version dir (a crash
+      // mid-write), and the registration was never re-signed
+      Seq(("dX", 999L, 999L)).toDF("day", "v_sum", "cnt")
+        .write.mode("overwrite").parquet(s"$root/summary/v7")
+      // the replayed batch re-folds from the still-registered v0 into
+      // the SAME dir and blesses it — self-healed
+      AggRewrite.applyDelta(spark, "heal_spec", facts2, batch, "sign", 7L)
+      val healed = spark.read.parquet(s"$root/summary/v7")
+        .sort("day").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(healed == Seq(("d1", 3L, 2L), ("d2", 15L, 2L)), s"$healed")
+      // a SECOND replay of the same batch id is a no-op even with a
+      // poisoned payload (already-folded guard)
+      val poison = Seq(("d1", 1000000L, 1)).toDF("day", "v", "sign")
+      AggRewrite.applyDelta(spark, "heal_spec", facts2, poison, "sign", 7L)
+      val after = spark.read.parquet(s"$root/summary/v7")
+        .agg(sum(col("v_sum"))).head.getLong(0)
+      assert(after == 18L, "replayed batch must not double-fold")
+      // drifted deltas (count mismatch) refuse the blessing
+      val drift = Seq(("d9", 1L, 1)).toDF("day", "v", "sign")
+      val err = intercept[IllegalStateException] {
+        AggRewrite.applyDelta(spark, "heal_spec", facts2, drift, "sign", 8L)
+      }
+      assert(err.getMessage.contains("reconciliation"))
+    } finally {
+      AggRewrite.unregister(spark, "heal_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("streaming delta maintenance: foreachBatch folds keep the " +
+      "summary equal to a from-scratch rebuild after every batch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_sdelta_").toString
+    import spark.implicits._
+    val factsDir = s"$root/facts"
+    val srcDir = s"$root/src"
+    def facts = spark.read.parquet(factsDir)
+    def serving = AggRewrite.navigate(
+      facts.groupBy(col("day")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s")))
+    try {
+      Seq(("d0", 1L), ("d0", 2L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(factsDir)
+      AggRewrite.materialize(spark, "sdelta_spec", facts,
+        keys = Seq("day" -> col("day")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary", partitionBy = Some("day"))
+      assert(scanPaths(serving).exists(_.contains("summary")))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(srcDir))
+      Seq(("2024-01-01", 10L), ("2024-01-01", 20L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$srcDir/shard1")
+      Seq(("d0", 3L), ("2024-01-02", 100L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$srcDir/shard2")
+      val perBatchChecks =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val stream = spark.readStream
+        .schema("day STRING, v BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val sq = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.persist()
+          batch.write.mode("append").parquet(factsDir)
+          // the k8 algebra: an append-only CDC batch is all +1 rows
+          AggRewrite.applyDelta(spark, "sdelta_spec", facts,
+            batch.withColumn("sign", lit(1)), "sign", id)
+          batch.unpersist()
+          // after EVERY fold: summary == from-scratch rebuild
+          val scratch = facts.groupBy(col("day"))
+            .agg(sum(col("v")).as("v_sum"), count(lit(1)).as("cnt"))
+            .sort("day").collect().toSeq
+          val nav = serving
+          if (!scanPaths(nav).exists(_.contains("summary")))
+            perBatchChecks.add(s"batch $id: navigation fell through")
+          val got = nav.sort("day").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val want = scratch.map(r => (r.getString(0), r.getLong(2)))
+          if (got != want)
+            perBatchChecks.add(s"batch $id: $got != $want")
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination(120000)
+      assert(perBatchChecks.isEmpty,
+        perBatchChecks.toArray.mkString("\n"))
+      val got = serving.sort("day").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq(("2024-01-01", 2L, 30.0),
+        ("2024-01-02", 1L, 100.0), ("d0", 3L, 6.0)), s"got $got")
+    } finally {
+      AggRewrite.unregister(spark, "sdelta_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("SQL-text serving queries navigate too (temp view over the fact)") {
     summaryDir
     Tables(spark, sf, "orders").createOrReplaceTempView("nav_orders")

@@ -547,6 +547,50 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("exactNtileMulti: one shared stats pass, bit-equal to the " +
+      "chained exactNtile (the a37 shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val sess = spark
+    import sess.implicits._
+    // a37-shaped frame: three metrics with ties, skew, and NULLs
+    val df = (1 to 500).map { i =>
+      (s"u$i", (i % 23).toLong, (i % 7).toLong,
+        if (i % 11 == 0) Option.empty[Long] else Some((i % 40).toLong))
+    }.toDF("user_id", "rec", "freq", "mon")
+    val specs = Seq(
+      (5, expr("rec DIV 3"), false,
+        Seq(col("rec"), col("user_id")), "r_score"),
+      (5, col("freq"), false, Seq(col("user_id")), "f_score"),
+      (4, col("mon"), true, Seq(col("user_id")), "m_score"))
+    val chained = specs.foldLeft(df) {
+      case (acc, (n, bucket, desc, inB, out)) =>
+        graft.operators.WindowAggs.exactNtile(acc, n, bucket, desc,
+          inB, out)
+    }.select(col("user_id"), col("r_score"), col("f_score"),
+      col("m_score"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val multi = graft.operators.WindowAggs.exactNtileMulti(df, specs)
+      .select(col("user_id"), col("r_score"), col("f_score"),
+        col("m_score"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(multi == chained)
+    // and each score alone equals the plain window ntile
+    for (((n, bucket, desc, _, out), ord) <- specs.zip(Seq(
+        Seq(col("rec").asc, col("user_id").asc),
+        Seq(col("freq").asc, col("user_id").asc),
+        Seq(col("mon").desc, col("user_id").asc)))) {
+      val want = df.withColumn(out, ntile(n).over(Window.orderBy(ord: _*)))
+        .select(col("user_id"), col(out))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val got = graft.operators.WindowAggs.exactNtileMulti(df, specs)
+        .select(col("user_id"), col(out))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == want, s"$out vs window ntile")
+    }
+  }
+
   test("a38 percentiles: monotone, bracketed by min/max, exact count") {
     val r = q("a38_event_percentiles").head()
     val users = Tables(spark, sf, "events")
