@@ -68,7 +68,16 @@ object AggRewrite {
       // the last folded batch id (idempotent replay skip)
       storeRoot: Option[String] = None,
       dataDir: Option[String] = None,
-      lastDelta: Long = -1L)
+      lastDelta: Long = -1L,
+      // partition-stitch state: when the BASE store is single-level
+      // partitioned by a column that is itself a summary key, the
+      // fence signs each partition separately and a partially-stale
+      // base serves summary ∪ recomputed-touched-partitions instead of
+      // falling all the way through (see [[Ctx.fenceState]])
+      partSigs: Map[String, String] = Map.empty,
+      basePartCol: Option[String] = None,
+      stitchKey: Option[String] = None,
+      partialTemplate: Option[LogicalPlan] = None)
 
   private val registry = TrieMap.empty[SparkSession, Vector[SummaryDef]]
 
@@ -133,8 +142,11 @@ object AggRewrite {
     * filesystem) closes the TOCTOU window where files land between the
     * snapshot the summary was built from and the registration call —
     * the live form would bless a summary missing those rows. */
-  private def snapshotSignature(session: SparkSession,
-      base: DataFrame): String = {
+  /** The base DataFrame's pinned file listing: (whole-listing digest,
+    * the file statuses when the index exposes them — None forces the
+    * live-listing fallback and disables partition stitching). */
+  private def snapshotListing(session: SparkSession, base: DataFrame)
+      : (String, Option[Seq[org.apache.hadoop.fs.FileStatus]]) = {
     // one flat guard (not a nested match): a non-file leaf (JDBC, an
     // in-memory relation) must fall to None and raise the intended
     // IllegalArgumentException, not a MatchError from a half-matched
@@ -145,14 +157,50 @@ object AggRewrite {
     }
     idx match {
       case Some(p: PartitioningAwareFileIndex) =>
-        digest(p.allFiles().map(statusEntry))
+        val files = p.allFiles()
+        (digest(files.map(statusEntry)), Some(files))
       case Some(other) =>
         // no snapshot listing exposed: fall back to live (window stays)
-        baseSignature(session, other.rootPaths.map(_.toString).toSet)
+        (baseSignature(session, other.rootPaths.map(_.toString).toSet),
+          None)
       case None => throw new IllegalArgumentException(
         "base must be a file-source relation")
     }
   }
+
+  /** Group a file listing by its single-level partition directory:
+    * Some((column, value → sorted entries)) only when EVERY file sits
+    * directly under one `col=value` dir with a consistent column name,
+    * no deeper partition nesting, no null (`__HIVE_DEFAULT_PARTITION__`)
+    * and no escaped values — the shapes per-partition signing can
+    * reason about; anything else falls back to whole-listing fencing. */
+  private def partGroups(files: Seq[org.apache.hadoop.fs.FileStatus])
+      : Option[(String, Map[String, Seq[String]])] = {
+    if (files.isEmpty) return None
+    val kv = files.map { st =>
+      val parent = st.getPath.getParent
+      if (parent == null) return None
+      val seg = parent.getName
+      val i = seg.indexOf('=')
+      if (i <= 0) return None
+      val (c, v) = (seg.substring(0, i), seg.substring(i + 1))
+      if (v == "__HIVE_DEFAULT_PARTITION__" || v.contains("%")) return None
+      val grand = Option(parent.getParent).map(_.getName).getOrElse("")
+      if (grand.contains("=")) return None // multi-level partitioning
+      (c, v, statusEntry(st))
+    }
+    if (kv.map(_._1).toSet.size != 1) return None
+    Some((kv.head._1,
+      kv.groupBy(_._2).view.mapValues(_.map(_._3)).toMap))
+  }
+
+  /** Name-marker form of a bare base attribute — what [[canon]] turns
+    * an AttributeReference into; used to test whether a summary key IS
+    * the base's partition column. */
+  private def markerFor(name: String): Expression =
+    Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString("__graft_attr:" + name),
+      org.apache.spark.sql.types.StringType).canonicalized
 
   private def leafInfo(p: LogicalPlan): Option[(Set[String], FileIndex)] =
     p match {
@@ -197,11 +245,13 @@ object AggRewrite {
     * attributes (e.g. through the events ts-normalization projection in
     * [[graft.Tables]]). */
   private def peel(plan: LogicalPlan): Option[(Map[ExprId, Expression],
-      Vector[Expression], Set[String], FileIndex)] = {
+      Vector[Expression], Set[String], FileIndex, LogicalRelation)] = {
     val (sub, filters, rest) = peelChain(plan)
     rest match {
       case lr: LogicalRelation =>
-        leafInfo(lr).map { case (paths, idx) => (sub, filters, paths, idx) }
+        leafInfo(lr).map { case (paths, idx) =>
+          (sub, filters, paths, idx, lr)
+        }
       case _ => None
     }
   }
@@ -251,7 +301,7 @@ object AggRewrite {
       (keys.map { case (n, c) => c.as(n) } ++
         measures.map { case (n, _, c) => c.as(n) }): _*)
     val analyzed = probe.queryExecution.analyzed
-    val (sub, probeFilters, paths, _) = peel(analyzed match {
+    val (sub, probeFilters, paths, _, _) = peel(analyzed match {
       case Project(_, child) => child
       case other => other
     }).getOrElse(throw new IllegalArgumentException(
@@ -283,8 +333,31 @@ object AggRewrite {
           s"could not extract the hll merge template for '$n'"))
         n -> tmpl
       }.toMap
+    val keyDefs = keys.map { case (n, _) => n -> defs(n) }.toMap
+    val (baseSig, snapFiles) = snapshotListing(session, base)
+    // partition-stitch prerequisites: a single-level-partitioned base
+    // whose partition column is itself a summary key (bare-attribute
+    // def), plus the pre-analyzed partial-aggregate template the raw
+    // branch re-roots at match time
+    val (partSigs, basePartCol, stitchKey) =
+      snapFiles.flatMap(partGroups) match {
+        case Some((pcol, groups)) =>
+          val sk = keyDefs.collectFirst {
+            case (k, defExpr) if defExpr == markerFor(pcol) => k
+          }
+          sk match {
+            case Some(k) =>
+              (groups.view.mapValues(digest).toMap, Some(pcol), Some(k))
+            case None => (Map.empty[String, String], None, None)
+          }
+        case None => (Map.empty[String, String], None, None)
+      }
+    val partialTemplate =
+      if (stitchKey.isDefined)
+        Some(summaryRows(base, keys, measures).queryExecution.analyzed)
+      else None
     val d = SummaryDef(name, paths,
-      keys.map { case (n, _) => n -> defs(n) }.toMap,
+      keyDefs,
       // count_star's placeholder column is irrelevant to matching —
       // normalize its def so count(*)/count(1) queries always find it
       // whatever literal the caller registered with
@@ -292,10 +365,11 @@ object AggRewrite {
         (n, op, if (op == "count_star") canon(Literal(1)) else defs(n))
       },
       summary.queryExecution.analyzed,
-      snapshotSignature(session, base),
+      baseSig,
       summary.count(), // one metadata-sized count; the selection cost
       keys, measures, path, partitionKey, mergeTemplates,
-      storeRoot, dataDir, lastDelta)
+      storeRoot, dataDir, lastDelta,
+      partSigs, basePartCol, stitchKey, partialTemplate)
     // registrations pin their session (the summary plan references it);
     // evict sessions whose context has stopped so a long-lived service
     // registering per-session summaries doesn't accumulate dead ones —
@@ -664,7 +738,8 @@ object AggRewrite {
       keyAttrByDef: Map[Expression, Attribute],
       measureAttr: Map[(String, Expression), Attribute],
       candIndex: FileIndex,
-      pass: Set[ExprId]) {
+      pass: Set[ExprId],
+      candLeaf: LogicalRelation) {
 
     val resolve: Expression => Expression = resolveVia(sub) _
     private val summaryIds = freshSummary.output.map(_.exprId).toSet
@@ -690,6 +765,98 @@ object AggRewrite {
       case p: PartitioningAwareFileIndex =>
         digest(p.allFiles().map(statusEntry)) == d.baseSig
       case _ => baseSignature(session, d.basePaths) == d.baseSig
+    }
+
+    /** Three-state fence for the simple path: Fresh (serve the summary
+      * whole), Touched (a single-level-partitioned base whose diff
+      * against the registration is confined to named partition values
+      * — serve summary-minus-touched ∪ touched-recomputed-raw, the
+      * Doris during-compaction hybrid), Stale (anything else — fall
+      * through whole). Touched is bounded at 64 values: past that an
+      * IN-list stops being a sane plan and a full fall-through (or a
+      * refresh) is the right answer. */
+    sealed trait FenceState
+    case object Fresh extends FenceState
+    case object Stale extends FenceState
+    final case class Touched(values: Seq[String]) extends FenceState
+
+    def fenceState: FenceState = candIndex match {
+      case p: PartitioningAwareFileIndex =>
+        val files = p.allFiles()
+        if (digest(files.map(statusEntry)) == d.baseSig) Fresh
+        else if (d.partSigs.isEmpty) Stale
+        else partGroups(files) match {
+          case Some((pcol, groups)) if d.basePartCol.contains(pcol) =>
+            val candSigs = groups.view.mapValues(digest).toMap
+            val touched =
+              (candSigs.keySet ++ d.partSigs.keySet).toSeq.sorted
+                .filter(v => candSigs.get(v) != d.partSigs.get(v))
+            if (touched.isEmpty) Fresh // same bytes, different grouping
+            else if (touched.size > 64) Stale
+            else Touched(touched)
+          case _ => Stale
+        }
+      case _ =>
+        if (baseSignature(session, d.basePaths) == d.baseSig) Fresh
+        else Stale
+    }
+
+    /** The stitched child for a Touched fence: summary rows for
+      * untouched partitions UNION the touched partitions re-aggregated
+      * RAW at the summary grain — positionally schema-identical to the
+      * summary, so every re-aggregated partial consumes either branch
+      * transparently. The raw branch re-roots the registration-time
+      * partial-aggregate template onto THIS candidate's pinned leaf
+      * (the plan's own snapshot, same fence discipline) with an
+      * IN(partition-values) filter directly above the scan — partition
+      * pruning keeps the rescan to the touched days. Internal aliases
+      * are freshened so two stitched navigations in one query can't
+      * collide on exprIds. */
+    def stitchedChild(touched: Seq[String]): Option[LogicalPlan] = for {
+      tmpl <- d.partialTemplate
+      pcol <- d.basePartCol
+      sk <- d.stitchKey
+      candAttr <- candLeaf.output.find(_.name == pcol)
+      sumAttr <- freshSummary.output.find(_.name == sk)
+      // literal parsing is only trusted for these types (partition dir
+      // values are strings; a failed cast would silently drop rows)
+      if Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(candAttr.dataType)
+      tmplLeaf <- tmpl.collectLeaves().collectFirst {
+        case lr: LogicalRelation => lr
+      }
+      leafMap = tmplLeaf.output.flatMap(a =>
+        candLeaf.output.find(_.name == a.name).map(a.exprId -> _)).toMap
+      if leafMap.size == tmplLeaf.output.size
+    } yield {
+      def lits(dt: org.apache.spark.sql.types.DataType) =
+        touched.map(v => Cast(Literal(v), dt))
+      val rawFilter = In(candAttr, lits(candAttr.dataType))
+      val rerooted = tmpl.transformUp {
+        case lr: LogicalRelation if lr eq tmplLeaf =>
+          Filter(rawFilter, candLeaf)
+      }.transformAllExpressions {
+        case a: AttributeReference if leafMap.contains(a.exprId) =>
+          leafMap(a.exprId)
+      }
+      // freshen every alias defined INSIDE the template so repeated
+      // stitches (or a stitch beside the template's future reuse)
+      // never share exprIds
+      val aliasIds = rerooted.collect { case n => n.expressions }.flatten
+        .flatMap(_.collect { case al: Alias => al.exprId }).toSet
+      val freshIds = aliasIds.map(_ -> NamedExpression.newExprId).toMap
+      val rawBranch = rerooted.transformAllExpressions {
+        case al: Alias if freshIds.contains(al.exprId) =>
+          Alias(al.child, al.name)(freshIds(al.exprId), al.qualifier,
+            al.explicitMetadata)
+        case ar: AttributeReference if freshIds.contains(ar.exprId) =>
+          ar.withExprId(freshIds(ar.exprId))
+      }
+      val summaryBranch = Filter(
+        Not(In(sumAttr, lits(sumAttr.dataType))), freshSummary)
+      org.apache.spark.sql.catalyst.plans.logical.Union(
+        Seq(summaryBranch, rawBranch))
     }
 
     /** Map one aggregate onto the summary's partials. SUM→SUM of
@@ -903,7 +1070,9 @@ object AggRewrite {
       }
     }
 
-    /** Plain GROUP BY over the base scan. */
+    /** Plain GROUP BY over the base scan. The fence's three outcomes:
+      * Fresh serves the summary, Touched stitches summary ∪ touched
+      * partitions recomputed raw, Stale falls through whole. */
     def rewriteSimple(agg: Aggregate): Option[Aggregate] = {
       if (agg.groupingExpressions.exists(!_.deterministic) ||
         agg.aggregateExpressions.exists(!_.deterministic)) return None
@@ -913,8 +1082,17 @@ object AggRewrite {
         rw(ne).flatMap(keepIdentity(ne, _))
       }
       if (newNamed.exists(_.isEmpty)) return None
-      if (!fenceFresh) return None
-      rewrittenFilterChild.map { child0 =>
+      val mapped = filters.map(rw(_))
+      if (mapped.exists(_.isEmpty)) return None
+      val scanSide: Option[LogicalPlan] = fenceState match {
+        case Fresh => Some(freshSummary)
+        case Touched(vals) => stitchedChild(vals)
+        case Stale => None
+      }
+      scanSide.map { scan =>
+        val child0 =
+          if (mapped.isEmpty) scan
+          else Filter(mapped.map(_.get).reduce(And), scan)
         agg.copy(groupingExpressions = newGroup.map(_.get),
           aggregateExpressions = newNamed.map(_.get), child = child0)
       }
@@ -993,9 +1171,9 @@ object AggRewrite {
     def build(session: SparkSession, child: LogicalPlan, d: SummaryDef,
         extraSub: Map[ExprId, Expression] = Map.empty,
         passIds: Set[ExprId] = Set.empty): Option[Ctx] = {
-      val (sub, filters, candIdx) = peel(child) match {
-        case Some((s0, f0, paths, idx)) if paths == d.basePaths =>
-          (s0 ++ extraSub, f0, idx)
+      val (sub, filters, candIdx, candLeaf) = peel(child) match {
+        case Some((s0, f0, paths, idx, leaf)) if paths == d.basePaths =>
+          (s0 ++ extraSub, f0, idx, leaf)
         case _ => return None
       }
       // a non-deterministic filter (rand() sampling) selects base ROWS,
@@ -1017,7 +1195,7 @@ object AggRewrite {
       if (keyAttrByDef.size != d.keyDefs.size ||
         measureAttr.size != d.measureDefs.size) None
       else Some(new Ctx(session, d, sub, filters, freshSummary,
-        keyAttrByDef, measureAttr, candIdx, passIds))
+        keyAttrByDef, measureAttr, candIdx, passIds, candLeaf))
     }
   }
 }

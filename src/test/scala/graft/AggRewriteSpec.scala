@@ -994,6 +994,145 @@ class AggRewriteSpec extends SparkSuite {
     }
   }
 
+  test("partition stitch: a touched day serves summary ∪ raw instead " +
+      "of falling through whole") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_stitch_").toString
+    import spark.implicits._
+    val schema = "v BIGINT, tier STRING, day STRING"
+    // explicit schema: partition-value inference would re-type the day
+    // dirs and the stitch (correctly) refuses un-parseable literals
+    def facts = spark.read.schema(schema).parquet(s"$root/facts")
+    def rawQ = facts.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"))
+    def navQ = AggRewrite.navigate(rawQ)
+    try {
+      Seq((1L, "gold", "d1"), (2L, "std", "d1"), (10L, "gold", "d2"),
+        (20L, "std", "d3"))
+        .toDF("v", "tier", "day")
+        .write.partitionBy("day").mode("overwrite")
+        .parquet(s"$root/facts")
+      AggRewrite.materialize(spark, "stitch_spec", facts,
+        keys = Seq("day" -> col("day"), "tier" -> col("tier")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary")
+      // fresh: summary only
+      val fresh = navQ
+      assert(scanPaths(fresh).exists(_.contains("summary")))
+      assert(!scanPaths(fresh).exists(_.contains("facts")))
+      // touch ONE day (append into d2): the plan must now scan BOTH —
+      // the summary for d1/d3 and the raw store for d2
+      Seq((100L, "gold", "d2")).toDF("v", "tier", "day")
+        .write.partitionBy("day").mode("append").parquet(s"$root/facts")
+      val stitched = navQ
+      val paths = scanPaths(stitched)
+      assert(paths.exists(_.contains("summary")),
+        s"summary branch missing: $paths")
+      assert(paths.exists(_.contains("facts")),
+        s"raw branch missing: $paths")
+      // and the stitched result equals the all-raw twin (groups span
+      // touched and untouched days — the union re-aggregates across)
+      assert(stitched.sort("tier").collect().toSeq ==
+        rawQ.sort("tier").collect().toSeq)
+      // a NEW day stitches the same way
+      Seq((7L, "std", "d9")).toDF("v", "tier", "day")
+        .write.partitionBy("day").mode("append").parquet(s"$root/facts")
+      val withNew = navQ
+      assert(scanPaths(withNew).exists(_.contains("facts")))
+      assert(withNew.sort("tier").collect().toSeq ==
+        rawQ.sort("tier").collect().toSeq)
+      // a DELETED day: its rows leave both branches
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$root/facts/day=d3"))
+      val afterDelete = navQ
+      assert(scanPaths(afterDelete).exists(_.contains("summary")))
+      assert(afterDelete.sort("tier").collect().toSeq ==
+        rawQ.sort("tier").collect().toSeq)
+      // day-grouped query through the stitch: the touched day's row
+      // comes from raw, untouched days from the summary
+      val byDay = AggRewrite.navigate(
+        facts.groupBy(col("day")).agg(sum(col("v")).as("sv")))
+      assert(scanPaths(byDay).exists(_.contains("summary")))
+      assert(byDay.sort("day").collect().toSeq ==
+        facts.groupBy(col("day")).agg(sum(col("v")).as("sv"))
+          .sort("day").collect().toSeq)
+      // re-materializing restores a pure-summary plan
+      AggRewrite.materialize(spark, "stitch_spec", facts,
+        keys = Seq("day" -> col("day"), "tier" -> col("tier")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary2")
+      val back = navQ
+      assert(scanPaths(back).exists(_.contains("summary2")))
+      assert(!scanPaths(back).exists(_.contains("facts")))
+    } finally {
+      AggRewrite.unregister(spark, "stitch_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("partition stitch stays sound where it can't reason: " +
+      "unpartitioned bases and filtered queries") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_stitch2_").toString
+    import spark.implicits._
+    try {
+      // unpartitioned base: any change is a whole-listing fall-through
+      Seq(("d1", 1L), ("d2", 2L)).toDF("day", "v")
+        .write.mode("overwrite").parquet(s"$root/flat")
+      AggRewrite.materialize(spark, "stitch_flat",
+        spark.read.parquet(s"$root/flat"),
+        keys = Seq("day" -> col("day")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/fsum")
+      Seq(("d2", 5L)).toDF("day", "v")
+        .write.mode("append").parquet(s"$root/flat")
+      val flatNav = AggRewrite.navigate(
+        spark.read.parquet(s"$root/flat").groupBy(col("day"))
+          .agg(count(lit(1)).as("n")))
+      assert(!scanPaths(flatNav).exists(_.contains("fsum")),
+        s"unpartitioned stale base must fall through: ${scanPaths(flatNav)}")
+      // partitioned base, KEY-filtered query across the stitch: the
+      // filter applies above the union, so both branches obey it
+      val schema = "v BIGINT, day STRING"
+      def facts = spark.read.schema(schema).parquet(s"$root/facts")
+      Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("v", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/facts")
+      AggRewrite.materialize(spark, "stitch_filter", facts,
+        keys = Seq("day" -> col("day")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/psum")
+      Seq((10L, "d2")).toDF("v", "day")
+        .write.partitionBy("day").mode("append").parquet(s"$root/facts")
+      def fq = facts.filter(col("day") =!= "d3")
+        .groupBy(col("day")).agg(sum(col("v")).cast("double").as("s"))
+      val nav = AggRewrite.navigate(fq)
+      assert(scanPaths(nav).exists(_.contains("psum")) &&
+        scanPaths(nav).exists(_.contains("facts")),
+        s"filtered stitch shape: ${scanPaths(nav)}")
+      assert(nav.sort("day").collect().toSeq ==
+        fq.sort("day").collect().toSeq)
+    } finally {
+      AggRewrite.unregister(spark, "stitch_flat")
+      AggRewrite.unregister(spark, "stitch_filter")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("SQL-text serving queries navigate too (temp view over the fact)") {
     summaryDir
     Tables(spark, sf, "orders").createOrReplaceTempView("nav_orders")
