@@ -302,6 +302,21 @@ object Graft {
     graft.plans.AggRewrite.refreshPartitions(base.sparkSession, name,
       base, values)
 
+  /** Incremental summary maintenance — fold ONE signed CDC batch
+    * (`signCol` = +1 insert / −1 delete; an update is −old +new rows
+    * of the base schema) into the summary's sum/count partials, land a
+    * new version dir, re-sign the fence from the post-batch `base`.
+    * Replay-idempotent by `batchId` (a foreachBatch maintainer passes
+    * the batch id straight through); torn folds re-fold
+    * deterministically; count reconciliation refuses drifted streams;
+    * summaries carrying min/max/hll partials refuse (use
+    * [[refreshSummaryPartitions]]). Every sum measure needs a count
+    * measure of the same child (NULL restoration after deletes). */
+  def applyDelta(name: String, base: DataFrame, deltas: DataFrame,
+      signCol: String, batchId: Long): Unit =
+    graft.plans.AggRewrite.applyDelta(base.sparkSession, name, base,
+      deltas, signCol, batchId)
+
   /** Rewrite ONE query's plan onto any registered summary it is
     * derivable from; returns the frame unchanged when no rewrite
     * applies. Sound by construction: exact canonical-expression

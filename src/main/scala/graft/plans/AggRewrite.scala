@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
-import org.apache.spark.sql.types.{DecimalType, IntegralType}
+import org.apache.spark.sql.types.DecimalType
 
 /** Materialized-aggregate navigation: a Catalyst optimizer rule that
   * rewrites an `Aggregate` written against a RAW fact table onto a
@@ -454,6 +454,22 @@ object AggRewrite {
     }.getOrElse(throw new IllegalArgumentException(
       "delta maintenance needs a count_star measure for group drops " +
         "and reconciliation"))
+    // every sum partial needs a count partial of the SAME child: a raw
+    // sum is NULL exactly when the group has zero non-null inputs, and
+    // only that count lets the fold restore NULL after deletes remove
+    // the last non-null row (0 would be silently wrong)
+    val canonByName = d.measureDefs.map { case (n, op, c) => n -> (op, c) }
+      .toMap
+    val cntForSum: Map[String, String] = d.measureCols.collect {
+      case (n, "sum", _) =>
+        val childCanon = canonByName(n)._2
+        n -> d.measureDefs.collectFirst {
+          case (cn, "count", cc) if cc == childCanon => cn
+        }.getOrElse(throw new IllegalArgumentException(
+          s"delta maintenance of sum '$n' needs a count partial of the " +
+            "same child expression (NULL restoration after deletes) — " +
+            "add one to the summary or use refreshPartitions"))
+    }.toMap
     val sign = col(signCol).cast("long")
     val signedPartials = d.measureCols.map {
       case (n, "sum", c) =>
@@ -475,18 +491,30 @@ object AggRewrite {
     val joinCond = keyNames
       .map(k => cur(k) <=> deltaPartials(k)) // null-safe: null keys fold
       .reduce(_ && _)
+    // schema pin: decimal addition widens; fold back to the stored
+    // partial type so versions stay schema-identical
+    def foldExpr(n: String): Column = {
+      val t = storedSchema(n).dataType
+      (coalesce(cur(n), lit(0).cast(t)) +
+        coalesce(deltaPartials(n), lit(0).cast(t))).cast(t)
+    }
     val folded = cur.join(deltaPartials, joinCond, "full_outer")
       .select(
         keyNames.map(k => coalesce(cur(k), deltaPartials(k)).as(k)) ++
-          d.measureCols.map { case (n, _, _) =>
-            val t = storedSchema(n).dataType
-            // schema pin: decimal addition widens; fold back to the
-            // stored partial type so versions stay schema-identical
-            (coalesce(cur(n), lit(0).cast(t)) +
-              coalesce(deltaPartials(n), lit(0).cast(t))).cast(t).as(n)
+          d.measureCols.map {
+            case (n, "sum", _) =>
+              // NULL restoration: sum is NULL iff the group has zero
+              // non-null inputs — read it off the paired count's fold
+              val t = storedSchema(n).dataType
+              when(foldExpr(cntForSum(n)) === 0L, lit(null).cast(t))
+                .otherwise(foldExpr(n)).cast(t).as(n)
+            case (n, _, _) => foldExpr(n).as(n)
           }: _*)
       .filter(col(cntCol) > 0L) // emptied groups leave the summary
-    val newDir = s"$root/v$batchId"
+    // delta versions are d<batchId>: batch ids start at 0 and must
+    // never collide with materialize's v0 (an in-place overwrite of
+    // the version a reader — and the fold itself — is scanning)
+    val newDir = s"$root/d$batchId"
     val w = folded.write.mode("overwrite")
     d.partitionKey.fold(w)(w.partitionBy(_)).parquet(newDir)
     val summary = session.read.schema(storedSchema).parquet(newDir)
@@ -507,7 +535,10 @@ object AggRewrite {
     val keep = Set(newDir, curDir).map(p =>
       new org.apache.hadoop.fs.Path(p).getName)
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && (n.startsWith("v") || n.startsWith("d"))
+      }
       .filterNot(st => keep(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
   }
@@ -670,8 +701,18 @@ object AggRewrite {
     * (simple GROUP BY), an Expand (ROLLUP/CUBE/GROUPING SETS), or an
     * inner equi-join between the base and a dimension subtree (the
     * reference's fact⋈province_dim serving shape). */
+  /** Marks a stitched raw branch's Aggregate: it is itself a derivable
+    * aggregate over the (still-Touched) base, so without the tag the
+    * fixed-point optimizer batch would re-stitch it every iteration
+    * and never converge (tags survive makeCopy, so the skip holds
+    * across iterations). */
+  private val StitchedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit](
+      "graft.aggRewrite.stitchedRawBranch")
+
   private def tryRewrite(session: SparkSession, agg: Aggregate,
       d: SummaryDef): Option[Aggregate] = {
+    if (agg.getTagValue(StitchedTag).isDefined) return None
     val (aboveSub, aboveFilters, rest) = peelChain(agg.child)
     rest match {
       case e: Expand if aboveSub.isEmpty && aboveFilters.isEmpty =>
@@ -853,6 +894,10 @@ object AggRewrite {
         case ar: AttributeReference if freshIds.contains(ar.exprId) =>
           ar.withExprId(freshIds(ar.exprId))
       }
+      // the raw branch is a derivable Aggregate over a Touched base —
+      // tag it or the next optimizer iteration stitches it again,
+      // forever (Max-iterations warn / errorOnExceed failure)
+      rawBranch.setTagValue(StitchedTag, ())
       val summaryBranch = Filter(
         Not(In(sumAttr, lits(sumAttr.dataType))), freshSummary)
       org.apache.spark.sql.catalyst.plans.logical.Union(
@@ -903,10 +948,14 @@ object AggRewrite {
       // a child that references pass-through (dim) attributes must NOT
       // consult the measure table: canonical forms mark attributes by
       // NAME, so a dim column could collide with a same-named base
-      // measure and map onto the wrong partial
-      def measureFor(op: String, child: Expression): Option[Attribute] =
-        if (touchesPass(child)) None
-        else measureAttr.get((op, canon(resolve(child))))
+      // measure and map onto the wrong partial. The guard tests the
+      // RESOLVED form — an above-join alias OF a dim column otherwise
+      // slips past it and collides the same way.
+      def measureFor(op: String, child: Expression): Option[Attribute] = {
+        val resolved = resolve(child)
+        if (touchesPass(resolved)) None
+        else measureAttr.get((op, canon(resolved)))
+      }
       val rebuilt: Option[Expression] = ae.aggregateFunction match {
         case f: Sum if exact(f.child.dataType) =>
           measureFor("sum", f.child).map(reagg(f, _))
@@ -957,7 +1006,9 @@ object AggRewrite {
               DecimalType(math.min(p, 38), math.min(s, 38))
             val sumDT = bounded(dt.precision + 10, dt.scale)
             val resT = bounded(dt.precision + 4, dt.scale + 4)
-            def cntE = AggregateExpression(Sum(cntA), ae.mode,
+            // ONE count aggregate shared by the zero-guard and the
+            // divisor (same resultId → one physical buffer)
+            val cntE = AggregateExpression(Sum(cntA), ae.mode,
               isDistinct = false, None, NamedExpression.newExprId)
             val sumE = AggregateExpression(Sum(sumA), ae.mode,
               isDistinct = false, None, NamedExpression.newExprId)
@@ -990,11 +1041,15 @@ object AggRewrite {
       case _ =>
         // an expression touching pass-through (dim) attributes must not
         // consult the key table — canonical name-markers could collide
-        // with a same-named base column (see measureFor)
+        // with a same-named base column. Tested on the RESOLVED form:
+        // an above-join alias OF a dim column must not slip past the
+        // guard and map onto a same-named fact key (see measureFor).
+        val resolved = resolve(e)
         val keyHit =
-          if (e.references.exists(a => pass(a.exprId) || passIds(a.exprId)))
+          if (resolved.references.exists(a =>
+              pass(a.exprId) || passIds(a.exprId)))
             None
-          else keyAttrByDef.get(canon(resolve(e)))
+          else keyAttrByDef.get(canon(resolved))
         keyHit match {
           case Some(attr) => Some(attr)
           case None => e match {
@@ -1011,13 +1066,21 @@ object AggRewrite {
         }
     }
 
-    def rewrittenFilterChild: Option[LogicalPlan] = {
+    /** The candidate's own (peeled) filters rewritten onto summary
+      * attributes, as a wrapper to apply above the scan side — the
+      * summary relation, or the stitched union in the Touched path.
+      * Two-step so derivability (the mapping) is decided BEFORE the
+      * fence is paid. */
+    def mappedFilterWrap: Option[LogicalPlan => LogicalPlan] = {
       val mapped = filters.map(rw(_))
       if (mapped.exists(_.isEmpty)) None
-      else Some(
-        if (mapped.isEmpty) freshSummary
-        else Filter(mapped.map(_.get).reduce(And), freshSummary))
+      else Some(scan =>
+        if (mapped.isEmpty) scan
+        else Filter(mapped.map(_.get).reduce(And), scan))
     }
+
+    def rewrittenFilterChild(scan: LogicalPlan = freshSummary)
+        : Option[LogicalPlan] = mappedFilterWrap.map(_(scan))
 
     /** Preserve each output NamedExpression's name and exprId so the
       * plan above the Aggregate keeps resolving. */
@@ -1059,7 +1122,7 @@ object AggRewrite {
       val newAbove = aboveFilters.map(rw(_))
       if (newAbove.exists(_.isEmpty)) return None
       if (!fenceFresh) return None
-      rewrittenFilterChild.map { factChild =>
+      rewrittenFilterChild().map { factChild =>
         val newJoin =
           Join(factChild, dimPlan, Inner, Some(newCond.get), j.hint)
         val withAbove =
@@ -1082,20 +1145,15 @@ object AggRewrite {
         rw(ne).flatMap(keepIdentity(ne, _))
       }
       if (newNamed.exists(_.isEmpty)) return None
-      val mapped = filters.map(rw(_))
-      if (mapped.exists(_.isEmpty)) return None
-      val scanSide: Option[LogicalPlan] = fenceState match {
-        case Fresh => Some(freshSummary)
-        case Touched(vals) => stitchedChild(vals)
-        case Stale => None
-      }
-      scanSide.map { scan =>
-        val child0 =
-          if (mapped.isEmpty) scan
-          else Filter(mapped.map(_.get).reduce(And), scan)
-        agg.copy(groupingExpressions = newGroup.map(_.get),
-          aggregateExpressions = newNamed.map(_.get), child = child0)
-      }
+      for {
+        wrap <- mappedFilterWrap // derivability decided before…
+        scan <- fenceState match { // …the fence, which is checked LAST
+          case Fresh => Some(freshSummary)
+          case Touched(vals) => stitchedChild(vals)
+          case Stale => None
+        }
+      } yield agg.copy(groupingExpressions = newGroup.map(_.get),
+        aggregateExpressions = newNamed.map(_.get), child = wrap(scan))
     }
 
     /** ROLLUP / CUBE / GROUPING SETS: the analyzer plants an Expand
@@ -1155,7 +1213,7 @@ object AggRewrite {
       }
       val newOutput = keepIdx.map(expand.output) ++ usedSummary
       if (!fenceFresh) return None
-      rewrittenFilterChild.map { child0 =>
+      rewrittenFilterChild().map { child0 =>
         agg.copy(aggregateExpressions = named,
           child = Expand(newProjections, newOutput, child0))
       }

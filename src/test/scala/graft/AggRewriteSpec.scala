@@ -795,7 +795,11 @@ class AggRewriteSpec extends SparkSuite {
     try {
       // money-typed measure: the DECIMAL-exact case the fold guarantees
       def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
-      Seq(("d1", 1L, "10.50"), ("d1", 2L, "20.25"), ("d2", 3L, "5.00"))
+      // d5 carries a NULL amt beside a non-null one: deleting the
+      // non-null row must fold amt_sum back to NULL, not 0
+      Seq(("d1", 1L, Some("10.50")), ("d1", 2L, Some("20.25")),
+        ("d2", 3L, Some("5.00")), ("d5", 5L, Some("8.00")),
+        ("d5", 6L, None))
         .toDF("day", "id", "amt")
         .select(col("day"), col("id"), money(col("amt")).as("amt"),
           col("id").as("v"))
@@ -804,17 +808,21 @@ class AggRewriteSpec extends SparkSuite {
       val keys = Seq("day" -> col("day"))
       val measures = Seq(
         ("amt_sum", "sum", money(col("amt"))),
+        ("amt_cnt", "count", money(col("amt"))),
         ("v_sum", "sum", col("v")),
+        ("v_cnt", "count", col("v")),
         ("cnt", "count_star", lit(1)))
       AggRewrite.materialize(spark, "delta_spec", facts1, keys, measures,
         s"$root/summary", partitionBy = Some("day"))
       // one CDC batch: insert d3, update a d1 row (−old +new), delete
-      // ALL of d2 (the group must drop out of the summary)
+      // ALL of d2 (the group must drop out of the summary), delete
+      // d5's only NON-NULL amt (its sum must return to NULL)
       val batch = Seq(
-        ("d3", 9L, "7.77", 9L, 1),   // insert
-        ("d1", 2L, "20.25", 2L, -1), // update: retract old…
-        ("d1", 2L, "99.75", 2L, 1),  // …assert new
-        ("d2", 3L, "5.00", 3L, -1))  // delete the only d2 row
+        ("d3", 9L, Some("7.77"), 9L, 1),   // insert
+        ("d1", 2L, Some("20.25"), 2L, -1), // update: retract old…
+        ("d1", 2L, Some("99.75"), 2L, 1),  // …assert new
+        ("d2", 3L, Some("5.00"), 3L, -1),  // delete the only d2 row
+        ("d5", 5L, Some("8.00"), 5L, -1))  // d5 keeps only a NULL amt
         .toDF("day", "id", "amt", "v", "sign")
         .select(col("day"), col("id"), money(col("amt")).as("amt"),
           col("v"), col("sign"))
@@ -831,7 +839,7 @@ class AggRewriteSpec extends SparkSuite {
       AggRewrite.applyDelta(spark, "delta_spec", facts2, batch,
         "sign", batchId = 1L)
       // folded rows == a from-scratch rebuild over the new base
-      val folded = spark.read.parquet(s"$root/summary/v1")
+      val folded = spark.read.parquet(s"$root/summary/d1")
       val scratch = facts2.groupBy(col("day"))
         .agg(sum(money(col("amt"))).as("amt_sum"),
           sum(col("v")).as("v_sum"), count(lit(1)).as("cnt"))
@@ -842,9 +850,13 @@ class AggRewriteSpec extends SparkSuite {
       assert(a == b, s"fold drifted from rebuild:\n$a\n$b")
       assert(folded.filter(col("day") === "d2").isEmpty,
         "emptied group must leave the summary")
+      // the all-NULL-after-delete sum is NULL, never 0
+      assert(folded.filter(col("day") === "d5")
+        .select(col("amt_sum")).head.isNullAt(0),
+        "sum over an all-NULL group must fold back to NULL")
       // navigation fires on the new base and serves the folded truth
       val nav = navQ(facts2)
-      assert(scanPaths(nav).exists(_.contains("/v1")),
+      assert(scanPaths(nav).exists(_.contains("/d1")),
         s"post-delta navigation missed the new version: ${scanPaths(nav)}")
       val d1 = nav.filter(col("day") === "d1").head
       assert(d1.getLong(1) == 2L && d1.getDouble(2) == 3.0)
@@ -878,6 +890,7 @@ class AggRewriteSpec extends SparkSuite {
       val facts1 = spark.read.parquet(s"$root/facts1")
       val keys = Seq("day" -> col("day"))
       val measures = Seq(("v_sum", "sum", col("v")),
+        ("v_cnt", "count", col("v")),
         ("cnt", "count_star", lit(1)))
       AggRewrite.materialize(spark, "heal_spec", facts1, keys, measures,
         s"$root/summary")
@@ -887,20 +900,20 @@ class AggRewriteSpec extends SparkSuite {
       val facts2 = spark.read.parquet(s"$root/facts2")
       // TORN fold: garbage lands in the target version dir (a crash
       // mid-write), and the registration was never re-signed
-      Seq(("dX", 999L, 999L)).toDF("day", "v_sum", "cnt")
-        .write.mode("overwrite").parquet(s"$root/summary/v7")
+      Seq(("dX", 999L, 999L, 999L)).toDF("day", "v_sum", "v_cnt", "cnt")
+        .write.mode("overwrite").parquet(s"$root/summary/d7")
       // the replayed batch re-folds from the still-registered v0 into
       // the SAME dir and blesses it — self-healed
       AggRewrite.applyDelta(spark, "heal_spec", facts2, batch, "sign", 7L)
-      val healed = spark.read.parquet(s"$root/summary/v7")
-        .sort("day").collect()
+      val healed = spark.read.parquet(s"$root/summary/d7")
+        .select("day", "v_sum", "cnt").sort("day").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       assert(healed == Seq(("d1", 3L, 2L), ("d2", 15L, 2L)), s"$healed")
       // a SECOND replay of the same batch id is a no-op even with a
       // poisoned payload (already-folded guard)
       val poison = Seq(("d1", 1000000L, 1)).toDF("day", "v", "sign")
       AggRewrite.applyDelta(spark, "heal_spec", facts2, poison, "sign", 7L)
-      val after = spark.read.parquet(s"$root/summary/v7")
+      val after = spark.read.parquet(s"$root/summary/d7")
         .agg(sum(col("v_sum"))).head.getLong(0)
       assert(after == 18L, "replayed batch must not double-fold")
       // drifted deltas (count mismatch) refuse the blessing
@@ -936,6 +949,7 @@ class AggRewriteSpec extends SparkSuite {
       AggRewrite.materialize(spark, "sdelta_spec", facts,
         keys = Seq("day" -> col("day")),
         measures = Seq(("v_sum", "sum", col("v")),
+          ("v_cnt", "count", col("v")),
           ("cnt", "count_star", lit(1))),
         path = s"$root/summary", partitionBy = Some("day"))
       assert(scanPaths(serving).exists(_.contains("summary")))
@@ -1125,6 +1139,103 @@ class AggRewriteSpec extends SparkSuite {
     } finally {
       AggRewrite.unregister(spark, "stitch_flat")
       AggRewrite.unregister(spark, "stitch_filter")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("stitched plans converge under the session-wide route (the raw " +
+      "branch is tagged, not re-stitched forever)") {
+    // the raw branch is itself a derivable Aggregate over the (still
+    // Touched) base — without the StitchedTag the fixed-point batch
+    // re-stitches it every iteration ('Max iterations (100) reached',
+    // a ~100-deep nested Union; a hard failure in errorOnExceed
+    // batches). With the tag the second iteration is a no-op.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_conv_").toString
+    val clone = spark.newSession()
+    import spark.implicits._
+    try {
+      Seq((1L, "d1"), (2L, "d2")).toDF("v", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/facts")
+      val schema = "v BIGINT, day STRING"
+      def facts = clone.read.schema(schema).parquet(s"$root/facts")
+      AggRewrite.enable(clone)
+      AggRewrite.materialize(clone, "conv_spec", facts,
+        keys = Seq("day" -> col("day")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary")
+      Seq((10L, "d2")).toDF("v", "day")
+        .write.partitionBy("day").mode("append").parquet(s"$root/facts")
+      // NO navigate() call — the session-wide rule plans this query
+      val q = facts.groupBy(col("day"))
+        .agg(sum(col("v")).cast("double").as("s"))
+      val optimized = q.queryExecution.optimizedPlan
+      val unions = optimized.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }
+      assert(unions.size == 1,
+        s"stitch did not converge: ${unions.size} Unions in\n$optimized")
+      val got = q.sort("day").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("d1", 1.0), ("d2", 12.0)), s"$got")
+    } finally {
+      AggRewrite.clear(clone)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("a same-named dim column (or an alias of one) never maps onto " +
+      "a fact key or partial") {
+    // fact and dim SHARE the column name 'region': canonical forms
+    // mark attributes by NAME, so the guard must test the RESOLVED
+    // expression — an above-join alias of dim('region') otherwise
+    // slips past and the query silently groups by the FACT's values
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_collide_").toString
+    import spark.implicits._
+    try {
+      Seq((1L, "fr-A", 10L), (1L, "fr-A", 20L), (2L, "fr-B", 5L))
+        .toDF("fid", "region", "v")
+        .write.mode("overwrite").parquet(s"$root/facts")
+      Seq((1L, "dim-X"), (2L, "dim-Y")).toDF("did", "region")
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val facts = spark.read.parquet(s"$root/facts")
+      val dim = spark.read.parquet(s"$root/dim")
+      AggRewrite.materialize(spark, "collide_spec", facts,
+        keys = Seq("fid" -> col("fid"), "region" -> col("region")),
+        measures = Seq(("v_sum", "sum", col("v")),
+          ("v_cnt", "count", col("v")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary")
+      def joined = facts.join(dim, col("fid") === col("did"))
+      // alias the DIM's region above the join, group by it
+      val q = joined.select(dim("region").as("r"), col("v"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n"))
+      val nav = AggRewrite.navigate(q)
+      val want = q.sort("r").collect().toSeq
+      assert(nav.sort("r").collect().toSeq == want,
+        "aliased dim column mapped onto the same-named fact key")
+      assert(want.map(_.getString(0)).toSet == Set("dim-X", "dim-Y"),
+        "fixture must group by DIM values")
+      // min over the dim's region likewise stays the dim's
+      val qm = joined.groupBy(col("fid"))
+        .agg(min(dim("region")).as("m"))
+      val navM = AggRewrite.navigate(qm)
+      assert(navM.sort("fid").collect().toSeq ==
+        qm.sort("fid").collect().toSeq)
+      assert(navM.sort("fid").collect().map(_.getString(1)).toSet ==
+        Set("dim-X", "dim-Y"))
+    } finally {
+      AggRewrite.unregister(spark, "collide_spec")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
