@@ -153,7 +153,8 @@ class AggRewriteSpec extends SparkSuite {
       "cnt" -> count(lit(1)).as("c"),
       "min" -> min(money(col("o_totalprice"))).cast("double").as("lo"),
       "max" -> max(money(col("o_totalprice"))).cast("double").as("hi"),
-      "cntcol" -> count(col("o_orderstatus")).as("cc"))
+      "cntcol" -> count(col("o_orderstatus")).as("cc"),
+      "avg" -> avg(money(col("o_totalprice"))).cast("double").as("av"))
     var checked = 0
     for {
       gs <- groupings.toSet.subsets(1) ++ groupings.toSet.subsets(2)
