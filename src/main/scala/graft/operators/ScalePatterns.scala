@@ -933,6 +933,64 @@ object ScalePatterns extends QueryModule {
       .orderBy("ch")
   }
 
+  // ---- x21: navigation THROUGH a multi-hop dim chain ---------------
+
+  private val navCustMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Materialize + register the customer-grain orders summary once per
+    * (session, dir) — the fact side of x21's dim-chain navigation (the
+    * user-grain DWS table of a real deployment; ~10 orders/customer =
+    * 10× compression at every scale). */
+  private[graft] def navCustDir(s: SparkSession, dir: String): String =
+    // synchronized builder — same reasoning as navSummaryDir
+    navCustMemo.synchronized(navCustMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x21_summary_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      graft.plans.AggRewrite.materialize(s, s"orders_by_cust@$dir",
+        Tables(s, dir, "orders"),
+        keys = Seq("o_custkey" -> col("o_custkey")),
+        measures = Seq(
+          ("sum_price", "sum", money(col("o_totalprice"))),
+          ("price_cnt", "count", money(col("o_totalprice"))),
+          ("cnt", "count_star", lit(1))),
+        path = sd)
+      sd
+    }))
+
+  private[graft] def prestageNavCust(s: SparkSession, dir: String)
+      : Unit = {
+    navCustDir(s, dir)
+    ()
+  }
+
+  /** x21: the reference's /province serving query in its LITERAL shape
+    * — revenue by geography dim NAME, two dimension hops from the fact
+    * (orders⋈customer⋈nation; TradeStatsMapper.java:20-22 reads it
+    * denormalized from Doris). The optimizer walks the inner-join
+    * SPINE, proves every fact reference is a summary key (o_custkey),
+    * swaps the fact scan for the customer-grain summary, and keeps the
+    * whole dim chain verbatim — count(*) stays exact through the
+    * two-hop multiplicity because it re-derives from the SUMMED
+    * count_star partial. At 100 TB the chain's probe side shrinks ~10×
+    * (orders→customers) before any dim join runs. Oracle: the raw
+    * three-way join in DuckDB. */
+  private def provinceNavigate(s: SparkSession, dir: String): DataFrame = {
+    navCustDir(s, dir)
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val raw = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("order_ct"),
+        moneySum(col("o_totalprice")).as("order_amount"),
+        avg(money(col("o_totalprice"))).cast(DoubleType)
+          .as("avg_order"))
+    graft.plans.AggRewrite.navigate(raw).orderBy("n_name")
+  }
+
   /** x16: grouping-sets navigation — a ROLLUP over (month, priority)
     * written against the RAW orders table; AggRewrite re-roots the
     * analyzer's Expand onto the summary (group slots onto keys, base
@@ -1077,9 +1135,14 @@ object ScalePatterns extends QueryModule {
       graft.plans.AggRewrite.unregister(s, s"lineitem_by_part@$dir")
       rmTree(sd)
     }
+    navCustMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.AggRewrite.unregister(s, s"orders_by_cust@$dir")
+      rmTree(sd)
+    }
     navMemo.clear()
     navEventsMemo.clear()
     navLineMemo.clear()
+    navCustMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
@@ -1107,7 +1170,8 @@ object ScalePatterns extends QueryModule {
     "x17_events_navigate" -> eventsNavigate,
     "x18_avg_navigate" -> avgNavigate,
     "x19_dim_join_navigate" -> dimJoinNavigate,
-    "x20_hll_navigate" -> hllNavigate)
+    "x20_hll_navigate" -> hllNavigate,
+    "x21_province_navigate" -> provinceNavigate)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1171,6 +1235,23 @@ object ScalePatterns extends QueryModule {
          |       count(DISTINCT user_id) AS exact_uv,
          |       true AS hll_ok
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x21: the /province shape raw — avg reconstructed like x18 (the
+    // HUGEINT half-up mean of the money child); count/sum on the raw
+    // three-way join prove the TWO-hop multiplicity stays exact
+    "x21_province_navigate" ->
+      s"""SELECT n_name,
+         |       count(*) AS order_ct,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       CAST(CAST(CAST((2 * CAST(SUM(${Oracle.money("o_totalprice")})
+         |                           * 1000000 AS HUGEINT)
+         |                  + COUNT(*)) // (2 * COUNT(*))
+         |                 AS DECIMAL(22,0))
+         |            * CAST(0.000001 AS DECIMAL(7,6))
+         |            AS DECIMAL(28,6)) AS DOUBLE) AS avg_order
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x19's oracle runs the RAW fact⋈dim join — the hash match proves
     // the summary⋈dim rewrite preserves join multiplicity exactly
     "x19_dim_join_navigate" ->

@@ -749,19 +749,31 @@ object AggRewrite {
   private def rewriteJoin(session: SparkSession, agg: Aggregate,
       aboveSub: Map[ExprId, Expression], aboveFilters: Vector[Expression],
       j: Join, d: SummaryDef): Option[Aggregate] = {
-    if (j.joinType != Inner) return None
-    val cond = j.condition.getOrElse(return None)
-    def attempt(factPlan: LogicalPlan, dimPlan: LogicalPlan)
-        : Option[Aggregate] = {
-      // a non-deterministic dim subtree (row sampling inside the dim
-      // scan) has no fixed result to be invisible AGAINST — bail
-      if (dimPlan.exists(_.expressions.exists(!_.deterministic)))
-        return None
-      val dimIds = dimPlan.outputSet.map(_.exprId).toSet
-      Ctx.build(session, factPlan, d, aboveSub, dimIds)
-        .flatMap(_.rewriteJoinAgg(agg, dimPlan, cond, aboveFilters, j))
+    // flatten the INNER-join tree into its operand sides — a dim chain
+    // (fact⋈d1⋈d2, the reference's orders⋈customer⋈nation /province
+    // shape) is a left-deep tree of Inner joins; every node must be an
+    // Inner join WITH a condition or the whole query falls through
+    def sides(p: LogicalPlan): Option[Vector[LogicalPlan]] = p match {
+      case jj: Join =>
+        if (jj.joinType != Inner || jj.condition.isEmpty) None
+        else for { l <- sides(jj.left); r <- sides(jj.right) }
+          yield l ++ r
+      case other => Some(Vector(other))
     }
-    attempt(j.left, j.right).orElse(attempt(j.right, j.left))
+    val ops = sides(j).getOrElse(return None)
+    // try each operand as the fact; all the others stay verbatim. A
+    // non-deterministic dim subtree (row sampling inside a dim scan)
+    // has no fixed result to be invisible AGAINST — bail.
+    ops.view.flatMap { factPlan =>
+      val dims = ops.filterNot(_ eq factPlan)
+      if (dims.exists(_.exists(_.expressions.exists(!_.deterministic))))
+        None
+      else {
+        val dimIds = dims.flatMap(_.outputSet.map(_.exprId)).toSet
+        Ctx.build(session, factPlan, d, aboveSub, dimIds)
+          .flatMap(_.rewriteJoinTree(agg, j, factPlan, aboveFilters))
+      }
+    }.headOption
   }
 
   /** Shared per-(candidate, summary) matching context: the peeled
@@ -1100,19 +1112,18 @@ object AggRewrite {
       }
     }
 
-    /** Aggregate over fact⋈dim (see [[rewriteJoin]] for the soundness
-      * argument): fact-side references map through keys/partials, the
-      * dim subtree and its attributes pass through verbatim, and the
-      * join condition + above-join filters rewrite like any other
-      * expression. */
-    def rewriteJoinAgg(agg: Aggregate, dimPlan: LogicalPlan,
-        cond: Expression, aboveFilters: Vector[Expression], j: Join)
+    /** Aggregate over a fact⋈dim… inner-join TREE (see [[rewriteJoin]]
+      * for the soundness argument): fact-side references map through
+      * keys/partials, every dim subtree and its attributes pass through
+      * verbatim, and each join condition + the above-join filters
+      * rewrite like any other expression — every fact reference must be
+      * key-derived, or the whole query falls through. */
+    def rewriteJoinTree(agg: Aggregate, jTree: Join,
+        factPlan: LogicalPlan, aboveFilters: Vector[Expression])
         : Option[Aggregate] = {
       if (agg.groupingExpressions.exists(!_.deterministic) ||
         agg.aggregateExpressions.exists(!_.deterministic) ||
         aboveFilters.exists(!_.deterministic)) return None
-      val newCond = rw(cond)
-      if (newCond.isEmpty) return None
       val newGroup = agg.groupingExpressions.map(rw(_))
       if (newGroup.exists(_.isEmpty)) return None
       val newNamed = agg.aggregateExpressions.map { ne =>
@@ -1121,13 +1132,35 @@ object AggRewrite {
       if (newNamed.exists(_.isEmpty)) return None
       val newAbove = aboveFilters.map(rw(_))
       if (newAbove.exists(_.isEmpty)) return None
+      // every SPINE join condition must rewrite (checked before the
+      // fence so a non-derivable condition costs nothing). The spine =
+      // Join nodes reachable through Join children only — a composite
+      // dim side that happens to contain its own join (a pre-joined
+      // dimension subtree) is ONE operand and stays verbatim, so its
+      // internal conditions are never touched.
+      def spine(p: LogicalPlan): Seq[Join] = p match {
+        case jj: Join => jj +: (spine(jj.left) ++ spine(jj.right))
+        case _ => Nil
+      }
+      val condsOk = spine(jTree).forall(jj => rw(jj.condition.get).isDefined)
+      if (!condsOk) return None
       if (!fenceFresh) return None
       rewrittenFilterChild().map { factChild =>
-        val newJoin =
-          Join(factChild, dimPlan, Inner, Some(newCond.get), j.hint)
+        // swap the fact operand for the summary and rewrite each SPINE
+        // condition (they reference original fact attrs — rw maps them
+        // onto summary keys; dim attrs pass); explicit recursion so
+        // the rebuild never descends into a verbatim dim side
+        def rebuild(p: LogicalPlan): LogicalPlan = p match {
+          case pp if pp eq factPlan => factChild
+          case jj: Join => jj.copy(left = rebuild(jj.left),
+            right = rebuild(jj.right),
+            condition = Some(rw(jj.condition.get).get))
+          case other => other
+        }
+        val newTree = rebuild(jTree)
         val withAbove =
-          if (newAbove.isEmpty) newJoin
-          else Filter(newAbove.map(_.get).reduce(And), newJoin)
+          if (newAbove.isEmpty) newTree
+          else Filter(newAbove.map(_.get).reduce(And), newTree)
         agg.copy(groupingExpressions = newGroup.map(_.get),
           aggregateExpressions = newNamed.map(_.get), child = withAbove)
       }

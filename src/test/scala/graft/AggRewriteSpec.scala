@@ -1245,6 +1245,54 @@ class AggRewriteSpec extends SparkSuite {
     }
   }
 
+  test("dim-chain navigation: fact⋈customer⋈nation navigates through " +
+      "the inner-join spine; composite dim sides stay verbatim") {
+    val custDir = s"file:${operators.ScalePatterns.navCustDir(spark, sf)}"
+    val o = Tables(spark, sf, "orders")
+    val c = Tables(spark, sf, "customer")
+    val n = Tables(spark, sf, "nation")
+    // x21 itself: summary + both dims scanned, fact not
+    val x21 = q("x21_province_navigate")
+    val paths = scanPaths(x21)
+    assert(paths.exists(_.startsWith(custDir)),
+      s"x21 did not navigate: $paths")
+    assert(paths.contains(s"file:$sf/customer.parquet") &&
+      paths.contains(s"file:$sf/nation.parquet"), s"dims dropped: $paths")
+    assert(!paths.contains(ordersPath), s"fact still scanned: $paths")
+    // bit-identical to the raw three-way join (two-hop multiplicity)
+    def rawChain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("order_ct"),
+        moneySum(col("o_totalprice")).as("amt"),
+        avg(money(col("o_totalprice"))).as("av"))
+    val nav = AggRewrite.navigate(rawChain)
+    assert(nav.schema == rawChain.schema)
+    assert(rawChain.sort("n_name").collect().toSeq ==
+      nav.sort("n_name").collect().toSeq)
+    // a COMPOSITE dim side (pre-joined customer⋈nation behind a
+    // projection — its internal join is NOT on the spine) stays
+    // verbatim and the rewrite still fires
+    val geo = c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("g_custkey"), col("n_name"))
+    def rawComposite = o.join(geo, col("o_custkey") === col("g_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("order_ct"),
+        moneySum(col("o_totalprice")).as("amt"))
+    val navC = AggRewrite.navigate(rawComposite)
+    assert(scanPaths(navC).exists(_.startsWith(custDir)),
+      s"composite dim blocked navigation: ${scanPaths(navC)}")
+    assert(rawComposite.sort("n_name").collect().toSeq ==
+      navC.sort("n_name").collect().toSeq)
+    // an OUTER join anywhere on the spine falls the whole query through
+    val outerSpine = AggRewrite.navigate(
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_name")).agg(count(lit(1)).as("ct")))
+    assert(scanPaths(outerSpine).contains(ordersPath),
+      s"outer spine must fall through: ${scanPaths(outerSpine)}")
+  }
+
   test("SQL-text serving queries navigate too (temp view over the fact)") {
     summaryDir
     Tables(spark, sf, "orders").createOrReplaceTempView("nav_orders")
