@@ -309,9 +309,11 @@ object Graft {
     * Replay-idempotent by `batchId` (a foreachBatch maintainer passes
     * the batch id straight through); torn folds re-fold
     * deterministically; count reconciliation refuses drifted streams;
-    * summaries carrying min/max/hll partials refuse (use
-    * [[refreshSummaryPartitions]]). Every sum measure needs a count
-    * measure of the same child (NULL restoration after deletes). */
+    * summaries carrying min/max/hll/bitmap partials fold INSERT-ONLY
+    * batches (monotone partials can't invert a delete — those batches
+    * refuse, use [[refreshSummaryPartitions]]). Every sum measure
+    * needs a count measure of the same child (NULL restoration after
+    * deletes). */
   def applyDelta(name: String, base: DataFrame, deltas: DataFrame,
       signCol: String, batchId: Long): Unit =
     graft.plans.AggRewrite.applyDelta(base.sparkSession, name, base,
@@ -320,8 +322,10 @@ object Graft {
   /** Rewrite ONE query's plan onto any registered summary it is
     * derivable from; returns the frame unchanged when no rewrite
     * applies. Sound by construction: exact canonical-expression
-    * matching, DISTINCT/FILTER-clause/non-key shapes always fall
-    * through (spec: AggRewriteSpec). */
+    * matching; FILTER-clause/non-key shapes always fall through, and
+    * DISTINCT falls through except count(DISTINCT) over a stored exact
+    * bitmap partial, which re-derives bit-equal (spec:
+    * AggRewriteSpec). */
   def navigate(df: DataFrame): DataFrame =
     graft.plans.AggRewrite.navigate(df)
 
@@ -374,6 +378,16 @@ object Graft {
     * practical cardinality, and the sketch re-mixes the hash). */
   def hll(c: Column): Column =
     udaf(graft.functions.HllSketch).apply(xxhash64(c))
+
+  /** EXACT distinct count as ONE non-distinct aggregation pass over a
+    * roaring-style id bitmap (no Expand, no second shuffle — per-group
+    * state is a compressed id set that merges in container strides):
+    * `df.agg(Graft.exactDistinct(col("user_id")))`. Integral columns
+    * only — the bitmap is a set over a 64-bit id space; for other
+    * types use count(DISTINCT) or [[hll]]. Bit-equal to
+    * count(DISTINCT c) (spec: BitmapSpec). */
+  def exactDistinct(c: Column): Column =
+    udaf(graft.functions.BitmapDistinct).apply(c.cast("long"))
 
   /** Mergeable count-min frequency sketch (4×256 counters) as packed
     * bytes; probe with [[graft.functions.CmsSketch.estimate]]. */

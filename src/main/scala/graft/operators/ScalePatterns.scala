@@ -794,7 +794,11 @@ object ScalePatterns extends QueryModule {
           ("user_max", "max", col("user_id")),
           // per-group HLL registers: the approximate-UV partial x20
           // navigates onto (merge is register-max — estimate bit-equal)
-          ("uv_sketch", "hll", col("user_id"))),
+          ("uv_sketch", "hll", col("user_id")),
+          // per-group EXACT id bitmap (the reference's Doris
+          // BITMAP_UNION UV column): idempotent union makes
+          // count(DISTINCT user_id) re-derivable bit-exactly — x22
+          ("uv_bitmap", "bitmap", col("user_id"))),
         path = sd)
       sd
     }))
@@ -912,9 +916,10 @@ object ScalePatterns extends QueryModule {
     * REWRITE. At 100 TB this is the Doris bitmap-UV pattern
     * (DwsTrafficVcChArIsNewPageViewWindow keeps per-window UV state)
     * with sketches as the re-aggregable currency. The exact-UV checker
-    * column deliberately stays a raw count(DISTINCT) — the spec proves
-    * that shape falls through rather than silently degrading to an
-    * estimate. Oracle contract: a16's — exact UV from DuckDB plus the
+    * column deliberately stays an un-navigated raw count(DISTINCT) —
+    * and the spec proves a navigated one maps ONLY onto the EXACT
+    * bitmap partial (x22), never silently onto a sketch estimate.
+    * Oracle contract: a16's — exact UV from DuckDB plus the
     * within-5% flag (3σ for m=4096) expected TRUE. */
   private def hllNavigate(s: SparkSession, dir: String): DataFrame = {
     navEventsDir(s, dir)
@@ -931,6 +936,35 @@ object ScalePatterns extends QueryModule {
         (abs(col("uv_est") - col("exact_uv")).cast(DoubleType) <=
           col("exact_uv") * lit(0.05)).as("hll_ok"))
       .orderBy("ch")
+  }
+
+  /** x22: EXACT-distinct navigation — the serving query asks per-channel
+    * UV as a plain `count(DISTINCT user_id)` against the RAW events
+    * table, and the optimizer re-derives it from the events summary's
+    * stored roaring-bitmap partials (the reference's Doris
+    * `BITMAP_UNION` UV column, DwsTradeProvinceOrderWindow's
+    * order_id set made a first-class re-aggregable measure): bitmap
+    * union is idempotent, so the merged partial carries PRECISELY the
+    * id set a direct pass over the base rows would, and the navigated
+    * count is bit-equal — the one distinct aggregate every sketch must
+    * refuse, served exactly. At 100 TB the fact pass becomes a
+    * summary-row read whose per-group state is a compressed id set
+    * (2 B/id sparse, 8 KiB per 64 Ki-id block dense) merged in
+    * container strides instead of a row-per-id Expand + exchange. The
+    * `uv_direct` twin runs [[graft.functions.BitmapDistinct]] over the
+    * raw rows un-navigated — same exact value, proving the aggregator
+    * against both the optimizer path and the DuckDB oracle. */
+  private def bitmapNavigate(s: SparkSession, dir: String): DataFrame = {
+    navEventsDir(s, dir)
+    val e = Tables(s, dir, "events")
+    val nav = graft.plans.AggRewrite.navigate(
+      e.groupBy(col("event_type").as("ch"))
+        .agg(countDistinct(col("user_id")).as("uv_exact"),
+          count(lit(1)).as("pv_ct")))
+    val direct = e.groupBy(col("event_type").as("ch"))
+      .agg(udaf(graft.functions.BitmapDistinct)
+        .apply(col("user_id")).as("uv_direct"))
+    nav.join(direct, "ch").orderBy("ch")
   }
 
   // ---- x21: navigation THROUGH a multi-hop dim chain ---------------
@@ -1171,7 +1205,8 @@ object ScalePatterns extends QueryModule {
     "x18_avg_navigate" -> avgNavigate,
     "x19_dim_join_navigate" -> dimJoinNavigate,
     "x20_hll_navigate" -> hllNavigate,
-    "x21_province_navigate" -> provinceNavigate)
+    "x21_province_navigate" -> provinceNavigate,
+    "x22_bitmap_distinct_navigate" -> bitmapNavigate)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1262,6 +1297,16 @@ object ScalePatterns extends QueryModule {
          |       max(l_quantity) AS qty_max
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x22: EXACT distinct — the hash match against DuckDB's native
+    // count(DISTINCT) on the RAW table proves both the navigated
+    // bitmap-merge AND the direct bitmap aggregator are exact (no
+    // error-bound contract needed, unlike x20)
+    "x22_bitmap_distinct_navigate" ->
+      s"""SELECT event_type AS ch,
+         |       count(DISTINCT user_id) AS uv_exact,
+         |       count(*) AS pv_ct,
+         |       count(DISTINCT user_id) AS uv_direct
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_rollup_sets_navigate" ->
       s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
          |         AS order_month,

@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.DecimalType
   * the scan. At 100 TB that turns a full fact-table pass into a
   * metadata-sized summary read; the rewrite is sound because it fires
   * only on exact canonical-expression matches, and every non-derivable
-  * shape (DISTINCT aggregates, FILTER clauses, non-key predicates,
-  * unknown scan) falls through to the raw plan untouched.
+  * shape (FILTER clauses, non-key predicates, unknown scan, any
+  * DISTINCT aggregate other than count(DISTINCT) over a stored exact
+  * bitmap partial) falls through to the raw plan untouched.
   *
   * Two deployment routes, same rule object:
   *  - cluster-wide: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -278,7 +279,10 @@ object AggRewrite {
     * summary column as an expression over `base`'s columns; `summary` is
     * the scan of the materialized table whose rows are
     * `base.groupBy(keys).agg(partials)`. Ops: sum | min | max | count
-    * (non-null count of the child) | count_star. The caller owns the
+    * (non-null count of the child) | count_star | hll (approx-distinct
+    * sketch registers, serves the [[graft.functions.HllSketch]]
+    * estimator) | bitmap (EXACT roaring id set over an integral child,
+    * serves count(DISTINCT) bit-exactly). The caller owns the
     * contract that the summary data matches the definitions —
     * [[materialize]] builds both from one spec so they cannot drift. */
   def register(session: SparkSession, name: String, base: DataFrame,
@@ -316,21 +320,48 @@ object AggRewrite {
       case other => throw new IllegalStateException(
         s"unexpected probe plan shape: ${other.nodeName}")
     }
-    // "hll" measures carry a pre-analyzed merge-and-estimate template:
-    // analysis resolves the ScalaAggregator's encoders, which a
-    // post-analysis rewrite cannot — the rewrite only swaps the child
+    // bitmap partials store the child CAST to long — injective (and
+    // therefore distinct-count-preserving) only for integral children,
+    // so anything else must refuse at registration, not miscount later
+    locally {
+      val typeByName = analyzed.output.map(a => a.name -> a.dataType).toMap
+      measures.foreach {
+        case (n, "bitmap", _) =>
+          val ok = typeByName(n) match {
+            case org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+          require(ok, s"bitmap measure '$n' needs an integral child " +
+            s"(got ${typeByName(n).simpleString}) — a roaring bitmap " +
+            "is a set over a 64-bit id space; hash or dictionary-encode " +
+            "other types first (estimation: use the 'hll' op)")
+        case _ => ()
+      }
+    }
+    // "hll"/"bitmap" measures carry a pre-analyzed merge template
+    // (merge-and-estimate / merge-and-count): analysis resolves the
+    // ScalaAggregator's encoders, which a post-analysis rewrite
+    // cannot — the rewrite only swaps the child
     val mergeTemplates: Map[String, AggregateExpression] =
-      measures.collect { case (n, "hll", _) =>
+      measures.collect { case (n, op @ ("hll" | "bitmap"), _) =>
+        val mergeAgg = op match {
+          case "hll" => org.apache.spark.sql.functions
+            .udaf(graft.functions.HllMerge)
+          case _ => org.apache.spark.sql.functions
+            .udaf(graft.functions.BitmapMergeCount)
+        }
         val probeAgg = summary.agg(
-          org.apache.spark.sql.functions.udaf(graft.functions.HllMerge)
-            .apply(org.apache.spark.sql.functions.col(n)))
+          mergeAgg.apply(org.apache.spark.sql.functions.col(n)))
         val tmpl = probeAgg.queryExecution.analyzed.collectFirst {
           case a: Aggregate => a.aggregateExpressions.collectFirst {
             case Alias(ae: AggregateExpression, _) => ae
             case ae: AggregateExpression => ae
           }
         }.flatten.getOrElse(throw new IllegalStateException(
-          s"could not extract the hll merge template for '$n'"))
+          s"could not extract the $op merge template for '$n'"))
         n -> tmpl
       }.toMap
     val keyDefs = keys.map { case (n, _) => n -> defs(n) }.toMap
@@ -414,9 +445,13 @@ object AggRewrite {
     * under signed rows — SUM (exact types: integral/DECIMAL addition
     * commutes with subtraction), COUNT (± per non-null child), and
     * COUNT_STAR (± per row); groups whose count_star reaches zero are
-    * DROPPED (a group with no base rows must not exist). MIN/MAX/HLL
-    * are NOT delta-foldable (a delete can't lower a max or clear a
-    * register) — summaries carrying them refuse, use
+    * DROPPED (a group with no base rows must not exist). MIN/MAX/HLL/
+    * BITMAP partials are MONOTONE, not invertible (a delete can't
+    * lower a max, clear a register, or remove an id from a union), so
+    * summaries carrying them fold ONLY insert-only batches — one
+    * batch-sized sign scan decides, min/max fold via least/greatest
+    * and sketch/bitmap partials via the codegen'd pairwise merge
+    * kernels ([[MergeExprs]]); a batch with any delete refuses, use
     * [[refreshPartitions]].
     *
     * Crash/replay contract (the SCD2 sink's discipline):
@@ -434,7 +469,8 @@ object AggRewrite {
     * be scanning it); versions older than that are deleted. */
   def applyDelta(session: SparkSession, name: String, base: DataFrame,
       deltas: DataFrame, signCol: String, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least,
+      lit, max, min, sum, udaf, when}
     val d = registry.get(session).flatMap(_.find(_.name == name))
       .getOrElse(throw new IllegalArgumentException(
         s"no summary '$name' registered for this session"))
@@ -442,13 +478,28 @@ object AggRewrite {
     val root = d.storeRoot.getOrElse(throw new IllegalArgumentException(
       s"summary '$name' was not created by materialize — no store root"))
     val curDir = d.dataDir.getOrElse(root + "/v0")
-    val bad = d.measureCols.collect {
-      case (n, op, _) if !Set("sum", "count", "count_star")(op) => s"$n($op)"
+    // sum/count/count_star are group-INVERTIBLE (fold any signed
+    // batch); min/max/hll/bitmap are only MONOTONE (a union or
+    // register-max only grows, a min/max only tightens under inserts),
+    // so they fold iff the batch is insert-only — the common append
+    // pipeline. One batch-sized scan decides; a delete anywhere in the
+    // batch refuses the whole fold (sound: navigation keeps serving
+    // the still-registered version until refreshPartitions).
+    val monotone = d.measureCols.collect {
+      case (n, op, _) if !Set("sum", "count", "count_star")(op) =>
+        s"$n($op)"
     }
-    require(bad.isEmpty,
-      s"summary '$name' carries non-delta-foldable partials: " +
-        s"${bad.mkString(", ")} — min/max/hll need refreshPartitions " +
-        "or a re-materialize")
+    if (monotone.nonEmpty) {
+      val hasDeletes =
+        !deltas.filter(col(signCol).cast("long") < 0L).isEmpty
+      require(!hasDeletes,
+        s"summary '$name' carries monotone partials " +
+          s"(${monotone.mkString(", ")}) and the batch contains " +
+          "deletes — min/max/hll/bitmap fold only under insert-only " +
+          "deltas (a delete can't lower a max, clear a register, or " +
+          "remove an id from a union); use refreshPartitions or a " +
+          "re-materialize")
+    }
     val cntCol = d.measureCols.collectFirst {
       case (n, "count_star", _) => n
     }.getOrElse(throw new IllegalArgumentException(
@@ -477,6 +528,14 @@ object AggRewrite {
       case (n, "count", c) =>
         sum(when(c.isNotNull, sign).otherwise(lit(0L))).as(n)
       case (n, "count_star", _) => sum(sign).as(n)
+      // monotone partials: the insert-only guard above holds, so the
+      // batch partial is just the plain partial over the new rows
+      case (n, "min", c) => min(c).as(n)
+      case (n, "max", c) => max(c).as(n)
+      case (n, "hll", c) =>
+        udaf(graft.functions.HllSketchPartial).apply(c).as(n)
+      case (n, "bitmap", c) =>
+        udaf(graft.functions.BitmapPartial).apply(c.cast("long")).as(n)
       case (n, op, _) => throw new IllegalStateException(s"$n/$op")
     }
     val deltaPartials = deltas
@@ -508,6 +567,26 @@ object AggRewrite {
               val t = storedSchema(n).dataType
               when(foldExpr(cntForSum(n)) === 0L, lit(null).cast(t))
                 .otherwise(foldExpr(n)).cast(t).as(n)
+            // monotone folds (insert-only batches, guarded above):
+            // least/greatest SKIP nulls, so an all-null side defers to
+            // the other — matching raw min/max semantics under appends
+            case (n, "min", _) =>
+              least(cur(n), deltaPartials(n))
+                .cast(storedSchema(n).dataType).as(n)
+            case (n, "max", _) =>
+              greatest(cur(n), deltaPartials(n))
+                .cast(storedSchema(n).dataType).as(n)
+            // pairwise merge kernels (null-strict) with coalesce
+            // fallthrough: group only in one side keeps that side's
+            // partial verbatim
+            case (n, "hll", _) =>
+              coalesce(
+                MergeExprs.hllRegMax(session, cur(n), deltaPartials(n)),
+                cur(n), deltaPartials(n)).as(n)
+            case (n, "bitmap", _) =>
+              coalesce(
+                MergeExprs.bitmapOr(session, cur(n), deltaPartials(n)),
+                cur(n), deltaPartials(n)).as(n)
             case (n, _, _) => foldExpr(n).as(n)
           }: _*)
       .filter(col(cntCol) > 0L) // emptied groups leave the summary
@@ -556,6 +635,14 @@ object AggRewrite {
       // construction (register-max merge); child must be a 64-bit key
       case (n, "hll", c) =>
         udaf(graft.functions.HllSketchPartial).apply(c).as(n)
+      // per-group EXACT id bitmap (binary, roaring-style) — the
+      // reference's Doris BITMAP_UNION column; idempotent union makes
+      // the stored partial exactly re-aggregable, so count(DISTINCT)
+      // can navigate. The cast is injective on the integral child
+      // (registration enforces integrality), so distinct counts are
+      // preserved bit-exactly
+      case (n, "bitmap", c) =>
+        udaf(graft.functions.BitmapPartial).apply(c.cast("long")).as(n)
       case (n, op, _) => throw new IllegalArgumentException(
         s"unsupported partial op '$op' for measure '$n'")
     }
@@ -935,7 +1022,7 @@ object AggRewrite {
       * slots). */
     def mapAgg(ae: AggregateExpression, passIds: Set[ExprId])
         : Option[Expression] = {
-      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (ae.filter.nonEmpty) return None
       val passAll = pass ++ passIds
       def touchesPass(e: Expression): Boolean =
         e.references.exists(a => passAll(a.exprId))
@@ -968,6 +1055,36 @@ object AggRewrite {
         if (touchesPass(resolved)) None
         else measureAttr.get((op, canon(resolved)))
       }
+      // DISTINCT navigates in exactly ONE shape: count(DISTINCT child)
+      // onto a stored EXACT bitmap partial of the same child — union is
+      // idempotent, so the merged partial carries precisely the id set
+      // a direct pass over the base rows would, and the count is
+      // bit-equal (the one distinct aggregate a summary can serve
+      // exactly; sum(DISTINCT), multi-child counts, and count(DISTINCT)
+      // without a registered bitmap all still fall through to raw)
+      if (ae.isDistinct) {
+        val r: Option[Expression] = ae.aggregateFunction match {
+          case f: Count if f.children.size == 1 =>
+            measureFor("bitmap", f.children.head).flatMap { attr =>
+              d.mergeTemplates.get(attr.name).map { tmpl =>
+                // Coalesce restores Count's zero-on-empty, NON-NULL
+                // contract (the merge aggregator's declared output is
+                // nullable; the raw count(DISTINCT) is not) — same
+                // shape as sumCounts below
+                Coalesce(Seq(
+                  AggregateExpression(
+                    tmpl.aggregateFunction.withNewChildren(Seq(attr))
+                      .asInstanceOf[AggregateFunction],
+                    ae.mode, isDistinct = false, None,
+                    NamedExpression.newExprId),
+                  Literal(0L)))
+              }
+            }
+          case _ => None
+        }
+        return r.map(e =>
+          if (e.dataType == ae.dataType) e else Cast(e, ae.dataType))
+      }
       val rebuilt: Option[Expression] = ae.aggregateFunction match {
         case f: Sum if exact(f.child.dataType) =>
           measureFor("sum", f.child).map(reagg(f, _))
@@ -986,7 +1103,8 @@ object AggRewrite {
         // the library's own HLL estimate navigates onto stored sketch
         // partials: per-register max merging makes the merged registers
         // IDENTICAL to a direct pass, so the estimate is bit-equal (an
-        // exact count(DISTINCT) never maps — isDistinct bails above)
+        // exact count(DISTINCT) maps ONLY onto a "bitmap" partial —
+        // the isDistinct branch above — never onto a sketch)
         case sa: org.apache.spark.sql.execution.aggregate
             .ScalaAggregator[_, _, _]
             if (sa.agg.asInstanceOf[AnyRef] eq

@@ -688,7 +688,8 @@ class AggRewriteSpec extends SparkSuite {
   }
 
   test("hll navigation: the estimate re-roots onto sketch partials, " +
-      "bit-equal; exact count(DISTINCT) falls through") {
+      "bit-equal; exact count(DISTINCT) navigates onto the BITMAP " +
+      "partial (never the sketch), other distincts fall through") {
     val evDir = s"file:${operators.ScalePatterns.navEventsDir(spark, sf)}"
     val eventsPath = s"file:$sf/events.parquet"
     val e = Tables(spark, sf, "events")
@@ -706,12 +707,49 @@ class AggRewriteSpec extends SparkSuite {
     // checker branch deliberately scans raw)
     val x20 = q("x20_hll_navigate")
     assert(scanPaths(x20).exists(_.startsWith(evDir)))
-    // exact distinct never degrades to an estimate
-    val exact = AggRewrite.navigate(
+    // exact distinct navigates onto the stored EXACT bitmap partial
+    // (never the sketch) and stays bit-equal to the raw plan — union
+    // is idempotent, so merged partials carry precisely the raw id set
+    def exactQ = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+    val exact = AggRewrite.navigate(exactQ)
+    assert(scanPaths(exact).exists(_.startsWith(evDir)),
+      s"exact distinct did not navigate: ${scanPaths(exact)}")
+    assert(!scanPaths(exact).contains(eventsPath))
+    assert(exactQ.sort("event_type").collect().toSeq ==
+      exact.sort("event_type").collect().toSeq)
+    assert(exact.schema == exactQ.schema)
+    // the x22 suite entry's navigated branch reads the summary (its
+    // uv_direct twin deliberately scans raw — same exact value)
+    assert(scanPaths(q("x22_bitmap_distinct_navigate"))
+      .exists(_.startsWith(evDir)))
+    // ONLY the registered shape maps: a child with no bitmap partial
+    // falls through…
+    val otherChild = AggRewrite.navigate(
       e.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("uv")))
-    assert(scanPaths(exact).contains(eventsPath),
-      s"exact distinct must fall through: ${scanPaths(exact)}")
+        .agg(countDistinct(col("event_id")).as("d")))
+    assert(scanPaths(otherChild).contains(eventsPath),
+      s"unregistered distinct child must fall through: " +
+        s"${scanPaths(otherChild)}")
+    // …and a non-count DISTINCT over the bitmapped child falls through
+    // (a bitmap is a set — it cannot reproduce sum(DISTINCT))
+    val sumD = AggRewrite.navigate(
+      e.groupBy(col("event_type"))
+        .agg(sum_distinct(col("user_id")).as("s")))
+    assert(scanPaths(sumD).contains(eventsPath),
+      s"sum(DISTINCT) must fall through: ${scanPaths(sumD)}")
+  }
+
+  test("bitmap registration refuses non-integral children") {
+    val docs = Tables(spark, sf, "documents")
+    val err = intercept[IllegalArgumentException] {
+      AggRewrite.register(spark, "bm_nonint_spec", docs,
+        keys = Seq("lang" -> col("lang")),
+        measures = Seq(("ids", "bitmap", col("source"))),
+        summary = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("ids")))
+    }
+    assert(err.getMessage.contains("integral"))
   }
 
   test("registry releases cleared registrations (plans weak-reachable " +
@@ -880,6 +918,77 @@ class AggRewriteSpec extends SparkSuite {
     }
   }
 
+  test("delta maintenance: INSERT-ONLY batches fold monotone partials " +
+      "(min/max/hll/bitmap) bit-equal to a from-scratch rebuild") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_mono_").toString
+    import spark.implicits._
+    try {
+      Seq(("d1", 5L), ("d1", 9L), ("d2", 100L)).toDF("day", "id")
+        .write.mode("overwrite").parquet(s"$root/facts1")
+      val facts1 = spark.read.parquet(s"$root/facts1")
+      val keys = Seq("day" -> col("day"))
+      val measures = Seq(
+        ("id_min", "min", col("id")),
+        ("id_max", "max", col("id")),
+        ("uv_hll", "hll", col("id")),
+        ("ids", "bitmap", col("id")),
+        ("cnt", "count_star", lit(1)))
+      AggRewrite.materialize(spark, "mono_spec", facts1, keys, measures,
+        s"$root/summary")
+      // append-only batch: a new low id on d1, a DUPLICATE id on d1
+      // (count grows, the id SET must not), and a brand-new day d3
+      val batch = Seq(("d1", 2L, 1), ("d1", 9L, 1), ("d3", 7L, 1))
+        .toDF("day", "id", "sign")
+      batch.drop("sign").unionByName(facts1)
+        .write.mode("overwrite").parquet(s"$root/facts2")
+      val facts2 = spark.read.parquet(s"$root/facts2")
+      AggRewrite.applyDelta(spark, "mono_spec", facts2, batch,
+        "sign", batchId = 1L)
+      // folded partials == a from-scratch build over the new base,
+      // BYTE-equal for the sketch and the bitmap (register-max and
+      // union are canonical)
+      val folded = spark.read.parquet(s"$root/summary/d1")
+      val scratch = facts2.groupBy(col("day"))
+        .agg(min(col("id")).as("id_min"), max(col("id")).as("id_max"),
+          udaf(graft.functions.HllSketchPartial).apply(col("id"))
+            .as("uv_hll"),
+          udaf(graft.functions.BitmapPartial)
+            .apply(col("id").cast("long")).as("ids"),
+          count(lit(1)).as("cnt"))
+      val a = folded.sort("day").collect().toSeq
+      val b = scratch.select(folded.columns.map(col).toSeq: _*)
+        .sort("day").collect().toSeq
+      assert(a.size == b.size && a.zip(b).forall { case (x, y) =>
+        x.getString(0) == y.getString(0) &&
+          x.getLong(1) == y.getLong(1) && x.getLong(2) == y.getLong(2) &&
+          java.util.Arrays.equals(x.getAs[Array[Byte]](3),
+            y.getAs[Array[Byte]](3)) &&
+          java.util.Arrays.equals(x.getAs[Array[Byte]](4),
+            y.getAs[Array[Byte]](4)) &&
+          x.getLong(5) == y.getLong(5)
+      }, s"monotone fold drifted from rebuild:\n$a\n$b")
+      // navigation serves the folded truth: exact distinct + min/max
+      def rawQ = facts2.groupBy(col("day"))
+        .agg(countDistinct(col("id")).as("uv"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))
+      val nav = AggRewrite.navigate(rawQ)
+      assert(scanPaths(nav).exists(_.contains("/d1")),
+        s"post-fold navigation missed the new version: ${scanPaths(nav)}")
+      assert(nav.sort("day").collect().toSeq ==
+        rawQ.sort("day").collect().toSeq)
+      // the duplicate insert left d1's distinct count untouched
+      assert(nav.filter(col("day") === "d1").head.getLong(1) == 3L)
+    } finally {
+      AggRewrite.unregister(spark, "mono_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("delta maintenance self-heals: replay is a no-op, a torn fold " +
       "re-folds deterministically") {
     val root = java.nio.file.Files
@@ -1018,8 +1127,14 @@ class AggRewriteSpec extends SparkSuite {
     // explicit schema: partition-value inference would re-type the day
     // dirs and the stitch (correctly) refuses un-parseable literals
     def facts = spark.read.schema(schema).parquet(s"$root/facts")
+    // countDistinct exercises the bitmap partial THROUGH the stitch:
+    // the summary branch serves stored bytes, the raw branch builds
+    // fresh ones, and the final merge unions across both — idempotence
+    // keeps it exact even when an id repeats across touched and
+    // untouched days
     def rawQ = facts.groupBy(col("tier"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"),
+        countDistinct(col("v")).as("dv"))
     def navQ = AggRewrite.navigate(rawQ)
     try {
       Seq((1L, "gold", "d1"), (2L, "std", "d1"), (10L, "gold", "d2"),
@@ -1030,7 +1145,8 @@ class AggRewriteSpec extends SparkSuite {
       AggRewrite.materialize(spark, "stitch_spec", facts,
         keys = Seq("day" -> col("day"), "tier" -> col("tier")),
         measures = Seq(("v_sum", "sum", col("v")),
-          ("cnt", "count_star", lit(1))),
+          ("cnt", "count_star", lit(1)),
+          ("ids", "bitmap", col("v"))),
         path = s"$root/summary")
       // fresh: summary only
       val fresh = navQ
@@ -1079,7 +1195,8 @@ class AggRewriteSpec extends SparkSuite {
       AggRewrite.materialize(spark, "stitch_spec", facts,
         keys = Seq("day" -> col("day"), "tier" -> col("tier")),
         measures = Seq(("v_sum", "sum", col("v")),
-          ("cnt", "count_star", lit(1))),
+          ("cnt", "count_star", lit(1)),
+          ("ids", "bitmap", col("v"))),
         path = s"$root/summary2")
       val back = navQ
       assert(scanPaths(back).exists(_.contains("summary2")))
