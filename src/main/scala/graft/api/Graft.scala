@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -329,6 +329,25 @@ object Graft {
   def navigate(df: DataFrame): DataFrame =
     graft.plans.AggRewrite.navigate(df)
 
+  /** Register a zone-map (per-file min/max/null-count) index over a
+    * parquet store for `statsCols` — one registration-time stats pass
+    * (at 100 TB: the ingest job's commit-time bookkeeping, what Delta
+    * writes to its transaction log). [[skipNavigate]] (or the
+    * session-wide [[graft.plans.GraftExtensions]] route) then prunes
+    * provably-empty files from matching scans at PLANNING time, before
+    * any task is scheduled or parquet footer opened. Sound: pruning
+    * only removes files the stats PROVE empty for the filter, and any
+    * store change since registration falls through to the unpruned
+    * scan (spec: SkipIndexSpec). */
+  def registerSkipIndex(session: SparkSession, name: String,
+      store: String, statsCols: Seq[String]): Unit =
+    graft.plans.SkipIndex.register(session, name, store, statsCols)
+
+  /** Apply registered zone-map indexes to ONE query's plan; returns
+    * the frame unchanged when nothing prunes. */
+  def skipNavigate(df: DataFrame): DataFrame =
+    graft.plans.SkipIndex.navigate(df)
+
   /** Top-k rows per group by `order` descending (ties broken by the
     * tiebreak column for determinism). One shuffle on the group keys. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,
@@ -418,8 +437,10 @@ object Graft {
       targetBytes, outDir, mode)
 
   /** ANALYZE-style per-column statistics catalog for any frame: one
-    * row per listed column with (row_ct, null_ct, exact ndv, min, max)
-    * from a single scan. Pass names, or (name, pre-cast Column) pairs
+    * row per listed column with (row_ct, null_ct, exact ndv, an
+    * approx-NDV-within-5% flag — the 100 TB ANALYZE runs the HLL
+    * estimate, the exact column is the oracle — min, max) from a
+    * single scan. Pass names, or (name, pre-cast Column) pairs
     * when the raw type's stringification is engine-specific. */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame =
     graft.operators.ScalePatterns.tableStatsFor(df,

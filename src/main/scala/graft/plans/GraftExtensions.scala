@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // register summaries get raw-table aggregates rewritten onto them;
     // sessions without registrations pay one map lookup
     ext.injectOptimizerRule(s => AggRewrite.Rewrite(s))
+    // zone-map file skipping (SkipIndex.scala): sessions that register
+    // per-file stats get provably-empty files pruned at planning time;
+    // sessions without registrations pay one map lookup
+    ext.injectOptimizerRule(s => SkipIndex.Prune(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim",

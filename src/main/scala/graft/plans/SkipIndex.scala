@@ -1,0 +1,318 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory, PartitioningAwareFileIndex}
+import org.apache.spark.sql.types.DataType
+
+/** File-granularity zone-map skipping, EXECUTED — the x8 estimator
+  * turned into an actual scan pruner. x4/x8 price what a clustered
+  * layout buys: files whose min/max extents are tight on the filter
+  * columns can be skipped wholesale. Parquet already skips ROW GROUPS
+  * inside each task, but at 100 TB the win Delta/Iceberg chase is
+  * earlier: prune at PLANNING time, before a single task is scheduled
+  * or a footer opened — a day-scoped query on a million-file table
+  * schedules thousands of tasks, not a million. This rule is that
+  * model with the stats catalog held driver-side (the same
+  * metadata-sized min/max/null-count triple Delta keeps in its
+  * transaction log), registered once per store at ingest time.
+  *
+  * Soundness mirrors [[AggRewrite]]'s discipline exactly:
+  *  - pruning only ever REMOVES files the predicate PROVES empty on
+  *    the [min,max]/null-count stats — conservative three-valued
+  *    logic, unknown shapes keep the file;
+  *  - the staleness fence compares the CANDIDATE scan's own pinned
+  *    file listing against the registration snapshot (direction-
+  *    complete: a file appended after registration, or a plan pinned
+  *    before a rewrite, each kill the match) — any mismatch serves
+  *    the unpruned raw scan, never a wrong answer;
+  *  - the rewrite is semantically invisible: it swaps the relation's
+  *    [[FileIndex]] for a filtered view of the same listing, keeping
+  *    schema, output attributes, and every downstream operator
+  *    untouched (oracle: x23 hashes against DuckDB on the raw rows).
+  *
+  * Routes: per-query [[SkipIndex.navigate]], or session-wide via
+  * [[GraftExtensions]] (the same `extraOptimizations` slot as
+  * AggRewrite). Stats atoms supported: =, <, <=, >, >=, IN,
+  * IsNull/IsNotNull over a stats column vs foldable literals, under
+  * arbitrary AND/OR (an OR prunes only when EVERY branch refutes).
+  */
+object SkipIndex {
+
+  /** Per-file stats: (min, max, nonNullCount, rowCount) per column.
+    * min/max are null when the file has no non-null values. */
+  private[plans] case class FileStats(path: String, rows: Long,
+      cols: Map[String, (Any, Any, Long)])
+
+  private[plans] case class IndexDef(name: String, rootPaths: Set[String],
+      colTypes: Map[String, DataType], files: Map[String, FileStats],
+      listingSig: String)
+
+  private val registry = TrieMap.empty[SparkSession, Vector[IndexDef]]
+
+  private def digest(entries: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def statusEntry(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+
+  /** Register a zone-map index over `store` (a parquet path) for
+    * `statsCols`. One data pass computes per-FILE min/max/counts —
+    * at 100 TB this is the ingest job's write-side bookkeeping (Delta
+    * computes the same stats per file as it commits); here it is a
+    * registration-time scan. The listing snapshot taken here is the
+    * staleness fence. */
+  def register(session: SparkSession, name: String, store: String,
+      statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, max, min}
+    val df = session.read.parquet(store)
+    val colTypes = statsCols.map { c =>
+      c -> df.schema(c).dataType
+    }.toMap
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        count(col(c)).as(s"__cnt_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val stats = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val files = stats.map { r =>
+      val path = new java.net.URI(r.getAs[String]("__file")).getPath
+      val cols = statsCols.map { c =>
+        c -> (r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c"),
+          r.getAs[Long](s"__cnt_$c"))
+      }.toMap
+      path -> FileStats(path, r.getAs[Long]("__rows"), cols)
+    }.toMap
+    // snapshot the listing through the SAME scan the stats ran over
+    val sig = df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case p: PartitioningAwareFileIndex =>
+            digest(p.allFiles().map(statusEntry))
+          case other => digest(other.inputFiles.toSeq)
+        }
+      }
+    }.getOrElse(throw new IllegalStateException(
+      s"could not snapshot the store listing for '$name'"))
+    val roots = df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).toSet
+      }
+    }.getOrElse(Set.empty[String])
+    val d = IndexDef(name, roots, colTypes, files, sig)
+    registry.keys.filter(_.sparkContext.isStopped)
+      .foreach(registry.remove)
+    registry.updateWith(session) {
+      case Some(v) => Some(v.filterNot(_.name == name) :+ d)
+      case None => Some(Vector(d))
+    }
+  }
+
+  def unregister(session: SparkSession, name: String): Unit =
+    registry.updateWith(session) {
+      case Some(v) =>
+        val left = v.filterNot(_.name == name)
+        if (left.isEmpty) None else Some(left)
+      case None => None
+    }
+
+  def clear(session: SparkSession): Unit = registry.remove(session)
+
+  /** Three-valued may-match: Some(false) = the stats PROVE no row of
+    * this file satisfies `e`; anything unproven keeps the file. The
+    * literal comparisons reuse Catalyst's own binary comparison
+    * evaluation on two literals — same type coercions, orderings, and
+    * null semantics the real filter would apply row-by-row. */
+  private def mayMatch(e: Expression, st: FileStats,
+      statCols: Map[String, DataType]): Boolean = {
+
+    def evalCmp(mk: (Expression, Expression) => Expression,
+        a: Any, aDt: DataType, b: Literal): Boolean = {
+      val r = mk(Literal.create(a, aDt), b).eval(InternalRow.empty)
+      r != null && r.asInstanceOf[Boolean]
+    }
+
+    // a stats column reference, by name (the rewrite keeps the scan's
+    // own attributes, so name-level matching against the registered
+    // stats columns is exact)
+    def statOf(ex: Expression): Option[(Any, Any, Long, DataType)] =
+      ex match {
+        case a: AttributeReference if st.cols.contains(a.name) =>
+          val (mn, mx, cnt) = st.cols(a.name)
+          Some((mn, mx, cnt, statCols(a.name)))
+        case _ => None
+      }
+
+    e match {
+      case And(l, r) =>
+        mayMatch(l, st, statCols) && mayMatch(r, st, statCols)
+      case Or(l, r) =>
+        mayMatch(l, st, statCols) || mayMatch(r, st, statCols)
+      case EqualTo(a, l: Literal) if statOf(a).isDefined && l.foldable =>
+        val (mn, mx, cnt, dt) = statOf(a).get
+        if (l.value == null) false // null-rejecting
+        else cnt > 0 && mn != null &&
+          evalCmp(LessThanOrEqual, mn, dt, l) &&
+          evalCmp(GreaterThanOrEqual, mx, dt, l)
+      case EqualTo(l: Literal, a) if statOf(a).isDefined && l.foldable =>
+        mayMatch(EqualTo(a, l), st, statCols)
+      case LessThan(a, l: Literal) if statOf(a).isDefined =>
+        val (mn, _, cnt, dt) = statOf(a).get
+        cnt > 0 && mn != null && evalCmp(LessThan, mn, dt, l)
+      case LessThanOrEqual(a, l: Literal) if statOf(a).isDefined =>
+        val (mn, _, cnt, dt) = statOf(a).get
+        cnt > 0 && mn != null && evalCmp(LessThanOrEqual, mn, dt, l)
+      case GreaterThan(a, l: Literal) if statOf(a).isDefined =>
+        val (_, mx, cnt, dt) = statOf(a).get
+        cnt > 0 && mx != null && evalCmp(GreaterThan, mx, dt, l)
+      case GreaterThanOrEqual(a, l: Literal) if statOf(a).isDefined =>
+        val (_, mx, cnt, dt) = statOf(a).get
+        cnt > 0 && mx != null && evalCmp(GreaterThanOrEqual, mx, dt, l)
+      // literal-on-the-left comparisons: mirror
+      case LessThan(l: Literal, a) if statOf(a).isDefined =>
+        mayMatch(GreaterThan(a, l), st, statCols)
+      case LessThanOrEqual(l: Literal, a) if statOf(a).isDefined =>
+        mayMatch(GreaterThanOrEqual(a, l), st, statCols)
+      case GreaterThan(l: Literal, a) if statOf(a).isDefined =>
+        mayMatch(LessThan(a, l), st, statCols)
+      case GreaterThanOrEqual(l: Literal, a) if statOf(a).isDefined =>
+        mayMatch(LessThanOrEqual(a, l), st, statCols)
+      case In(a, vs) if statOf(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => mayMatch(EqualTo(a, v.asInstanceOf[Literal]),
+          st, statCols))
+      case IsNull(a) if statOf(a).isDefined =>
+        val (_, _, cnt, _) = statOf(a).get
+        st.rows > cnt
+      case IsNotNull(a) if statOf(a).isDefined =>
+        val (_, _, cnt, _) = statOf(a).get
+        cnt > 0
+      case _ => true // unknown shape: keep the file (conservative)
+    }
+  }
+
+  /** The optimizer rule: Filter over a registered store's scan (bare or
+    * through a Project) → same scan with provably-empty files removed
+    * from its FileIndex. Runs inside the operator-optimization batch
+    * (injected) or on the optimized plan ([[navigate]]) — by then
+    * predicate pushdown has seated the Filter on the scan and constant
+    * folding has collapsed cast literals, so the stats atoms see plain
+    * `attr op literal` shapes. Matching is one vector scan per Filter
+    * node; the fence only runs for registered stores. Carries its
+    * session like [[AggRewrite.Rewrite]] (a cloned session needs its
+    * own instance over its own registry). */
+  case class Prune(session: SparkSession) extends Rule[LogicalPlan] {
+    def apply(plan: LogicalPlan): LogicalPlan = {
+      val defs = registry.getOrElse(session, Vector.empty)
+      if (defs.isEmpty) return plan
+      plan.transformUp {
+        case f @ Filter(cond, lr: LogicalRelation) =>
+          rewriteScan(cond, lr, defs).map(Filter(cond, _)).getOrElse(f)
+        case f @ Filter(cond, p @ Project(_, lr: LogicalRelation)) =>
+          rewriteScan(cond, lr, defs)
+            .map(nlr => Filter(cond, p.copy(child = nlr))).getOrElse(f)
+      }
+    }
+  }
+
+  private def rewriteScan(cond: Expression, lr: LogicalRelation,
+      defs: Vector[IndexDef]): Option[LogicalRelation] = {
+    val fsRel = lr.relation match {
+      case fs: HadoopFsRelation => fs
+      case _ => return None
+    }
+    if (fsRel.location.isInstanceOf[PrunedFileIndex]) return None
+    val roots = fsRel.location.rootPaths.map(_.toString).toSet
+    val d = defs.find(_.rootPaths == roots).getOrElse(return None)
+    // the candidate's own pinned listing must BE the registered
+    // snapshot — both staleness directions fall through to unpruned
+    val candIdx = fsRel.location match {
+      case p: PartitioningAwareFileIndex => p
+      case _ => return None
+    }
+    if (digest(candIdx.allFiles().map(statusEntry)) != d.listingSig)
+      return None
+    val conjuncts = splitConjuncts(cond)
+    val keep = d.files.filter { case (_, st) =>
+      conjuncts.forall(c => mayMatch(c, st, d.colTypes))
+    }.keySet
+    if (keep.size == d.files.size) return None // nothing to prune
+    val pruned = new PrunedFileIndex(candIdx, keep)
+    Some(lr.copy(relation =
+      fsRel.copy(location = pruned)(fsRel.sparkSession)))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Explicit-rewrite route: apply the registered indexes to ONE query
+    * (mirrors [[AggRewrite.navigate]]). Works on the OPTIMIZED plan —
+    * pushdown has seated the Filter on the scan and folding has
+    * collapsed `CAST('1995-01-01' AS DATE)`-style literals the stats
+    * atoms compare against. */
+  def navigate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = Prune(s)(optimized)
+    if (rewritten fastEquals optimized) df
+    else org.apache.spark.sql.graft.PlanDF.ofRows(s, rewritten)
+  }
+
+  /** Add the rule to one session's `experimental.extraOptimizations`
+    * (idempotent, session-keyed like [[AggRewrite.enable]]). */
+  def enable(session: SparkSession): Unit = {
+    val cur = session.experimental.extraOptimizations
+    val mine = cur.exists {
+      case r: Prune => r.session eq session
+      case _ => false
+    }
+    if (!mine)
+      session.experimental.extraOptimizations = cur :+ Prune(session)
+  }
+}
+
+/** A filtered view over an existing [[PartitioningAwareFileIndex]]:
+  * same roots, same partition schema, same listing MINUS the files the
+  * zone maps proved empty. Listing-only — nothing about the scan's
+  * schema or semantics changes. */
+private[plans] class PrunedFileIndex(
+    under: PartitioningAwareFileIndex, keep: Set[String])
+    extends FileIndex {
+
+  private def keeps(p: org.apache.hadoop.fs.Path): Boolean =
+    keep.contains(p.toUri.getPath)
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = under.rootPaths
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    under.listFiles(partitionFilters, dataFilters).map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter(f => keeps(f.getPath)))
+    }.filter(_.files.nonEmpty)
+
+  override def inputFiles: Array[String] =
+    under.inputFiles.filter(f => keep.contains(new java.net.URI(f).getPath))
+
+  override def refresh(): Unit = under.refresh()
+
+  override def sizeInBytes: Long =
+    under.allFiles().filter(f => keeps(f.getPath)).map(_.getLen).sum
+
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    under.partitionSchema
+
+  override def metadataOpsTimeNs: Option[Long] = under.metadataOpsTimeNs
+}

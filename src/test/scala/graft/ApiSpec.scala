@@ -311,8 +311,9 @@ class ApiSpec extends SparkSuite {
       .map(r => r.getString(0) -> r).toMap
     assert(stats("id").getLong(1) == 3L) // row_ct
     assert(stats("id").getLong(3) == 3L) // ndv
+    assert(stats("id").getBoolean(4)) // approx ndv within contract
     assert(stats("ref").getLong(2) == 1L) // null_ct
-    assert(stats("ref").getString(4) == "a") // min
+    assert(stats("ref").getString(5) == "a") // min
     val audit = Graft.refIntegrityAudit("child->parent", child, "ref",
       parent, "pk").head
     assert(audit.getLong(1) == 3L) // child_ct

@@ -289,6 +289,8 @@ class OperatorSpec extends SparkSuite {
     // key column is unique
     assert(r.filter(col("column_name") === "o_orderkey")
       .filter(col("ndv") =!= n).count() == 0)
+    // the approx-NDV twin honors its within-5% contract on every column
+    assert(r.filter(!col("ndv_approx_ok")).count() == 0)
   }
 
   test("x10 skew report: totals reconcile, hot key diagnosed, ratios consistent") {

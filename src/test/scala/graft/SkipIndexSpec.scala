@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.plans.SkipIndex
+
+/** Zone-map file skipping (plans/SkipIndex.scala): pruning must FIRE
+  * where the stats prove emptiness (the scan's file listing shrinks at
+  * planning time), stay bit-equal to the unpruned plan, and fall
+  * through — keep every file — on stale stores, unknown predicate
+  * shapes, and any atom the stats can't refute. */
+class SkipIndexSpec extends SparkSuite {
+
+  private def scanFileCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.length
+      }
+    }.sum
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete()
+  }
+
+  test("x23: the box scan prunes files at planning time, bit-equal " +
+      "to the unpruned plan") {
+    val store = s"${operators.ScalePatterns.skipStoreDir(spark, sf)}/orders_z"
+    def rawQ = spark.read.parquet(store)
+      .filter(col("o_custkey") <= 75 &&
+        col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") <= "1995-12-31")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+    val nav = SkipIndex.navigate(rawQ)
+    val total = scanFileCount(rawQ)
+    val kept = scanFileCount(nav)
+    assert(kept < total,
+      s"zone maps pruned nothing: $kept of $total files kept")
+    assert(kept > 0, "pruning removed every file for a non-empty box")
+    // results identical to the unpruned plan
+    assert(nav.sort("o_orderpriority").collect().toSeq ==
+      rawQ.sort("o_orderpriority").collect().toSeq)
+    // the physical scan actually reads the pruned listing
+    nav.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flat(q.plan)
+      case _ => p.children.flatMap(flat)
+    })
+    val finalPlan = nav.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val numFiles = flat(finalPlan).collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    assert(numFiles == kept.toLong,
+      s"physical scan read $numFiles files, planning kept $kept")
+    // the suite entry goes through navigate too
+    val x23 = q("x23_skipscan_prune")
+    assert(scanFileCount(x23) < total,
+      "x23 suite entry did not prune")
+  }
+
+  test("staleness fence: a store change after registration keeps the " +
+      "scan unpruned (both directions)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_fence_").toString
+    import spark.implicits._
+    try {
+      (1 to 100).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "s").repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      SkipIndex.register(spark, "fence_spec", s"$root/t", Seq("k"))
+      def q0 = spark.read.parquet(s"$root/t").filter(col("k") <= 10L)
+      val before = SkipIndex.navigate(q0)
+      assert(scanFileCount(before) < 4, "expected pruning while fresh")
+      // a plan PINNED before the change keeps serving its own listing —
+      // and a fresh plan over the CHANGED store must not prune
+      (101 to 110).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+        .write.mode("append").parquet(s"$root/t")
+      val after = SkipIndex.navigate(
+        spark.read.parquet(s"$root/t").filter(col("k") <= 10L))
+      val files = scanFileCount(after)
+      assert(files >= 5,
+        s"stale index still pruned: $files files in the scan")
+      assert(after.count() == 10L)
+    } finally {
+      SkipIndex.unregister(spark, "fence_spec")
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("three-valued atoms: unknown shapes and OR branches keep files " +
+      "unless EVERY branch refutes; null stats prune soundly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_atoms_").toString
+    import spark.implicits._
+    try {
+      // 4 range files over k = 1..100; file 1 = [1,25], … file 4 =
+      // [76,100]; v is NULL exactly on k <= 25 (file 1 all-null)
+      (1 to 100).map(i =>
+        (i.toLong, if (i <= 25) None else Some(i.toLong)))
+        .toDF("k", "v").repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      SkipIndex.register(spark, "atoms_spec", s"$root/t", Seq("k", "v"))
+      def base = spark.read.parquet(s"$root/t")
+      val all = scanFileCount(base.filter(col("k") > -1L))
+
+      // OR: both branches must refute for a file to drop
+      val or2 = SkipIndex.navigate(
+        base.filter(col("k") <= 10L || col("k") > 90L))
+      assert(scanFileCount(or2) == 2,
+        s"OR should keep exactly the two edge files")
+      assert(or2.count() == 20L)
+
+      // unknown shape (function of the stats column): keep everything
+      val unk = SkipIndex.navigate(
+        base.filter(col("k") % 2 === 0L && col("k") <= 10L))
+      // the k<=10 conjunct still prunes down to file 1 — the modulo
+      // atom alone must not block the provable conjunct
+      assert(scanFileCount(unk) == 1)
+      assert(unk.count() == 5L)
+
+      // IsNull prunes all-non-null files; equality null-rejects the
+      // all-null file
+      val nulls = SkipIndex.navigate(base.filter(col("v").isNull))
+      assert(scanFileCount(nulls) == 1, "only file 1 has nulls")
+      assert(nulls.count() == 25L)
+      val eq = SkipIndex.navigate(base.filter(col("v") === 30L))
+      assert(scanFileCount(eq) == 1, "equality must skip the all-null file")
+      assert(eq.count() == 1L)
+
+      // IN lists: any member inside the extent keeps the file
+      val in2 = SkipIndex.navigate(
+        base.filter(col("k").isin(5L, 99L)))
+      assert(scanFileCount(in2) == 2)
+      assert(in2.count() == 2L)
+      assert(all == 4)
+    } finally {
+      SkipIndex.unregister(spark, "atoms_spec")
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("session-wide route: the injected rule prunes without navigate") {
+    val s2 = spark.newSession()
+    SkipIndex.enable(s2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_wide_").toString
+    try {
+      import s2.implicits._
+      (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+        .repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      SkipIndex.register(s2, "wide_spec", s"$root/t", Seq("k"))
+      val q0 = s2.read.parquet(s"$root/t").filter(col("k") <= 10L)
+        .agg(sum(col("v")).as("sv"))
+      assert(scanFileCount(q0) == 1,
+        s"session-wide rule did not prune: ${scanFileCount(q0)} files")
+      assert(q0.head.getLong(0) == (1 to 10).map(_ * 2L).sum)
+      // the base session holds no 'wide_spec' registration — its own
+      // scans of the same store stay unpruned
+      val other = spark.read.parquet(s"$root/t").filter(col("k") <= 10L)
+      assert(scanFileCount(other) == 4)
+    } finally {
+      SkipIndex.clear(s2)
+      rm(new java.io.File(root))
+    }
+  }
+}
