@@ -348,6 +348,14 @@ object Graft {
   def skipNavigate(df: DataFrame): DataFrame =
     graft.plans.SkipIndex.navigate(df)
 
+  /** Incremental zone-map maintenance: diff the live listing against
+    * the registered entries, stats-scan ONLY new/changed files, drop
+    * removed ones, re-sign the fence — pruning resumes after an
+    * append at the cost of the appended bytes (Delta's per-commit
+    * stats model). Partitioned stores refuse; re-register. */
+  def refreshSkipIndex(session: SparkSession, name: String): Unit =
+    graft.plans.SkipIndex.refresh(session, name)
+
   /** Top-k rows per group by `order` descending (ties broken by the
     * tiebreak column for determinism). One shuffle on the group keys. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,

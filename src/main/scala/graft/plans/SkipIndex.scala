@@ -49,9 +49,14 @@ object SkipIndex {
   private[plans] case class FileStats(path: String, rows: Long,
       cols: Map[String, (Any, Any, Long)])
 
-  private[plans] case class IndexDef(name: String, rootPaths: Set[String],
-      colTypes: Map[String, DataType], files: Map[String, FileStats],
-      listingSig: String)
+  private[plans] case class IndexDef(name: String, store: String,
+      rootPaths: Set[String], colTypes: Map[String, DataType],
+      files: Map[String, FileStats],
+      // path -> "path:len:mtime" listing entry at registration — the
+      // fence digest AND the per-file change detector refresh() diffs
+      entries: Map[String, String]) {
+    val listingSig: String = digest(entries.values.toSeq)
+  }
 
   private val registry = TrieMap.empty[SparkSession, Vector[IndexDef]]
 
@@ -71,49 +76,100 @@ object SkipIndex {
     * staleness fence. */
   def register(session: SparkSession, name: String, store: String,
       statsCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name,
-      lit, max, min}
     val df = session.read.parquet(store)
     val colTypes = statsCols.map { c =>
       c -> df.schema(c).dataType
     }.toMap
+    val files = statsPass(df, statsCols)
+    val (roots, entries) = listingOf(df, name)
+    putDef(session, IndexDef(name, store, roots, colTypes, files, entries))
+  }
+
+  /** Incremental stats maintenance — the ingest loop at 100 TB, where
+    * a micro-batch lands a handful of files and a full re-registration
+    * would re-scan the whole store. Diffs the LIVE listing against the
+    * registered per-file entries: unchanged files keep their stats,
+    * new/changed files get ONE stats pass over just those files,
+    * removed files drop, and the fence is re-signed — so pruning
+    * resumes after an append at the cost of the appended bytes only
+    * (Delta's model exactly: each commit logs stats for its own files).
+    * Partitioned stores refuse (reading leaf files directly would drop
+    * the partition columns from the schema) — re-register instead. */
+  def refresh(session: SparkSession, name: String): Unit = {
+    val d = registry.getOrElse(session, Vector.empty)
+      .find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"no skip index '$name' registered for this session"))
+    val df = session.read.parquet(d.store)
+    val partCols = df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.partitionSchema.fieldNames.toSeq
+      }
+    }.getOrElse(Nil)
+    require(partCols.isEmpty,
+      s"skip index '$name' covers a partitioned store " +
+        s"(${partCols.mkString(", ")}) — refresh reads leaf files " +
+        "directly and would lose the partition columns; re-register")
+    val (roots, live) = listingOf(df, name)
+    val unchanged = d.files.filter { case (p, _) =>
+      live.get(p).contains(d.entries.getOrElse(p, ""))
+    }
+    val newPaths = live.keys.filterNot(unchanged.contains).toSeq.sorted
+    val freshStats =
+      if (newPaths.isEmpty) Map.empty[String, FileStats]
+      else statsPass(
+        session.read.schema(df.schema).parquet(newPaths: _*),
+        d.colTypes.keys.toSeq.sorted)
+    putDef(session, d.copy(rootPaths = roots,
+      files = unchanged ++ freshStats, entries = live))
+  }
+
+  /** One stats pass over `df`: per-FILE min/max/non-null-count for
+    * `statsCols` plus the row count, keyed by scheme-less path. */
+  private def statsPass(df: DataFrame, statsCols: Seq[String])
+      : Map[String, FileStats] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, max, min}
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         count(col(c)).as(s"__cnt_$c"))
     } :+ count(lit(1)).as("__rows")
-    val stats = df.groupBy(input_file_name().as("__file"))
+    df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val files = stats.map { r =>
-      val path = new java.net.URI(r.getAs[String]("__file")).getPath
-      val cols = statsCols.map { c =>
-        c -> (r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c"),
-          r.getAs[Long](s"__cnt_$c"))
+      .map { r =>
+        val path = new java.net.URI(r.getAs[String]("__file")).getPath
+        val cols = statsCols.map { c =>
+          c -> (r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c"),
+            r.getAs[Long](s"__cnt_$c"))
+        }.toMap
+        path -> FileStats(path, r.getAs[Long]("__rows"), cols)
       }.toMap
-      path -> FileStats(path, r.getAs[Long]("__rows"), cols)
-    }.toMap
-    // snapshot the listing through the SAME scan the stats ran over
-    val sig = df.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location match {
+  }
+
+  /** (root paths, path -> listing entry) through the SAME scan the
+    * stats ran over — snapshot-anchored like AggRewrite's fence. */
+  private def listingOf(df: DataFrame, name: String)
+      : (Set[String], Map[String, String]) =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val entries = fs.location match {
           case p: PartitioningAwareFileIndex =>
-            digest(p.allFiles().map(statusEntry))
-          case other => digest(other.inputFiles.toSeq)
+            p.allFiles().map(st =>
+              st.getPath.toUri.getPath -> statusEntry(st)).toMap
+          case other =>
+            other.inputFiles.map(f =>
+              new java.net.URI(f).getPath -> f).toMap
         }
-      }
+        (fs.location.rootPaths.map(_.toString).toSet, entries)
     }.getOrElse(throw new IllegalStateException(
       s"could not snapshot the store listing for '$name'"))
-    val roots = df.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.map(_.toString).toSet
-      }
-    }.getOrElse(Set.empty[String])
-    val d = IndexDef(name, roots, colTypes, files, sig)
+
+  private def putDef(session: SparkSession, d: IndexDef): Unit = {
     registry.keys.filter(_.sparkContext.isStopped)
       .foreach(registry.remove)
     registry.updateWith(session) {
-      case Some(v) => Some(v.filterNot(_.name == name) :+ d)
+      case Some(v) => Some(v.filterNot(_.name == d.name) :+ d)
       case None => Some(Vector(d))
     }
   }

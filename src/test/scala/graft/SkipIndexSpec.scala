@@ -148,6 +148,103 @@ class SkipIndexSpec extends SparkSuite {
     }
   }
 
+  test("refresh: an append re-arms pruning by scanning ONLY the new " +
+      "files; removed files drop; partitioned stores refuse") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_refresh_").toString
+    import spark.implicits._
+    try {
+      (1 to 100).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "s").repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      SkipIndex.register(spark, "refresh_spec", s"$root/t", Seq("k"))
+      def q0 = SkipIndex.navigate(
+        spark.read.parquet(s"$root/t").filter(col("k") <= 10L))
+      assert(scanFileCount(q0) < 4)
+      // append a file OUTSIDE the predicate range: stale → unpruned
+      Seq((500L, "r500")).toDF("k", "s")
+        .write.mode("append").parquet(s"$root/t")
+      assert(scanFileCount(q0) >= 5, "stale index must not prune")
+      // refresh diffs the listing and stats-scans just the new file
+      SkipIndex.refresh(spark, "refresh_spec")
+      val after = q0
+      assert(scanFileCount(after) < 5,
+        s"refresh did not re-arm pruning: ${scanFileCount(after)}")
+      assert(after.count() == 10L)
+      // the new file's OWN stats are live: a predicate that only it
+      // satisfies keeps exactly one file
+      val hi = SkipIndex.navigate(
+        spark.read.parquet(s"$root/t").filter(col("k") >= 200L))
+      assert(scanFileCount(hi) == 1)
+      assert(hi.count() == 1L)
+      // a removed file drops from the index on the next refresh
+      val gone = new java.io.File(s"$root/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.length())
+      gone.delete()
+      SkipIndex.refresh(spark, "refresh_spec")
+      val postDelete = SkipIndex.navigate(
+        spark.read.parquet(s"$root/t").filter(col("k") > -1L))
+      assert(postDelete.count() ==
+        spark.read.parquet(s"$root/t").count())
+      // partitioned stores refuse with advice
+      (1 to 10).map(i => (i.toLong, s"p${i % 2}"))
+        .toDF("k", "part")
+        .write.partitionBy("part").mode("overwrite").parquet(s"$root/p")
+      SkipIndex.register(spark, "refresh_part_spec", s"$root/p", Seq("k"))
+      val err = intercept[IllegalArgumentException] {
+        SkipIndex.refresh(spark, "refresh_part_spec")
+      }
+      assert(err.getMessage.contains("re-register"))
+    } finally {
+      SkipIndex.unregister(spark, "refresh_spec")
+      SkipIndex.unregister(spark, "refresh_part_spec")
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("streaming maintenance: a foreachBatch appender refreshes the " +
+      "index each batch and pruning stays live") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_stream_").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      (1 to 50).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+        .repartitionByRange(2, col("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      SkipIndex.register(spark, "stream_spec", s"$root/t", Seq("k"))
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      source.addData((51L to 80L).map(i => (i, i * 3L)): _*)
+      source.addData((81L to 100L).map(i => (i, i * 3L)): _*)
+      val stream = source.toDF().toDF("k", "v")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(s"$root/t")
+          SkipIndex.refresh(spark, "stream_spec")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      stream.awaitTermination(120000)
+      // pruning is live over the post-stream store: the low-range box
+      // skips the appended files, and totals are exact
+      val low = SkipIndex.navigate(
+        spark.read.parquet(s"$root/t").filter(col("k") <= 25L))
+      val total = scanFileCount(
+        spark.read.parquet(s"$root/t").filter(col("k") > -1L))
+      assert(scanFileCount(low) < total,
+        s"post-stream pruning dead: ${scanFileCount(low)} of $total")
+      assert(low.count() == 25L)
+      assert(spark.read.parquet(s"$root/t").count() == 100L)
+    } finally {
+      SkipIndex.unregister(spark, "stream_spec")
+      rm(new java.io.File(root))
+    }
+  }
+
   test("session-wide route: the injected rule prunes without navigate") {
     val s2 = spark.newSession()
     SkipIndex.enable(s2)
