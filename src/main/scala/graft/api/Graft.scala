@@ -410,11 +410,13 @@ object Graft {
     * roaring-style id bitmap (no Expand, no second shuffle — per-group
     * state is a compressed id set that merges in container strides):
     * `df.agg(Graft.exactDistinct(col("user_id")))`. Integral columns
-    * only — the bitmap is a set over a 64-bit id space; for other
-    * types use count(DISTINCT) or [[hll]]. Bit-equal to
-    * count(DISTINCT c) (spec: BitmapSpec). */
+    * only, ENFORCED at analysis (a DOUBLE would silently collide under
+    * a cast and a function named exactDistinct must never undercount
+    * without an error) — for other types use count(DISTINCT) or
+    * [[hll]]. Bit-equal to count(DISTINCT c) (spec: BitmapSpec). */
   def exactDistinct(c: Column): Column =
-    udaf(graft.functions.BitmapDistinct).apply(c.cast("long"))
+    udaf(graft.functions.BitmapDistinct)
+      .apply(graft.plans.MergeExprs.integralId(c))
 
   /** Mergeable count-min frequency sketch (4×256 counters) as packed
     * bytes; probe with [[graft.functions.CmsSketch.estimate]]. */

@@ -357,12 +357,14 @@ object ScalePatterns extends QueryModule {
     .empty[(SparkSession, String), DataFrame]
 
   private def zorderBucketRows(s: SparkSession, dir: String): DataFrame =
-    zorderMemo.getOrElseUpdate((s, dir), {
+    // synchronized builder — a racing duplicate would strand its
+    // persisted copy (release() only unpersists the stored value)
+    zorderMemo.synchronized(zorderMemo.getOrElseUpdate((s, dir), {
       val df = zorderBucketRowsCompute(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
-    })
+    }))
 
   /** Queries whose plan reads the memoized z-order assignment. */
   private[graft] val zorderConsumers: Set[String] =
@@ -374,35 +376,41 @@ object ScalePatterns extends QueryModule {
     ()
   }
 
+  /** 8-bit Morton spread (standard magic numbers). Both dimensions are
+    * first min-max normalized to 8 bits — interleaving RAW values lets
+    * the wider-ranged dimension's high bits dominate the curve and the
+    * "z-order" degenerates to a single-dim sort (Delta's OPTIMIZE
+    * normalizes via per-column range ids for the same reason). ONE
+    * definition shared by the x4/x8 assignment and the x23 landed
+    * store — the layout priced and the layout written must stay the
+    * same curve. */
+  private def mortonSpread(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  private def mortonNorm(c: Column, lo: Column, hi: Column): Column =
+    floor((c - lo) * lit(255.0) / greatest(hi - lo, lit(1L)))
+      .cast(org.apache.spark.sql.types.LongType)
+
   private def zorderBucketRowsCompute(s: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
-    // 8-bit spread (Morton magic numbers). Both dimensions are first
-    // min-max normalized to 8 bits — interleaving RAW values lets the
-    // wider-ranged dimension's high bits dominate the curve and the
-    // "z-order" degenerates to a single-dim sort (Delta's OPTIMIZE
-    // normalizes via per-column range ids for the same reason).
-    def spread(c: Column): Column = {
-      val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
-      val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
-      b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
-    }
     val raw = Tables(s, dir, "orders").select(col("o_orderkey"),
       col("o_custkey").cast(LongType).as("ck"),
       datediff(col("o_orderdate"), lit("1992-01-01")).cast(LongType)
         .as("dt"))
     val mm = raw.agg(min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
       min(col("dt")).as("dt_min"), max(col("dt")).as("dt_max"))
-    def norm(c: Column, lo: Column, hi: Column): Column =
-      floor((c - lo) * lit(255.0) / greatest(hi - lo, lit(1L)))
-        .cast(LongType)
     val base = raw.crossJoin(broadcast(mm))
       .select(col("o_orderkey"), col("ck"), col("dt"),
-        norm(col("ck"), col("ck_min"), col("ck_max")).as("ckn"),
-        norm(col("dt"), col("dt_min"), col("dt_max")).as("dtn"))
+        mortonNorm(col("ck"), col("ck_min"), col("ck_max")).as("ckn"),
+        mortonNorm(col("dt"), col("dt_min"), col("dt_max")).as("dtn"))
     val z = base.withColumn("zval",
-      spread(col("ckn")).bitwiseOR(shiftleft(spread(col("dtn")), 1)))
+      mortonSpread(col("ckn"))
+        .bitwiseOR(shiftleft(mortonSpread(col("dtn")), 1)))
     val zb = WindowAggs.exactNtile(z, 32,
         expr("zval DIV 64"), desc = false,
         Seq(col("zval"), col("o_orderkey")), "bucket")
@@ -1026,13 +1034,8 @@ object ScalePatterns extends QueryModule {
         .createTempDirectory("graft_x23_store_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
       val store = s"$sd/orders_z"
-      // the x4 interleave: min-max normalize both dims to 8 bits, then
-      // Morton mask-shift rounds — pure codegen'd integer arithmetic
-      def spread(c: Column): Column = {
-        val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
-        val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
-        b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
-      }
+      // the x4 interleave ([[mortonSpread]]/[[mortonNorm]] — one shared
+      // definition with the x8 pricing): pure codegen'd integer math
       val o = Tables(s, dir, "orders")
       val raw = o.withColumn("__ck", col("o_custkey").cast(LongType))
         .withColumn("__dt",
@@ -1040,15 +1043,13 @@ object ScalePatterns extends QueryModule {
       val mm = raw.agg(
         min(col("__ck")).as("ck_min"), max(col("__ck")).as("ck_max"),
         min(col("__dt")).as("dt_min"), max(col("__dt")).as("dt_max"))
-      def norm(c: Column, lo: Column, hi: Column): Column =
-        floor((c - lo) * lit(255.0) / greatest(hi - lo, lit(1L)))
-          .cast(LongType)
       raw.crossJoin(broadcast(mm))
         .withColumn("__zval",
-          spread(norm(col("__ck"), col("ck_min"), col("ck_max")))
+          mortonSpread(mortonNorm(col("__ck"), col("ck_min"),
+              col("ck_max")))
             .bitwiseOR(shiftleft(
-              spread(norm(col("__dt"), col("dt_min"), col("dt_max"))),
-              1)))
+              mortonSpread(mortonNorm(col("__dt"), col("dt_min"),
+                col("dt_max"))), 1)))
         .repartitionByRange(16, col("__zval"))
         .sortWithinPartitions("__zval")
         .select(o.columns.map(col).toSeq: _*)

@@ -581,11 +581,11 @@ object AggRewrite {
             // partial verbatim
             case (n, "hll", _) =>
               coalesce(
-                MergeExprs.hllRegMax(session, cur(n), deltaPartials(n)),
+                MergeExprs.hllRegMax(cur(n), deltaPartials(n)),
                 cur(n), deltaPartials(n)).as(n)
             case (n, "bitmap", _) =>
               coalesce(
-                MergeExprs.bitmapOr(session, cur(n), deltaPartials(n)),
+                MergeExprs.bitmapOr(cur(n), deltaPartials(n)),
                 cur(n), deltaPartials(n)).as(n)
             case (n, _, _) => foldExpr(n).as(n)
           }: _*)

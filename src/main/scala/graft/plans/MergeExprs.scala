@@ -1,9 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Pairwise merge kernels for STORED sketch/bitmap partials — the
@@ -103,22 +102,60 @@ case class HllRegMaxExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `__graft_integral_id(child)`: analysis-time integral guard + widen
+  * to long — the Column-level twin of AggRewrite's bitmap-registration
+  * refusal. [[graft.api.Graft.exactDistinct]] routes its input through
+  * this so a DOUBLE or STRING column REFUSES at analysis instead of
+  * silently colliding under a cast (a function named exactDistinct must
+  * never undercount without an error). */
+case class IntegralIdExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"exactDistinct needs an integral id column, got " +
+            s"${other.catalogString} — a roaring bitmap is a set over " +
+            "a 64-bit id space; hash or dictionary-encode other types " +
+            "first (estimation: use Graft.hll)")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    a.asInstanceOf[Number].longValue()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, a => s"(long) $a")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IntegralIdExpr = copy(child = newChild)
+}
+
+/** Column builders for the kernels — constructed DIRECTLY (via the
+  * audited [[org.apache.spark.sql.graft.PlanDF]] bridge), never by
+  * mutating the session's function registry: a maintenance fold must
+  * not clobber a user's own `bitmap_or` temp function as a side
+  * effect. */
 object MergeExprs {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitmap_or", exprs => BitmapOrExpr(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_reg_max", exprs => HllRegMaxExpr(exprs(0), exprs(1)),
-      "built-in")
-  }
+  import org.apache.spark.sql.graft.PlanDF
 
-  def bitmapOr(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    call_function("bitmap_or", a, b)
-  }
+  def bitmapOr(a: Column, b: Column): Column =
+    PlanDF.column(BitmapOrExpr(PlanDF.expression(a), PlanDF.expression(b)))
 
-  def hllRegMax(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    call_function("hll_reg_max", a, b)
-  }
+  def hllRegMax(a: Column, b: Column): Column =
+    PlanDF.column(HllRegMaxExpr(PlanDF.expression(a), PlanDF.expression(b)))
+
+  def integralId(c: Column): Column =
+    PlanDF.column(IntegralIdExpr(PlanDF.expression(c)))
 }

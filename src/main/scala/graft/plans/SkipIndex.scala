@@ -81,7 +81,7 @@ object SkipIndex {
       c -> df.schema(c).dataType
     }.toMap
     val files = statsPass(df, statsCols)
-    val (roots, entries) = listingOf(df, name)
+    val (roots, entries, _) = listingOf(df, name)
     putDef(session, IndexDef(name, store, roots, colTypes, files, entries))
   }
 
@@ -109,7 +109,7 @@ object SkipIndex {
       s"skip index '$name' covers a partitioned store " +
         s"(${partCols.mkString(", ")}) — refresh reads leaf files " +
         "directly and would lose the partition columns; re-register")
-    val (roots, live) = listingOf(df, name)
+    val (roots, live, uris) = listingOf(df, name)
     val unchanged = d.files.filter { case (p, _) =>
       live.get(p).contains(d.entries.getOrElse(p, ""))
     }
@@ -117,7 +117,7 @@ object SkipIndex {
     val freshStats =
       if (newPaths.isEmpty) Map.empty[String, FileStats]
       else statsPass(
-        session.read.schema(df.schema).parquet(newPaths: _*),
+        session.read.schema(df.schema).parquet(newPaths.map(uris): _*),
         d.colTypes.keys.toSeq.sorted)
     putDef(session, d.copy(rootPaths = roots,
       files = unchanged ++ freshStats, entries = live))
@@ -146,22 +146,29 @@ object SkipIndex {
       }.toMap
   }
 
-  /** (root paths, path -> listing entry) through the SAME scan the
-    * stats ran over — snapshot-anchored like AggRewrite's fence. */
+  /** (root paths, path -> listing entry, path -> full URI) through the
+    * SAME scan the stats ran over — snapshot-anchored like AggRewrite's
+    * fence. Entry keys are scheme-less (they match the pruning key
+    * space); the URIs carry scheme+authority so [[refresh]] re-reads
+    * new files on the STORE's filesystem, not the default one. A
+    * parquet read always yields a PartitioningAwareFileIndex — anything
+    * else refuses rather than signing an unmatchable fence. */
   private def listingOf(df: DataFrame, name: String)
-      : (Set[String], Map[String, String]) =
+      : (Set[String], Map[String, String], Map[String, String]) =
     df.queryExecution.analyzed.collectLeaves().collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-        val entries = fs.location match {
-          case p: PartitioningAwareFileIndex =>
-            p.allFiles().map(st =>
-              st.getPath.toUri.getPath -> statusEntry(st)).toMap
-          case other =>
-            other.inputFiles.map(f =>
-              new java.net.URI(f).getPath -> f).toMap
+        val all = fs.location match {
+          case p: PartitioningAwareFileIndex => p.allFiles()
+          case other => throw new IllegalStateException(
+            s"store of '$name' has a ${other.getClass.getSimpleName} " +
+              "file index — zone-map registration needs a listing-" +
+              "aware one (plain parquet reads always provide it)")
         }
-        (fs.location.rootPaths.map(_.toString).toSet, entries)
+        (fs.location.rootPaths.map(_.toString).toSet,
+          all.map(st => st.getPath.toUri.getPath -> statusEntry(st)).toMap,
+          all.map(st =>
+            st.getPath.toUri.getPath -> st.getPath.toString).toMap)
     }.getOrElse(throw new IllegalStateException(
       s"could not snapshot the store listing for '$name'"))
 
@@ -190,7 +197,8 @@ object SkipIndex {
     * evaluation on two literals — same type coercions, orderings, and
     * null semantics the real filter would apply row-by-row. */
   private def mayMatch(e: Expression, st: FileStats,
-      statCols: Map[String, DataType]): Boolean = {
+      statCols: Map[String, DataType],
+      scanIds: Set[ExprId]): Boolean = {
 
     def evalCmp(mk: (Expression, Expression) => Expression,
         a: Any, aDt: DataType, b: Literal): Boolean = {
@@ -198,12 +206,16 @@ object SkipIndex {
       r != null && r.asInstanceOf[Boolean]
     }
 
-    // a stats column reference, by name (the rewrite keeps the scan's
-    // own attributes, so name-level matching against the registered
-    // stats columns is exact)
+    // a stats column reference: must be the SCAN's own attribute
+    // (exprId membership — a same-named alias computed in a Project
+    // above the scan describes different data and must not consult the
+    // stats) AND carry the registered type (a user-supplied read
+    // schema can re-type a column; comparing a long min against a
+    // string literal would throw inside the optimizer)
     def statOf(ex: Expression): Option[(Any, Any, Long, DataType)] =
       ex match {
-        case a: AttributeReference if st.cols.contains(a.name) =>
+        case a: AttributeReference if st.cols.contains(a.name) &&
+            scanIds(a.exprId) && statCols(a.name) == a.dataType =>
           val (mn, mx, cnt) = st.cols(a.name)
           Some((mn, mx, cnt, statCols(a.name)))
         case _ => None
@@ -211,9 +223,9 @@ object SkipIndex {
 
     e match {
       case And(l, r) =>
-        mayMatch(l, st, statCols) && mayMatch(r, st, statCols)
+        mayMatch(l, st, statCols, scanIds) && mayMatch(r, st, statCols, scanIds)
       case Or(l, r) =>
-        mayMatch(l, st, statCols) || mayMatch(r, st, statCols)
+        mayMatch(l, st, statCols, scanIds) || mayMatch(r, st, statCols, scanIds)
       case EqualTo(a, l: Literal) if statOf(a).isDefined && l.foldable =>
         val (mn, mx, cnt, dt) = statOf(a).get
         if (l.value == null) false // null-rejecting
@@ -221,7 +233,7 @@ object SkipIndex {
           evalCmp(LessThanOrEqual, mn, dt, l) &&
           evalCmp(GreaterThanOrEqual, mx, dt, l)
       case EqualTo(l: Literal, a) if statOf(a).isDefined && l.foldable =>
-        mayMatch(EqualTo(a, l), st, statCols)
+        mayMatch(EqualTo(a, l), st, statCols, scanIds)
       case LessThan(a, l: Literal) if statOf(a).isDefined =>
         val (mn, _, cnt, dt) = statOf(a).get
         cnt > 0 && mn != null && evalCmp(LessThan, mn, dt, l)
@@ -236,17 +248,17 @@ object SkipIndex {
         cnt > 0 && mx != null && evalCmp(GreaterThanOrEqual, mx, dt, l)
       // literal-on-the-left comparisons: mirror
       case LessThan(l: Literal, a) if statOf(a).isDefined =>
-        mayMatch(GreaterThan(a, l), st, statCols)
+        mayMatch(GreaterThan(a, l), st, statCols, scanIds)
       case LessThanOrEqual(l: Literal, a) if statOf(a).isDefined =>
-        mayMatch(GreaterThanOrEqual(a, l), st, statCols)
+        mayMatch(GreaterThanOrEqual(a, l), st, statCols, scanIds)
       case GreaterThan(l: Literal, a) if statOf(a).isDefined =>
-        mayMatch(LessThan(a, l), st, statCols)
+        mayMatch(LessThan(a, l), st, statCols, scanIds)
       case GreaterThanOrEqual(l: Literal, a) if statOf(a).isDefined =>
-        mayMatch(LessThanOrEqual(a, l), st, statCols)
+        mayMatch(LessThanOrEqual(a, l), st, statCols, scanIds)
       case In(a, vs) if statOf(a).isDefined &&
           vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => mayMatch(EqualTo(a, v.asInstanceOf[Literal]),
-          st, statCols))
+          st, statCols, scanIds))
       case IsNull(a) if statOf(a).isDefined =>
         val (_, _, cnt, _) = statOf(a).get
         st.rows > cnt
@@ -299,8 +311,9 @@ object SkipIndex {
     if (digest(candIdx.allFiles().map(statusEntry)) != d.listingSig)
       return None
     val conjuncts = splitConjuncts(cond)
+    val scanIds: Set[ExprId] = lr.output.map(_.exprId).toSet
     val keep = d.files.filter { case (_, st) =>
-      conjuncts.forall(c => mayMatch(c, st, d.colTypes))
+      conjuncts.forall(c => mayMatch(c, st, d.colTypes, scanIds))
     }.keySet
     if (keep.size == d.files.size) return None // nothing to prune
     val pruned = new PrunedFileIndex(candIdx, keep)
@@ -347,8 +360,15 @@ private[plans] class PrunedFileIndex(
     under: PartitioningAwareFileIndex, keep: Set[String])
     extends FileIndex {
 
+  // refresh() means the listing this index was pruned against is gone:
+  // the keep-set was computed from stats snapshotted over the OLD
+  // files, so filtering a refreshed listing by it could silently drop
+  // newly visible data. Fail open — serve the full listing (a
+  // superset is always correct; the row-level Filter still applies).
+  @volatile private var stale = false
+
   private def keeps(p: org.apache.hadoop.fs.Path): Boolean =
-    keep.contains(p.toUri.getPath)
+    stale || keep.contains(p.toUri.getPath)
 
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] = under.rootPaths
 
@@ -360,9 +380,14 @@ private[plans] class PrunedFileIndex(
     }.filter(_.files.nonEmpty)
 
   override def inputFiles: Array[String] =
-    under.inputFiles.filter(f => keep.contains(new java.net.URI(f).getPath))
+    if (stale) under.inputFiles
+    else under.inputFiles
+      .filter(f => keep.contains(new java.net.URI(f).getPath))
 
-  override def refresh(): Unit = under.refresh()
+  override def refresh(): Unit = {
+    stale = true
+    under.refresh()
+  }
 
   override def sizeInBytes: Long =
     under.allFiles().filter(f => keeps(f.getPath)).map(_.getLen).sum

@@ -109,6 +109,23 @@ class BitmapSpec extends SparkSuite {
     }
   }
 
+  test("Graft.exactDistinct: integral columns only, refused at " +
+      "analysis (never a silent undercount)") {
+    import spark.implicits._
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("i", "s", "d")
+    // integral widens fine and equals count(DISTINCT)
+    val ok = df.agg(graft.api.Graft.exactDistinct(col("i"))).head
+    assert(ok.getLong(0) == 2L)
+    // DOUBLE would collide under a cast; STRING would null out — both
+    // must refuse at analysis, not miscount
+    for (c <- Seq("d", "s")) {
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(graft.api.Graft.exactDistinct(col(c))).collect()
+      }
+      assert(err.getMessage.contains("integral"), s"no refusal for $c")
+    }
+  }
+
   test("null ids are skipped (count(DISTINCT)'s non-null contract)") {
     import spark.implicits._
     val df = Seq[(String, Option[Long])](

@@ -245,6 +245,58 @@ class SkipIndexSpec extends SparkSuite {
     }
   }
 
+  test("review regressions: alias shadowing, re-typed schemas, and " +
+      "FileIndex.refresh all fail OPEN (no pruning, right answers)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_regr_").toString
+    import spark.implicits._
+    try {
+      (1 to 100).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "s").repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      SkipIndex.register(spark, "regr_spec", s"$root/t", Seq("k"))
+      // (a) a nondeterministic Project computing a same-named 'k'
+      // keeps its Filter above it (no pushdown) — the stats describe
+      // the STORE's k, not the derived one, so nothing may prune
+      val shadowQ = spark.read.parquet(s"$root/t")
+        .select((rand(7) * 100).cast("long").as("k"), col("s"))
+        .filter(col("k") <= 10L)
+      val shadow = SkipIndex.navigate(shadowQ)
+      assert(scanFileCount(shadow) == 4,
+        s"alias-shadowed filter must not prune: ${scanFileCount(shadow)}")
+      assert(shadow.count() == shadowQ.count())
+      // (b) a user-supplied schema that re-types the stats column:
+      // PLANNING must neither crash (pre-fix: ClassCastException
+      // comparing a long min against a string literal) nor prune.
+      // (Executing such a read fails in vanilla Spark regardless —
+      // parquet INT64 can't be served as string — so only the
+      // planning behavior is the index's business.)
+      val retyped = SkipIndex.navigate(
+        spark.read.schema("k STRING, s STRING").parquet(s"$root/t")
+          .filter(col("k") <= "10"))
+      assert(scanFileCount(retyped) == 4,
+        s"re-typed stats column must not prune: ${scanFileCount(retyped)}")
+      // (c) refresh() on a pruned FileIndex fails OPEN: the keep-set
+      // was computed against the pre-refresh listing
+      val nav = SkipIndex.navigate(
+        spark.read.parquet(s"$root/t").filter(col("k") <= 10L))
+      val idx = nav.queryExecution.optimizedPlan.collectLeaves()
+        .collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation =>
+            lr.relation.asInstanceOf[org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation].location
+        }.get
+      assert(idx.inputFiles.length < 4)
+      idx.refresh()
+      assert(idx.inputFiles.length == 4,
+        "a refreshed pruned index must serve the full listing")
+    } finally {
+      SkipIndex.unregister(spark, "regr_spec")
+      rm(new java.io.File(root))
+    }
+  }
+
   test("session-wide route: the injected rule prunes without navigate") {
     val s2 = spark.newSession()
     SkipIndex.enable(s2)
