@@ -93,6 +93,24 @@ object HllSketchPartial extends Aggregator[Long, Array[Byte], Array[Byte]] {
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Merge of stored [[HllSketchPartial]] sketches FINISHED as the raw
+  * registers — re-aggregation to a coarser grain (a month summary's
+  * sketch from day partials) without losing re-aggregability.
+  * Register-max merging keeps the coarse partial BIT-equal to one
+  * built directly from the base rows, which is what lets
+  * summary-on-summary rollup builds navigate. */
+object HllMergePartial
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  def zero: Array[Byte] = HllSketch.zero
+  def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+    if (a == null) b else HllSketch.merge(b, a)
+  def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HllSketch.merge(b1, b2)
+  def finish(b: Array[Byte]): Array[Byte] = b
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 /** Merge-and-estimate over stored [[HllSketchPartial]] sketches: the
   * re-aggregation side of HLL navigation. A null input (a summary read
   * through an outer shape) merges as empty. */

@@ -63,7 +63,12 @@ object AggRewrite {
       // (a ScalaAggregator's encoders only resolve through the
       // analyzer; the optimizer can't build one from scratch) — the
       // rewrite re-roots a template's child onto the fresh summary attr
-      mergeTemplates: Map[String, AggregateExpression] = Map.empty,
+      // (measure name, kind) -> pre-analyzed merge template; kind
+      // "finish" re-aggregates to the final value (estimate / exact
+      // count), kind "partial" re-aggregates partials to PARTIALS —
+      // the summary-on-summary rollup path
+      mergeTemplates: Map[(String, String), AggregateExpression] =
+        Map.empty,
       // delta-maintenance state: the store ROOT (version dirs live
       // under it), the CURRENT version dir the registration reads, and
       // the last folded batch id (idempotent replay skip)
@@ -341,28 +346,40 @@ object AggRewrite {
         case _ => ()
       }
     }
-    // "hll"/"bitmap" measures carry a pre-analyzed merge template
-    // (merge-and-estimate / merge-and-count): analysis resolves the
-    // ScalaAggregator's encoders, which a post-analysis rewrite
-    // cannot — the rewrite only swaps the child
-    val mergeTemplates: Map[String, AggregateExpression] =
-      measures.collect { case (n, op @ ("hll" | "bitmap"), _) =>
-        val mergeAgg = op match {
-          case "hll" => org.apache.spark.sql.functions
-            .udaf(graft.functions.HllMerge)
-          case _ => org.apache.spark.sql.functions
-            .udaf(graft.functions.BitmapMergeCount)
-        }
-        val probeAgg = summary.agg(
-          mergeAgg.apply(org.apache.spark.sql.functions.col(n)))
-        val tmpl = probeAgg.queryExecution.analyzed.collectFirst {
-          case a: Aggregate => a.aggregateExpressions.collectFirst {
-            case Alias(ae: AggregateExpression, _) => ae
-            case ae: AggregateExpression => ae
+    // "hll"/"bitmap" measures carry pre-analyzed merge templates —
+    // "finish" (merge-and-estimate / merge-and-count) for serving
+    // queries, "partial" (merge-to-partial) so a coarser summary can
+    // build FROM this one. Analysis resolves the ScalaAggregator's
+    // encoders, which a post-analysis rewrite cannot — the rewrite
+    // only swaps the child
+    val mergeTemplates: Map[(String, String), AggregateExpression] =
+      measures.flatMap {
+        case (n, op @ ("hll" | "bitmap"), _) =>
+          val kinds = op match {
+            case "hll" => Seq(
+              "finish" -> org.apache.spark.sql.functions
+                .udaf(graft.functions.HllMerge),
+              "partial" -> org.apache.spark.sql.functions
+                .udaf(graft.functions.HllMergePartial))
+            case _ => Seq(
+              "finish" -> org.apache.spark.sql.functions
+                .udaf(graft.functions.BitmapMergeCount),
+              "partial" -> org.apache.spark.sql.functions
+                .udaf(graft.functions.BitmapMergePartial))
           }
-        }.flatten.getOrElse(throw new IllegalStateException(
-          s"could not extract the $op merge template for '$n'"))
-        n -> tmpl
+          kinds.map { case (kind, mergeAgg) =>
+            val probeAgg = summary.agg(
+              mergeAgg.apply(org.apache.spark.sql.functions.col(n)))
+            val tmpl = probeAgg.queryExecution.analyzed.collectFirst {
+              case a: Aggregate => a.aggregateExpressions.collectFirst {
+                case Alias(ae: AggregateExpression, _) => ae
+                case ae: AggregateExpression => ae
+              }
+            }.flatten.getOrElse(throw new IllegalStateException(
+              s"could not extract the $op/$kind merge template for '$n'"))
+            (n, kind) -> tmpl
+          }
+        case _ => Nil
       }.toMap
     val keyDefs = keys.map { case (n, _) => n -> defs(n) }.toMap
     val (baseSig, snapFiles) = snapshotListing(session, base)
@@ -421,7 +438,15 @@ object AggRewrite {
   def materialize(session: SparkSession, name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
       path: String, partitionBy: Option[String] = None): DataFrame = {
-    val rows = summaryRows(base, keys, measures)
+    // summary-on-summary: the build ITSELF navigates — when an
+    // already-registered summary derives these partials (sum-of-sums,
+    // summed counts, min/max, register-max, bitmap union: all
+    // partial-to-partial exact), the rollup build reads THAT summary
+    // instead of re-scanning the fact table (Doris's rollup-table
+    // build path: the month table derives from the day table). The
+    // staleness fence inside the rewrite keeps it sound — a stale
+    // source falls through and the build reads base truth
+    val rows = navigate(summaryRows(base, keys, measures))
     val dir = s"$path/v0"
     val w = rows.write.mode("overwrite")
     partitionBy.fold(w)(w.partitionBy(_)).parquet(dir)
@@ -1062,22 +1087,25 @@ object AggRewrite {
       // bit-equal (the one distinct aggregate a summary can serve
       // exactly; sum(DISTINCT), multi-child counts, and count(DISTINCT)
       // without a registered bitmap all still fall through to raw)
+      // instantiate a pre-analyzed merge template over a summary
+      // partial column (the aggregator's encoders only resolve through
+      // the analyzer; the rewrite just swaps the child)
+      def reaggTmpl(tmpl: AggregateExpression, attr: Attribute)
+          : AggregateExpression =
+        AggregateExpression(
+          tmpl.aggregateFunction.withNewChildren(Seq(attr))
+            .asInstanceOf[AggregateFunction],
+          ae.mode, isDistinct = false, None, NamedExpression.newExprId)
       if (ae.isDistinct) {
         val r: Option[Expression] = ae.aggregateFunction match {
           case f: Count if f.children.size == 1 =>
             measureFor("bitmap", f.children.head).flatMap { attr =>
-              d.mergeTemplates.get(attr.name).map { tmpl =>
+              d.mergeTemplates.get((attr.name, "finish")).map { tmpl =>
                 // Coalesce restores Count's zero-on-empty, NON-NULL
                 // contract (the merge aggregator's declared output is
                 // nullable; the raw count(DISTINCT) is not) — same
                 // shape as sumCounts below
-                Coalesce(Seq(
-                  AggregateExpression(
-                    tmpl.aggregateFunction.withNewChildren(Seq(attr))
-                      .asInstanceOf[AggregateFunction],
-                    ae.mode, isDistinct = false, None,
-                    NamedExpression.newExprId),
-                  Literal(0L)))
+                Coalesce(Seq(reaggTmpl(tmpl, attr), Literal(0L)))
               }
             }
           case _ => None
@@ -1110,13 +1138,41 @@ object AggRewrite {
             if (sa.agg.asInstanceOf[AnyRef] eq
               graft.functions.HllSketch) && sa.children.size == 1 =>
           measureFor("hll", sa.children.head).flatMap { attr =>
-            d.mergeTemplates.get(attr.name).map { tmpl =>
-              AggregateExpression(
-                tmpl.aggregateFunction.withNewChildren(Seq(attr))
-                  .asInstanceOf[AggregateFunction],
-                ae.mode, isDistinct = false, None,
-                NamedExpression.newExprId)
-            }
+            d.mergeTemplates.get((attr.name, "finish"))
+              .map(reaggTmpl(_, attr))
+          }
+        // PARTIAL-to-partial derivations — what lets a coarser
+        // summary's build ([[materialize]] routes it through
+        // [[navigate]]) read an existing summary instead of the fact
+        // table: register-max of registers and union of id sets are
+        // associative AND idempotent, so the re-aggregated partial is
+        // BIT-equal to one built from the base rows directly
+        case sa: org.apache.spark.sql.execution.aggregate
+            .ScalaAggregator[_, _, _]
+            if (sa.agg.asInstanceOf[AnyRef] eq
+              graft.functions.HllSketchPartial) && sa.children.size == 1 =>
+          measureFor("hll", sa.children.head).flatMap { attr =>
+            d.mergeTemplates.get((attr.name, "partial"))
+              .map(reaggTmpl(_, attr))
+          }
+        case sa: org.apache.spark.sql.execution.aggregate
+            .ScalaAggregator[_, _, _]
+            if (sa.agg.asInstanceOf[AnyRef] eq
+              graft.functions.BitmapPartial) && sa.children.size == 1 =>
+          // summaryRows stores the child CAST to long; the registered
+          // def is the RAW child — strip the injective widening cast
+          // before the canonical lookup
+          val rawChild = sa.children.head match {
+            case ct: Cast
+                if ct.dataType == org.apache.spark.sql.types.LongType &&
+                  exact(ct.child.dataType) &&
+                  !ct.child.dataType.isInstanceOf[DecimalType] =>
+              ct.child
+            case c => c
+          }
+          measureFor("bitmap", rawChild).flatMap { attr =>
+            d.mergeTemplates.get((attr.name, "partial"))
+              .map(reaggTmpl(_, attr))
           }
         case f: Average if f.child.dataType.isInstanceOf[DecimalType] =>
           // avg(x) = checkedDiv(sum(sum_partial), sum(count_partial)) —

@@ -740,6 +740,143 @@ class AggRewriteSpec extends SparkSuite {
       s"sum(DISTINCT) must fall through: ${scanPaths(sumD)}")
   }
 
+  test("bitmap navigation composes with join navigation: exact UV by " +
+      "dim name re-derives through the fact⋈dim rewrite") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_bmjoin_").toString
+    import spark.implicits._
+    try {
+      // uid 20 appears in BOTH regions r1 and r2: per-region exact
+      // distinct must keep it in each (a bitmap is per-GROUP state)
+      Seq(("d1", 10L, 1L), ("d1", 20L, 1L), ("d2", 20L, 2L),
+        ("d2", 30L, 2L), ("d3", 10L, 1L))
+        .toDF("day", "uid", "region_id")
+        .write.mode("overwrite").parquet(s"$root/facts")
+      Seq((1L, "north"), (2L, "south")).toDF("region_id", "region_name")
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val facts = spark.read.parquet(s"$root/facts")
+      val dim = spark.read.parquet(s"$root/dim")
+      AggRewrite.materialize(spark, "bmjoin_spec", facts,
+        keys = Seq("region_id" -> col("region_id")),
+        measures = Seq(("uids", "bitmap", col("uid")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary")
+      def rawQ = facts
+        .join(dim, facts("region_id") === dim("region_id"))
+        .groupBy(col("region_name"))
+        .agg(countDistinct(col("uid")).as("uv"),
+          count(lit(1)).as("rows"))
+      val nav = AggRewrite.navigate(rawQ)
+      val paths = scanPaths(nav)
+      assert(paths.exists(_.contains("summary")),
+        s"joined distinct did not navigate: $paths")
+      assert(!paths.exists(_.contains("facts")),
+        s"fact table still scanned: $paths")
+      assert(nav.sort("region_name").collect().toSeq ==
+        rawQ.sort("region_name").collect().toSeq)
+      // the shared uid counts once per region, never deduped across
+      assert(nav.sort("region_name").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq ==
+        Seq("north" -> 2L, "south" -> 2L))
+    } finally {
+      AggRewrite.unregister(spark, "bmjoin_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("summary-on-summary: a coarser materialize navigates its OWN " +
+      "build onto the finer summary, partials byte-equal to a base " +
+      "build; a stale source falls through") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_rollup_").toString
+    import spark.implicits._
+    val partial = udaf(graft.functions.BitmapPartial)
+    val sketch = udaf(graft.functions.HllSketchPartial)
+    try {
+      Seq(("2024-01-03", 10L, "5.50"), ("2024-01-04", 20L, "7.25"),
+        ("2024-02-01", 10L, "9.00"), ("2024-02-02", 30L, "1.75"))
+        .toDF("day", "uid", "amt")
+        .select(col("day"), col("uid"),
+          col("amt").cast("decimal(18,2)").as("amt"))
+        .write.mode("overwrite").parquet(s"$root/facts")
+      val facts = spark.read.parquet(s"$root/facts")
+      val measures = Seq(
+        ("amt_sum", "sum", col("amt")),
+        ("amt_cnt", "count", col("amt")),
+        ("cnt", "count_star", lit(1)),
+        ("uids", "bitmap", col("uid")),
+        ("uv", "hll", col("uid")))
+      AggRewrite.materialize(spark, "roll_src", facts,
+        keys = Seq("day" -> col("day")), measures, s"$root/s_day")
+      // the MECHANISM: a coarse partial-building aggregate navigates
+      // onto the day summary — including the partial-to-partial
+      // bitmap/hll derivations
+      def coarseBuild = facts
+        .groupBy(substring(col("day"), 1, 7).as("month"))
+        .agg(sum(col("amt")).as("amt_sum"),
+          count(col("amt")).as("amt_cnt"),
+          count(lit(1)).as("cnt"),
+          partial(col("uid").cast("long")).as("uids"),
+          sketch(col("uid")).as("uv"))
+      val nav = AggRewrite.navigate(coarseBuild)
+      assert(scanPaths(nav).exists(_.contains("s_day")),
+        s"rollup build did not navigate: ${scanPaths(nav)}")
+      assert(!scanPaths(nav).exists(_.contains("facts")))
+      def rowsOf(df: DataFrame) = df.sort("month").collect().toSeq
+        .map(r => (r.getString(0), r.getDecimal(1).toString,
+          r.getLong(2), r.getLong(3),
+          r.getAs[Array[Byte]](4).toSeq, r.getAs[Array[Byte]](5).toSeq))
+      assert(rowsOf(nav) == rowsOf(coarseBuild),
+        "summary-derived partials differ from base-built ones")
+      // the API: materialize the month grain — its build reads the
+      // day summary (mechanism above), its data equals a base build
+      AggRewrite.materialize(spark, "roll_month", facts,
+        keys = Seq("month" -> substring(col("day"), 1, 7)), measures,
+        s"$root/s_month")
+      val stored = spark.read.parquet(s"$root/s_month/v0")
+      assert(rowsOf(stored.select(coarseBuild.columns.map(col).toSeq: _*))
+        == rowsOf(coarseBuild))
+      // a coarse serving query picks the SMALLER month summary
+      // (cost-based selection) and stays exact
+      def monthQ = facts
+        .groupBy(substring(col("day"), 1, 7).as("month"))
+        .agg(countDistinct(col("uid")).as("uv"),
+          sum(col("amt")).as("amt_sum"))
+      val served = AggRewrite.navigate(monthQ)
+      assert(scanPaths(served).exists(_.contains("s_month")),
+        s"coarse query did not pick the rollup: ${scanPaths(served)}")
+      assert(served.sort("month").collect().toSeq ==
+        monthQ.sort("month").collect().toSeq)
+      // STALE source: append to the base — a new rollup build must
+      // fall through to base truth, never read the stale day summary
+      Seq(("2024-02-03", 40L, "2.00")).toDF("day", "uid", "amt")
+        .select(col("day"), col("uid"),
+          col("amt").cast("decimal(18,2)").as("amt"))
+        .write.mode("append").parquet(s"$root/facts")
+      val facts2 = spark.read.parquet(s"$root/facts")
+      AggRewrite.materialize(spark, "roll_month2", facts2,
+        keys = Seq("month" -> substring(col("day"), 1, 7)), measures,
+        s"$root/s_month2")
+      val feb = spark.read.parquet(s"$root/s_month2/v0")
+        .filter(col("month") === "2024-02").head
+      assert(feb.getLong(feb.fieldIndex("cnt")) == 3L,
+        "stale-source rollup missed the appended base row")
+    } finally {
+      AggRewrite.unregister(spark, "roll_src")
+      AggRewrite.unregister(spark, "roll_month")
+      AggRewrite.unregister(spark, "roll_month2")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("bitmap registration refuses non-integral children") {
     val docs = Tables(spark, sf, "documents")
     val err = intercept[IllegalArgumentException] {
