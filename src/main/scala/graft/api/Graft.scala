@@ -418,6 +418,34 @@ object Graft {
     udaf(graft.functions.BitmapDistinct)
       .apply(graft.plans.MergeExprs.integralId(c))
 
+  /** EXACT audience-overlap matrix: one row per unordered segment pair
+    * with (seg_a, seg_b, uv_a, uv_b, overlap, jaccard) — the Doris
+    * BITMAP_AND_COUNT serving pattern. One pass builds a per-segment
+    * roaring bitmap (integral ids, enforced at analysis like
+    * [[exactDistinct]]); the segments² grid then runs codegen'd
+    * intersection kernels over that metadata-sized frame — no pairwise
+    * id-level join, no second scan. Jaccard is one IEEE division of
+    * exact longs. When a registered summary carries a bitmap partial
+    * of the same id, the per-segment pass itself navigates (x24). */
+  def overlapMatrix(df: DataFrame, seg: Column, id: Column): DataFrame = {
+    import graft.plans.MergeExprs
+    val s = graft.plans.AggRewrite.navigate(
+      df.groupBy(seg.as("seg"))
+        .agg(udaf(graft.functions.BitmapPartial)
+          .apply(MergeExprs.integralId(id)).as("bm")))
+    val a = s.select(col("seg").as("seg_a"), col("bm").as("bm_a"))
+    val b = s.select(col("seg").as("seg_b"), col("bm").as("bm_b"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        MergeExprs.bitmapCount(col("bm_a")).as("uv_a"),
+        MergeExprs.bitmapCount(col("bm_b")).as("uv_b"),
+        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
+          .as("overlap"))
+      .withColumn("jaccard",
+        col("overlap").cast("double") /
+          (col("uv_a") + col("uv_b") - col("overlap")).cast("double"))
+  }
+
   /** Mergeable count-min frequency sketch (4×256 counters) as packed
     * bytes; probe with [[graft.functions.CmsSketch.estimate]]. */
   def cms(c: Column): Column =

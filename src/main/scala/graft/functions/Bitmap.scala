@@ -76,6 +76,44 @@ final class Bitmap64 extends Serializable {
     total
   }
 
+  /** Intersection into a FRESH bitmap; neither operand is mutated or
+    * aliased. Containers absent from either side vanish; a dense
+    * intersection result below the upgrade threshold downgrades to the
+    * array form, preserving the canonical-serialization invariant
+    * (equal sets ⇒ equal bytes however they were produced). */
+  def and(other: Bitmap64): Bitmap64 = {
+    val out = new Bitmap64
+    val it = containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      other.containers.get(e.getKey) match {
+        case null => ()
+        case theirs =>
+          Bitmap64.intersectC(e.getValue, theirs) match {
+            case null => ()
+            case c => out.containers.put(e.getKey, c)
+          }
+      }
+    }
+    out
+  }
+
+  /** |this ∩ other| without materializing the intersection payloads —
+    * the audience-overlap kernel (Doris BITMAP_AND_COUNT). */
+  def andCardinality(other: Bitmap64): Long = {
+    var total = 0L
+    val it = containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      other.containers.get(e.getKey) match {
+        case null => ()
+        case theirs =>
+          total += Bitmap64.intersectCard(e.getValue, theirs)
+      }
+    }
+    total
+  }
+
   def contains(v: Long): Boolean =
     containers.get(java.lang.Long.valueOf(v >>> 16)) match {
       case null => false
@@ -230,6 +268,86 @@ object Bitmap64 {
       var i = 0
       while (i < Words) { a.words(i) |= b.words(i); i += 1 }
       a
+  }
+
+  /** Fresh intersection container, or null when empty; downgrades a
+    * sparse bitset result to the array form (canonical invariant). */
+  private def intersectC(mine: AnyRef, theirs: AnyRef): AnyRef = {
+    def arrayBit(a: ArrayC, b: BitC): AnyRef = {
+      val out = new ArrayC
+      var i = 0
+      while (i < a.n) {
+        if (b.get(a.vs(i))) out.insert(a.vs(i))
+        i += 1
+      }
+      if (out.n == 0) null else out
+    }
+    (mine, theirs) match {
+      case (a: ArrayC, b: ArrayC) =>
+        val out = new ArrayC
+        var i = 0
+        var j = 0
+        while (i < a.n && j < b.n) {
+          if (a.vs(i) < b.vs(j)) i += 1
+          else if (a.vs(i) > b.vs(j)) j += 1
+          else { out.insert(a.vs(i)); i += 1; j += 1 }
+        }
+        if (out.n == 0) null else out
+      case (a: ArrayC, b: BitC) => arrayBit(a, b)
+      case (a: BitC, b: ArrayC) => arrayBit(b, a)
+      case (a: BitC, b: BitC) =>
+        val out = new BitC
+        var card = 0L
+        var i = 0
+        while (i < Words) {
+          out.words(i) = a.words(i) & b.words(i)
+          card += java.lang.Long.bitCount(out.words(i))
+          i += 1
+        }
+        if (card == 0) null
+        else if (card <= UpgradeAt) {
+          // downgrade: a direct build of this set would be an array
+          val arr = new ArrayC
+          var v = 0
+          while (v < 65536) {
+            if (out.get(v.toChar)) arr.insert(v.toChar)
+            v += 1
+          }
+          arr
+        } else out
+    }
+  }
+
+  /** |mine ∩ theirs| without building the result container. */
+  private def intersectCard(mine: AnyRef, theirs: AnyRef): Long = {
+    def arrayBit(a: ArrayC, b: BitC): Long = {
+      var c = 0L
+      var i = 0
+      while (i < a.n) { if (b.get(a.vs(i))) c += 1; i += 1 }
+      c
+    }
+    (mine, theirs) match {
+      case (a: ArrayC, b: ArrayC) =>
+        var c = 0L
+        var i = 0
+        var j = 0
+        while (i < a.n && j < b.n) {
+          if (a.vs(i) < b.vs(j)) i += 1
+          else if (a.vs(i) > b.vs(j)) j += 1
+          else { c += 1; i += 1; j += 1 }
+        }
+        c
+      case (a: ArrayC, b: BitC) => arrayBit(a, b)
+      case (a: BitC, b: ArrayC) => arrayBit(b, a)
+      case (a: BitC, b: BitC) =>
+        var c = 0L
+        var i = 0
+        while (i < Words) {
+          c += java.lang.Long.bitCount(a.words(i) & b.words(i))
+          i += 1
+        }
+        c
+    }
   }
 
   def deserialize(bytes: Array[Byte]): Bitmap64 = {

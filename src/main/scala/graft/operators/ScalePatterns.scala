@@ -1100,6 +1100,43 @@ object ScalePatterns extends QueryModule {
     graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
   }
 
+  /** x24: exact audience overlap from STORED id sets — the Doris
+    * `BITMAP_AND_COUNT` serving pattern. The per-channel segment
+    * bitmaps are a partial-building aggregate that NAVIGATES onto the
+    * events summary's stored bitmap partials (partial-to-partial
+    * union, round 12's rollup algebra), so the segment frame reads
+    * metadata-sized summary rows — never the fact table. The pairwise
+    * overlap matrix then runs codegen'd intersection kernels
+    * ([[graft.plans.MergeExprs.bitmapAndCount]]) over a fixed tiny
+    * channels² grid: at 100 TB the whole report is |segments|² kernel
+    * calls over partials the DWS layer already maintains, the exact
+    * answer Doris serves with BITMAP_AND_COUNT(lhs, rhs) — no re-scan,
+    * no pairwise user-level join. Jaccard is ONE IEEE division of
+    * exact longs, bit-identical across engines. Oracle: the raw
+    * pairwise user-level join in DuckDB. */
+  private def bitmapOverlap(s: SparkSession, dir: String): DataFrame = {
+    navEventsDir(s, dir)
+    val e = Tables(s, dir, "events")
+    val seg = graft.plans.AggRewrite.navigate(
+      e.groupBy(col("event_type").as("ch"))
+        .agg(udaf(graft.functions.BitmapPartial)
+          .apply(col("user_id").cast("long")).as("bm")))
+    val a = seg.select(col("ch").as("ch_a"), col("bm").as("bm_a"))
+    val b = seg.select(col("ch").as("ch_b"), col("bm").as("bm_b"))
+    import graft.plans.MergeExprs
+    a.join(b, col("ch_a") < col("ch_b")) // fixed channels^2 grid
+      .select(col("ch_a"), col("ch_b"),
+        MergeExprs.bitmapCount(col("bm_a")).as("uv_a"),
+        MergeExprs.bitmapCount(col("bm_b")).as("uv_b"),
+        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
+          .as("overlap"))
+      .withColumn("jaccard",
+        col("overlap").cast(org.apache.spark.sql.types.DoubleType) /
+          (col("uv_a") + col("uv_b") - col("overlap"))
+            .cast(org.apache.spark.sql.types.DoubleType))
+      .orderBy("ch_a", "ch_b")
+  }
+
   // ---- x21: navigation THROUGH a multi-hop dim chain ---------------
 
   private val navCustMemo = scala.collection.concurrent.TrieMap
@@ -1347,7 +1384,8 @@ object ScalePatterns extends QueryModule {
     "x20_hll_navigate" -> hllNavigate,
     "x21_province_navigate" -> provinceNavigate,
     "x22_bitmap_distinct_navigate" -> bitmapNavigate,
-    "x23_skipscan_prune" -> skipScanPrune)
+    "x23_skipscan_prune" -> skipScanPrune,
+    "x24_bitmap_overlap" -> bitmapOverlap)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1438,6 +1476,29 @@ object ScalePatterns extends QueryModule {
          |       max(l_quantity) AS qty_max
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x24: the raw pairwise user-level join IS the oracle — a hash
+    // match proves the stored-partial intersection kernels exact, and
+    // the jaccard column (one IEEE division of exact longs) bit-equal
+    "x24_bitmap_overlap" ->
+      s"""WITH ch AS (SELECT DISTINCT event_type AS ch FROM events),
+         |s AS (SELECT DISTINCT event_type AS ch, user_id FROM events),
+         |uv AS (SELECT ch, CAST(count(*) AS BIGINT) AS uv
+         |       FROM s GROUP BY 1),
+         |ov AS (SELECT a.ch AS ch_a, b.ch AS ch_b,
+         |              CAST(count(*) AS BIGINT) AS overlap
+         |       FROM s a JOIN s b
+         |         ON a.user_id = b.user_id AND a.ch < b.ch
+         |       GROUP BY 1, 2)
+         |SELECT p.ch_a, p.ch_b, ua.uv AS uv_a, ub.uv AS uv_b,
+         |       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+         |       CAST(coalesce(ov.overlap, 0) AS DOUBLE) /
+         |         (ua.uv + ub.uv - coalesce(ov.overlap, 0)) AS jaccard
+         |FROM (SELECT a.ch AS ch_a, b.ch AS ch_b
+         |      FROM ch a JOIN ch b ON a.ch < b.ch) p
+         |JOIN uv ua ON ua.ch = p.ch_a
+         |JOIN uv ub ON ub.ch = p.ch_b
+         |LEFT JOIN ov ON ov.ch_a = p.ch_a AND ov.ch_b = p.ch_b
+         |ORDER BY 1, 2""".stripMargin,
     // x22: EXACT distinct — the hash match against DuckDB's native
     // count(DISTINCT) on the RAW table proves both the navigated
     // bitmap-merge AND the direct bitmap aggregator are exact (no

@@ -1087,6 +1087,19 @@ object AggRewrite {
       // bit-equal (the one distinct aggregate a summary can serve
       // exactly; sum(DISTINCT), multi-child counts, and count(DISTINCT)
       // without a registered bitmap all still fall through to raw)
+      // a bitmap-fed aggregate stores its child WIDENED to long
+      // (summaryRows' injective cast, or the facade's analysis-checked
+      // IntegralIdExpr guard); the registered def is the RAW child —
+      // strip the widening before the canonical lookup
+      def stripIdWiden(e: Expression): Expression = e match {
+        case ct: Cast
+            if ct.dataType == org.apache.spark.sql.types.LongType &&
+              exact(ct.child.dataType) &&
+              !ct.child.dataType.isInstanceOf[DecimalType] =>
+          ct.child
+        case ie: IntegralIdExpr => ie.child
+        case other => other
+      }
       // instantiate a pre-analyzed merge template over a summary
       // partial column (the aggregator's encoders only resolve through
       // the analyzer; the rewrite just swaps the child)
@@ -1159,21 +1172,23 @@ object AggRewrite {
             .ScalaAggregator[_, _, _]
             if (sa.agg.asInstanceOf[AnyRef] eq
               graft.functions.BitmapPartial) && sa.children.size == 1 =>
-          // summaryRows stores the child CAST to long; the registered
-          // def is the RAW child — strip the injective widening cast
-          // before the canonical lookup
-          val rawChild = sa.children.head match {
-            case ct: Cast
-                if ct.dataType == org.apache.spark.sql.types.LongType &&
-                  exact(ct.child.dataType) &&
-                  !ct.child.dataType.isInstanceOf[DecimalType] =>
-              ct.child
-            case c => c
-          }
-          measureFor("bitmap", rawChild).flatMap { attr =>
-            d.mergeTemplates.get((attr.name, "partial"))
-              .map(reaggTmpl(_, attr))
-          }
+          measureFor("bitmap", stripIdWiden(sa.children.head))
+            .flatMap { attr =>
+              d.mergeTemplates.get((attr.name, "partial"))
+                .map(reaggTmpl(_, attr))
+            }
+        // the library's own one-pass exact-distinct aggregator
+        // (Graft.exactDistinct) navigates like count(DISTINCT):
+        // union of stored id sets, finished as the exact count
+        case sa: org.apache.spark.sql.execution.aggregate
+            .ScalaAggregator[_, _, _]
+            if (sa.agg.asInstanceOf[AnyRef] eq
+              graft.functions.BitmapDistinct) && sa.children.size == 1 =>
+          measureFor("bitmap", stripIdWiden(sa.children.head))
+            .flatMap { attr =>
+              d.mergeTemplates.get((attr.name, "finish"))
+                .map(reaggTmpl(_, attr))
+            }
         case f: Average if f.child.dataType.isInstanceOf[DecimalType] =>
           // avg(x) = checkedDiv(sum(sum_partial), sum(count_partial)) —
           // reconstructed with Average's OWN evaluate shape so the

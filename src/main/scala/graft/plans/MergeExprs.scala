@@ -23,6 +23,16 @@ object MergeOps {
     graft.functions.Bitmap64.deserialize(a)
       .or(graft.functions.Bitmap64.deserialize(b)).serialize
 
+  /** |A ∩ B| of two serialized bitmap partials — the audience-overlap
+    * kernel (Doris BITMAP_AND_COUNT); no result container built. */
+  def bitmapAndCount(a: Array[Byte], b: Array[Byte]): Long =
+    graft.functions.Bitmap64.deserialize(a)
+      .andCardinality(graft.functions.Bitmap64.deserialize(b))
+
+  /** |A| of one serialized bitmap partial (Doris BITMAP_COUNT). */
+  def bitmapCard(a: Array[Byte]): Long =
+    graft.functions.Bitmap64.deserialize(a).cardinality
+
   /** Per-register max of two HLL register arrays (m = 4096) — the same
     * merge [[graft.functions.HllSketch.merge]] performs, on copies. */
   def hllMax(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
@@ -102,6 +112,70 @@ case class HllRegMaxExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `bitmap_and_count(a, b)`: exact |A ∩ B| over two stored bitmap
+  * partials as a codegen'd scalar — the serving kernel behind audience
+  * overlap: the segment frames are metadata-sized (one row per
+  * segment), so the whole overlap matrix runs without touching facts. */
+case class BitmapAndCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_and_count needs two BINARY, got " +
+            s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MergeOps.bitmapAndCount(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.MergeOps.bitmapAndCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bitmap_count(a)`: exact |A| of one stored bitmap partial. */
+case class BitmapCardExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_count needs BINARY, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    MergeOps.bitmapCard(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.MergeOps.bitmapCard($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapCardExpr = copy(child = newChild)
+}
+
 /** `__graft_integral_id(child)`: analysis-time integral guard + widen
   * to long — the Column-level twin of AggRewrite's bitmap-registration
   * refusal. [[graft.api.Graft.exactDistinct]] routes its input through
@@ -158,4 +232,11 @@ object MergeExprs {
 
   def integralId(c: Column): Column =
     PlanDF.column(IntegralIdExpr(PlanDF.expression(c)))
+
+  def bitmapAndCount(a: Column, b: Column): Column =
+    PlanDF.column(
+      BitmapAndCountExpr(PlanDF.expression(a), PlanDF.expression(b)))
+
+  def bitmapCount(c: Column): Column =
+    PlanDF.column(BitmapCardExpr(PlanDF.expression(c)))
 }

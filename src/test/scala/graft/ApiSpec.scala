@@ -330,6 +330,84 @@ class ApiSpec extends SparkSuite {
     assert(same.getLong(2) == 1L && same.getLong(3) == 1L)
   }
 
+  test("overlapMatrix: exact pairwise segment overlap on user frames, " +
+      "and the segment pass navigates onto a registered bitmap summary") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 9L)).toDF("seg", "uid")
+    val m = Graft.overlapMatrix(df, col("seg"), col("uid"))
+      .sort("seg_a", "seg_b").collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      ("a", "b", 3L, 3L, 2L), ("a", "c", 3L, 1L, 0L),
+      ("b", "c", 3L, 1L, 0L)))
+    assert(math.abs(m(0).getDouble(5) - 2.0 / 4.0) < 1e-12)
+    // non-integral ids refuse at analysis (the exactDistinct contract)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Graft.overlapMatrix(df.withColumn("s", col("seg")),
+        col("seg"), col("s")).collect()
+    }
+    // over a REGISTERED summary the per-segment pass reads partials,
+    // not the base (x24's shape, here on an inline store)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_api_overlap_").toString
+    try {
+      df.write.mode("overwrite").parquet(s"$root/base")
+      val base = spark.read.parquet(s"$root/base")
+      graft.plans.AggRewrite.materialize(spark, "api_overlap_spec",
+        base, keys = Seq("seg" -> col("seg")),
+        measures = Seq(("bm", "bitmap", col("uid")),
+          ("cnt", "count_star", lit(1))),
+        path = s"$root/summary")
+      val nav = Graft.overlapMatrix(base, col("seg"), col("uid"))
+      val leaves = nav.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+          case _ => Nil
+        }.toSet
+      assert(leaves.exists(_.contains("summary")),
+        s"segment pass did not navigate: $leaves")
+      assert(!leaves.exists(_.contains("base")),
+        s"base still scanned: $leaves")
+      assert(nav.sort("seg_a", "seg_b").collect().map(_.toSeq).toSeq ==
+        m.map(_.toSeq).toSeq)
+      // Graft.exactDistinct itself navigates the same way (the
+      // one-pass aggregator maps onto the finish template)
+      def edQ = base.groupBy(col("seg"))
+        .agg(Graft.exactDistinct(col("uid")).as("uv"))
+      val ed = graft.plans.AggRewrite.navigate(edQ)
+      val edLeaves = ed.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+          case _ => Nil
+        }.toSet
+      assert(edLeaves.exists(_.contains("summary")),
+        s"exactDistinct did not navigate: $edLeaves")
+      assert(ed.sort("seg").collect().toSeq ==
+        edQ.sort("seg").collect().toSeq)
+    } finally {
+      graft.plans.AggRewrite.unregister(spark, "api_overlap_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("README quick-start composition runs end to end") {
     val docs = Seq(
       (1L, "web", "en", 30L, "alpha beta gamma delta epsilon zeta"),

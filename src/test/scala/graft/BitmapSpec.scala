@@ -126,6 +126,78 @@ class BitmapSpec extends SparkSuite {
     }
   }
 
+  test("intersection is a faithful set op across container shapes; " +
+      "andCardinality == |and|; dense results downgrade canonically") {
+    val r = rnd(99)
+    // left: one dense container (trips the bitset upgrade) + sparse
+    // tails; right: overlapping dense + disjoint keys
+    val left = (0 until 6000).map(_.toLong) ++
+      Seq.fill(300)(1L << 40 | r.nextInt(500).toLong)
+    val right = (3000 until 9000).map(_.toLong) ++
+      Seq.fill(300)(1L << 41 | r.nextInt(500).toLong)
+    val (la, rb) = (new Bitmap64, new Bitmap64)
+    left.foreach(la.add)
+    right.foreach(rb.add)
+    val truth = left.toSet intersect right.toSet
+    assert(la.andCardinality(rb) == truth.size.toLong)
+    assert(rb.andCardinality(la) == truth.size.toLong)
+    val inter = la.and(rb)
+    assert(inter.cardinality == truth.size.toLong)
+    truth.foreach(v => assert(inter.contains(v)))
+    // canonical downgrade: the intersection's bytes equal a direct
+    // build of the same set (bitset∩bitset result below 4096 entries
+    // must come back as an ARRAY container)
+    val direct = new Bitmap64
+    truth.foreach(direct.add)
+    assert(java.util.Arrays.equals(inter.serialize, direct.serialize),
+      "intersection result not canonical")
+    // operands untouched
+    assert(la.cardinality == left.toSet.size.toLong)
+    assert(rb.cardinality == right.toSet.size.toLong)
+    // empty intersection
+    val far = new Bitmap64
+    far.add(1L << 50)
+    assert(la.andCardinality(far) == 0L)
+    assert(la.and(far).cardinality == 0L)
+  }
+
+  test("x24 overlap kernels: stored-partial intersection == the raw " +
+      "pairwise join, and the segment build navigates") {
+    val e = Tables(spark, sf, "events")
+    // force the events summary registration, then check the segment
+    // aggregate reads it (partial-to-partial navigation)
+    val evDir = s"file:${operators.ScalePatterns.navEventsDir(spark, sf)}"
+    val x24 = q("x24_bitmap_overlap")
+    val leaves = x24.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }.toSet
+    assert(leaves.exists(_.startsWith(evDir)),
+      s"x24 segments did not navigate: $leaves")
+    assert(!leaves.contains(s"file:$sf/events.parquet"),
+      s"x24 still scans the fact table: $leaves")
+    // kernel truth vs a raw pairwise join
+    val rows = x24.collect()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val sets = e.select(col("event_type"), col("user_id")).distinct()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (a <- sets.keys; b <- sets.keys if a < b) {
+      val r = byPair((a, b))
+      assert(r.getLong(2) == sets(a).size.toLong, s"uv_a $a")
+      assert(r.getLong(3) == sets(b).size.toLong, s"uv_b $b")
+      assert(r.getLong(4) == (sets(a) intersect sets(b)).size.toLong,
+        s"overlap $a-$b")
+    }
+    assert(rows.length == sets.size * (sets.size - 1) / 2)
+  }
+
   test("null ids are skipped (count(DISTINCT)'s non-null contract)") {
     import spark.implicits._
     val df = Seq[(String, Option[Long])](
