@@ -352,7 +352,8 @@ object Graft {
     * the registered entries, stats-scan ONLY new/changed files, drop
     * removed ones, re-sign the fence — pruning resumes after an
     * append at the cost of the appended bytes (Delta's per-commit
-    * stats model). Partitioned stores refuse; re-register. */
+    * stats model). Partitioned stores refresh too — the leaf read
+    * carries basePath, so partition columns survive. */
   def refreshSkipIndex(session: SparkSession, name: String): Unit =
     graft.plans.SkipIndex.refresh(session, name)
 
@@ -425,8 +426,11 @@ object Graft {
     * [[exactDistinct]]); the segments² grid then runs codegen'd
     * intersection kernels over that metadata-sized frame — no pairwise
     * id-level join, no second scan. Jaccard is one IEEE division of
-    * exact longs. When a registered summary carries a bitmap partial
-    * of the same id, the per-segment pass itself navigates (x24). */
+    * exact longs (0.0 when both segments are empty — two all-null-id
+    * segments have no union to divide by, and a report column must
+    * not carry NaN). When a registered summary carries a bitmap
+    * partial of the same id, the per-segment pass itself navigates
+    * (x24). */
   def overlapMatrix(df: DataFrame, seg: Column, id: Column): DataFrame = {
     import graft.plans.MergeExprs
     val s = graft.plans.AggRewrite.navigate(
@@ -435,6 +439,7 @@ object Graft {
           .apply(MergeExprs.integralId(id)).as("bm")))
     val a = s.select(col("seg").as("seg_a"), col("bm").as("bm_a"))
     val b = s.select(col("seg").as("seg_b"), col("bm").as("bm_b"))
+    val union = col("uv_a") + col("uv_b") - col("overlap")
     a.join(b, col("seg_a") < col("seg_b"))
       .select(col("seg_a"), col("seg_b"),
         MergeExprs.bitmapCount(col("bm_a")).as("uv_a"),
@@ -442,8 +447,8 @@ object Graft {
         MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
           .as("overlap"))
       .withColumn("jaccard",
-        col("overlap").cast("double") /
-          (col("uv_a") + col("uv_b") - col("overlap")).cast("double"))
+        when(union === 0L, lit(0.0))
+          .otherwise(col("overlap").cast("double") / union.cast("double")))
   }
 
   /** Mergeable count-min frequency sketch (4×256 counters) as packed

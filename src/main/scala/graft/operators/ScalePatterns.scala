@@ -1100,6 +1100,80 @@ object ScalePatterns extends QueryModule {
     graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
   }
 
+  // ---- x25: zone maps OVER a partitioned store (SkipIndex ∘ Catalyst
+  // partition pruning) ------------------------------------------------
+
+  private val partSkipMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Land the MONTH-partitioned, custkey-clustered orders store ONCE
+    * per (session, dir) and register its zone-map index — the
+    * reference's serving layout exactly (`partition parYYYYMMDD`,
+    * gmall2024-publisher TradeStatsMapper.java:16-22: every Doris
+    * serving table is day-partitioned BY CONSTRUCTION, and data
+    * skipping has to compose with that, not replace it). Within each
+    * month partition the rows are range-placed on o_custkey, so each
+    * partition's files carry tight disjoint custkey extents — Catalyst
+    * prunes the PARTITIONS from the directory values, the zone maps
+    * prune FILES inside the surviving partitions from the registered
+    * per-file stats. Returns the store parent dir. */
+  private[graft] def partSkipStoreDir(s: SparkSession, dir: String)
+      : String =
+    // synchronized builder — same reasoning as navSummaryDir
+    partSkipMemo.synchronized(partSkipMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x25_store_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      val store = s"$sd/orders_part"
+      val o = Tables(s, dir, "orders")
+        .withColumn("o_month",
+          date_format(col("o_orderdate"), "yyyy-MM"))
+      // ~4 files per month partition: range-place on (month, custkey)
+      // so each task's slice lands in one (or two adjacent) months
+      // with a tight custkey extent — the within-partition clustering
+      // an ingest job would write anyway (x12's range layout per day)
+      val months = o.agg(countDistinct(col("o_month"))).head.getLong(0)
+      o.repartitionByRange((months * 4).toInt.max(4),
+          col("o_month"), col("o_custkey"))
+        .sortWithinPartitions("o_month", "o_custkey")
+        .write.mode("overwrite").partitionBy("o_month").parquet(store)
+      graft.plans.SkipIndex.register(s, s"orders_part@$dir", store,
+        Seq("o_custkey"))
+      sd
+    }))
+
+  private[graft] def prestagePartSkipStore(s: SparkSession, dir: String)
+      : Unit = {
+    partSkipStoreDir(s, dir)
+    ()
+  }
+
+  /** x25: file skipping composed WITH partition pruning — a quarter-
+    * scoped, customer-bounded box over the month-partitioned store.
+    * Catalyst's own partition pruning keeps only the three 1995-Q1
+    * month directories (the scan's PartitionFilters — directories
+    * never listed into tasks); [[graft.plans.SkipIndex]] then prunes,
+    * INSIDE the surviving partitions, every file whose custkey extent
+    * provably misses `o_custkey <= 75` — at 100 TB this is the real
+    * serving shape: day-partition first (thousands of partitions),
+    * zone-map second (thousands of files per partition), tasks
+    * scheduled only for the intersection. Both prunings are visible in
+    * the physical scan's numFiles (SkipIndexSpec asserts each level
+    * drops it). The oracle replays the same box on the RAW orders
+    * table — the store is the same rows re-placed, so a hash match
+    * proves both prunings semantically invisible. */
+  private def partSkipScan(s: SparkSession, dir: String): DataFrame = {
+    val store = s"${partSkipStoreDir(s, dir)}/orders_part"
+    val q = s.read.parquet(store)
+      .filter(col("o_month") >= "1995-01" && col("o_month") <= "1995-03" &&
+        col("o_custkey") <= 75)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"),
+        moneySum(col("o_totalprice")).as("order_amount"),
+        countDistinct(col("o_custkey")).as("cust_ct"))
+    graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
+  }
+
   /** x24: exact audience overlap from STORED id sets — the Doris
     * `BITMAP_AND_COUNT` serving pattern. The per-channel segment
     * bitmaps are a partial-building aggregate that NAVIGATES onto the
@@ -1117,23 +1191,15 @@ object ScalePatterns extends QueryModule {
   private def bitmapOverlap(s: SparkSession, dir: String): DataFrame = {
     navEventsDir(s, dir)
     val e = Tables(s, dir, "events")
-    val seg = graft.plans.AggRewrite.navigate(
-      e.groupBy(col("event_type").as("ch"))
-        .agg(udaf(graft.functions.BitmapPartial)
-          .apply(col("user_id").cast("long")).as("bm")))
-    val a = seg.select(col("ch").as("ch_a"), col("bm").as("bm_a"))
-    val b = seg.select(col("ch").as("ch_b"), col("bm").as("bm_b"))
-    import graft.plans.MergeExprs
-    a.join(b, col("ch_a") < col("ch_b")) // fixed channels^2 grid
-      .select(col("ch_a"), col("ch_b"),
-        MergeExprs.bitmapCount(col("bm_a")).as("uv_a"),
-        MergeExprs.bitmapCount(col("bm_b")).as("uv_b"),
-        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
-          .as("overlap"))
-      .withColumn("jaccard",
-        col("overlap").cast(org.apache.spark.sql.types.DoubleType) /
-          (col("uv_a") + col("uv_b") - col("overlap"))
-            .cast(org.apache.spark.sql.types.DoubleType))
+    // ONE facade (Graft.overlapMatrix) serves the public API and this
+    // query: the per-segment pass navigates onto the events summary's
+    // stored bitmap partials, the grid runs the codegen'd kernels, and
+    // the jaccard guard (0.0 for two empty segments) lives in exactly
+    // one place
+    graft.api.Graft.overlapMatrix(e, col("event_type"),
+        col("user_id").cast("long"))
+      .select(col("seg_a").as("ch_a"), col("seg_b").as("ch_b"),
+        col("uv_a"), col("uv_b"), col("overlap"), col("jaccard"))
       .orderBy("ch_a", "ch_b")
   }
 
@@ -1385,7 +1451,8 @@ object ScalePatterns extends QueryModule {
     "x21_province_navigate" -> provinceNavigate,
     "x22_bitmap_distinct_navigate" -> bitmapNavigate,
     "x23_skipscan_prune" -> skipScanPrune,
-    "x24_bitmap_overlap" -> bitmapOverlap)
+    "x24_bitmap_overlap" -> bitmapOverlap,
+    "x25_part_skipscan" -> partSkipScan)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1482,7 +1549,7 @@ object ScalePatterns extends QueryModule {
     "x24_bitmap_overlap" ->
       s"""WITH ch AS (SELECT DISTINCT event_type AS ch FROM events),
          |s AS (SELECT DISTINCT event_type AS ch, user_id FROM events),
-         |uv AS (SELECT ch, CAST(count(*) AS BIGINT) AS uv
+         |uv AS (SELECT ch, CAST(count(user_id) AS BIGINT) AS uv
          |       FROM s GROUP BY 1),
          |ov AS (SELECT a.ch AS ch_a, b.ch AS ch_b,
          |              CAST(count(*) AS BIGINT) AS overlap
@@ -1491,8 +1558,11 @@ object ScalePatterns extends QueryModule {
          |       GROUP BY 1, 2)
          |SELECT p.ch_a, p.ch_b, ua.uv AS uv_a, ub.uv AS uv_b,
          |       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
-         |       CAST(coalesce(ov.overlap, 0) AS DOUBLE) /
-         |         (ua.uv + ub.uv - coalesce(ov.overlap, 0)) AS jaccard
+         |       CASE WHEN ua.uv + ub.uv - coalesce(ov.overlap, 0) = 0
+         |            THEN 0.0
+         |            ELSE CAST(coalesce(ov.overlap, 0) AS DOUBLE) /
+         |              (ua.uv + ub.uv - coalesce(ov.overlap, 0)) END
+         |         AS jaccard
          |FROM (SELECT a.ch AS ch_a, b.ch AS ch_b
          |      FROM ch a JOIN ch b ON a.ch < b.ch) p
          |JOIN uv ua ON ua.ch = p.ch_a
@@ -1521,6 +1591,20 @@ object ScalePatterns extends QueryModule {
          |WHERE o_custkey <= 75
          |  AND o_orderdate >= '1995-01-01'
          |  AND o_orderdate <= '1995-12-31'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x25's oracle replays the quarter×custkey box on the RAW orders
+    // table: the partitioned store is the same rows re-placed, so a
+    // hash match proves partition pruning + file skipping both
+    // semantically invisible
+    "x25_part_skipscan" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) AS order_ct,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(DISTINCT o_custkey) AS cust_ct
+         |FROM orders
+         |WHERE o_custkey <= 75
+         |  AND substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
+         |        BETWEEN '1995-01' AND '1995-03'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_rollup_sets_navigate" ->
       s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)

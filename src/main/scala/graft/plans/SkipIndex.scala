@@ -65,6 +65,42 @@ object SkipIndex {
       .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  // Fence-digest memo, keyed weakly by the candidate FileIndex
+  // INSTANCE: a pinned listing's digest is computed once, not on every
+  // Filter node × every optimizer fixed-point iteration (at the
+  // million-file scale the per-file string building + MD5 is
+  // measurable planning cost). Guarded by a cheap order-insensitive
+  // fingerprint over (path hash, len, mtime) recomputed per call — an
+  // in-place refresh() that changes the listing changes the
+  // fingerprint and forces a re-digest, so the memo can never bless a
+  // stale fence.
+  private val digestMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[FileIndex, (Long, String)]())
+
+  private def cheapFp(files: Seq[org.apache.hadoop.fs.FileStatus]): Long = {
+    var h = 0L
+    files.foreach { st =>
+      var x = st.getPath.hashCode.toLong * -7046029254386353131L
+      x ^= st.getLen * -4417276706812531889L
+      x ^= st.getModificationTime * 6364136223846793005L
+      x ^= (x >>> 32)
+      h += x * -8796714831421723037L // order-insensitive sum of mixes
+    }
+    h
+  }
+
+  private def listingSigOf(idx: PartitioningAwareFileIndex): String = {
+    val files = idx.allFiles()
+    val fp = cheapFp(files)
+    val cached = digestMemo.get(idx)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val d = digest(files.map(statusEntry))
+      digestMemo.put(idx, (fp, d))
+      d
+    }
+  }
+
   private def statusEntry(st: org.apache.hadoop.fs.FileStatus): String =
     s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
 
@@ -93,22 +129,16 @@ object SkipIndex {
     * removed files drop, and the fence is re-signed — so pruning
     * resumes after an append at the cost of the appended bytes only
     * (Delta's model exactly: each commit logs stats for its own files).
-    * Partitioned stores refuse (reading leaf files directly would drop
-    * the partition columns from the schema) — re-register instead. */
+    * Partitioned stores work too: the new-file read carries
+    * `basePath = store` so partition discovery recovers the partition
+    * columns from the leaf paths — a stats column may even BE a
+    * partition column (its per-file stats are the constant partition
+    * value). */
   def refresh(session: SparkSession, name: String): Unit = {
     val d = registry.getOrElse(session, Vector.empty)
       .find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"no skip index '$name' registered for this session"))
     val df = session.read.parquet(d.store)
-    val partCols = df.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.partitionSchema.fieldNames.toSeq
-      }
-    }.getOrElse(Nil)
-    require(partCols.isEmpty,
-      s"skip index '$name' covers a partitioned store " +
-        s"(${partCols.mkString(", ")}) — refresh reads leaf files " +
-        "directly and would lose the partition columns; re-register")
     val (roots, live, uris) = listingOf(df, name)
     val unchanged = d.files.filter { case (p, _) =>
       live.get(p).contains(d.entries.getOrElse(p, ""))
@@ -117,7 +147,8 @@ object SkipIndex {
     val freshStats =
       if (newPaths.isEmpty) Map.empty[String, FileStats]
       else statsPass(
-        session.read.schema(df.schema).parquet(newPaths.map(uris): _*),
+        session.read.option("basePath", d.store).schema(df.schema)
+          .parquet(newPaths.map(uris): _*),
         d.colTypes.keys.toSeq.sorted)
     putDef(session, d.copy(rootPaths = roots,
       files = unchanged ++ freshStats, entries = live))
@@ -308,14 +339,20 @@ object SkipIndex {
       case p: PartitioningAwareFileIndex => p
       case _ => return None
     }
-    if (digest(candIdx.allFiles().map(statusEntry)) != d.listingSig)
-      return None
+    if (listingSigOf(candIdx) != d.listingSig) return None
     val conjuncts = splitConjuncts(cond)
     val scanIds: Set[ExprId] = lr.output.map(_.exprId).toSet
-    val keep = d.files.filter { case (_, st) =>
-      conjuncts.forall(c => mayMatch(c, st, d.colTypes, scanIds))
-    }.keySet
-    if (keep.size == d.files.size) return None // nothing to prune
+    // keep-set over the LISTING, not the stats map: a file with no
+    // stats entry (today: zero-row files, which produce no
+    // input_file_name group; defensively: any path-normalization drift
+    // between input_file_name() and the listing) is KEPT — fail open,
+    // prune only what the stats prove empty
+    val allPaths = candIdx.allFiles().map(_.getPath.toUri.getPath)
+    val keep = allPaths.filter { p =>
+      d.files.get(p).forall(st =>
+        conjuncts.forall(c => mayMatch(c, st, d.colTypes, scanIds)))
+    }.toSet
+    if (keep.size == allPaths.size) return None // nothing to prune
     val pruned = new PrunedFileIndex(candIdx, keep)
     Some(lr.copy(relation =
       fsRel.copy(location = pruned)(fsRel.sparkSession)))

@@ -149,7 +149,7 @@ class SkipIndexSpec extends SparkSuite {
   }
 
   test("refresh: an append re-arms pruning by scanning ONLY the new " +
-      "files; removed files drop; partitioned stores refuse") {
+      "files; removed files drop") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_skipidx_refresh_").toString
     import spark.implicits._
@@ -186,20 +186,99 @@ class SkipIndexSpec extends SparkSuite {
         spark.read.parquet(s"$root/t").filter(col("k") > -1L))
       assert(postDelete.count() ==
         spark.read.parquet(s"$root/t").count())
-      // partitioned stores refuse with advice
-      (1 to 10).map(i => (i.toLong, s"p${i % 2}"))
-        .toDF("k", "part")
-        .write.partitionBy("part").mode("overwrite").parquet(s"$root/p")
-      SkipIndex.register(spark, "refresh_part_spec", s"$root/p", Seq("k"))
-      val err = intercept[IllegalArgumentException] {
-        SkipIndex.refresh(spark, "refresh_part_spec")
-      }
-      assert(err.getMessage.contains("re-register"))
     } finally {
       SkipIndex.unregister(spark, "refresh_spec")
-      SkipIndex.unregister(spark, "refresh_part_spec")
       rm(new java.io.File(root))
     }
+  }
+
+  test("partitioned refresh: an append to ONE partition re-arms " +
+      "pruning; the basePath leaf read recovers partition columns") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_skipidx_partrefresh_").toString
+    import spark.implicits._
+    try {
+      // two partitions × two range files each on k
+      (1 to 100).map(i => (i.toLong, s"p${(i - 1) / 50}"))
+        .toDF("k", "part").repartitionByRange(4, col("part"), col("k"))
+        .write.partitionBy("part").mode("overwrite").parquet(s"$root/p")
+      SkipIndex.register(spark, "part_refresh_spec", s"$root/p", Seq("k"))
+      def low = SkipIndex.navigate(
+        spark.read.parquet(s"$root/p").filter(col("k") <= 10L))
+      val total = scanFileCount(
+        spark.read.parquet(s"$root/p").filter(col("k") > -1L))
+      assert(scanFileCount(low) < total, "expected pruning while fresh")
+      // append into partition p0 only: stale → unpruned, refresh →
+      // stats-scans just the new leaf (with its partition value back)
+      Seq((500L, "p0")).toDF("k", "part")
+        .write.partitionBy("part").mode("append").parquet(s"$root/p")
+      assert(scanFileCount(low) == total + 1,
+        "stale partitioned index must not prune")
+      SkipIndex.refresh(spark, "part_refresh_spec")
+      assert(scanFileCount(low) < total + 1,
+        s"partitioned refresh did not re-arm: ${scanFileCount(low)}")
+      assert(low.count() == 10L)
+      // the appended leaf's own stats are live (only it holds k=500),
+      // and the recovered partition column still filters correctly
+      val hi = SkipIndex.navigate(
+        spark.read.parquet(s"$root/p").filter(col("k") >= 200L))
+      assert(scanFileCount(hi) == 1)
+      assert(hi.count() == 1L)
+      assert(spark.read.parquet(s"$root/p")
+        .filter(col("part") === "p0" && col("k") >= 200L).count() == 1L)
+    } finally {
+      SkipIndex.unregister(spark, "part_refresh_spec")
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("x25: partition pruning and zone maps COMPOSE — the physical " +
+      "scan reads only in-quarter files that intersect the custkey box") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flat(q.plan)
+      case _ => p.children.flatMap(flat)
+    })
+    def physFiles(df: DataFrame): Long = {
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      flat(finalPlan).collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+    }
+    val store =
+      s"${operators.ScalePatterns.partSkipStoreDir(spark, sf)}/orders_part"
+    val monthBox = col("o_month") >= "1995-01" && col("o_month") <= "1995-03"
+    val total = physFiles(
+      spark.read.parquet(store).groupBy().count())
+    // partition pruning alone: only the quarter's directories
+    val partOnly = physFiles(
+      spark.read.parquet(store).filter(monthBox).groupBy().count())
+    assert(partOnly < total,
+      s"partition pruning dead: $partOnly of $total files")
+    // both prunings: zone maps drop custkey-missing files INSIDE the
+    // surviving partitions
+    val both = physFiles(SkipIndex.navigate(
+      spark.read.parquet(store)
+        .filter(monthBox && col("o_custkey") <= 75)
+        .groupBy().count()))
+    assert(both < partOnly,
+      s"zone maps added nothing: $both vs partition-only $partOnly")
+    assert(both > 0)
+    // bit-equal to the unpruned raw plan through the suite entry
+    val x25 = q("x25_part_skipscan")
+    val raw = spark.read.parquet(store)
+      .filter(monthBox && col("o_custkey") <= 75)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+      .sort("o_orderpriority")
+    assert(x25.select("o_orderpriority", "order_ct").collect().toSeq ==
+      raw.collect().toSeq)
   }
 
   test("streaming maintenance: a foreachBatch appender refreshes the " +
