@@ -1203,6 +1203,44 @@ object ScalePatterns extends QueryModule {
       .orderBy("ch_a", "ch_b")
   }
 
+  /** x26: N-day retention curves from STORED bitmap partials — the
+    * canonical query the x24 kernels exist for (Doris
+    * `BITMAP_INTERSECT` / orthogonal-bitmap retention serving). The
+    * per-day active-user bitmaps NAVIGATE onto the events summary's
+    * stored (day, channel) bitmap partials — union across channels is
+    * idempotent, so the day-grain set re-derives bit-exactly without
+    * touching the fact table (AggRewriteSpec asserts the plan never
+    * scans events). The (cohort day × offset 0..7) grid is then
+    * |days|×8 codegen'd intersection kernel calls over that
+    * metadata-sized frame: at 100 TB the whole retention report reads
+    * partials the DWS layer already maintains — no user-level
+    * self-join, no fact re-scan, and the counts are EXACT (the one
+    * aggregate every sketch must refuse). Retention is one IEEE
+    * division of exact longs, bit-identical across engines. Oracle:
+    * the raw user-level day self-join in DuckDB over the full grid. */
+  private def bitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    navEventsDir(s, dir)
+    val e = Tables(s, dir, "events")
+    val daily = graft.plans.AggRewrite.navigate(
+      e.groupBy(curDate(nsToSec(col("ts"))).as("d"))
+        .agg(udaf(graft.functions.BitmapPartial)
+          .apply(col("user_id").cast("long")).as("bm")))
+    val a = daily.select(col("d").as("cohort_day"), col("bm").as("bm_a"))
+    val b = daily.select(col("d").as("d_b"), col("bm").as("bm_b"))
+    import graft.plans.MergeExprs
+    val off = datediff(col("d_b").cast("date"), col("cohort_day").cast("date"))
+    a.join(broadcast(b), off >= 0 && off <= 7) // |days|×8 grid
+      .select(col("cohort_day"), off.cast(LongType).as("day_offset"),
+        MergeExprs.bitmapCount(col("bm_a")).as("cohort_uv"),
+        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
+          .as("retained"))
+      .withColumn("retention",
+        when(col("cohort_uv") === 0L, lit(0.0))
+          .otherwise(col("retained").cast(DoubleType) /
+            col("cohort_uv").cast(DoubleType)))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // ---- x21: navigation THROUGH a multi-hop dim chain ---------------
 
   private val navCustMemo = scala.collection.concurrent.TrieMap
@@ -1452,7 +1490,8 @@ object ScalePatterns extends QueryModule {
     "x22_bitmap_distinct_navigate" -> bitmapNavigate,
     "x23_skipscan_prune" -> skipScanPrune,
     "x24_bitmap_overlap" -> bitmapOverlap,
-    "x25_part_skipscan" -> partSkipScan)
+    "x25_part_skipscan" -> partSkipScan,
+    "x26_bitmap_retention" -> bitmapRetention)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1606,6 +1645,44 @@ object ScalePatterns extends QueryModule {
          |  AND substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
          |        BETWEEN '1995-01' AND '1995-03'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x26's oracle is the raw user-level day self-join over the FULL
+    // (cohort day × observed day ≤ 7 ahead) grid — a hash match proves
+    // the stored-partial intersection counts exact and the retention
+    // ratio (one IEEE division of exact longs) bit-equal
+    "x26_bitmap_retention" -> {
+      val day = Oracle.fmtDate(Oracle.sec())
+      s"""WITH d AS (SELECT DISTINCT $day AS d FROM events),
+         |s AS (SELECT DISTINCT $day AS d, user_id FROM events
+         |      WHERE user_id IS NOT NULL),
+         |uv AS (SELECT d, CAST(count(user_id) AS BIGINT) AS uv
+         |       FROM s GROUP BY 1),
+         |grid AS (SELECT a.d AS cohort_day, b.d AS d_b,
+         |                date_diff('day', CAST(a.d AS DATE),
+         |                          CAST(b.d AS DATE)) AS day_offset
+         |         FROM d a JOIN d b
+         |           ON CAST(b.d AS DATE) >= CAST(a.d AS DATE)
+         |          AND date_diff('day', CAST(a.d AS DATE),
+         |                        CAST(b.d AS DATE)) <= 7),
+         |ov AS (SELECT a.d AS cohort_day, b.d AS d_b,
+         |              CAST(count(*) AS BIGINT) AS retained
+         |       FROM s a JOIN s b ON a.user_id = b.user_id
+         |       WHERE CAST(b.d AS DATE) >= CAST(a.d AS DATE)
+         |         AND date_diff('day', CAST(a.d AS DATE),
+         |                       CAST(b.d AS DATE)) <= 7
+         |       GROUP BY 1, 2)
+         |SELECT g.cohort_day,
+         |       CAST(g.day_offset AS BIGINT) AS day_offset,
+         |       CAST(coalesce(ua.uv, 0) AS BIGINT) AS cohort_uv,
+         |       CAST(coalesce(ov.retained, 0) AS BIGINT) AS retained,
+         |       CASE WHEN coalesce(ua.uv, 0) = 0 THEN 0.0
+         |            ELSE CAST(coalesce(ov.retained, 0) AS DOUBLE)
+         |                 / coalesce(ua.uv, 0) END AS retention
+         |FROM grid g
+         |LEFT JOIN uv ua ON ua.d = g.cohort_day
+         |LEFT JOIN ov ON ov.cohort_day = g.cohort_day
+         |            AND ov.d_b = g.d_b
+         |ORDER BY 1, 2""".stripMargin
+    },
     "x16_rollup_sets_navigate" ->
       s"""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
          |         AS order_month,

@@ -740,6 +740,35 @@ class AggRewriteSpec extends SparkSuite {
       s"sum(DISTINCT) must fall through: ${scanPaths(sumD)}")
   }
 
+  test("x26: retention curves derive ONLY from stored bitmap partials " +
+      "— the fact table is never scanned, counts match the raw self-join") {
+    val evDir = s"file:${operators.ScalePatterns.navEventsDir(spark, sf)}"
+    val eventsPath = s"file:$sf/events.parquet"
+    val x26 = q("x26_bitmap_retention")
+    val paths = scanPaths(x26)
+    assert(paths.exists(_.startsWith(evDir)),
+      s"retention did not navigate onto the summary: $paths")
+    assert(!paths.contains(eventsPath),
+      s"retention scanned the fact table: $paths")
+    // exact against the raw user-level day self-join
+    import graft.functions.Fns
+    val e = Tables(spark, sf, "events")
+      .select(Fns.curDate(Fns.nsToSec(col("ts"))).as("d"), col("user_id"))
+      .filter(col("user_id").isNotNull).distinct()
+    val raw = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.d").cast("date") >= col("a.d").cast("date") &&
+          datediff(col("b.d").cast("date"), col("a.d").cast("date")) <= 7)
+      .groupBy(col("a.d").as("cohort_day"),
+        datediff(col("b.d").cast("date"), col("a.d").cast("date"))
+          .cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("retained"))
+    val got = x26.select("cohort_day", "day_offset", "retained")
+      .filter(col("retained") > 0L).sort("cohort_day", "day_offset")
+    assert(got.collect().toSeq ==
+      raw.sort("cohort_day", "day_offset").collect().toSeq)
+  }
+
   test("bitmap navigation composes with join navigation: exact UV by " +
       "dim name re-derives through the fact⋈dim rewrite") {
     val root = java.nio.file.Files
