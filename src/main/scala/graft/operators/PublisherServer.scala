@@ -188,4 +188,84 @@ object PublisherServer {
     server.start()
     new Publisher(server)
   }
+
+  /** Start the publisher in NAVIGATED mode: the three endpoints are
+    * the reference's serving queries written against the RAW fact
+    * tables ([[ServingApi.navGmv]]/[[ServingApi.navProvince]]/
+    * [[ServingApi.navChUv]]) and routed through `AggRewrite.navigate`
+    * — while the registered day-grain summaries
+    * ([[ServingApi.buildNavSummaries]]) are fresh, each request reads
+    * a metadata-sized summary (the Doris-table read the reference's
+    * MyBatis mappers do by name); the moment the base changes under a
+    * summary, the staleness fence falls through to the raw fact scan,
+    * so the HTTP layer can serve slow-but-true, never fast-but-wrong.
+    * Envelopes are identical to [[start]] — a reference client cannot
+    * tell the two publishers apart until the store goes stale. */
+  def startNavigated(s: SparkSession, dir: String, port: Int)
+      : Publisher = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def param(ex: HttpExchange, name: String): Option[String] =
+      Option(ex.getRequestURI.getRawQuery).toSeq
+        .flatMap(_.split("&").toSeq)
+        .map(_.split("=", 2))
+        .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
+
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/json; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+      ex.close()
+    }
+
+    def endpoint(path: String)(render: HttpExchange => String): Unit =
+      server.createContext(path, (ex: HttpExchange) =>
+        try {
+          if (ex.getRequestURI.getPath != path) reply(ex, 404,
+            """{"status":1,"msg":"not found"}""")
+          else reply(ex, 200, render(ex))
+        } catch {
+          case e: Exception =>
+            reply(ex, 500,
+              s"""{"status":1,"msg":"${esc(String.valueOf(e.getMessage))}"}""")
+        })
+
+    def dateOf(ex: HttpExchange, latest: => String): String =
+      param(ex, "date").filter(_ != "0").getOrElse(latest)
+
+    endpoint("/gmv") { ex =>
+      val day = dateOf(ex, ServingApi.navLatestDay(s, dir))
+      val gmv = ServingApi.navGmv(s, dir, day).head()
+      val v = if (gmv.isNullAt(0)) "0" else gmv.getDouble(0).toString
+      s"""{"status":0,"data":$v}"""
+    }
+
+    endpoint("/province") { ex =>
+      val day = dateOf(ex, ServingApi.navLatestDay(s, dir))
+      val rows = ServingApi.navProvince(s, dir, day)
+        .orderBy(col("order_amount").desc, col("province_name"))
+        .collect()
+      val mapData = rows.map(r =>
+        s"""{"name":"${esc(r.getString(0))}","value":${r.getDouble(1)}}""")
+        .mkString(",")
+      s"""{"status":0,"data":{"mapData":[$mapData],"valueName":"order_amount"}}"""
+    }
+
+    endpoint("/ch") { ex =>
+      val day = dateOf(ex, ServingApi.navLatestEventDay(s, dir))
+      val limit = param(ex, "limit").map(_.toInt).getOrElse(10)
+      val rows = ServingApi.navChUv(s, dir, day, limit).collect()
+      val cats = rows.map(r => s""""${esc(r.getString(0))}"""").mkString(",")
+      val data = rows.map(_.getLong(1)).mkString(",")
+      s"""{"status":0,"data":{"categories":[$cats],""" +
+        s""""series":[{"name":"ch","data":[$data]}]}}"""
+    }
+
+    server.setExecutor(null)
+    server.start()
+    new Publisher(server)
+  }
 }

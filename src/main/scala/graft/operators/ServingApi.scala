@@ -65,4 +65,108 @@ object ServingApi {
       .agg(countDistinct(col("o_orderkey")).as("order_ct"))
       .orderBy(col("order_ct").desc, col("province_name"))
       .limit(limit)
+
+  // ---- navigated serving: raw-fact SQL + the summary fence ---------
+  //
+  // The reference's controllers read the DWS store BY NAME (MyBatis
+  // mapper SQL against the Doris table, TradeStatsMapper.java:16-22) —
+  // if the store lags the facts, the endpoint serves stale numbers
+  // with no way to know. Here each endpoint is written against the
+  // RAW fact tables and routed through [[graft.plans.AggRewrite
+  // .navigate]]: while the registered day-grain summary is fresh the
+  // plan reads the metadata-sized summary (the Doris read, same
+  // speed), and the moment the base changes under it the staleness
+  // fence falls through to raw truth — never a wrong answer, the
+  // soundness the reference never had. [[buildNavSummaries]] is the
+  // DWS build; [[graft.plans.AggRewrite.refreshPartitions]] re-arms
+  // after an append (the production CDC loop).
+
+  /** Materialize + register the two day-grain serving summaries the
+    * navigated endpoints land on: orders at (day, custkey) grain —
+    * the x21 shape, so /province's dim chain re-roots onto it — and
+    * events at (day, channel) grain with an EXACT uv bitmap partial,
+    * so /ch's count(DISTINCT) re-derives bit-exactly. Both
+    * day-partitioned (the reference's `partition parYYYYMMDD`),
+    * maintainable by partition refresh. */
+  def buildNavSummaries(s: SparkSession, dir: String, root: String): Unit = {
+    graft.plans.AggRewrite.materialize(s, s"pub_orders@$dir",
+      Tables(s, dir, "orders"),
+      keys = Seq(
+        "cur_date" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        "o_custkey" -> col("o_custkey")),
+      measures = Seq(
+        ("amount_sum", "sum", money(col("o_totalprice"))),
+        ("amount_cnt", "count", money(col("o_totalprice"))),
+        ("order_ct", "count_star", lit(1))),
+      path = s"$root/orders_day_cust", partitionBy = Some("cur_date"))
+    graft.plans.AggRewrite.materialize(s, s"pub_events@$dir",
+      Tables(s, dir, "events"),
+      keys = Seq(
+        "cur_date" -> curDate(nsToSec(col("ts"))),
+        "ch" -> col("event_type")),
+      measures = Seq(
+        ("uv_bitmap", "bitmap", col("user_id")),
+        ("pv_ct", "count_star", lit(1))),
+      path = s"$root/events_day_ch", partitionBy = Some("cur_date"))
+    ()
+  }
+
+  /** /gmv as raw-fact SQL: one-day order-amount sum over the orders
+    * TABLE — navigation serves it from the summary while fresh. */
+  def navGmv(s: SparkSession, dir: String, date: String): DataFrame =
+    graft.plans.AggRewrite.navigate(
+      Tables(s, dir, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === date)
+        .agg(sum(money(col("o_totalprice"))).cast("double").as("gmv")))
+
+  /** /province as raw-fact SQL: the reference's literal two-hop shape
+    * (orders⋈customer⋈nation, TradeStatsMapper.java:20-22) — the
+    * join-spine rewrite re-roots the fact scan onto the (day, custkey)
+    * summary and keeps the dim chain verbatim; count(*) stays exact
+    * through the summed count_star partial. */
+  def navProvince(s: SparkSession, dir: String, date: String): DataFrame =
+    graft.plans.AggRewrite.navigate(
+      Tables(s, dir, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === date)
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("province_name"))
+        .agg(sum(money(col("o_totalprice"))).cast("double")
+          .as("order_amount"),
+          count(lit(1)).as("order_ct")))
+
+  /** /ch as raw-fact SQL: one-day exact UV per channel over the events
+    * TABLE — count(DISTINCT) re-derives from the stored bitmap
+    * partial while fresh (x22's algebra in the serving path). */
+  def navChUv(s: SparkSession, dir: String, date: String,
+      limit: Int): DataFrame =
+    graft.plans.AggRewrite.navigate(
+      Tables(s, dir, "events")
+        .filter(curDate(nsToSec(col("ts"))) === date)
+        .groupBy(col("event_type").as("ch"))
+        .agg(countDistinct(col("user_id")).as("uv_ct")))
+      .orderBy(col("uv_ct").desc, col("ch"))
+      .limit(limit)
+
+  /** Newest day for the default-date path — ALSO navigated: the
+    * day-grain count query reads the metadata-sized summary while
+    * fresh (a raw fall-through is a fact scan, but still correct). */
+  def navLatestDay(s: SparkSession, dir: String): String =
+    graft.plans.AggRewrite.navigate(
+      Tables(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd")
+          .as("cur_date"))
+        .agg(count(lit(1)).as("ct")))
+      .agg(max(col("cur_date"))).head.getString(0)
+
+  /** Newest events day (the /ch default), navigated like
+    * [[navLatestDay]]. */
+  def navLatestEventDay(s: SparkSession, dir: String): String =
+    graft.plans.AggRewrite.navigate(
+      Tables(s, dir, "events")
+        .groupBy(curDate(nsToSec(col("ts"))).as("cur_date"))
+        .agg(count(lit(1)).as("ct")))
+      .agg(max(col("cur_date"))).head.getString(0)
 }

@@ -77,4 +77,109 @@ class PublisherSpec extends SparkSuite {
       assert(get(pub.port, s"/gmv?date=$day")._1 == 200)
     } finally pub.stop()
   }
+
+  test("navigated publisher: endpoints read the summaries while fresh, " +
+      "fall through to raw truth after a base append, re-arm on refresh") {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }.toSet
+
+    val dir = tmp("navpub_base")
+    val root = tmp("navpub_sum")
+    // a private copy of the fact/dim tables as parquet DIRECTORIES so
+    // the spec can append (the real testdata is read-only single files)
+    Seq("orders", "customer", "nation", "events").foreach { t =>
+      Tables(spark, sf, t).write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    }
+    ServingApi.buildNavSummaries(spark, dir, root)
+    val pub = PublisherServer.startNavigated(spark, dir, 0)
+    try {
+      val day = ServingApi.navLatestDay(spark, dir)
+      // fresh: the raw-fact queries' plans scan the SUMMARIES, never
+      // the fact tables — the Doris read with a fence under it
+      val provPaths = scanPaths(ServingApi.navProvince(spark, dir, day))
+      assert(provPaths.exists(_.contains("orders_day_cust")),
+        s"/province did not navigate: $provPaths")
+      assert(!provPaths.exists(_.endsWith("orders.parquet")),
+        s"/province scanned the fact table while fresh: $provPaths")
+      val chPaths = scanPaths(ServingApi.navChUv(spark, dir, day, 5))
+      assert(chPaths.exists(_.contains("events_day_ch")),
+        s"/ch did not navigate: $chPaths")
+      assert(!chPaths.exists(_.endsWith("events.parquet")),
+        s"/ch scanned the fact table while fresh: $chPaths")
+
+      // endpoint answers equal the raw twins computed WITHOUT the fence
+      val money18 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      def rawOrders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === day)
+      val rawGmvRow = rawOrders
+        .agg(sum(money18(col("o_totalprice"))).cast("double")).head
+      val (gc, gb) = get(pub.port, s"/gmv?date=$day")
+      assert(gc == 200, gb)
+      assert(gb ==
+        s"""{"status":0,"data":${rawGmvRow.getDouble(0)}}""", gb)
+      val rawProv = rawOrders
+        .join(spark.read.parquet(s"$dir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .join(spark.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money18(col("o_totalprice"))).cast("double").as("amt"))
+        .orderBy(col("amt").desc, col("n_name")).collect()
+      val expectedMap = rawProv.map(r =>
+        s"""{"name":"${r.getString(0)}","value":${r.getDouble(1)}}""")
+        .mkString(",")
+      val (pc, pb) = get(pub.port, s"/province?date=$day")
+      assert(pc == 200, pb)
+      assert(pb ==
+        s"""{"status":0,"data":{"mapData":[$expectedMap],""" +
+          s""""valueName":"order_amount"}}""", pb)
+      val (cc, cb) = get(pub.port, "/ch?limit=3")
+      assert(cc == 200, cb)
+      assert(cb.contains(""""categories":["""), cb)
+
+      // append ONE order on a brand-new day: every orders summary goes
+      // stale — the endpoints now serve RAW truth (the appended row is
+      // visible) instead of the fast-but-wrong stale summary
+      val newDay = "2099-01-01"
+      val o0 = spark.read.parquet(s"$dir/orders.parquet")
+      o0.limit(1)
+        .withColumn("o_orderdate",
+          lit(newDay).cast(o0.schema("o_orderdate").dataType))
+        .write.mode("append").parquet(s"$dir/orders.parquet")
+      val stalePaths = scanPaths(
+        ServingApi.navProvince(spark, dir, newDay))
+      assert(stalePaths.exists(_.endsWith("orders.parquet")),
+        s"stale summary must fall through to raw: $stalePaths")
+      val appended = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === newDay)
+        .agg(sum(money18(col("o_totalprice"))).cast("double")).head
+      assert(get(pub.port, s"/gmv?date=$newDay")._2 ==
+        s"""{"status":0,"data":${appended.getDouble(0)}}""")
+
+      // partition refresh re-arms: only the touched day recomputes,
+      // the plan reads the summary again, the answer stays raw-true
+      graft.plans.AggRewrite.refreshPartitions(spark, s"pub_orders@$dir",
+        Tables(spark, dir, "orders"), Seq(newDay))
+      val rearmed = scanPaths(ServingApi.navProvince(spark, dir, newDay))
+      assert(rearmed.exists(_.contains("orders_day_cust")),
+        s"refresh did not re-arm navigation: $rearmed")
+      assert(get(pub.port, s"/gmv?date=$newDay")._2 ==
+        s"""{"status":0,"data":${appended.getDouble(0)}}""")
+    } finally {
+      pub.stop()
+      graft.plans.AggRewrite.unregister(spark, s"pub_orders@$dir")
+      graft.plans.AggRewrite.unregister(spark, s"pub_events@$dir")
+    }
+  }
 }
