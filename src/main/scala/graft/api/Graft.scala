@@ -308,12 +308,14 @@ object Graft {
     * new version dir, re-sign the fence from the post-batch `base`.
     * Replay-idempotent by `batchId` (a foreachBatch maintainer passes
     * the batch id straight through); torn folds re-fold
-    * deterministically; count reconciliation refuses drifted streams;
-    * summaries carrying min/max/hll/bitmap partials fold INSERT-ONLY
-    * batches (monotone partials can't invert a delete — those batches
-    * refuse, use [[refreshSummaryPartitions]]). Every sum measure
-    * needs a count measure of the same child (NULL restoration after
-    * deletes). */
+    * deterministically; count reconciliation refuses drifted streams.
+    * Summaries carrying min/max/hll/bitmap partials handle deletes at
+    * GROUP grain: monotone partials can't invert a delete, so the
+    * groups a delete touches are rebuilt exactly from the post-batch
+    * base (a scan bounded by the touched keys, partition-pruned when
+    * the partition key is a group key) while all other groups fold
+    * incrementally. Every sum measure needs a count measure of the
+    * same child (NULL restoration after deletes). */
   def applyDelta(name: String, base: DataFrame, deltas: DataFrame,
       signCol: String, batchId: Long): Unit =
     graft.plans.AggRewrite.applyDelta(base.sparkSession, name, base,

@@ -460,6 +460,14 @@ object AggRewrite {
     summary
   }
 
+  /** What the last delete-bearing monotone fold rescanned — spec
+    * introspection (touched group count; whether the rebuild scan was
+    * scoped to the touched partition-key values). */
+  private[graft] final case class DeleteFoldStats(
+      touchedGroups: Long, partitionScoped: Boolean)
+  @volatile private[graft] var lastDeleteFold: Option[DeleteFoldStats] =
+    None
+
   /** Incremental summary maintenance — the k8 delta algebra applied to
     * the partials: fold ONE CDC batch's signed rows (`signCol` = +1
     * insert / −1 delete; an update is −old +new) into the registered
@@ -473,11 +481,13 @@ object AggRewrite {
     * DROPPED (a group with no base rows must not exist). MIN/MAX/HLL/
     * BITMAP partials are MONOTONE, not invertible (a delete can't
     * lower a max, clear a register, or remove an id from a union), so
-    * summaries carrying them fold ONLY insert-only batches — one
-    * batch-sized sign scan decides, min/max fold via least/greatest
-    * and sketch/bitmap partials via the codegen'd pairwise merge
-    * kernels ([[MergeExprs]]); a batch with any delete refuses, use
-    * [[refreshPartitions]].
+    * when a summary carries them a delete-bearing batch splits BY
+    * GROUP: groups the deletes touch are REBUILT exactly from the
+    * post-batch base (one scan bounded by the touched group keys,
+    * partition-pruned when the partition key is a group key — the
+    * partition stitch at group grain), while every other group folds
+    * incrementally — insert-only groups via least/greatest and the
+    * codegen'd pairwise merge kernels ([[MergeExprs]]).
     *
     * Crash/replay contract (the SCD2 sink's discipline):
     *  - `batchId` ≤ the last folded id → no-op (a foreachBatch replay
@@ -505,26 +515,32 @@ object AggRewrite {
     val curDir = d.dataDir.getOrElse(root + "/v0")
     // sum/count/count_star are group-INVERTIBLE (fold any signed
     // batch); min/max/hll/bitmap are only MONOTONE (a union or
-    // register-max only grows, a min/max only tightens under inserts),
-    // so they fold iff the batch is insert-only — the common append
-    // pipeline. One batch-sized scan decides; a delete anywhere in the
-    // batch refuses the whole fold (sound: navigation keeps serving
-    // the still-registered version until refreshPartitions).
+    // register-max only grows, a min/max only tightens under inserts).
+    // A batch with deletes therefore splits BY GROUP: groups touched
+    // by at least one delete are REBUILT from the post-batch base —
+    // one scan bounded to the touched group keys (and partition-pruned
+    // when the summary's partition key is a group key) — while every
+    // other group folds incrementally as before. The partition-stitch
+    // idea at group grain: one CDC delete no longer forces a full
+    // refresh, it forces a rescan of exactly the groups it touched.
     val monotone = d.measureCols.collect {
       case (n, op, _) if !Set("sum", "count", "count_star")(op) =>
         s"$n($op)"
     }
-    if (monotone.nonEmpty) {
-      val hasDeletes =
-        !deltas.filter(col(signCol).cast("long") < 0L).isEmpty
-      require(!hasDeletes,
-        s"summary '$name' carries monotone partials " +
-          s"(${monotone.mkString(", ")}) and the batch contains " +
-          "deletes — min/max/hll/bitmap fold only under insert-only " +
-          "deltas (a delete can't lower a max, clear a register, or " +
-          "remove an id from a union); use refreshPartitions or a " +
-          "re-materialize")
-    }
+    val sign = col(signCol).cast("long")
+    // distinct group keys among the batch's DELETE rows — metadata-
+    // sized (bounded by the batch), broadcast into the splits below.
+    // Only monotone summaries need it: pure sum/count summaries fold
+    // deletes invertibly, which is strictly cheaper.
+    val deleteKeys: Option[DataFrame] =
+      if (monotone.isEmpty) None
+      else {
+        val del = deltas.filter(sign < 0L)
+        if (del.isEmpty) None
+        else Some(del
+          .select(d.keyCols.map { case (n, c) => c.as(n) }: _*)
+          .distinct())
+      }
     val cntCol = d.measureCols.collectFirst {
       case (n, "count_star", _) => n
     }.getOrElse(throw new IllegalArgumentException(
@@ -546,7 +562,6 @@ object AggRewrite {
             "same child expression (NULL restoration after deletes) — " +
             "add one to the summary or use refreshPartitions"))
     }.toMap
-    val sign = col(signCol).cast("long")
     val signedPartials = d.measureCols.map {
       case (n, "sum", c) =>
         sum(when(sign >= 0, c).otherwise(c * lit(-1))).as(n)
@@ -563,15 +578,41 @@ object AggRewrite {
         udaf(graft.functions.BitmapPartial).apply(c.cast("long")).as(n)
       case (n, op, _) => throw new IllegalStateException(s"$n/$op")
     }
-    val deltaPartials = deltas
+    val keyNames = d.keyCols.map(_._1)
+    // "__dk_<key>"-renamed delete-group frame: the rename keeps the
+    // join conditions unambiguous when a key name equals a base column
+    import org.apache.spark.sql.functions.broadcast
+    val dkRenamed = deleteKeys.map(dk => broadcast(
+      dk.select(keyNames.map(n => col(n).as(s"__dk_$n")): _*)))
+    // fold input: every batch row whose group was NOT touched by a
+    // delete (those groups are insert-only by construction, so the
+    // monotone partials fold); delete-touched groups leave the fold
+    // entirely — the rebuild below recomputes them from base truth
+    val foldDeltas = dkRenamed match {
+      case None => deltas
+      case Some(dk) =>
+        val cond = d.keyCols
+          .map { case (n, c) => c <=> col(s"__dk_$n") }.reduce(_ && _)
+        deltas.join(dk, cond, "left_anti")
+    }
+    val deltaPartials = foldDeltas
       .groupBy(d.keyCols.map { case (n, c) => c.as(n) }: _*)
       .agg(signedPartials.head, signedPartials.tail: _*)
     val storedSchema = org.apache.spark.sql.types.StructType(
       d.summaryRelation.output
         .map(a => org.apache.spark.sql.types.StructField(
           a.name, a.dataType, a.nullable)))
-    val cur = session.read.schema(storedSchema).parquet(curDir)
-    val keyNames = d.keyCols.map(_._1)
+    val curAll = session.read.schema(storedSchema).parquet(curDir)
+    // drop delete-touched groups from the carried summary rows — their
+    // rebuilt partials replace them wholesale (a group whose base rows
+    // are all gone simply yields no rebuilt row and leaves the summary)
+    val cur = dkRenamed match {
+      case None => curAll
+      case Some(dk) =>
+        val cond = keyNames
+          .map(n => curAll(n) <=> col(s"__dk_$n")).reduce(_ && _)
+        curAll.join(dk, cond, "left_anti")
+    }
     val joinCond = keyNames
       .map(k => cur(k) <=> deltaPartials(k)) // null-safe: null keys fold
       .reduce(_ && _)
@@ -615,11 +656,41 @@ object AggRewrite {
             case (n, _, _) => foldExpr(n).as(n)
           }: _*)
       .filter(col(cntCol) > 0L) // emptied groups leave the summary
+    // group-grain rebuild: recompute ALL partials for delete-touched
+    // groups from the post-batch base — exact for monotone partials by
+    // construction (it IS the from-scratch aggregation, just scoped).
+    // The scan is key-scoped (broadcast semi join) and, when the
+    // summary's partition key is a group key with few touched values,
+    // partition/zone-map-prunable via the pushed isin filter — at
+    // 100 TB a delete batch touching 3 days rescans 3 days' groups,
+    // not the table.
+    val rebuilt = dkRenamed.map { dk =>
+      val (scoped, scopedFlag) = d.partitionKey match {
+        case Some(pk) if keyNames.contains(pk) =>
+          val vals = deleteKeys.get.select(col(pk)).distinct()
+            .collect().map(_.get(0))
+          if (vals.length <= 64 && !vals.contains(null)) {
+            val pkExpr = d.keyCols
+              .collectFirst { case (n, c) if n == pk => c }.get
+            (base.filter(pkExpr.isin(vals.toSeq: _*)), true)
+          } else (base, false)
+        case _ => (base, false)
+      }
+      lastDeleteFold = Some(DeleteFoldStats(
+        deleteKeys.get.count(), scopedFlag))
+      val cond = d.keyCols
+        .map { case (n, c) => c <=> col(s"__dk_$n") }.reduce(_ && _)
+      summaryRows(scoped.join(dk, cond, "left_semi"),
+          d.keyCols, d.measureCols)
+        .select(storedSchema.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+    val withRebuilt = rebuilt.fold(folded)(folded.unionByName(_))
     // delta versions are d<batchId>: batch ids start at 0 and must
     // never collide with materialize's v0 (an in-place overwrite of
     // the version a reader — and the fold itself — is scanning)
     val newDir = s"$root/d$batchId"
-    val w = folded.write.mode("overwrite")
+    val w = withRebuilt.write.mode("overwrite")
     d.partitionKey.fold(w)(w.partitionBy(_)).parquet(newDir)
     val summary = session.read.schema(storedSchema).parquet(newDir)
     val total = summary.agg(sum(col(cntCol))).head

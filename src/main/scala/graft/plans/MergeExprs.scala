@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * BINARY → BINARY expression inside whole-stage codegen, not an
   * Aggregator. Both kernels are associative, commutative, and
   * idempotent, which is exactly why the fold is sound for INSERT-ONLY
-  * deltas (a union can only grow; a register max can only rise) and
-  * refused when deletes are present. */
+  * groups (a union can only grow; a register max can only rise);
+  * groups touched by a delete bypass the kernels entirely — AggRewrite
+  * rebuilds their partials from the post-batch base at group grain. */
 object MergeOps {
 
   /** Roaring-bitmap union of two serialized [[graft.functions.Bitmap64]]

@@ -1065,17 +1065,8 @@ class AggRewriteSpec extends SparkSuite {
         s"post-delta navigation missed the new version: ${scanPaths(nav)}")
       val d1 = nav.filter(col("day") === "d1").head
       assert(d1.getLong(1) == 2L && d1.getDouble(2) == 3.0)
-      // a summary carrying min/max refuses the fold with advice
-      AggRewrite.materialize(spark, "delta_spec_minmax", facts2, keys,
-        measures :+ (("v_max", "max", col("v"))), s"$root/summary_mm")
-      val err = intercept[IllegalArgumentException] {
-        AggRewrite.applyDelta(spark, "delta_spec_minmax", facts2, batch,
-          "sign", 1L)
-      }
-      assert(err.getMessage.contains("refreshPartitions"))
     } finally {
       AggRewrite.unregister(spark, "delta_spec")
-      AggRewrite.unregister(spark, "delta_spec_minmax")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
@@ -1147,6 +1138,105 @@ class AggRewriteSpec extends SparkSuite {
       assert(nav.filter(col("day") === "d1").head.getLong(1) == 3L)
     } finally {
       AggRewrite.unregister(spark, "mono_spec")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("delta maintenance: delete-bearing batches rebuild ONLY the " +
+      "touched groups' monotone partials, byte-equal to from-scratch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_delmono_").toString
+    import spark.implicits._
+    try {
+      // four day-groups; the summary carries min/max/hll/bitmap —
+      // every partial class a delete can't invert
+      Seq(("d1", 5L), ("d1", 9L), ("d2", 20L), ("d2", 21L),
+        ("d3", 30L), ("d3", 31L), ("d4", 40L)).toDF("day", "id")
+        .write.mode("overwrite").parquet(s"$root/facts1")
+      val facts1 = spark.read.parquet(s"$root/facts1")
+      val keys = Seq("day" -> col("day"))
+      val measures = Seq(
+        ("id_min", "min", col("id")),
+        ("id_max", "max", col("id")),
+        ("uv_hll", "hll", col("id")),
+        ("ids", "bitmap", col("id")),
+        ("cnt", "count_star", lit(1)))
+      AggRewrite.materialize(spark, "delmono_spec", facts1, keys,
+        measures, s"$root/summary", partitionBy = Some("day"))
+      // the CDC mix: an insert-only group (d1, folds via the kernels),
+      // a delete that REMOVES a group max (d2 loses 21), an update
+      // (d3: −31 +35), and an untouched group (d4)
+      val batch = Seq(
+        ("d1", 2L, 1),   // insert-only group: incremental fold
+        ("d2", 21L, -1), // delete the max — only a rescan can lower it
+        ("d3", 31L, -1), ("d3", 35L, 1)) // update = −old +new
+        .toDF("day", "id", "sign")
+      facts1
+        .join(Seq(("d2", 21L), ("d3", 31L)).toDF("dd", "di"),
+          col("day") === col("dd") && col("id") === col("di"),
+          "left_anti")
+        .unionByName(batch.filter(col("sign") === 1).drop("sign"))
+        .write.mode("overwrite").parquet(s"$root/facts2")
+      val facts2 = spark.read.parquet(s"$root/facts2")
+      AggRewrite.lastDeleteFold = None
+      AggRewrite.applyDelta(spark, "delmono_spec", facts2, batch,
+        "sign", batchId = 1L)
+      // the rescan was bounded: exactly the 2 delete-touched groups,
+      // and the base scan was scoped to their partition-key values
+      assert(AggRewrite.lastDeleteFold ==
+        Some(AggRewrite.DeleteFoldStats(2L, partitionScoped = true)),
+        s"rescan not bounded: ${AggRewrite.lastDeleteFold}")
+      // folded partials == a from-scratch build over the new base,
+      // BYTE-equal for the sketch and the bitmap
+      val folded = spark.read.parquet(s"$root/summary/d1")
+      val scratch = facts2.groupBy(col("day"))
+        .agg(min(col("id")).as("id_min"), max(col("id")).as("id_max"),
+          udaf(graft.functions.HllSketchPartial).apply(col("id"))
+            .as("uv_hll"),
+          udaf(graft.functions.BitmapPartial)
+            .apply(col("id").cast("long")).as("ids"),
+          count(lit(1)).as("cnt"))
+      val a = folded.select("day", "id_min", "id_max", "uv_hll", "ids",
+        "cnt").sort("day").collect().toSeq
+      val b = scratch.select("day", "id_min", "id_max", "uv_hll", "ids",
+        "cnt").sort("day").collect().toSeq
+      assert(a.size == b.size && a.zip(b).forall { case (x, y) =>
+        x.getString(0) == y.getString(0) &&
+          x.getLong(1) == y.getLong(1) && x.getLong(2) == y.getLong(2) &&
+          java.util.Arrays.equals(x.getAs[Array[Byte]](3),
+            y.getAs[Array[Byte]](3)) &&
+          java.util.Arrays.equals(x.getAs[Array[Byte]](4),
+            y.getAs[Array[Byte]](4)) &&
+          x.getLong(5) == y.getLong(5)
+      }, s"delete fold drifted from rebuild:\n$a\n$b")
+      // the delete really lowered d2's max (kernels alone never could)
+      assert(folded.filter(col("day") === "d2").head
+        .getAs[Long]("id_max") == 20L)
+      // navigation serves the folded truth bit-equal to raw
+      def rawQ = facts2.groupBy(col("day"))
+        .agg(countDistinct(col("id")).as("uv"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))
+      val nav = AggRewrite.navigate(rawQ)
+      assert(scanPaths(nav).exists(_.contains("/d1")),
+        s"post-fold navigation missed the new version: ${scanPaths(nav)}")
+      assert(nav.sort("day").collect().toSeq ==
+        rawQ.sort("day").collect().toSeq)
+      // a group emptied by deletes leaves the summary entirely
+      val batch2 = Seq(("d4", 40L, -1)).toDF("day", "id", "sign")
+      facts2.filter(col("day") =!= "d4")
+        .write.mode("overwrite").parquet(s"$root/facts3")
+      val facts3 = spark.read.parquet(s"$root/facts3")
+      AggRewrite.applyDelta(spark, "delmono_spec", facts3, batch2,
+        "sign", batchId = 2L)
+      assert(spark.read.parquet(s"$root/summary/d2")
+        .filter(col("day") === "d4").isEmpty,
+        "a group whose every base row was deleted must leave the summary")
+    } finally {
+      AggRewrite.unregister(spark, "delmono_spec")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
