@@ -37,9 +37,10 @@ import graft.streaming.{BaseDbApp, BaseLogApp, CartAddUuApp, DimApp,
   * shared cluster the fleet must interleave, not serialize).
   *
   * Artifacts: STREAM_BENCH.json (at SPARK_GRAFT_SF_DIR, default
-  * sf0.01) and STATE_LEDGER.tsv (state rows/bytes at sf0.001 vs the
+  * sf0.1) and STATE_LEDGER.tsv (state rows/bytes at sf0.01 vs the
   * big scale — the cross-scale growth ledger for STATE, sibling of
-  * SCALE_LEDGER's shuffle ledger). StreamBenchSpec enforces floors on
+  * SCALE_LEDGER's shuffle ledger, measured on the SAME 10× step as
+  * the batch evidence). StreamBenchSpec enforces floors on
   * the committed artifacts; regenerate per round:
   * `sbt "runMain graft.StreamBench"`. */
 object StreamBench {
@@ -75,7 +76,8 @@ object StreamBench {
   private def shard(df: DataFrame, order: Column, dir: String,
       name: String): Unit = {
     // bench PREP, not measured work: the global ntile sort is fine at
-    // replay scale (sf0.01); a bigger replay would repartitionByRange
+    // replay scale (≤1M rows at sf0.1); a bigger replay would
+    // repartitionByRange
     val withB = df.withColumn("__b", ntile(shards).over(Window.orderBy(order)))
     (1 to shards).foreach { i =>
       val f =
@@ -291,10 +293,13 @@ object StreamBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // default step sf0.01 → sf0.1: the SAME 10× step the batch ledgers
+    // (SCALE_LEDGER) measure, so the state-growth claims carry the
+    // same evidence scale as the shuffle-growth claims
     val big = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.01")
+      "/root/testdata/sf0.1")
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL",
-      "/root/testdata/sf0.001")
+      "/root/testdata/sf0.01")
     val outJson = args.headOption.getOrElse("STREAM_BENCH.json")
     val outLedger = args.lift(1).getOrElse("STATE_LEDGER.tsv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
