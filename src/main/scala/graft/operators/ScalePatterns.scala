@@ -1196,8 +1196,7 @@ object ScalePatterns extends QueryModule {
     // stored bitmap partials, the grid runs the codegen'd kernels, and
     // the jaccard guard (0.0 for two empty segments) lives in exactly
     // one place
-    graft.api.Graft.overlapMatrix(e, col("event_type"),
-        col("user_id").cast("long"))
+    graft.api.Graft.overlapMatrix(e, col("event_type"), col("user_id"))
       .select(col("seg_a").as("ch_a"), col("seg_b").as("ch_b"),
         col("uv_a"), col("uv_b"), col("overlap"), col("jaccard"))
       .orderBy("ch_a", "ch_b")

@@ -1162,13 +1162,16 @@ object AggRewrite {
       // (summaryRows' injective cast, or the facade's analysis-checked
       // IntegralIdExpr guard); the registered def is the RAW child —
       // strip the widening before the canonical lookup
+      // recursive: the facade route stacks BOTH layers when a caller
+      // pre-casts (IntegralIdExpr(Cast(id))) — strip the whole
+      // injective-widening chain down to the raw child
       def stripIdWiden(e: Expression): Expression = e match {
         case ct: Cast
             if ct.dataType == org.apache.spark.sql.types.LongType &&
               exact(ct.child.dataType) &&
               !ct.child.dataType.isInstanceOf[DecimalType] =>
-          ct.child
-        case ie: IntegralIdExpr => ie.child
+          stripIdWiden(ct.child)
+        case ie: IntegralIdExpr => stripIdWiden(ie.child)
         case other => other
       }
       // instantiate a pre-analyzed merge template over a summary
