@@ -80,6 +80,62 @@ object PublisherServer {
     def stop(): Unit = server.stop(0)
   }
 
+  // ---- the HTTP shell, shared by BOTH publishers ([[start]] and
+  // [[startNavigated]] differ only in which query serves each path) --
+
+  private def param(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
+
+  private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+    ex.close()
+  }
+
+  private def endpoint(server: HttpServer, path: String)(
+      render: HttpExchange => String): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      try {
+        // exact-path match: HttpServer contexts are prefix-routed,
+        // but the publisher has no sub-paths
+        if (ex.getRequestURI.getPath != path) reply(ex, 404,
+          """{"status":1,"msg":"not found"}""")
+        else reply(ex, 200, render(ex))
+      } catch {
+        case e: Exception =>
+          reply(ex, 500,
+            s"""{"status":1,"msg":"${esc(String.valueOf(e.getMessage))}"}""")
+      })
+
+  // the reference's response envelopes (status/data, mapData,
+  // categories/series — TradeStatsController / TrafficStatsController)
+  private def gmvEnvelope(gmv: org.apache.spark.sql.Row): String = {
+    val v = if (gmv.isNullAt(0)) "0" else gmv.getDouble(0).toString
+    s"""{"status":0,"data":$v}"""
+  }
+
+  private def provinceEnvelope(
+      rows: Array[org.apache.spark.sql.Row]): String = {
+    val mapData = rows.map(r =>
+      s"""{"name":"${esc(r.getString(0))}","value":${r.getDouble(1)}}""")
+      .mkString(",")
+    s"""{"status":0,"data":{"mapData":[$mapData],"valueName":"order_amount"}}"""
+  }
+
+  private def chEnvelope(rows: Array[org.apache.spark.sql.Row]): String = {
+    val cats = rows.map(r => s""""${esc(r.getString(0))}"""").mkString(",")
+    val data = rows.map(_.getLong(1)).mkString(",")
+    s"""{"status":0,"data":{"categories":[$cats],""" +
+      s""""series":[{"name":"ch","data":[$data]}]}}"""
+  }
+
   /** Start the publisher over an orders store ([[ServingApi.buildStore]])
     * and a traffic store ([[buildTrafficStore]]). `port = 0` binds an
     * ephemeral port (see [[Publisher.port]]). */
@@ -113,74 +169,34 @@ object PublisherServer {
         .getOrElse(s.read.parquet(store)
           .agg(max(col("cur_date").cast("string"))).head().getString(0))
 
-    def param(ex: HttpExchange, name: String): Option[String] =
-      Option(ex.getRequestURI.getRawQuery).toSeq
-        .flatMap(_.split("&").toSeq)
-        .map(_.split("=", 2))
-        .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
-
     def dateOf(ex: HttpExchange, store: String): String =
       param(ex, "date").filter(_ != "0").getOrElse(latestDay(store))
 
-    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type",
-        "application/json; charset=utf-8")
-      ex.sendResponseHeaders(code, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-      ex.close()
-    }
-
-    def endpoint(path: String)(render: HttpExchange => String): Unit =
-      server.createContext(path, (ex: HttpExchange) =>
-        try {
-          // exact-path match: HttpServer contexts are prefix-routed,
-          // but the publisher has no sub-paths
-          if (ex.getRequestURI.getPath != path) reply(ex, 404,
-            """{"status":1,"msg":"not found"}""")
-          else reply(ex, 200, render(ex))
-        } catch {
-          case e: Exception =>
-            reply(ex, 500,
-              s"""{"status":1,"msg":"${esc(String.valueOf(e.getMessage))}"}""")
-        })
-
     // GET /gmv?date=yyyy-MM-dd → {"status":0,"data":<gmv>}
     // (TradeStatsController.java:24-36)
-    endpoint("/gmv") { ex =>
+    endpoint(server, "/gmv") { ex =>
       val day = dateOf(ex, orderStore)
-      val gmv = ServingApi.gmv(s, orderStore, day).head()
-      val v = if (gmv.isNullAt(0)) "0" else gmv.getDouble(0).toString
-      s"""{"status":0,"data":$v}"""
+      gmvEnvelope(ServingApi.gmv(s, orderStore, day).head())
     }
 
     // GET /province?date=… → mapData envelope
     // (TradeStatsController.java:38-56)
-    endpoint("/province") { ex =>
+    endpoint(server, "/province") { ex =>
       val day = dateOf(ex, orderStore)
       val prov =
         if (orderIsDetail) ServingApi.province(s, orderStore, day)
         else ServingApi.provinceDws(s, orderStore, day)
-      val rows = prov
+      provinceEnvelope(prov
         .orderBy(col("order_amount").desc, col("province_name"))
-        .collect()
-      val mapData = rows.map(r =>
-        s"""{"name":"${esc(r.getString(0))}","value":${r.getDouble(1)}}""")
-        .mkString(",")
-      s"""{"status":0,"data":{"mapData":[$mapData],"valueName":"order_amount"}}"""
+        .collect())
     }
 
     // GET /ch?date=…&limit=N → categories/series envelope
     // (TrafficStatsController.java:26-47)
-    endpoint("/ch") { ex =>
+    endpoint(server, "/ch") { ex =>
       val day = dateOf(ex, trafficStore)
       val limit = param(ex, "limit").map(_.toInt).getOrElse(10)
-      val rows = chUv(s, trafficStore, day, limit).collect()
-      val cats = rows.map(r => s""""${esc(r.getString(0))}"""").mkString(",")
-      val data = rows.map(_.getLong(1)).mkString(",")
-      s"""{"status":0,"data":{"categories":[$cats],""" +
-        s""""series":[{"name":"ch","data":[$data]}]}}"""
+      chEnvelope(chUv(s, trafficStore, day, limit).collect())
     }
 
     server.setExecutor(null) // serve on the dispatch thread; callers
@@ -205,63 +221,25 @@ object PublisherServer {
       : Publisher = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
-    def param(ex: HttpExchange, name: String): Option[String] =
-      Option(ex.getRequestURI.getRawQuery).toSeq
-        .flatMap(_.split("&").toSeq)
-        .map(_.split("=", 2))
-        .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
-
-    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type",
-        "application/json; charset=utf-8")
-      ex.sendResponseHeaders(code, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-      ex.close()
-    }
-
-    def endpoint(path: String)(render: HttpExchange => String): Unit =
-      server.createContext(path, (ex: HttpExchange) =>
-        try {
-          if (ex.getRequestURI.getPath != path) reply(ex, 404,
-            """{"status":1,"msg":"not found"}""")
-          else reply(ex, 200, render(ex))
-        } catch {
-          case e: Exception =>
-            reply(ex, 500,
-              s"""{"status":1,"msg":"${esc(String.valueOf(e.getMessage))}"}""")
-        })
-
     def dateOf(ex: HttpExchange, latest: => String): String =
       param(ex, "date").filter(_ != "0").getOrElse(latest)
 
-    endpoint("/gmv") { ex =>
+    endpoint(server, "/gmv") { ex =>
       val day = dateOf(ex, ServingApi.navLatestDay(s, dir))
-      val gmv = ServingApi.navGmv(s, dir, day).head()
-      val v = if (gmv.isNullAt(0)) "0" else gmv.getDouble(0).toString
-      s"""{"status":0,"data":$v}"""
+      gmvEnvelope(ServingApi.navGmv(s, dir, day).head())
     }
 
-    endpoint("/province") { ex =>
+    endpoint(server, "/province") { ex =>
       val day = dateOf(ex, ServingApi.navLatestDay(s, dir))
-      val rows = ServingApi.navProvince(s, dir, day)
+      provinceEnvelope(ServingApi.navProvince(s, dir, day)
         .orderBy(col("order_amount").desc, col("province_name"))
-        .collect()
-      val mapData = rows.map(r =>
-        s"""{"name":"${esc(r.getString(0))}","value":${r.getDouble(1)}}""")
-        .mkString(",")
-      s"""{"status":0,"data":{"mapData":[$mapData],"valueName":"order_amount"}}"""
+        .collect())
     }
 
-    endpoint("/ch") { ex =>
+    endpoint(server, "/ch") { ex =>
       val day = dateOf(ex, ServingApi.navLatestEventDay(s, dir))
       val limit = param(ex, "limit").map(_.toInt).getOrElse(10)
-      val rows = ServingApi.navChUv(s, dir, day, limit).collect()
-      val cats = rows.map(r => s""""${esc(r.getString(0))}"""").mkString(",")
-      val data = rows.map(_.getLong(1)).mkString(",")
-      s"""{"status":0,"data":{"categories":[$cats],""" +
-        s""""series":[{"name":"ch","data":[$data]}]}}"""
+      chEnvelope(ServingApi.navChUv(s, dir, day, limit).collect())
     }
 
     server.setExecutor(null)

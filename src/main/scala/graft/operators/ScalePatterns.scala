@@ -1452,11 +1452,16 @@ object ScalePatterns extends QueryModule {
       graft.plans.SkipIndex.unregister(s, s"orders_z@$dir")
       rmTree(sd)
     }
+    partSkipMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.SkipIndex.unregister(s, s"orders_part@$dir")
+      rmTree(sd)
+    }
     navMemo.clear()
     navEventsMemo.clear()
     navLineMemo.clear()
     navCustMemo.clear()
     skipMemo.clear()
+    partSkipMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))

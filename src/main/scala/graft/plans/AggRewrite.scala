@@ -529,17 +529,21 @@ object AggRewrite {
     }
     val sign = col(signCol).cast("long")
     // distinct group keys among the batch's DELETE rows — metadata-
-    // sized (bounded by the batch), broadcast into the splits below.
-    // Only monotone summaries need it: pure sum/count summaries fold
-    // deletes invertibly, which is strictly cheaper.
-    val deleteKeys: Option[DataFrame] =
+    // sized (bounded by the batch). ONE job collects them driver-side
+    // (the broadcast below holds the same rows on the driver anyway)
+    // and the collected array is reused for the anti/semi joins, the
+    // partition-scope isin values, and the spec stats — no repeat
+    // scans of the batch. Only monotone summaries need it: pure
+    // sum/count summaries fold deletes invertibly, which is cheaper.
+    val deleteKeys: Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] =
       if (monotone.isEmpty) None
       else {
-        val del = deltas.filter(sign < 0L)
-        if (del.isEmpty) None
-        else Some(del
+        val frame = deltas.filter(sign < 0L)
           .select(d.keyCols.map { case (n, c) => c.as(n) }: _*)
-          .distinct())
+          .distinct()
+        val rows = frame.collect()
+        if (rows.isEmpty) None else Some((frame.schema, rows))
       }
     val cntCol = d.measureCols.collectFirst {
       case (n, "count_star", _) => n
@@ -582,8 +586,11 @@ object AggRewrite {
     // "__dk_<key>"-renamed delete-group frame: the rename keeps the
     // join conditions unambiguous when a key name equals a base column
     import org.apache.spark.sql.functions.broadcast
-    val dkRenamed = deleteKeys.map(dk => broadcast(
-      dk.select(keyNames.map(n => col(n).as(s"__dk_$n")): _*)))
+    val dkRenamed = deleteKeys.map { case (sch, rows) =>
+      broadcast(session
+        .createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+        .select(keyNames.map(n => col(n).as(s"__dk_$n")): _*))
+    }
     // fold input: every batch row whose group was NOT touched by a
     // delete (those groups are insert-only by construction, so the
     // monotone partials fold); delete-touched groups leave the fold
@@ -667,8 +674,7 @@ object AggRewrite {
     val rebuilt = dkRenamed.map { dk =>
       val (scoped, scopedFlag) = d.partitionKey match {
         case Some(pk) if keyNames.contains(pk) =>
-          val vals = deleteKeys.get.select(col(pk)).distinct()
-            .collect().map(_.get(0))
+          val vals = deleteKeys.get._2.map(_.getAs[Any](pk)).distinct
           if (vals.length <= 64 && !vals.contains(null)) {
             val pkExpr = d.keyCols
               .collectFirst { case (n, c) if n == pk => c }.get
@@ -677,7 +683,7 @@ object AggRewrite {
         case _ => (base, false)
       }
       lastDeleteFold = Some(DeleteFoldStats(
-        deleteKeys.get.count(), scopedFlag))
+        deleteKeys.get._2.length.toLong, scopedFlag))
       val cond = d.keyCols
         .map { case (n, c) => c <=> col(s"__dk_$n") }.reduce(_ && _)
       summaryRows(scoped.join(dk, cond, "left_semi"),

@@ -65,17 +65,20 @@ object SkipIndex {
       .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  // Fence-digest memo, keyed weakly by the candidate FileIndex
-  // INSTANCE: a pinned listing's digest is computed once, not on every
-  // Filter node × every optimizer fixed-point iteration (at the
-  // million-file scale the per-file string building + MD5 is
-  // measurable planning cost). Guarded by a cheap order-insensitive
-  // fingerprint over (path hash, len, mtime) recomputed per call — an
-  // in-place refresh() that changes the listing changes the
-  // fingerprint and forces a re-digest, so the memo can never bless a
-  // stale fence.
-  private val digestMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[FileIndex, (Long, String)]())
+  // Fence-digest memo keyed by the candidate FileIndex INSTANCE
+  // (IdentityHashMap — InMemoryFileIndex defines equals by rootPaths,
+  // which would collapse two differently-pinned listings over one
+  // store into a single thrashing slot): a pinned listing's digest is
+  // computed once, not on every Filter node × every optimizer
+  // fixed-point iteration (at the million-file scale the per-file
+  // string building + MD5 is measurable planning cost). Guarded by a
+  // cheap order-insensitive fingerprint over (path hash, len, mtime)
+  // recomputed per call — an in-place refresh() that changes the
+  // listing changes the fingerprint and forces a re-digest, so the
+  // memo can never bless a stale fence. Bounded (cleared past 256
+  // entries) because identity keys hold strong references.
+  private val digestMemo =
+    new java.util.IdentityHashMap[FileIndex, (Long, String)]()
 
   private def cheapFp(files: Seq[org.apache.hadoop.fs.FileStatus]): Long = {
     var h = 0L
@@ -92,12 +95,15 @@ object SkipIndex {
   private def listingSigOf(idx: PartitioningAwareFileIndex): String = {
     val files = idx.allFiles()
     val fp = cheapFp(files)
-    val cached = digestMemo.get(idx)
-    if (cached != null && cached._1 == fp) cached._2
-    else {
-      val d = digest(files.map(statusEntry))
-      digestMemo.put(idx, (fp, d))
-      d
+    digestMemo.synchronized {
+      val cached = digestMemo.get(idx)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (digestMemo.size > 256) digestMemo.clear()
+        val d = digest(files.map(statusEntry))
+        digestMemo.put(idx, (fp, d))
+        d
+      }
     }
   }
 
