@@ -115,7 +115,16 @@ object SkipIndex {
     * at 100 TB this is the ingest job's write-side bookkeeping (Delta
     * computes the same stats per file as it commits); here it is a
     * registration-time scan. The listing snapshot taken here is the
-    * staleness fence. */
+    * staleness fence.
+    *
+    * Size note, stated so the claim stays honest: the stats pass is
+    * distributed (one groupBy over the store), but the catalog it
+    * returns lives on the driver — O(#files × #statsCols) entries at
+    * roughly 100–200 B each, Delta's own transaction-log model. A
+    * million-file store with 3 stats columns is ~300 MB of driver
+    * heap: register at coarse column sets, and lean on [[refresh]]
+    * (which stats-scans only new/changed files) for the steady-state
+    * loop rather than re-registering. */
   def register(session: SparkSession, name: String, store: String,
       statsCols: Seq[String]): Unit = {
     val df = session.read.parquet(store)

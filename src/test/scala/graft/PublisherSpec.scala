@@ -182,4 +182,90 @@ class PublisherSpec extends SparkSuite {
       graft.plans.AggRewrite.unregister(spark, s"pub_events@$dir")
     }
   }
+
+  test("navigated publisher over a LIVE stream-maintained base: a " +
+      "foreachBatch maintainer lands each CDC batch, refreshes its " +
+      "days, and the endpoint serves summary-fresh truth per batch") {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }.toSet
+
+    val dir = tmp("navpub_live")
+    val root = tmp("navpub_live_sum")
+    val stage = tmp("navpub_live_stage")
+    Seq("orders", "customer", "nation", "events").foreach { t =>
+      Tables(spark, sf, t).write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    }
+    ServingApi.buildNavSummaries(spark, dir, root)
+    val pub = PublisherServer.startNavigated(spark, dir, 0)
+    try {
+      val o0 = spark.read.parquet(s"$dir/orders.parquet")
+      val dateType = o0.schema("o_orderdate").dataType
+      // two CDC batches, each a brand-new day, staged one file per
+      // micro-batch (the per-partition-ordered topic replay)
+      val days = Seq("2098-01-01", "2098-01-02")
+      days.foreach { d =>
+        o0.limit(3).withColumn("o_orderdate", lit(d).cast(dateType))
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      // the maintainer: land the batch in the base, refresh ONLY its
+      // days (the reference's per-day Doris refresh loop), then probe
+      // the LIVE endpoint — each probe must serve that day's truth
+      val probes =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+      val stream = spark.readStream.schema(o0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/orders.parquet")
+          val touched = b
+            .select(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+            .distinct().collect().map(_.getString(0)).toSeq
+          graft.plans.AggRewrite.refreshPartitions(spark,
+            s"pub_orders@$dir", Tables(spark, dir, "orders"), touched)
+          touched.foreach { d =>
+            probes.add(d -> get(pub.port, s"/gmv?date=$d")._2)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$stage-ckpt")
+        .start()
+      stream.awaitTermination(180000)
+      // every mid-stream probe served its day's raw truth
+      val money18 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      import scala.jdk.CollectionConverters._
+      val seen = probes.asScala.toSeq
+      assert(seen.map(_._1).toSet == days.toSet,
+        s"probes missing a day: ${seen.map(_._1)}")
+      seen.foreach { case (d, body) =>
+        val truth = spark.read.parquet(s"$dir/orders.parquet")
+          .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === d)
+          .agg(sum(money18(col("o_totalprice"))).cast("double")).head
+        assert(body == s"""{"status":0,"data":${truth.getDouble(0)}}""",
+          s"day $d: $body")
+      }
+      // post-stream: the maintainer kept the summary fresh, so the
+      // serving plan reads the summary (not the grown fact table)
+      val paths = scanPaths(
+        ServingApi.navProvince(spark, dir, days.last))
+      assert(paths.exists(_.contains("orders_day_cust")),
+        s"maintained summary not serving after the stream: $paths")
+    } finally {
+      pub.stop()
+      graft.plans.AggRewrite.unregister(spark, s"pub_orders@$dir")
+      graft.plans.AggRewrite.unregister(spark, s"pub_events@$dir")
+    }
+  }
 }
