@@ -287,9 +287,10 @@ object Graft {
     * metadata-sized read. */
   def materializeSummary(name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
-      path: String, partitionBy: Option[String] = None): DataFrame =
+      path: String, partitionBy: Option[String] = None,
+      clusterBy: Seq[String] = Nil): DataFrame =
     graft.plans.AggRewrite.materialize(base.sparkSession, name, base,
-      keys, measures, path, partitionBy)
+      keys, measures, path, partitionBy, clusterBy)
 
   /** Partition-level summary refresh (the 100 TB loop: a CDC batch
     * touches a few days — recompute only those partitions, dynamic-
@@ -451,6 +452,39 @@ object Graft {
       .withColumn("jaccard",
         when(union === 0L, lit(0.0))
           .otherwise(col("overlap").cast("double") / union.cast("double")))
+  }
+
+  /** EXACT N-step retention curves from id bitmaps — the Doris
+    * `BITMAP_INTERSECT` serving pattern (x26): one pass builds a
+    * per-`period` roaring bitmap of active ids (integral, enforced at
+    * analysis like [[exactDistinct]]; the build NAVIGATES onto a
+    * registered summary carrying a bitmap partial of the same id),
+    * then every (cohort, cohort+offset) pair with `0 <= offset <=
+    * maxOffset` runs one codegen'd intersection kernel over that
+    * metadata-sized frame. Output: (cohort, offset, cohort_uv,
+    * retained, retention) — exact counts, no id-level self-join, no
+    * second scan; retention is one IEEE division of exact longs (0.0
+    * for an empty cohort). `period` must be a DATE-castable column
+    * (day strings or dates); offsets are in days. */
+  def retentionCurves(df: DataFrame, period: Column, id: Column,
+      maxOffset: Int = 7): DataFrame = {
+    import graft.plans.MergeExprs
+    val daily = graft.plans.AggRewrite.navigate(
+      df.groupBy(period.as("cohort"))
+        .agg(udaf(graft.functions.BitmapPartial)
+          .apply(MergeExprs.integralId(id)).as("bm")))
+    val a = daily.select(col("cohort"), col("bm").as("bm_a"))
+    val b = daily.select(col("cohort").as("later"), col("bm").as("bm_b"))
+    val off = datediff(col("later").cast("date"), col("cohort").cast("date"))
+    a.join(broadcast(b), off >= 0 && off <= maxOffset)
+      .select(col("cohort"), off.cast(LongType).as("offset"),
+        MergeExprs.bitmapCount(col("bm_a")).as("cohort_uv"),
+        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
+          .as("retained"))
+      .withColumn("retention",
+        when(col("cohort_uv") === 0L, lit(0.0))
+          .otherwise(col("retained").cast("double") /
+            col("cohort_uv").cast("double")))
   }
 
   /** Mergeable count-min frequency sketch (4×256 counters) as packed

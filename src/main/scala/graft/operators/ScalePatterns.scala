@@ -1174,6 +1174,73 @@ object ScalePatterns extends QueryModule {
     graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
   }
 
+  // ---- x27: the serving stack COMPOSED — navigation onto a
+  // CLUSTERED summary, zone maps pruning the summary scan -----------
+
+  private val navMonthMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Materialize + register the (month, priority) orders summary ONCE
+    * per (session, dir), range-CLUSTERED on the month key, and
+    * register a zone-map index over its store. At 100 TB a summary is
+    * itself a large table (a user-grain DWS runs hundreds of millions
+    * of rows); clustering the summary on its serving key is what lets
+    * data skipping prune the SUMMARY scan — Doris sorts its aggregate
+    * tables on the key prefix for exactly this reason. */
+  private[graft] def navMonthDir(s: SparkSession, dir: String): String =
+    // synchronized builder — same reasoning as navSummaryDir
+    navMonthMemo.synchronized(navMonthMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x27_summary_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      graft.plans.AggRewrite.materialize(s,
+        s"orders_month_priority@$dir", Tables(s, dir, "orders"),
+        keys = Seq(
+          "order_month" -> substring(
+            date_format(col("o_orderdate"), "yyyy-MM-dd"), 1, 7),
+          "o_orderpriority" -> col("o_orderpriority")),
+        measures = Seq(
+          ("amount_sum", "sum", money(col("o_totalprice"))),
+          ("price_cnt", "count", money(col("o_totalprice"))),
+          ("order_ct", "count_star", lit(1))),
+        path = sd, clusterBy = Seq("order_month"))
+      graft.plans.SkipIndex.register(s, s"orders_month_sum@$dir",
+        s"$sd/v0", Seq("order_month"))
+      sd
+    }))
+
+  private[graft] def prestageNavMonth(s: SparkSession, dir: String)
+      : Unit = {
+    navMonthDir(s, dir)
+    ()
+  }
+
+  /** x27: BOTH rewrites in one query — the serving stack composed.
+    * A half-year priority report against the RAW orders table first
+    * NAVIGATES onto the month-grain summary (the fact scan becomes a
+    * metadata-sized summary read, filter re-phrased over the month
+    * key), then [[graft.plans.SkipIndex]] prunes the summary's OWN
+    * files by their clustered month extents — at 100 TB this is the
+    * full Doris serving path: aggregate table instead of fact table,
+    * sorted-key data skipping inside the aggregate table, tasks
+    * scheduled only for the six months asked about. Each layer keeps
+    * its own staleness fence, so any drift falls through one level
+    * (skip → unpruned summary; navigation → raw facts) — never a
+    * wrong answer. Oracle replays the report on the RAW orders
+    * table. */
+  private def summarySkipScan(s: SparkSession, dir: String): DataFrame = {
+    navMonthDir(s, dir)
+    val o = Tables(s, dir, "orders")
+    val month = substring(
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), 1, 7)
+    val q = o.filter(month >= "1995-01" && month <= "1995-06")
+      .groupBy(col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+    graft.plans.SkipIndex.navigate(graft.plans.AggRewrite.navigate(q))
+      .orderBy("o_orderpriority")
+  }
+
   /** x24: exact audience overlap from STORED id sets — the Doris
     * `BITMAP_AND_COUNT` serving pattern. The per-channel segment
     * bitmaps are a partial-building aggregate that NAVIGATES onto the
@@ -1220,23 +1287,14 @@ object ScalePatterns extends QueryModule {
   private def bitmapRetention(s: SparkSession, dir: String): DataFrame = {
     navEventsDir(s, dir)
     val e = Tables(s, dir, "events")
-    val daily = graft.plans.AggRewrite.navigate(
-      e.groupBy(curDate(nsToSec(col("ts"))).as("d"))
-        .agg(udaf(graft.functions.BitmapPartial)
-          .apply(col("user_id").cast("long")).as("bm")))
-    val a = daily.select(col("d").as("cohort_day"), col("bm").as("bm_a"))
-    val b = daily.select(col("d").as("d_b"), col("bm").as("bm_b"))
-    import graft.plans.MergeExprs
-    val off = datediff(col("d_b").cast("date"), col("cohort_day").cast("date"))
-    a.join(broadcast(b), off >= 0 && off <= 7) // |days|×8 grid
-      .select(col("cohort_day"), off.cast(LongType).as("day_offset"),
-        MergeExprs.bitmapCount(col("bm_a")).as("cohort_uv"),
-        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
-          .as("retained"))
-      .withColumn("retention",
-        when(col("cohort_uv") === 0L, lit(0.0))
-          .otherwise(col("retained").cast(DoubleType) /
-            col("cohort_uv").cast(DoubleType)))
+    // ONE facade (Graft.retentionCurves) serves the public API and
+    // this query — the per-day bitmap build navigates, the grid runs
+    // the kernels, the empty-cohort guard lives in exactly one place
+    graft.api.Graft.retentionCurves(e,
+        curDate(nsToSec(col("ts"))), col("user_id"), maxOffset = 7)
+      .select(col("cohort").as("cohort_day"),
+        col("offset").as("day_offset"),
+        col("cohort_uv"), col("retained"), col("retention"))
       .orderBy("cohort_day", "day_offset")
   }
 
@@ -1456,12 +1514,18 @@ object ScalePatterns extends QueryModule {
       graft.plans.SkipIndex.unregister(s, s"orders_part@$dir")
       rmTree(sd)
     }
+    navMonthMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.AggRewrite.unregister(s, s"orders_month_priority@$dir")
+      graft.plans.SkipIndex.unregister(s, s"orders_month_sum@$dir")
+      rmTree(sd)
+    }
     navMemo.clear()
     navEventsMemo.clear()
     navLineMemo.clear()
     navCustMemo.clear()
     skipMemo.clear()
     partSkipMemo.clear()
+    navMonthMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
@@ -1495,7 +1559,8 @@ object ScalePatterns extends QueryModule {
     "x23_skipscan_prune" -> skipScanPrune,
     "x24_bitmap_overlap" -> bitmapOverlap,
     "x25_part_skipscan" -> partSkipScan,
-    "x26_bitmap_retention" -> bitmapRetention)
+    "x26_bitmap_retention" -> bitmapRetention,
+    "x27_summary_skipscan" -> summarySkipScan)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1648,6 +1713,17 @@ object ScalePatterns extends QueryModule {
          |WHERE o_custkey <= 75
          |  AND substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
          |        BETWEEN '1995-01' AND '1995-03'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x27's oracle replays the half-year priority report on the RAW
+    // orders table — a hash match proves navigation + summary-side
+    // data skipping jointly semantically invisible
+    "x27_summary_skipscan" ->
+      s"""SELECT o_orderpriority,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(*) AS order_ct
+         |FROM orders
+         |WHERE substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
+         |        BETWEEN '1995-01' AND '1995-06'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x26's oracle is the raw user-level day self-join over the FULL
     // (cohort day × observed day ≤ 7 ahead) grid — a hash match proves

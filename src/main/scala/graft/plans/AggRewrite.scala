@@ -437,7 +437,8 @@ object AggRewrite {
     * register it — definition and data from one source. */
   def materialize(session: SparkSession, name: String, base: DataFrame,
       keys: Seq[(String, Column)], measures: Seq[(String, String, Column)],
-      path: String, partitionBy: Option[String] = None): DataFrame = {
+      path: String, partitionBy: Option[String] = None,
+      clusterBy: Seq[String] = Nil): DataFrame = {
     // summary-on-summary: the build ITSELF navigates — when an
     // already-registered summary derives these partials (sum-of-sums,
     // summed counts, min/max, register-max, bitmap union: all
@@ -446,7 +447,25 @@ object AggRewrite {
     // build path: the month table derives from the day table). The
     // staleness fence inside the rewrite keeps it sound — a stale
     // source falls through and the build reads base truth
-    val rows = navigate(summaryRows(base, keys, measures))
+    val rows0 = navigate(summaryRows(base, keys, measures))
+    // clusterBy range-places the summary rows on the named keys so
+    // each landed file carries tight, disjoint key extents — at 100 TB
+    // a summary is itself a large table (hundreds of millions of
+    // rows), and a clustered layout is what lets a zone-map index
+    // ([[SkipIndex]]) prune the SUMMARY scan under key filters (x27)
+    val rows =
+      if (clusterBy.isEmpty) rows0
+      else rows0
+        // explicit partition count: an implicit one lets AQE coalesce
+        // a small summary into ONE file, and a single-file store has
+        // nothing to skip — the ingest loop at scale would size this
+        // from the summary's bytes (x12's planner); here the session's
+        // shuffle width is the right order
+        .repartitionByRange(
+          session.sessionState.conf.numShufflePartitions,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql
+          .functions.col): _*)
     val dir = s"$path/v0"
     val w = rows.write.mode("overwrite")
     partitionBy.fold(w)(w.partitionBy(_)).parquet(dir)

@@ -30,6 +30,14 @@ class AggRewriteSpec extends SparkSuite {
   }
   private def ordersPath = s"file:$sf/orders.parquet"
 
+  /** The plan reads SOME registered orders summary (cost-based
+    * selection may pick the month-grain rollup over the day grain once
+    * x27's smaller summary is registered in the shared session —
+    * either is a correct navigation; the value assert pins truth). */
+  private def scansAnyOrdersSummary(df: DataFrame): Boolean =
+    scanPaths(df).exists(p => p.startsWith(summaryDir) ||
+      p.contains("graft_x27_summary_"))
+
   private def rawMonthly: DataFrame = {
     val o = Tables(spark, sf, "orders")
     val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
@@ -163,7 +171,7 @@ class AggRewriteSpec extends SparkSuite {
       val g = gs.toSeq.sortBy(_._1).map(_._2)
       val raw = o.groupBy(g: _*).agg(as.head._2, as.tail.map(_._2): _*)
       val nav = AggRewrite.navigate(raw)
-      assert(scanPaths(nav).exists(_.startsWith(summaryDir)),
+      assert(scansAnyOrdersSummary(nav),
         s"not navigated: groups=${gs.map(_._1)} aggs=${as.map(_._1)}")
       val cols = raw.columns.map(col).toSeq
       assert(raw.sort(cols: _*).collect().toSeq ==
@@ -494,7 +502,7 @@ class AggRewriteSpec extends SparkSuite {
     val byPrio = o.groupBy(col("o_orderpriority"))
       .agg(avg(money(col("o_totalprice"))).as("a"))
     val byPrioNav = AggRewrite.navigate(byPrio)
-    assert(scanPaths(byPrioNav).exists(_.startsWith(summaryDir)))
+    assert(scansAnyOrdersSummary(byPrioNav))
     assert(byPrio.sort("o_orderpriority").collect().toSeq ==
       byPrioNav.sort("o_orderpriority").collect().toSeq)
     // the DOUBLE child keeps the FP bail-out
@@ -1678,7 +1686,7 @@ class AggRewriteSpec extends SparkSuite {
           |         AS order_amount
           |FROM nav_orders GROUP BY 1""".stripMargin)
       val nav = AggRewrite.navigate(sqlQ)
-      assert(scanPaths(nav).exists(_.startsWith(summaryDir)),
+      assert(scansAnyOrdersSummary(nav),
         s"SQL route did not navigate: ${scanPaths(nav)}")
       val a = sqlQ.sort("order_month").collect().toSeq
       val b = nav.sort("order_month").collect().toSeq

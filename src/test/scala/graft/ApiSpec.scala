@@ -408,6 +408,38 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("retentionCurves: exact cohort retention from per-period " +
+      "bitmaps on arbitrary frames") {
+    // users 1,2,3 active day 1; 2,3 return day 2; 3 returns day 3;
+    // day 4 has a fresh cohort {9}
+    val df = Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-01", 3L),
+      ("2024-01-02", 2L), ("2024-01-02", 3L),
+      ("2024-01-03", 3L),
+      ("2024-01-04", 9L)).toDF("day", "uid")
+    val r = Graft.retentionCurves(df, col("day"), col("uid"),
+        maxOffset = 2)
+      .sort("cohort", "offset").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(r == Seq(
+      ("2024-01-01", 0L, 3L, 3L), ("2024-01-01", 1L, 3L, 2L),
+      ("2024-01-01", 2L, 3L, 1L),
+      ("2024-01-02", 0L, 2L, 2L), ("2024-01-02", 1L, 2L, 1L),
+      ("2024-01-02", 2L, 2L, 0L),
+      ("2024-01-03", 0L, 1L, 1L), ("2024-01-03", 1L, 1L, 0L),
+      ("2024-01-04", 0L, 1L, 1L)))
+    // retention ratio: exact division, 1.0 on offset 0
+    val day1 = Graft.retentionCurves(df, col("day"), col("uid"), 2)
+      .filter(col("cohort") === "2024-01-01").sort("offset").collect()
+    assert(day1.map(_.getDouble(4)).toSeq == Seq(1.0, 2.0 / 3, 1.0 / 3))
+    // non-integral ids refuse at analysis (the exactDistinct contract)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Graft.retentionCurves(df.withColumn("s", col("day")),
+        col("day"), col("s")).collect()
+    }
+  }
+
   test("README quick-start composition runs end to end") {
     val docs = Seq(
       (1L, "web", "en", 30L, "alpha beta gamma delta epsilon zeta"),

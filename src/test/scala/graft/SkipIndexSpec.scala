@@ -281,6 +281,62 @@ class SkipIndexSpec extends SparkSuite {
       raw.collect().toSeq)
   }
 
+  test("x27: the serving stack composes — navigation re-roots onto the " +
+      "clustered summary AND zone maps prune the summary's own files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flat(q.plan)
+      case _ => p.children.flatMap(flat)
+    })
+    def physFiles(df: DataFrame): Long = {
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      flat(finalPlan).collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+    }
+    val sumDir = s"${operators.ScalePatterns.navMonthDir(spark, sf)}/v0"
+    val x27 = q("x27_summary_skipscan")
+    // navigation fired: the plan reads the summary, never the facts
+    val leaves = x27.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }.toSet
+    assert(leaves.exists(_.startsWith(s"file:$sumDir")),
+      s"x27 did not navigate onto the month summary: $leaves")
+    assert(!leaves.contains(s"file:$sf/orders.parquet"),
+      s"x27 still scans the fact table: $leaves")
+    // skipping fired INSIDE the summary: the clustered layout lets the
+    // half-year filter prune summary files at planning time
+    val total = physFiles(
+      spark.read.parquet(sumDir).groupBy().count())
+    val read = physFiles(x27)
+    assert(read < total,
+      s"summary-side skipping dead: read $read of $total summary files")
+    assert(read > 0)
+    // and the composed result equals the unfenced raw aggregation
+    val month = substring(
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), 1, 7)
+    val raw = Tables(spark, sf, "orders")
+      .filter(month >= "1995-01" && month <= "1995-06")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+      .sort("o_orderpriority")
+    assert(x27.select("o_orderpriority", "order_ct").collect().toSeq ==
+      raw.collect().toSeq)
+  }
+
   test("streaming maintenance: a foreachBatch appender refreshes the " +
       "index each batch and pruning stays live") {
     val root = java.nio.file.Files
