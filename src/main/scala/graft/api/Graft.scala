@@ -459,13 +459,18 @@ object Graft {
     * per-`period` roaring bitmap of active ids (integral, enforced at
     * analysis like [[exactDistinct]]; the build NAVIGATES onto a
     * registered summary carrying a bitmap partial of the same id),
-    * then every (cohort, cohort+offset) pair with `0 <= offset <=
-    * maxOffset` runs one codegen'd intersection kernel over that
-    * metadata-sized frame. Output: (cohort, offset, cohort_uv,
-    * retained, retention) — exact counts, no id-level self-join, no
-    * second scan; retention is one IEEE division of exact longs (0.0
-    * for an empty cohort). `period` must be a DATE-castable column
-    * (day strings or dates); offsets are in days. */
+    * then EVERY (cohort, offset) pair with `0 <= offset <= maxOffset`
+    * gets one output row — an offset whose target day has no activity
+    * reports retained = 0 (a retention curve with silent holes reads
+    * biased-high). The pair frame is an EQUI-join on the computed
+    * target date (cohort + offset), so it distributes like any shuffle
+    * join — no forced broadcast of bitmap-bearing rows, which at
+    * ~100 M ids/day would be tens of MB per row. Output: (cohort,
+    * offset, cohort_uv, retained, retention); exact counts, no
+    * id-level self-join, no second scan; retention is one IEEE
+    * division of exact longs (0.0 for an empty cohort). `period` must
+    * be a DATE-castable column (day strings or dates); offsets are in
+    * days. */
   def retentionCurves(df: DataFrame, period: Column, id: Column,
       maxOffset: Int = 7): DataFrame = {
     import graft.plans.MergeExprs
@@ -473,14 +478,19 @@ object Graft {
       df.groupBy(period.as("cohort"))
         .agg(udaf(graft.functions.BitmapPartial)
           .apply(MergeExprs.integralId(id)).as("bm")))
-    val a = daily.select(col("cohort"), col("bm").as("bm_a"))
-    val b = daily.select(col("cohort").as("later"), col("bm").as("bm_b"))
-    val off = datediff(col("later").cast("date"), col("cohort").cast("date"))
-    a.join(broadcast(b), off >= 0 && off <= maxOffset)
-      .select(col("cohort"), off.cast(LongType).as("offset"),
+    val grid = daily.select(col("cohort"), col("bm").as("bm_a"))
+      .withColumn("offset",
+        explode(sequence(lit(0), lit(maxOffset))))
+    val later = daily.select(col("cohort").as("later"),
+      col("bm").as("bm_b"))
+    grid.join(later,
+        date_add(col("cohort").cast("date"), col("offset")) ===
+          col("later").cast("date"), "left")
+      .select(col("cohort"), col("offset").cast(LongType).as("offset"),
         MergeExprs.bitmapCount(col("bm_a")).as("cohort_uv"),
-        MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
-          .as("retained"))
+        // the kernel is null-strict: a missing target day folds to 0
+        coalesce(MergeExprs.bitmapAndCount(col("bm_a"), col("bm_b")),
+          lit(0L)).as("retained"))
       .withColumn("retention",
         when(col("cohort_uv") === 0L, lit(0.0))
           .otherwise(col("retained").cast("double") /

@@ -1731,19 +1731,19 @@ object ScalePatterns extends QueryModule {
     // ratio (one IEEE division of exact longs) bit-equal
     "x26_bitmap_retention" -> {
       val day = Oracle.fmtDate(Oracle.sec())
+      // FULL (cohort × offset 0..7) grid, like the Spark side: an
+      // offset whose target day has no activity reports retained = 0
       s"""WITH d AS (SELECT DISTINCT $day AS d FROM events),
          |s AS (SELECT DISTINCT $day AS d, user_id FROM events
          |      WHERE user_id IS NOT NULL),
          |uv AS (SELECT d, CAST(count(user_id) AS BIGINT) AS uv
          |       FROM s GROUP BY 1),
-         |grid AS (SELECT a.d AS cohort_day, b.d AS d_b,
-         |                date_diff('day', CAST(a.d AS DATE),
-         |                          CAST(b.d AS DATE)) AS day_offset
-         |         FROM d a JOIN d b
-         |           ON CAST(b.d AS DATE) >= CAST(a.d AS DATE)
-         |          AND date_diff('day', CAST(a.d AS DATE),
-         |                        CAST(b.d AS DATE)) <= 7),
-         |ov AS (SELECT a.d AS cohort_day, b.d AS d_b,
+         |grid AS (SELECT d.d AS cohort_day, o.o AS day_offset
+         |         FROM d CROSS JOIN
+         |           (SELECT UNNEST(range(0, 8)) AS o) o),
+         |ov AS (SELECT a.d AS cohort_day,
+         |              date_diff('day', CAST(a.d AS DATE),
+         |                        CAST(b.d AS DATE)) AS day_offset,
          |              CAST(count(*) AS BIGINT) AS retained
          |       FROM s a JOIN s b ON a.user_id = b.user_id
          |       WHERE CAST(b.d AS DATE) >= CAST(a.d AS DATE)
@@ -1760,7 +1760,7 @@ object ScalePatterns extends QueryModule {
          |FROM grid g
          |LEFT JOIN uv ua ON ua.d = g.cohort_day
          |LEFT JOIN ov ON ov.cohort_day = g.cohort_day
-         |            AND ov.d_b = g.d_b
+         |            AND ov.day_offset = g.day_offset
          |ORDER BY 1, 2""".stripMargin
     },
     "x16_rollup_sets_navigate" ->

@@ -33,10 +33,15 @@ class AggRewriteSpec extends SparkSuite {
   /** The plan reads SOME registered orders summary (cost-based
     * selection may pick the month-grain rollup over the day grain once
     * x27's smaller summary is registered in the shared session —
-    * either is a correct navigation; the value assert pins truth). */
+    * either is a correct navigation; the value assert pins truth).
+    * Forcing the month build here makes the choice deterministic
+    * instead of depending on which spec ran first. */
+  private lazy val monthSummaryDir =
+    s"file:${operators.ScalePatterns.navMonthDir(spark, sf)}"
+
   private def scansAnyOrdersSummary(df: DataFrame): Boolean =
     scanPaths(df).exists(p => p.startsWith(summaryDir) ||
-      p.contains("graft_x27_summary_"))
+      p.startsWith(monthSummaryDir))
 
   private def rawMonthly: DataFrame = {
     val o = Tables(spark, sf, "orders")

@@ -422,13 +422,17 @@ class ApiSpec extends SparkSuite {
       .sort("cohort", "offset").collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
         x.getLong(3))).toSeq
+    // FULL grid: every (cohort, offset) pair has a row — offsets whose
+    // target day has no activity report retained = 0, never a hole
     assert(r == Seq(
       ("2024-01-01", 0L, 3L, 3L), ("2024-01-01", 1L, 3L, 2L),
       ("2024-01-01", 2L, 3L, 1L),
       ("2024-01-02", 0L, 2L, 2L), ("2024-01-02", 1L, 2L, 1L),
       ("2024-01-02", 2L, 2L, 0L),
       ("2024-01-03", 0L, 1L, 1L), ("2024-01-03", 1L, 1L, 0L),
-      ("2024-01-04", 0L, 1L, 1L)))
+      ("2024-01-03", 2L, 1L, 0L),
+      ("2024-01-04", 0L, 1L, 1L), ("2024-01-04", 1L, 1L, 0L),
+      ("2024-01-04", 2L, 1L, 0L)))
     // retention ratio: exact division, 1.0 on offset 0
     val day1 = Graft.retentionCurves(df, col("day"), col("uid"), 2)
       .filter(col("cohort") === "2024-01-01").sort("offset").collect()

@@ -14,6 +14,19 @@ class PublisherSpec extends SparkSuite {
   private def tmp(p: String): String =
     java.nio.file.Files.createTempDirectory(p).toString
 
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }.toSet
+  }
+
   private def get(port: Int, pathQ: String): (Int, String) = {
     val client = HttpClient.newHttpClient()
     val res = client.send(
@@ -80,18 +93,6 @@ class PublisherSpec extends SparkSuite {
 
   test("navigated publisher: endpoints read the summaries while fresh, " +
       "fall through to raw truth after a base append, re-arm on refresh") {
-    import org.apache.spark.sql.execution.datasources.{
-      HadoopFsRelation, LogicalRelation}
-    def scanPaths(df: org.apache.spark.sql.DataFrame): Set[String] =
-      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-        case _ => Nil
-      }.toSet
-
     val dir = tmp("navpub_base")
     val root = tmp("navpub_sum")
     // a private copy of the fact/dim tables as parquet DIRECTORIES so
@@ -186,18 +187,6 @@ class PublisherSpec extends SparkSuite {
   test("navigated publisher over a LIVE stream-maintained base: a " +
       "foreachBatch maintainer lands each CDC batch, refreshes its " +
       "days, and the endpoint serves summary-fresh truth per batch") {
-    import org.apache.spark.sql.execution.datasources.{
-      HadoopFsRelation, LogicalRelation}
-    def scanPaths(df: org.apache.spark.sql.DataFrame): Set[String] =
-      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-        case _ => Nil
-      }.toSet
-
     val dir = tmp("navpub_live")
     val root = tmp("navpub_live_sum")
     val stage = tmp("navpub_live_stage")

@@ -13,6 +13,30 @@ import graft.plans.SkipIndex
   * shapes, and any atom the stats can't refute. */
 class SkipIndexSpec extends SparkSuite {
 
+  // ONE copy of the executed-plan file-metric helpers (AQE unwrapping
+  // included) — three tests read the physical scan's numFiles
+  private def flatPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    p +: (p match {
+      case q: QueryStageExec => flatPlan(q.plan)
+      case _ => p.children.flatMap(flatPlan)
+    })
+  }
+
+  private def physFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    flatPlan(finalPlan).collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+  }
+
   private def scanFileCount(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collectLeaves().collect {
       case lr: LogicalRelation => lr.relation match {
@@ -44,21 +68,7 @@ class SkipIndexSpec extends SparkSuite {
     assert(nav.sort("o_orderpriority").collect().toSeq ==
       rawQ.sort("o_orderpriority").collect().toSeq)
     // the physical scan actually reads the pruned listing
-    nav.collect()
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case q: QueryStageExec => flat(q.plan)
-      case _ => p.children.flatMap(flat)
-    })
-    val finalPlan = nav.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val numFiles = flat(finalPlan).collect {
-      case f: FileSourceScanExec => f.metrics("numFiles").value
-    }.sum
+    val numFiles = physFiles(nav)
     assert(numFiles == kept.toLong,
       s"physical scan read $numFiles files, planning kept $kept")
     // the suite entry goes through navigate too
@@ -234,23 +244,6 @@ class SkipIndexSpec extends SparkSuite {
 
   test("x25: partition pruning and zone maps COMPOSE — the physical " +
       "scan reads only in-quarter files that intersect the custkey box") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case q: QueryStageExec => flat(q.plan)
-      case _ => p.children.flatMap(flat)
-    })
-    def physFiles(df: DataFrame): Long = {
-      df.collect()
-      val finalPlan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      flat(finalPlan).collect {
-        case f: FileSourceScanExec => f.metrics("numFiles").value
-      }.sum
-    }
     val store =
       s"${operators.ScalePatterns.partSkipStoreDir(spark, sf)}/orders_part"
     val monthBox = col("o_month") >= "1995-01" && col("o_month") <= "1995-03"
@@ -283,23 +276,6 @@ class SkipIndexSpec extends SparkSuite {
 
   test("x27: the serving stack composes — navigation re-roots onto the " +
       "clustered summary AND zone maps prune the summary's own files") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case q: QueryStageExec => flat(q.plan)
-      case _ => p.children.flatMap(flat)
-    })
-    def physFiles(df: DataFrame): Long = {
-      df.collect()
-      val finalPlan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      flat(finalPlan).collect {
-        case f: FileSourceScanExec => f.metrics("numFiles").value
-      }.sum
-    }
     val sumDir = s"${operators.ScalePatterns.navMonthDir(spark, sf)}/v0"
     val x27 = q("x27_summary_skipscan")
     // navigation fired: the plan reads the summary, never the facts
