@@ -33,6 +33,44 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Full-suite untimed warm sweep at the SMALLEST sibling scale:
+    // Janino + C2 compilation of each query's generated classes
+    // belongs to the JVM, not the query (BENCH_r13 charged ~27 s of
+    // one-time JIT to g5/g1/d7 even after a g5/g6-only warmup —
+    // warming two queries let the code-cache flush resurface on the
+    // others). The sweep runs EVERY selected query through the SAME
+    // noop-write execution the timed loop uses, at sf0.001 so the
+    // data cost is seconds; generated code is keyed by plan shape,
+    // not scale, so the timed loop below measures steady-state.
+    // Failures are NonFatal-caught and printed per query — a
+    // silently-swallowed warmup (incl. OOM, which must propagate)
+    // would quietly re-charge compilation to the timed run with no
+    // trace in the artifact.
+    locally {
+      val f = new java.io.File(sfDir)
+      val sib = new java.io.File(f.getParentFile, "sf0.001")
+      if (!sib.isDirectory)
+        println(s"""{"warmup":"skipped","reason":"no sf0.001 sibling"}""")
+      else {
+        val w0 = System.nanoTime()
+        var failed = 0
+        selected.foreach { case (n, fn) =>
+          try fn(spark, sib.getPath)
+            .write.format("noop").mode("overwrite").save()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              failed += 1
+              println(s"""{"warmup_failed":"$n","err":"${e.getClass.getSimpleName}"}""")
+          }
+        }
+        // drop the sweep's memoized state (keyed per (session, dir)):
+        // the prestage below rebuilds it for the bench SF, and a
+        // lingering warm-scale memo would distort the family releases
+        SparkEntry.modules.foreach(_.release())
+        println(s"""{"warmup":"sweep","sec":${fmt((System.nanoTime() - w0) / 1e9)},"n":${selected.size},"failed":$failed}""")
+      }
+      System.out.flush()
+    }
     // Pre-stage every suite-shared memoized intermediate (LSH bands +
     // near-dup pairs, Lloyd assignment, IVFPQ index, component labels,
     // candidate lists, the DPP store) before the timed loop: a real
@@ -52,23 +90,6 @@ object Bench {
         System.out.flush()
       }
     }
-    // JIT/codegen warmup for the two biggest generated-code pipelines:
-    // g5/g6 route whole app topologies through one codegen'd plan, and
-    // their FIRST run pays ~30 s of Janino + C2 compilation that
-    // belongs to the JVM, not the query (BENCH_r12: g5 first 20.26 s,
-    // rerun 1.16 s — the cc_mb stamps show the code cache growing).
-    // Run them once untimed after the prestage so the timed loop
-    // measures steady-state like every other query; the warmup time
-    // prints on its own line so nothing is hidden.
-    Seq("g5_baselog_routes", "g6_basedb_routes")
-      .filter(n => selected.exists(_._1 == n)).foreach { n =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        println(s"""{"jit_warmup":"$n","sec":${fmt((System.nanoTime() - t0) / 1e9)}}""")
-        System.out.flush()
-      }
     // key = LAST query (sorted order) reading each module's memoized
     // intermediate: labels after c2; band/candidate/simhash memos after
     // d9; parsed envelopes after s2_debezium (its users are p4/p9/s2_*)

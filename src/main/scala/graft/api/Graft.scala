@@ -469,13 +469,18 @@ object Graft {
     * offset, cohort_uv, retained, retention); exact counts, no
     * id-level self-join, no second scan; retention is one IEEE
     * division of exact longs (0.0 for an empty cohort). `period` must
-    * be a DATE-castable column (day strings or dates); offsets are in
-    * days. */
+    * be a DATE-castable column (day strings, dates, or timestamps);
+    * the returned `cohort` is DATE-typed — the groupBy key IS
+    * `period.cast("date")`, so two spellings of one day ('2024-1-1'
+    * vs '2024-01-01') or sub-day timestamps land in ONE cohort whose
+    * bitmaps union, instead of two raw-value groups that would each
+    * left-join the same target days and double-count retained ids.
+    * Offsets are in days. */
   def retentionCurves(df: DataFrame, period: Column, id: Column,
       maxOffset: Int = 7): DataFrame = {
     import graft.plans.MergeExprs
     val daily = graft.plans.AggRewrite.navigate(
-      df.groupBy(period.as("cohort"))
+      df.groupBy(period.cast("date").as("cohort"))
         .agg(udaf(graft.functions.BitmapPartial)
           .apply(MergeExprs.integralId(id)).as("bm")))
     val grid = daily.select(col("cohort"), col("bm").as("bm_a"))
@@ -484,8 +489,7 @@ object Graft {
     val later = daily.select(col("cohort").as("later"),
       col("bm").as("bm_b"))
     grid.join(later,
-        date_add(col("cohort").cast("date"), col("offset")) ===
-          col("later").cast("date"), "left")
+        date_add(col("cohort"), col("offset")) === col("later"), "left")
       .select(col("cohort"), col("offset").cast(LongType).as("offset"),
         MergeExprs.bitmapCount(col("bm_a")).as("cohort_uv"),
         // the kernel is null-strict: a missing target day folds to 0

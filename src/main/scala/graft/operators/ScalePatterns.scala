@@ -1292,7 +1292,9 @@ object ScalePatterns extends QueryModule {
     // the kernels, the empty-cohort guard lives in exactly one place
     graft.api.Graft.retentionCurves(e,
         curDate(nsToSec(col("ts"))), col("user_id"), maxOffset = 7)
-      .select(col("cohort").as("cohort_day"),
+      // the facade's cohort is DATE-typed (day-grain normalized);
+      // the oracle keys on the day STRING — format back losslessly
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         col("offset").as("day_offset"),
         col("cohort_uv"), col("retained"), col("retention"))
       .orderBy("cohort_day", "day_offset")

@@ -547,13 +547,21 @@ object AggRewrite {
         s"$n($op)"
     }
     val sign = col(signCol).cast("long")
-    // distinct group keys among the batch's DELETE rows — metadata-
-    // sized (bounded by the batch). ONE job collects them driver-side
-    // (the broadcast below holds the same rows on the driver anyway)
-    // and the collected array is reused for the anti/semi joins, the
-    // partition-scope isin values, and the spec stats — no repeat
-    // scans of the batch. Only monotone summaries need it: pure
-    // sum/count summaries fold deletes invertibly, which is cheaper.
+    // distinct group keys among the batch's DELETE rows — batch-
+    // bounded but CAPPED: the fold materializes them on the driver
+    // (the broadcast semi/anti joins below hold the same rows there
+    // anyway), and a pathological purge/backfill batch deleting
+    // millions of distinct groups would OOM the driver before any
+    // broadcast guard fired. limit(cap+1) bounds the single collect
+    // job at cap+1 rows regardless of batch size; past the cap the
+    // fold REFUSES toward refreshPartitions/materialize — one scan of
+    // advice instead of an unbounded collect. The collected array is
+    // reused for the anti/semi joins, the partition-scope isin values,
+    // and the spec stats — no repeat scans of the batch. Only
+    // monotone summaries need it: pure sum/count summaries fold
+    // deletes invertibly, which is cheaper.
+    val deleteKeyCap = session.conf
+      .get("spark.graft.delta.deleteKeyCap", "100000").toInt
     val deleteKeys: Option[(org.apache.spark.sql.types.StructType,
         Array[org.apache.spark.sql.Row])] =
       if (monotone.isEmpty) None
@@ -561,9 +569,22 @@ object AggRewrite {
         val frame = deltas.filter(sign < 0L)
           .select(d.keyCols.map { case (n, c) => c.as(n) }: _*)
           .distinct()
-        val rows = frame.collect()
+        val rows = frame.limit(deleteKeyCap + 1).collect()
+        if (rows.length > deleteKeyCap) throw new IllegalStateException(
+          s"delta fold for '$name' refused: the batch deletes more " +
+            s"than $deleteKeyCap distinct group keys (cap " +
+            "spark.graft.delta.deleteKeyCap) and the summary carries " +
+            s"monotone partials (${monotone.mkString(", ")}) whose " +
+            "delete-touched groups must be rebuilt key-by-key — a " +
+            "rebuild scoped by that many keys is no cheaper than a " +
+            "partition refresh; use refreshPartitions on the touched " +
+            "partitions (or re-materialize)")
         if (rows.isEmpty) None else Some((frame.schema, rows))
       }
+    // introspection stat describes the MOST RECENT fold — reset
+    // unconditionally so a delete-free fold reports None rather than
+    // some earlier batch's stats
+    lastDeleteFold = None
     val cntCol = d.measureCols.collectFirst {
       case (n, "count_star", _) => n
     }.getOrElse(throw new IllegalArgumentException(

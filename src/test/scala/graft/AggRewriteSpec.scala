@@ -1195,7 +1195,19 @@ class AggRewriteSpec extends SparkSuite {
         .unionByName(batch.filter(col("sign") === 1).drop("sign"))
         .write.mode("overwrite").parquet(s"$root/facts2")
       val facts2 = spark.read.parquet(s"$root/facts2")
-      AggRewrite.lastDeleteFold = None
+      // a wide-delete batch REFUSES past the key cap (before any
+      // driver materialization): the message names the cap and routes
+      // toward refreshPartitions; the registration is untouched, so
+      // the real fold below still runs against the same version
+      spark.conf.set("spark.graft.delta.deleteKeyCap", "1")
+      val refusal = intercept[IllegalStateException] {
+        AggRewrite.applyDelta(spark, "delmono_spec", facts2, batch,
+          "sign", batchId = 1L)
+      }
+      assert(refusal.getMessage.contains("deleteKeyCap") &&
+        refusal.getMessage.contains("refreshPartitions"),
+        s"refusal must name the cap and the advice: ${refusal.getMessage}")
+      spark.conf.unset("spark.graft.delta.deleteKeyCap")
       AggRewrite.applyDelta(spark, "delmono_spec", facts2, batch,
         "sign", batchId = 1L)
       // the rescan was bounded: exactly the 2 delete-touched groups,
@@ -1248,6 +1260,17 @@ class AggRewriteSpec extends SparkSuite {
       assert(spark.read.parquet(s"$root/summary/d2")
         .filter(col("day") === "d4").isEmpty,
         "a group whose every base row was deleted must leave the summary")
+      // the introspection stat always describes the MOST RECENT fold:
+      // a delete-free fold resets it to None (no stale stats from the
+      // delete-bearing batch above)
+      assert(AggRewrite.lastDeleteFold.isDefined)
+      val batch3 = Seq(("d1", 7L, 1)).toDF("day", "id", "sign")
+      facts3.unionByName(batch3.drop("sign"))
+        .write.mode("overwrite").parquet(s"$root/facts4")
+      AggRewrite.applyDelta(spark, "delmono_spec",
+        spark.read.parquet(s"$root/facts4"), batch3, "sign", batchId = 3L)
+      assert(AggRewrite.lastDeleteFold.isEmpty,
+        "a delete-free fold must reset lastDeleteFold to None")
     } finally {
       AggRewrite.unregister(spark, "delmono_spec")
       def rm(f: java.io.File): Unit = {

@@ -420,7 +420,7 @@ class ApiSpec extends SparkSuite {
     val r = Graft.retentionCurves(df, col("day"), col("uid"),
         maxOffset = 2)
       .sort("cohort", "offset").collect()
-      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
         x.getLong(3))).toSeq
     // FULL grid: every (cohort, offset) pair has a row — offsets whose
     // target day has no activity report retained = 0, never a hole
@@ -442,6 +442,20 @@ class ApiSpec extends SparkSuite {
       Graft.retentionCurves(df.withColumn("s", col("day")),
         col("day"), col("s")).collect()
     }
+    // day-grain normalization: two spellings of one day ('2024-1-2'
+    // beside '2024-01-02') merge into ONE cohort whose bitmaps union —
+    // the raw-value groupBy would emit two cohort rows that each
+    // left-join the same target days and double-count retained ids
+    val mixed = Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 1L), ("2024-1-2", 2L)).toDF("day", "uid")
+    val m = Graft.retentionCurves(mixed, col("day"), col("uid"), 1)
+      .sort("cohort", "offset").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(m == Seq(
+      ("2024-01-01", 0L, 2L, 2L), ("2024-01-01", 1L, 2L, 2L),
+      ("2024-01-02", 0L, 2L, 2L), ("2024-01-02", 1L, 2L, 0L)))
   }
 
   test("README quick-start composition runs end to end") {
