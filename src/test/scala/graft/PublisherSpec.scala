@@ -112,11 +112,38 @@ class PublisherSpec extends SparkSuite {
         s"/province did not navigate: $provPaths")
       assert(!provPaths.exists(_.endsWith("orders.parquet")),
         s"/province scanned the fact table while fresh: $provPaths")
-      val chPaths = scanPaths(ServingApi.navChUv(spark, dir, day, 5))
+      val eday = ServingApi.navLatestEventDay(spark, dir)
+      val navCh = ServingApi.navChUv(spark, dir, eday, 5)
+      val chPaths = scanPaths(navCh)
       assert(chPaths.exists(_.contains("events_day_ch")),
         s"/ch did not navigate: $chPaths")
       assert(!chPaths.exists(_.endsWith("events.parquet")),
         s"/ch scanned the fact table while fresh: $chPaths")
+      // the UV is served from the STORED id sets: the rewritten
+      // aggregate merges the uv_bitmap partial through the exact
+      // BitmapMergeCount kernel (the Doris BITMAP_UNION serving
+      // column) — not a re-count and not the pv count partial.
+      // A navigation that silently fell back to any other derivation
+      // would still hash-equal the twin, so only this plan assert
+      // catches it (the x24 lesson)
+      val usesBitmap = navCh.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateExpression =>
+              ae.aggregateFunction match {
+                case sa: org.apache.spark.sql.execution.aggregate
+                    .ScalaAggregator[_, _, _] =>
+                  sa.agg.asInstanceOf[AnyRef] eq
+                    graft.functions.BitmapMergeCount
+                case _ => false
+              }
+            case _ => false
+          })
+      }.exists(identity)
+      assert(usesBitmap,
+        "/ch must re-derive UV from the stored bitmap partial " +
+          s"(BitmapMergeCount): ${navCh.queryExecution.optimizedPlan}")
 
       // endpoint answers equal the raw twins computed WITHOUT the fence
       val money18 = (c: org.apache.spark.sql.Column) =>
@@ -145,9 +172,20 @@ class PublisherSpec extends SparkSuite {
       assert(pb ==
         s"""{"status":0,"data":{"mapData":[$expectedMap],""" +
           s""""valueName":"order_amount"}}""", pb)
-      val (cc, cb) = get(pub.port, "/ch?limit=3")
+      // /ch over the socket hash-equals the raw count(DISTINCT) twin
+      // computed WITHOUT the fence — exact UV, byte-identical envelope
+      import graft.functions.Fns.{curDate, nsToSec}
+      val chTwin = Tables(spark, dir, "events")
+        .filter(curDate(nsToSec(col("ts"))) === eday)
+        .groupBy(col("event_type").as("ch"))
+        .agg(countDistinct(col("user_id")).as("uv_ct"))
+        .orderBy(col("uv_ct").desc, col("ch")).limit(3).collect()
+      val chCats = chTwin.map(r => s""""${r.getString(0)}"""").mkString(",")
+      val chData = chTwin.map(_.getLong(1)).mkString(",")
+      val (cc, cb) = get(pub.port, s"/ch?date=$eday&limit=3")
       assert(cc == 200, cb)
-      assert(cb.contains(""""categories":["""), cb)
+      assert(cb == s"""{"status":0,"data":{"categories":[$chCats],""" +
+        s""""series":[{"name":"ch","data":[$chData]}]}}""", cb)
 
       // append ONE order on a brand-new day: every orders summary goes
       // stale — the endpoints now serve RAW truth (the appended row is
@@ -177,6 +215,33 @@ class PublisherSpec extends SparkSuite {
         s"refresh did not re-arm navigation: $rearmed")
       assert(get(pub.port, s"/gmv?date=$newDay")._2 ==
         s"""{"status":0,"data":${appended.getDouble(0)}}""")
+
+      // append ONE event on a brand-new day: the events summary goes
+      // stale — /ch falls through to the raw fact scan and serves the
+      // appended activity (exact UV from the fact rows), never the
+      // fast-but-stale bitmap store
+      val newEventDay = "2097-05-05"
+      val newTs = java.time.LocalDate.parse(newEventDay)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond *
+        1000000000L
+      val e0 = spark.read.parquet(s"$dir/events.parquet")
+      e0.limit(1).withColumn("ts", lit(newTs))
+        .write.mode("append").parquet(s"$dir/events.parquet")
+      val staleCh = ServingApi.navChUv(spark, dir, newEventDay, 5)
+      assert(scanPaths(staleCh).exists(_.endsWith("events.parquet")),
+        s"stale events summary must fall through: ${scanPaths(staleCh)}")
+      val staleTwin = Tables(spark, dir, "events")
+        .filter(curDate(nsToSec(col("ts"))) === newEventDay)
+        .groupBy(col("event_type").as("ch"))
+        .agg(countDistinct(col("user_id")).as("uv_ct"))
+        .orderBy(col("uv_ct").desc, col("ch")).limit(5).collect()
+      assert(staleTwin.nonEmpty && staleTwin.map(_.getLong(1)).sum == 1L)
+      val staleCats =
+        staleTwin.map(r => s""""${r.getString(0)}"""").mkString(",")
+      val staleData = staleTwin.map(_.getLong(1)).mkString(",")
+      assert(get(pub.port, s"/ch?date=$newEventDay&limit=5")._2 ==
+        s"""{"status":0,"data":{"categories":[$staleCats],""" +
+          s""""series":[{"name":"ch","data":[$staleData]}]}}""")
     } finally {
       pub.stop()
       graft.plans.AggRewrite.unregister(spark, s"pub_orders@$dir")
