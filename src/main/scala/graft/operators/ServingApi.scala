@@ -111,6 +111,19 @@ object ServingApi {
     ()
   }
 
+  /** Re-arm the navigated endpoints in a NEW session from the stores'
+    * sidecar manifests — the process-restart path: no fact re-scan,
+    * no re-materialization, just [[graft.plans.AggRewrite.attach]] on
+    * both summary roots. A store whose base changed since its manifest
+    * was signed refuses (the caller refreshes from a registered
+    * session or re-runs [[buildNavSummaries]]); endpoints keep serving
+    * raw truth either way — attach only restores the fast path. */
+  def attachNavSummaries(s: SparkSession, root: String): Unit = {
+    graft.plans.AggRewrite.attach(s, s"$root/orders_day_cust")
+    graft.plans.AggRewrite.attach(s, s"$root/events_day_ch")
+    ()
+  }
+
   /** /gmv as raw-fact SQL: one-day order-amount sum over the orders
     * TABLE — navigation serves it from the summary while fresh. */
   def navGmv(s: SparkSession, dir: String, date: String): DataFrame =

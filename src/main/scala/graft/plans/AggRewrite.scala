@@ -83,7 +83,11 @@ object AggRewrite {
       partSigs: Map[String, String] = Map.empty,
       basePartCol: Option[String] = None,
       stitchKey: Option[String] = None,
-      partialTemplate: Option[LogicalPlan] = None)
+      partialTemplate: Option[LogicalPlan] = None,
+      // leaf-resolved SQL text of each summary column's defining
+      // expression — what the sidecar manifest persists so a NEW
+      // session can re-register without the original Column objects
+      defsSql: Map[String, String] = Map.empty)
 
   private val registry = TrieMap.empty[SparkSession, Vector[SummaryDef]]
 
@@ -317,14 +321,22 @@ object AggRewrite {
       "base must be Project/Filter chains over one file-source relation"))
     require(probeFilters.isEmpty,
       "base must not carry filters — register the full-table summary")
-    val defs: Map[String, Expression] = analyzed match {
-      case Project(list, _) =>
-        list.collect { case al @ Alias(child, _) =>
-          al.name -> canon(resolveVia(sub)(child))
-        }.toMap
-      case other => throw new IllegalStateException(
-        s"unexpected probe plan shape: ${other.nodeName}")
-    }
+    val (defs, defsSql): (Map[String, Expression], Map[String, String]) =
+      analyzed match {
+        case Project(list, _) =>
+          val resolved = list.collect { case al @ Alias(child, _) =>
+            al.name -> resolveVia(sub)(child)
+          }
+          (resolved.map { case (n, e) => n -> canon(e) }.toMap,
+            // leaf-resolved SQL — re-parseable against a raw read of
+            // the base paths, which is how [[attach]] re-registers in
+            // a fresh session (any projection the original base
+            // carried, e.g. the events ts normalization, is already
+            // inlined by resolveVia)
+            resolved.map { case (n, e) => n -> e.sql }.toMap)
+        case other => throw new IllegalStateException(
+          s"unexpected probe plan shape: ${other.nodeName}")
+      }
     // bitmap partials store the child CAST to long — injective (and
     // therefore distinct-count-preserving) only for integral children,
     // so anything else must refuse at registration, not miscount later
@@ -417,7 +429,7 @@ object AggRewrite {
       summary.count(), // one metadata-sized count; the selection cost
       keys, measures, path, partitionKey, mergeTemplates,
       storeRoot, dataDir, lastDelta,
-      partSigs, basePartCol, stitchKey, partialTemplate)
+      partSigs, basePartCol, stitchKey, partialTemplate, defsSql)
     // registrations pin their session (the summary plan references it);
     // evict sessions whose context has stopped so a long-lived service
     // registering per-session summaries doesn't accumulate dead ones —
@@ -428,6 +440,121 @@ object AggRewrite {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None => Some(Vector(d))
     }
+    // every blessing of a materialized store re-signs its sidecar
+    // manifest, so [[attach]] in a later session re-arms to exactly
+    // this registration (the registry is session-mortal; the manifest
+    // is the store's durable half — Doris keeps rollup definitions in
+    // FE metadata, Delta keeps stats in the log)
+    if (storeRoot.isDefined) writeManifest(session, d)
+  }
+
+  // ---- sidecar manifest: cross-session persistence of the summary
+  // registration (verdict round-13 #1). The registry above is held in
+  // driver memory per session; a process restart silently demoted the
+  // whole navigation layer to raw scans until someone re-ran
+  // materialize. The manifest persists the registration's durable half
+  // next to the data; [[attach]] re-registers from it and re-signs the
+  // fence against the live base listing — a base that changed since
+  // the manifest was signed REFUSES (the store no longer aggregates
+  // the base; navigation from it would serve stale truth).
+
+  private val ManifestFile = "_graft_manifest.json"
+
+  private def writeManifest(session: SparkSession, d: SummaryDef): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val root = d.storeRoot.get
+    val dataName = new org.apache.hadoop.fs.Path(
+      d.dataDir.getOrElse(root + "/v0")).getName
+    val schemaDdl = org.apache.spark.sql.types.StructType(
+      d.summaryRelation.output.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.name, a.dataType, a.nullable))).toDDL
+    val json =
+      ("version" -> 1) ~
+        ("kind" -> "graft_summary") ~
+        ("name" -> d.name) ~
+        ("basePaths" -> d.basePaths.toSeq.sorted) ~
+        ("keys" -> d.keyCols.map { case (n, _) =>
+          ("name" -> n) ~ ("sql" -> d.defsSql(n)) }) ~
+        ("measures" -> d.measureCols.map { case (n, op, _) =>
+          ("name" -> n) ~ ("op" -> op) ~ ("sql" -> d.defsSql(n)) }) ~
+        ("partitionKey" -> d.partitionKey) ~
+        ("dataDir" -> dataName) ~
+        ("lastDelta" -> d.lastDelta) ~
+        ("baseSig" -> d.baseSig) ~
+        ("schemaDdl" -> schemaDdl)
+    val body = JsonMethods.pretty(JsonMethods.render(json))
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(session.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(rootPath,
+      s".$ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(rootPath, ManifestFile)
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(
+      s"could not publish $target")
+  }
+
+  /** Re-register a materialized summary from its store's sidecar
+    * manifest in THIS (typically brand-new) session, re-arming
+    * navigation after a process restart. The fence discipline is the
+    * registration's own: the live base listing must equal the
+    * signature the manifest was blessed with — the store aggregates
+    * exactly those files — otherwise attach REFUSES with advice (a
+    * changed base means the store is stale; navigation must keep
+    * falling through to raw truth until a refresh/re-materialization
+    * re-signs it). Returns the summary frame, like [[materialize]]. */
+  def attach(session: SparkSession, root: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(session.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(rootPath, ManifestFile)
+    if (!fs.exists(target)) throw new IllegalArgumentException(
+      s"no $ManifestFile under $root — only materialize()d summaries " +
+        "persist a manifest; register() the summary explicitly")
+    val body = {
+      val in = fs.open(target)
+      try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+    }
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(body)
+    val name = (j \ "name").extract[String]
+    val basePaths = (j \ "basePaths").extract[Seq[String]]
+    val keys = (j \ "keys").extract[Seq[JValue]].map { k =>
+      (k \ "name").extract[String] ->
+        org.apache.spark.sql.functions.expr((k \ "sql").extract[String])
+    }
+    val measures = (j \ "measures").extract[Seq[JValue]].map { m =>
+      ((m \ "name").extract[String], (m \ "op").extract[String],
+        org.apache.spark.sql.functions.expr((m \ "sql").extract[String]))
+    }
+    val partitionKey = (j \ "partitionKey").extractOpt[String]
+    val dataDir = root + "/" + (j \ "dataDir").extract[String]
+    val lastDelta = (j \ "lastDelta").extract[Long]
+    val manifestSig = (j \ "baseSig").extract[String]
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL((j \ "schemaDdl").extract[String])
+    val base = session.read.parquet(basePaths: _*)
+    val (liveSig, _) = snapshotListing(session, base)
+    if (liveSig != manifestSig) throw new IllegalStateException(
+      s"cannot attach summary '$name' at $root: the base changed " +
+        s"since the manifest was signed (manifest $manifestSig, live " +
+        s"$liveSig) — the store no longer aggregates the base's " +
+        "files; re-materialize, or refreshPartitions from a session " +
+        "holding the registration, then attach the re-signed store")
+    val summary = session.read.schema(schema).parquet(dataDir)
+    registerInternal(session, name, base, keys, measures, summary,
+      Some(root), partitionKey, Some(root), Some(dataDir), lastDelta)
+    summary
   }
 
   /** Build the summary `base.groupBy(keys).agg(partials)` from the same

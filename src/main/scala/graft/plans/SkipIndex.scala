@@ -225,6 +225,136 @@ object SkipIndex {
       case Some(v) => Some(v.filterNot(_.name == d.name) :+ d)
       case None => Some(Vector(d))
     }
+    // every blessing persists the catalog's durable half beside the
+    // data (Delta's model: per-file stats live in the transaction
+    // log, not driver memory) so [[attach]] re-arms a fresh session
+    writeManifest(session, d)
+  }
+
+  // ---- sidecar manifest: cross-session persistence of the per-file
+  // stats catalog (verdict round-13 #1). The registry is driver-memory
+  // per session; without the sidecar a restart silently demoted
+  // planning-time file skipping to full listings until someone re-ran
+  // the registration stats pass over the whole store.
+
+  private val ManifestFile = "_graft_skipindex.json"
+
+  /** A stats value as re-parseable SQL literal text (None = the file
+    * has no non-null values). Typed-literal syntax (`DATE '…'`,
+    * `12.3BD`, `X'…'`) round-trips through the expression parser with
+    * the exact type the stats were computed at. */
+  private def litSql(v: Any, dt: DataType): Option[String] =
+    Option(v).map(x => Literal.create(x, dt).sql)
+
+  private def litVal(session: SparkSession, sql: String): Any = {
+    val e = session.sessionState.sqlParser.parseExpression(sql)
+    require(e.foldable, s"manifest stats literal does not fold: $sql")
+    e.eval(InternalRow.empty)
+  }
+
+  private def writeManifest(session: SparkSession, d: IndexDef): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json =
+      ("version" -> 1) ~
+        ("kind" -> "graft_skipindex") ~
+        ("name" -> d.name) ~
+        ("store" -> d.store) ~
+        ("colTypes" -> d.colTypes.toSeq.sortBy(_._1).map { case (c, t) =>
+          ("name" -> c) ~ ("type" -> t.sql) }) ~
+        ("files" -> d.files.toSeq.sortBy(_._1).map { case (p, st) =>
+          ("path" -> p) ~ ("rows" -> st.rows) ~
+            ("entry" -> d.entries.getOrElse(p, "")) ~
+            ("cols" -> st.cols.toSeq.sortBy(_._1).map {
+              case (c, (mn, mx, cnt)) =>
+                ("name" -> c) ~ ("min" -> litSql(mn, d.colTypes(c))) ~
+                  ("max" -> litSql(mx, d.colTypes(c))) ~ ("cnt" -> cnt)
+            })
+        }) ~
+        // zero-row files produce no stats group but still fence;
+        // carry any entry not already serialized with its stats
+        ("extraEntries" -> d.entries.toSeq.sortBy(_._1)
+          .filterNot { case (p, _) => d.files.contains(p) }
+          .map { case (p, e) => ("path" -> p) ~ ("entry" -> e) })
+    val body = JsonMethods.pretty(JsonMethods.render(json))
+    val storePath = new org.apache.hadoop.fs.Path(d.store)
+    val fs = storePath.getFileSystem(session.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(storePath,
+      s".$ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(storePath, ManifestFile)
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(
+      s"could not publish $target")
+  }
+
+  /** Re-register a store's zone-map catalog from its sidecar manifest
+    * in THIS (typically brand-new) session — no stats re-scan. The
+    * fence discipline is registration's own: the store's live listing
+    * must equal the per-file entries the manifest was blessed with;
+    * a store that gained/changed files REFUSES with advice (the
+    * catalog no longer describes the store — pruning from it could
+    * only stay sound by keeping unknown files, but the fence would
+    * never match a pinned scan anyway, so the honest move is the
+    * explicit refusal toward refresh()/register()). */
+  def attach(session: SparkSession, store: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(session.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(storePath, ManifestFile)
+    if (!fs.exists(target)) throw new IllegalArgumentException(
+      s"no $ManifestFile under $store — register() the index first")
+    val body = {
+      val in = fs.open(target)
+      try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+    }
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(body)
+    val name = (j \ "name").extract[String]
+    val colTypes = (j \ "colTypes").extract[Seq[JValue]].map { c =>
+      (c \ "name").extract[String] ->
+        org.apache.spark.sql.types.DataType
+          .fromDDL((c \ "type").extract[String])
+    }.toMap
+    val files = (j \ "files").extract[Seq[JValue]].map { f =>
+      val p = (f \ "path").extract[String]
+      val cols = (f \ "cols").extract[Seq[JValue]].map { c =>
+        val cn = (c \ "name").extract[String]
+        (cn, ((c \ "min").extractOpt[String]
+            .map(litVal(session, _)).orNull,
+          (c \ "max").extractOpt[String]
+            .map(litVal(session, _)).orNull,
+          (c \ "cnt").extract[Long]))
+      }.toMap
+      p -> FileStats(p, (f \ "rows").extract[Long], cols)
+    }.toMap
+    val entries = (j \ "files").extract[Seq[JValue]].map { f =>
+      (f \ "path").extract[String] -> (f \ "entry").extract[String]
+    }.toMap ++ (j \ "extraEntries").extract[Seq[JValue]].map { f =>
+      (f \ "path").extract[String] -> (f \ "entry").extract[String]
+    }.toMap
+    // the fence re-arm: the live listing must BE the blessed one
+    val df = session.read.parquet(store)
+    val (roots, live, _) = listingOf(df, name)
+    if (live != entries) {
+      val changed = (live.keySet ++ entries.keySet).filter(p =>
+        live.get(p) != entries.get(p)).take(4)
+      throw new IllegalStateException(
+        s"cannot attach skip index '$name' at $store: the store's " +
+          s"listing changed since the manifest was signed (e.g. " +
+          s"${changed.mkString(", ")}) — the catalog no longer " +
+          "describes these files; re-register, or refresh() from a " +
+          "session holding the registration, then attach")
+    }
+    putDef(session, IndexDef(name, store, roots, colTypes, files, entries))
   }
 
   def unregister(session: SparkSession, name: String): Unit =

@@ -249,6 +249,52 @@ class PublisherSpec extends SparkSuite {
     }
   }
 
+  test("navigated publisher ATTACHES in a fresh session: the restart " +
+      "path re-arms both summaries from their manifests and serves " +
+      "navigated truth over the socket") {
+    val dir = tmp("navpub_attach_base")
+    val root = tmp("navpub_attach_sum")
+    Seq("orders", "customer", "nation", "events").foreach { t =>
+      Tables(spark, sf, t).write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    }
+    // "previous process": build + register, then throw the session away
+    ServingApi.buildNavSummaries(spark, dir, root)
+    graft.plans.AggRewrite.unregister(spark, s"pub_orders@$dir")
+    graft.plans.AggRewrite.unregister(spark, s"pub_events@$dir")
+    // "restarted process": a brand-new session with an EMPTY registry
+    val s2 = spark.newSession()
+    ServingApi.attachNavSummaries(s2, root)
+    val pub = PublisherServer.startNavigated(s2, dir, 0)
+    try {
+      val day = ServingApi.navLatestDay(s2, dir)
+      // the attached session navigates — summaries, not fact scans
+      val provPaths = scanPaths(ServingApi.navProvince(s2, dir, day))
+      assert(provPaths.exists(_.contains("orders_day_cust")) &&
+        !provPaths.exists(_.endsWith("orders.parquet")),
+        s"attached /province did not navigate: $provPaths")
+      val chPaths = scanPaths(ServingApi.navChUv(s2, dir, day, 5))
+      assert(chPaths.exists(_.contains("events_day_ch")) &&
+        !chPaths.exists(_.endsWith("events.parquet")),
+        s"attached /ch did not navigate: $chPaths")
+      // and the socket serves raw truth
+      val money18 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val rawGmv = s2.read.parquet(s"$dir/orders.parquet")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === day)
+        .agg(sum(money18(col("o_totalprice"))).cast("double")).head
+      val (gc, gb) = get(pub.port, s"/gmv?date=$day")
+      assert(gc == 200 &&
+        gb == s"""{"status":0,"data":${rawGmv.getDouble(0)}}""", gb)
+      val (cc, cb) = get(pub.port, "/ch?limit=3")
+      assert(cc == 200 && cb.startsWith("""{"status":0,"data":"""), cb)
+    } finally {
+      pub.stop()
+      graft.plans.AggRewrite.unregister(s2, s"pub_orders@$dir")
+      graft.plans.AggRewrite.unregister(s2, s"pub_events@$dir")
+    }
+  }
+
   test("navigated publisher over a LIVE stream-maintained base: a " +
       "foreachBatch maintainer lands each CDC batch, refreshes its " +
       "days, and the endpoint serves summary-fresh truth per batch") {
