@@ -1174,6 +1174,80 @@ object ScalePatterns extends QueryModule {
     graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
   }
 
+  // ---- x28: zone maps over a MULTI-LEVEL partitioned store
+  // (SkipIndex ∘ nested Catalyst partition pruning) -------------------
+
+  private val nestedSkipMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Land the (year, month)-NESTED, custkey-clustered orders store
+    * ONCE per (session, dir) and register its zone-map index — the
+    * reference's real store layouts nest the date dimension
+    * (yyyy/MM/dd HDFS trees; x25 proved the single-level compose).
+    * Catalyst prunes BOTH directory levels from the path values; the
+    * zone maps then prune files inside the surviving leaf partitions
+    * from the registered per-file custkey extents. The per-file stats
+    * pass and the fence are layout-agnostic (they key on leaf files),
+    * so multi-level stores ride the same catalog. Returns the store
+    * parent dir. */
+  private[graft] def nestedSkipStoreDir(s: SparkSession, dir: String)
+      : String =
+    // synchronized builder — same reasoning as navSummaryDir
+    nestedSkipMemo.synchronized(nestedSkipMemo.getOrElseUpdate((s, dir), {
+      val sd = java.nio.file.Files
+        .createTempDirectory("graft_x28_store_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(sd)))
+      val store = s"$sd/orders_nested"
+      val o = Tables(s, dir, "orders")
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+        .withColumn("o_mm", date_format(col("o_orderdate"), "MM"))
+      // ~4 files per (year, month) leaf: range-place on the partition
+      // keys + custkey so each leaf's files carry tight disjoint
+      // custkey extents (the ingest layout x12 plans per day)
+      val leaves = o.agg(countDistinct(col("o_year"), col("o_mm")))
+        .head.getLong(0)
+      o.repartitionByRange((leaves * 4).toInt.max(4),
+          col("o_year"), col("o_mm"), col("o_custkey"))
+        .sortWithinPartitions("o_year", "o_mm", "o_custkey")
+        .write.mode("overwrite").partitionBy("o_year", "o_mm")
+        .parquet(store)
+      graft.plans.SkipIndex.register(s, s"orders_nested@$dir", store,
+        Seq("o_custkey"))
+      sd
+    }))
+
+  private[graft] def prestageNestedSkipStore(s: SparkSession, dir: String)
+      : Unit = {
+    nestedSkipStoreDir(s, dir)
+    ()
+  }
+
+  /** x28: file skipping composed with TWO-LEVEL partition pruning — a
+    * quarter-scoped, customer-bounded box over the (year, month)-
+    * nested store. Catalyst keeps the 1995 year directory and its
+    * Q1 month subdirectories (nested PartitionFilters — the other
+    * years' subtrees are never even listed into tasks); SkipIndex
+    * then prunes, inside the surviving leaves, every file whose
+    * custkey extent provably misses `o_custkey <= 75`. At 100 TB this
+    * is the lakehouse norm: stores nest yyyy/MM (or deeper), and data
+    * skipping has to compose with the whole directory algebra, not
+    * just one level. Both prunings are asserted in the physical
+    * scan's numFiles (SkipIndexSpec); the oracle replays the box on
+    * the RAW orders table — same rows re-placed, so a hash match
+    * proves both prunings semantically invisible. */
+  private def nestedSkipScan(s: SparkSession, dir: String): DataFrame = {
+    val store = s"${nestedSkipStoreDir(s, dir)}/orders_nested"
+    val q = s.read.parquet(store)
+      .filter(col("o_year") === "1995" &&
+        col("o_mm") >= "01" && col("o_mm") <= "03" &&
+        col("o_custkey") <= 75)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"),
+        moneySum(col("o_totalprice")).as("order_amount"),
+        countDistinct(col("o_custkey")).as("cust_ct"))
+    graft.plans.SkipIndex.navigate(q).orderBy("o_orderpriority")
+  }
+
   // ---- x27: the serving stack COMPOSED — navigation onto a
   // CLUSTERED summary, zone maps pruning the summary scan -----------
 
@@ -1516,6 +1590,10 @@ object ScalePatterns extends QueryModule {
       graft.plans.SkipIndex.unregister(s, s"orders_part@$dir")
       rmTree(sd)
     }
+    nestedSkipMemo.foreach { case ((s, dir), sd) =>
+      graft.plans.SkipIndex.unregister(s, s"orders_nested@$dir")
+      rmTree(sd)
+    }
     navMonthMemo.foreach { case ((s, dir), sd) =>
       graft.plans.AggRewrite.unregister(s, s"orders_month_priority@$dir")
       graft.plans.SkipIndex.unregister(s, s"orders_month_sum@$dir")
@@ -1527,6 +1605,7 @@ object ScalePatterns extends QueryModule {
     navCustMemo.clear()
     skipMemo.clear()
     partSkipMemo.clear()
+    nestedSkipMemo.clear()
     navMonthMemo.clear()
     bucketMemo.values.forEach { case (s, lt, ot, base) =>
       scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
@@ -1562,7 +1641,8 @@ object ScalePatterns extends QueryModule {
     "x24_bitmap_overlap" -> bitmapOverlap,
     "x25_part_skipscan" -> partSkipScan,
     "x26_bitmap_retention" -> bitmapRetention,
-    "x27_summary_skipscan" -> summarySkipScan)
+    "x27_summary_skipscan" -> summarySkipScan,
+    "x28_nested_skipscan" -> nestedSkipScan)
 
   val oracles = Map(
     // x14/x15's oracle runs on the RAW orders table — a hash match is the
@@ -1726,6 +1806,20 @@ object ScalePatterns extends QueryModule {
          |FROM orders
          |WHERE substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7)
          |        BETWEEN '1995-01' AND '1995-06'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x28's oracle replays the quarter×custkey box on the RAW orders
+    // table: the nested (year, month) store is the same rows
+    // re-placed, so a hash match proves two-level partition pruning +
+    // file skipping both semantically invisible
+    "x28_nested_skipscan" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) AS order_ct,
+         |       ${Oracle.moneySum("o_totalprice")} AS order_amount,
+         |       count(DISTINCT o_custkey) AS cust_ct
+         |FROM orders
+         |WHERE o_custkey <= 75
+         |  AND strftime(o_orderdate, '%Y') = '1995'
+         |  AND strftime(o_orderdate, '%m') BETWEEN '01' AND '03'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x26's oracle is the raw user-level day self-join over the FULL
     // (cohort day × observed day ≤ 7 ahead) grid — a hash match proves

@@ -274,6 +274,69 @@ class SkipIndexSpec extends SparkSuite {
       raw.collect().toSeq)
   }
 
+  test("x28: zone maps compose with TWO-LEVEL partition pruning, and " +
+      "refresh-after-append re-arms on the nested layout") {
+    val store = s"${operators.ScalePatterns
+      .nestedSkipStoreDir(spark, sf)}/orders_nested"
+    val yearBox = col("o_year") === "1995"
+    val monthBox = col("o_mm") >= "01" && col("o_mm") <= "03"
+    val total = physFiles(spark.read.parquet(store).groupBy().count())
+    // nested partition pruning alone: only 1995's Q1 leaf dirs
+    val partOnly = physFiles(spark.read.parquet(store)
+      .filter(yearBox && monthBox).groupBy().count())
+    assert(partOnly < total,
+      s"two-level partition pruning dead: $partOnly of $total files")
+    // both prunings: zone maps drop custkey-missing files INSIDE the
+    // surviving (year, month) leaves
+    def boxQ = spark.read.parquet(store)
+      .filter(yearBox && monthBox && col("o_custkey") <= 75)
+      .groupBy().count()
+    val both = physFiles(SkipIndex.navigate(boxQ))
+    assert(both < partOnly,
+      s"zone maps added nothing on the nested store: $both vs $partOnly")
+    assert(both > 0)
+    // bit-equal through the suite entry
+    val x28 = q("x28_nested_skipscan")
+    val raw = spark.read.parquet(store)
+      .filter(yearBox && monthBox && col("o_custkey") <= 75)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+      .sort("o_orderpriority")
+    assert(x28.select("o_orderpriority", "order_ct").collect().toSeq ==
+      raw.collect().toSeq)
+    // append one file into an existing leaf of a PRIVATE copy: the
+    // fence kills pruning (full listing served — sound), then
+    // refresh() stats-scans only the new file and pruning re-arms
+    // over the grown nested store
+    val priv = java.nio.file.Files
+      .createTempDirectory("x28_refresh_").toString + "/orders_nested"
+    try {
+      val base = spark.read.parquet(store)
+      base.write.partitionBy("o_year", "o_mm").parquet(priv)
+      SkipIndex.register(spark, "x28_refresh", priv, Seq("o_custkey"))
+      def privQ = spark.read.parquet(priv)
+        .filter(yearBox && monthBox && col("o_custkey") <= 75)
+        .groupBy().count()
+      assert(physFiles(SkipIndex.navigate(privQ)) < physFiles(privQ))
+      spark.read.parquet(priv).limit(1)
+        .write.mode("append").partitionBy("o_year", "o_mm").parquet(priv)
+      val grownPartOnly = physFiles(spark.read.parquet(priv)
+        .filter(yearBox && monthBox).groupBy().count())
+      val stale = physFiles(SkipIndex.navigate(privQ))
+      assert(stale == grownPartOnly,
+        s"stale nested index must not prune: $stale vs $grownPartOnly")
+      SkipIndex.refresh(spark, "x28_refresh")
+      val rearmed = physFiles(SkipIndex.navigate(privQ))
+      assert(rearmed < grownPartOnly,
+        s"refresh did not re-arm nested pruning: $rearmed")
+      assert(SkipIndex.navigate(privQ).head.getLong(0) ==
+        privQ.head.getLong(0))
+    } finally {
+      SkipIndex.unregister(spark, "x28_refresh")
+      rm(new java.io.File(priv).getParentFile)
+    }
+  }
+
   test("x27: the serving stack composes — navigation re-roots onto the " +
       "clustered summary AND zone maps prune the summary's own files") {
     val sumDir = s"${operators.ScalePatterns.navMonthDir(spark, sf)}/v0"
