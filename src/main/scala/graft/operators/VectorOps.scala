@@ -618,6 +618,56 @@ object VectorOps extends QueryModule {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
   }
 
+  /** v25: the APPEND-ONLY maintenance path of the IVFPQ index served
+    * end to end (round-14 #5 — the one registered artifact family that
+    * had no refresh story): the quantizers are TRAINED on the
+    * pre-append corpus (every vec_id ≢ 3 mod 10), frozen, and the
+    * arriving tenth of the corpus is folded in through
+    * [[graft.streaming.IncrementalIndex.fold]] — drift-gated encode
+    * against the broadcast artifacts, |batch|-sized work, no
+    * full-corpus re-encode. The probe then serves top-k from the GROWN
+    * inverted lists (v21's ADC + exact-re-rank shape). Fold == rebuild
+    * with the same frozen artifacts row-for-row (assignment is
+    * per-vector), so the oracle replays a one-shot encode of the full
+    * corpus against the initial-corpus artifacts — a hash match proves
+    * the folded index serves exactly what a rebuild would. */
+  private def annIndexGrowTopk(s: SparkSession, dir: String): DataFrame = {
+    val em = embFrame(s, dir)
+    val initial = em.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+    val arriving = Tables(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select(col("vec_id"), col("embedding"))
+    val art = graft.streaming.IncrementalIndex.trainOn(initial)
+    val stored = pqEncode(cellResiduals(initial, art.centroids),
+      art.codebook)
+    val grown = graft.streaming.IncrementalIndex.fold(stored, arriving,
+      art)
+    val lists = reconstructResiduals(grown, art.codebook)
+      .select(col("vec_id").as("n_id"), col("c_id"), col("rresid"))
+    val q = cellResiduals(em.filter(col("vec_id") < 10), art.centroids)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_cid"),
+        col("emb").as("q_emb"), col("resid").as("q_resid"))
+    val slW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("n_id"))
+    val shortlist = broadcast(q).join(lists,
+        col("c_id") === col("q_cid") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("n_id"),
+        sqDist(col("q_resid"), col("rresid")).as("adc"))
+      .withColumn("slrk", row_number().over(slW))
+      .filter(col("slrk") <= ivfpqShortlist)
+    val exW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    shortlist
+      .join(em.select(col("vec_id").as("e_id"), col("emb").as("n_emb")),
+        col("n_id") === col("e_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_emb"), col("n_emb")) /
+          (norm(col("q_emb")) * norm(col("n_emb"))), 6).as("cos"))
+      .withColumn("rk", row_number().over(exW))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
   /** v22: IVFPQ index-health audit — the per-cell quality report a
     * deployment monitors to decide when the frozen quantizers need
     * re-training (the operational counterpart of v21/IncrementalIndex:
@@ -1352,6 +1402,7 @@ object VectorOps extends QueryModule {
     "v10_embed_outliers" -> embedOutliers,
     "v8_ann_pq_topk" -> annPq,
     "v21_ivfpq_topk" -> annIvfPq,
+    "v25_index_grow_topk" -> annIndexGrowTopk,
     "v22_index_health" -> ivfpqIndexHealth,
     "v24_quant_error" -> quantErrorLadder,
     "v23_filter_pool_curve" -> filterPoolCurve,
@@ -1431,14 +1482,58 @@ object VectorOps extends QueryModule {
     * both append their finishers to this CTE chain. Note `codes` here
     * is the LONG (vec_id, c_id, m, code) relation — the engine's wide
     * code0..codeM row pivots from it. */
-  private lazy val ivfpqCte: String = {
+  private lazy val ivfpqCte: String = ivfpqCteFor(None)
+
+  /** The shared v21/v25 probe tail: codeword reconstruction, nprobe=1
+    * ADC shortlist, exact cosine re-rank to top-5 — consumes whatever
+    * (em, cent, assigned, cb, codes) chain [[ivfpqCteFor]] built. */
+  private lazy val ivfpqTopkFinisher: String =
+    s"""recon AS (
+       |  SELECT codes.vec_id AS n_id, any_value(codes.c_id) AS c_id,
+       |         flatten(list(list_transform(range(1, ${pqSubDim + 1}),
+       |           i -> cb.cw_resid[codes.m * $pqSubDim + i])
+       |           ORDER BY codes.m)) AS rresid
+       |  FROM codes JOIN cb ON cb.cw_id = codes.code
+       |  GROUP BY codes.vec_id),
+       |q AS (SELECT vec_id AS q_id, c_id AS q_cid, emb AS q_emb,
+       |             resid AS q_resid
+       |      FROM assigned WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q_id, n_id, q_emb,
+       |         list_aggregate(list_transform(range(1, ${embDim + 1}),
+       |           i -> (q_resid[i] - rresid[i])
+       |              * (q_resid[i] - rresid[i])), 'sum') AS adc
+       |  FROM q JOIN recon ON recon.c_id = q_cid AND n_id <> q_id),
+       |sl AS (SELECT q_id, n_id, q_emb FROM (
+       |        SELECT *, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY adc, n_id) AS slrk
+       |        FROM pairs) WHERE slrk <= $ivfpqShortlist),
+       |rr AS (
+       |  SELECT q_id, n_id,
+       |         round(${dotSql("q_emb", "n_emb")}
+       |               / (sqrt(${dotSql("q_emb", "q_emb")})
+       |                  * sqrt(${dotSql("n_emb", "n_emb")})), 6) AS cos
+       |  FROM sl JOIN (SELECT vec_id AS e_id, emb AS n_emb FROM em) e
+       |    ON n_id = e_id)
+       |SELECT q_id, n_id, cos, rk FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |  FROM rr) WHERE rk <= 5""".stripMargin
+
+  /** The CTE chain parameterized by the TRAINING-corpus predicate:
+    * None = artifacts trained on the full corpus (v21/v22); Some(p) =
+    * centroids and codebook restricted to `p` while every vector still
+    * encodes against them — the frozen-artifact grown-index replay
+    * (v25's fold == rebuild identity). */
+  private def ivfpqCteFor(initPred: Option[String]): String = {
     val sd = pqSubDim
+    val centPred = initPred.fold("")(p => s" AND $p")
     s"""WITH em AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM em
-       |         WHERE vec_id % 50 = 0),
+       |         WHERE vec_id % 50 = 0$centPred),
        |ac AS (SELECT vec_id, emb, c_id, c_emb,
        |              ${d2Sql("emb", "c_emb")} AS d2
        |       FROM em CROSS JOIN cent),
@@ -1450,7 +1545,7 @@ object VectorOps extends QueryModule {
        |          (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
        |        FROM ac) WHERE rk = 1),
        |cb AS (SELECT vec_id AS cw_id, resid AS cw_resid FROM assigned
-       |       WHERE vec_id < $pqCodebookSize),
+       |       WHERE vec_id < $pqCodebookSize$centPred),
        |sc AS (
        |  SELECT a.vec_id, a.c_id, t.m, cb.cw_id,
        |         list_aggregate(list_transform(range(1, ${sd + 1}),
@@ -1616,40 +1711,13 @@ object VectorOps extends QueryModule {
          |       count(DISTINCT c0) AS codes_used_s0
          |FROM health GROUP BY 1""".stripMargin
     },
-    "v21_ivfpq_topk" -> {
-      s"""$ivfpqCte,
-         |recon AS (
-         |  SELECT codes.vec_id AS n_id, any_value(codes.c_id) AS c_id,
-         |         flatten(list(list_transform(range(1, ${pqSubDim + 1}),
-         |           i -> cb.cw_resid[codes.m * $pqSubDim + i])
-         |           ORDER BY codes.m)) AS rresid
-         |  FROM codes JOIN cb ON cb.cw_id = codes.code
-         |  GROUP BY codes.vec_id),
-         |q AS (SELECT vec_id AS q_id, c_id AS q_cid, emb AS q_emb,
-         |             resid AS q_resid
-         |      FROM assigned WHERE vec_id < 10),
-         |pairs AS (
-         |  SELECT q_id, n_id, q_emb,
-         |         list_aggregate(list_transform(range(1, ${embDim + 1}),
-         |           i -> (q_resid[i] - rresid[i])
-         |              * (q_resid[i] - rresid[i])), 'sum') AS adc
-         |  FROM q JOIN recon ON recon.c_id = q_cid AND n_id <> q_id),
-         |sl AS (SELECT q_id, n_id, q_emb FROM (
-         |        SELECT *, row_number() OVER
-         |          (PARTITION BY q_id ORDER BY adc, n_id) AS slrk
-         |        FROM pairs) WHERE slrk <= $ivfpqShortlist),
-         |rr AS (
-         |  SELECT q_id, n_id,
-         |         round(${dotSql("q_emb", "n_emb")}
-         |               / (sqrt(${dotSql("q_emb", "q_emb")})
-         |                  * sqrt(${dotSql("n_emb", "n_emb")})), 6) AS cos
-         |  FROM sl JOIN (SELECT vec_id AS e_id, emb AS n_emb FROM em) e
-         |    ON n_id = e_id)
-         |SELECT q_id, n_id, cos, rk FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
-         |  FROM rr) WHERE rk <= 5""".stripMargin
-    },
+    "v21_ivfpq_topk" -> s"$ivfpqCte,\n$ivfpqTopkFinisher",
+    // v25 replays the grown index as a ONE-SHOT encode of the full
+    // corpus against the INITIAL-corpus artifacts (vec_id ≢ 3 mod 10)
+    // — valid because fold == rebuild with frozen artifacts
+    // row-for-row; the probe finisher is v21's verbatim
+    "v25_index_grow_topk" ->
+      s"${ivfpqCteFor(Some("vec_id % 10 <> 3"))},\n$ivfpqTopkFinisher",
     "v20_mmr_diversify" -> {
       val steps = (2 to mmrK).map { k =>
         val prev = k - 1

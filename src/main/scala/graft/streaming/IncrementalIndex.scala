@@ -26,14 +26,73 @@ object IncrementalIndex {
 
   /** Frozen serving artifacts, built once from the initial corpus (the
     * `train` step). Both frames are small (k cells, 64 codewords) —
-    * broadcast to every encode. */
-  final case class Artifacts(centroids: DataFrame, codebook: DataFrame)
+    * broadcast to every encode. `meanAssignD2` records the training
+    * corpus's mean squared cell-assignment distance — the yardstick
+    * [[fold]]'s drift gate measures arriving batches against (NaN =
+    * ungated, for artifacts built before the gate existed). */
+  final case class Artifacts(centroids: DataFrame, codebook: DataFrame,
+      meanAssignD2: Double = Double.NaN)
 
-  def train(s: SparkSession, dir: String): Artifacts = {
-    val em = VectorOps.embFrame(s, dir)
+  /** DECIMAL-quantized mean squared assignment distance of an assigned
+    * frame — partition-order independent, so the drift gate is
+    * deterministic. */
+  private def meanD2(assigned: DataFrame): Double = {
+    import org.apache.spark.sql.types.DecimalType
+    val r = assigned.agg(
+      (sum(round(VectorOps.dot(col("resid"), col("resid")), 9)
+        .cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1))).as("m")).head
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  def train(s: SparkSession, dir: String): Artifacts =
+    trainOn(VectorOps.embFrame(s, dir))
+
+  /** Train the frozen artifacts on an arbitrary (vec_id, emb
+    * ARRAY<DOUBLE>) corpus frame — the initial-corpus step of a grown
+    * deployment (v25 trains on the pre-append corpus). */
+  def trainOn(em: DataFrame): Artifacts = {
     val cent = VectorOps.coarseCentroids(em)
-    Artifacts(cent,
-      VectorOps.residualCodebook(VectorOps.cellResiduals(em, cent)))
+    val assigned = VectorOps.cellResiduals(em, cent)
+    Artifacts(cent, VectorOps.residualCodebook(assigned),
+      meanD2(assigned))
+  }
+
+  /** Drift-gated BATCH fold — the append-only maintenance path for the
+    * memoized batch index ([[VectorOps.ivfpqCodes]]'s shape): encode
+    * one arriving batch against the FROZEN artifacts and return
+    * `stored ∪ encoded`, exactly the code table a one-shot encode of
+    * the grown corpus against the same artifacts would produce
+    * (assignment is per-vector, so fold == rebuild-with-frozen-
+    * artifacts row-for-row — IncrementalIndexSpec asserts it). At
+    * 100 TB this is the daily loop: |batch| map-side work against
+    * broadcast artifacts instead of a full-corpus re-encode.
+    *
+    * The gate: when the batch's mean squared assignment distance
+    * exceeds `driftFactor ×` the training mean, the quantizers no
+    * longer fit the arriving distribution — folding would accumulate
+    * badly-quantized codes that silently degrade recall (the v13/v22
+    * drift signals made a hard precondition). The fold REFUSES with
+    * rebuild advice; nothing is mutated. */
+  def fold(stored: DataFrame, batch: DataFrame, art: Artifacts,
+      driftFactor: Double = 4.0): DataFrame = {
+    val em = batch.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    val assigned = VectorOps.cellResiduals(em, art.centroids)
+    if (!art.meanAssignD2.isNaN) {
+      val batchMean = meanD2(assigned)
+      if (batchMean > driftFactor * art.meanAssignD2)
+        throw new IllegalStateException(
+          "index fold refused: the arriving batch's mean squared " +
+            f"cell-assignment distance ($batchMean%.3f) exceeds " +
+            f"$driftFactor%.1f x the training mean " +
+            f"(${art.meanAssignD2}%.3f) - the frozen quantizers no " +
+            "longer fit the arriving distribution and folded codes " +
+            "would silently degrade recall; re-train " +
+            "(IncrementalIndex.train) and re-encode the corpus, then " +
+            "resume folding against the new artifacts")
+    }
+    stored.unionByName(VectorOps.pqEncode(assigned, art.codebook))
   }
 
   /** Encode one arriving batch (vec_id, embedding ARRAY<FLOAT|DOUBLE>)
