@@ -591,18 +591,15 @@ object VectorOps extends QueryModule {
       flatten(array((0 until pqSubspaces).map(m => col(s"cw$m")): _*))
         .as("rresid"))
 
-  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val em = embFrame(s, dir)
-    val (assigned, codes) = ivfpqStage(s, dir)
-    val cb = residualCodebook(assigned)
-    val lists = reconstructResiduals(codes, cb)
-      .select(col("vec_id").as("n_id"), col("c_id"), col("rresid"))
-    // queries probe their own nearest cell (nprobe = ivfNprobe = 1, the
-    // serving constant v18's sweep justifies); the query residual is
-    // exact — ADC's asymmetry
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("c_id").as("q_cid"),
-        col("emb").as("q_emb"), col("resid").as("q_resid"))
+  /** The shared v21/v25 probe tail (the Scala twin of the oracle's
+    * `ivfpqTopkFinisher`): queries probe their own nearest cell
+    * (nprobe = 1, the serving constant v18's sweep justifies), the
+    * exact query residual scores candidates by ADC — asymmetry is the
+    * method — and the [[ivfpqShortlist]] survivors re-rank by true
+    * cosine to top-5. One copy so a tie-break/shortlist change can
+    * never drift between the fresh-index and grown-index probes. */
+  private def probeTopk(q: DataFrame, lists: DataFrame, em: DataFrame)
+      : DataFrame = {
     val slW = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("n_id"))
     val shortlist = broadcast(q).join(lists,
@@ -622,6 +619,18 @@ object VectorOps extends QueryModule {
       .withColumn("rk", row_number().over(exW))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("n_id"), col("cos"), col("rk"))
+  }
+
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val em = embFrame(s, dir)
+    val (assigned, codes) = ivfpqStage(s, dir)
+    val cb = residualCodebook(assigned)
+    val lists = reconstructResiduals(codes, cb)
+      .select(col("vec_id").as("n_id"), col("c_id"), col("rresid"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_cid"),
+        col("emb").as("q_emb"), col("resid").as("q_resid"))
+    probeTopk(q, lists, em)
   }
 
   /** v25: the APPEND-ONLY maintenance path of the IVFPQ index served
@@ -651,16 +660,22 @@ object VectorOps extends QueryModule {
     growMemo.getOrElseUpdate((s, dir), {
       val em = embFrame(s, dir)
       val initial = em.filter(pmod(col("vec_id"), lit(10)) =!= 3)
-      val art0 = graft.streaming.IncrementalIndex.trainOn(initial)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val cent = art0.centroids.persist(lvl)
+      // ONE assignment pass serves the codebook, the drift yardstick,
+      // and the stored code table (three consumers; at the 100 TB
+      // build each extra pass is a full corpus re-assignment)
+      val cent = coarseCentroids(initial).persist(lvl)
       cent.count()
+      val assigned = cellResiduals(initial, cent).persist(lvl)
+      assigned.count()
+      val art0 = graft.streaming.IncrementalIndex
+        .artifactsFrom(cent, assigned)
       val cb = art0.codebook.persist(lvl)
       cb.count()
-      val art = art0.copy(centroids = cent, codebook = cb)
-      val stored = pqEncode(cellResiduals(initial, cent), cb)
-        .persist(lvl)
+      val art = art0.copy(codebook = cb)
+      val stored = pqEncode(assigned, cb).persist(lvl)
       stored.count()
+      assigned.unpersist(false) // consumers are materialized
       (art, stored)
     })
 

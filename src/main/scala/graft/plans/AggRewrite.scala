@@ -306,7 +306,7 @@ object AggRewrite {
       measures: Seq[(String, String, Column)], summary: DataFrame,
       path: Option[String], partitionKey: Option[String],
       storeRoot: Option[String], dataDir: Option[String],
-      lastDelta: Long): Unit = {
+      lastDelta: Long, persistManifest: Boolean = true): Unit = {
     // analyze the defining expressions in the base's own context, then
     // resolve them down to the leaf relation's attributes so canonical
     // forms match what matching computes for candidate plans
@@ -444,8 +444,10 @@ object AggRewrite {
     // manifest, so [[attach]] in a later session re-arms to exactly
     // this registration (the registry is session-mortal; the manifest
     // is the store's durable half — Doris keeps rollup definitions in
-    // FE metadata, Delta keeps stats in the log)
-    if (storeRoot.isDefined) writeManifest(session, d)
+    // FE metadata, Delta keeps stats in the log). attach itself skips
+    // the re-write: it changed nothing, and a read-only replica must
+    // be able to attach a store it cannot mutate.
+    if (storeRoot.isDefined && persistManifest) writeManifest(session, d)
   }
 
   // ---- sidecar manifest: cross-session persistence of the summary
@@ -470,6 +472,24 @@ object AggRewrite {
       d.summaryRelation.output.map(a =>
         org.apache.spark.sql.types.StructField(
           a.name, a.dataType, a.nullable))).toDDL
+    // refuse-at-sign discipline (the bitmap integral-child model): a
+    // defining expression whose SQL rendering does not re-parse (a
+    // ScalaUDF, a custom Expression with no SQL form) would otherwise
+    // sign a manifest that only fails at attach time, in a process
+    // where the original registration is long gone
+    d.defsSql.foreach { case (n, sql) =>
+      try session.sessionState.sqlParser.parseExpression(sql)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"summary column '$n' of '${d.name}' is defined by an " +
+              s"expression that does not round-trip to SQL ($sql) - " +
+              "the manifest would fail at attach time; define " +
+              "materialized keys/measures with SQL-expressible " +
+              "(builtin) expressions, or use register() for " +
+              "session-only summaries", e)
+      }
+    }
     val json =
       ("version" -> 1) ~
         ("kind" -> "graft_summary") ~
@@ -484,17 +504,11 @@ object AggRewrite {
         ("lastDelta" -> d.lastDelta) ~
         ("baseSig" -> d.baseSig) ~
         ("schemaDdl" -> schemaDdl)
-    val body = JsonMethods.pretty(JsonMethods.render(json))
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(session.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(rootPath,
-      s".$ManifestFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val target = new org.apache.hadoop.fs.Path(rootPath, ManifestFile)
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target)) throw new java.io.IOException(
-      s"could not publish $target")
+    // hard write, not best-effort: every caller that persists
+    // (materialize/applyDelta/refreshPartitions) just WROTE the store
+    // itself, so an unwritable root already failed earlier
+    Manifests.write(session, root, ManifestFile,
+      JsonMethods.compact(JsonMethods.render(json)))
   }
 
   /** Re-register a materialized summary from its store's sidecar
@@ -509,22 +523,11 @@ object AggRewrite {
   def attach(session: SparkSession, root: String): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(session.sessionState.newHadoopConf())
-    val target = new org.apache.hadoop.fs.Path(rootPath, ManifestFile)
-    if (!fs.exists(target)) throw new IllegalArgumentException(
-      s"no $ManifestFile under $root — only materialize()d summaries " +
-        "persist a manifest; register() the summary explicitly")
-    val body = {
-      val in = fs.open(target)
-      try {
-        val bs = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
-        bs.toString("UTF-8")
-      } finally in.close()
-    }
+    val body = Manifests.read(session, root, ManifestFile).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $ManifestFile under $root — only materialize()d " +
+          "summaries persist a manifest; register() the summary " +
+          "explicitly"))
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(body)
     val name = (j \ "name").extract[String]
@@ -553,7 +556,8 @@ object AggRewrite {
         "holding the registration, then attach the re-signed store")
     val summary = session.read.schema(schema).parquet(dataDir)
     registerInternal(session, name, base, keys, measures, summary,
-      Some(root), partitionKey, Some(root), Some(dataDir), lastDelta)
+      Some(root), partitionKey, Some(root), Some(dataDir), lastDelta,
+      persistManifest = false) // read-only replicas must attach
     summary
   }
 

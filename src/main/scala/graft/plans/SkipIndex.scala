@@ -218,7 +218,8 @@ object SkipIndex {
     }.getOrElse(throw new IllegalStateException(
       s"could not snapshot the store listing for '$name'"))
 
-  private def putDef(session: SparkSession, d: IndexDef): Unit = {
+  private def putDef(session: SparkSession, d: IndexDef,
+      persistManifest: Boolean = true): Unit = {
     registry.keys.filter(_.sparkContext.isStopped)
       .foreach(registry.remove)
     registry.updateWith(session) {
@@ -227,8 +228,11 @@ object SkipIndex {
     }
     // every blessing persists the catalog's durable half beside the
     // data (Delta's model: per-file stats live in the transaction
-    // log, not driver memory) so [[attach]] re-arms a fresh session
-    writeManifest(session, d)
+    // log, not driver memory) so [[attach]] re-arms a fresh session.
+    // Best-effort: a read-only store (serving replica) still
+    // registers in memory — the manifest is the durability add-on.
+    // attach skips the re-write entirely (it changed nothing).
+    if (persistManifest) writeManifest(session, d)
   }
 
   // ---- sidecar manifest: cross-session persistence of the per-file
@@ -236,23 +240,93 @@ object SkipIndex {
   // per session; without the sidecar a restart silently demoted
   // planning-time file skipping to full listings until someone re-ran
   // the registration stats pass over the whole store.
+  //
+  // One manifest file PER INDEX NAME (hashed into the filename), so
+  // two indexes registered over one store do not clobber each other;
+  // [[attach]] re-arms every index it finds. Each write serializes
+  // the whole catalog — O(#files) bytes per refresh; fine at the
+  // typical thousands-of-files store, and the documented next step
+  // for the million-file steady-state loop is an append-log format
+  // (Delta's actual model), not a bigger monolith.
 
-  private val ManifestFile = "_graft_skipindex.json"
+  private def manifestFileFor(name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"_graft_skipindex_$h.json"
+  }
 
-  /** A stats value as re-parseable SQL literal text (None = the file
-    * has no non-null values). Typed-literal syntax (`DATE '…'`,
-    * `12.3BD`, `X'…'`) round-trips through the expression parser with
-    * the exact type the stats were computed at. */
-  private def litSql(v: Any, dt: DataType): Option[String] =
-    Option(v).map(x => Literal.create(x, dt).sql)
+  private val ManifestPrefix = "_graft_skipindex_"
 
-  private def litVal(session: SparkSession, sql: String): Any = {
-    val e = session.sessionState.sqlParser.parseExpression(sql)
-    require(e.foldable, s"manifest stats literal does not fold: $sql")
-    e.eval(InternalRow.empty)
+  // ---- stats value codec: plain JSON scalars for the common types
+  // (strings, integrals, dates/timestamps as their internal numbers,
+  // finite doubles) so attach decodes a million-file catalog without
+  // invoking the SQL parser per value; everything else (decimals,
+  // binary, non-finite floats) rides typed literal SQL, parsed only
+  // when it actually occurs. Decode is keyed by the persisted column
+  // type, so the scalar forms are unambiguous.
+
+  private def encodeStat(v: Any, dt: DataType): Option[org.json4s.JValue] = {
+    import org.json4s._
+    import org.apache.spark.sql.types._
+    Option(v).map { x =>
+      // normalize external (collect()-shaped) or internal values to
+      // the INTERNAL form in one step
+      val lit = Literal.create(x, dt)
+      (dt, lit.value) match {
+        case (StringType, u) => JString(u.toString)
+        case (ByteType | ShortType | IntegerType | LongType |
+            DateType | TimestampType | TimestampNTZType, n) =>
+          JLong(n.asInstanceOf[Number].longValue())
+        case (BooleanType, b: java.lang.Boolean) => JBool(b)
+        case (DoubleType, d: java.lang.Double) if !d.isNaN &&
+            !d.isInfinite => JDouble(d)
+        case (FloatType, f: java.lang.Float) if !f.isNaN &&
+            !f.isInfinite => JDouble(f.toDouble)
+        case _ => JObject("sql" -> JString(lit.sql))
+      }
+    }
+  }
+
+  private def decodeStat(session: SparkSession, jv: org.json4s.JValue,
+      dt: DataType): Any = {
+    import org.json4s._
+    import org.apache.spark.sql.types._
+    jv match {
+      case JObject(fields) =>
+        val sql = fields.collectFirst { case ("sql", JString(s)) => s }
+          .getOrElse(throw new IllegalStateException(
+            s"malformed stats value: $jv"))
+        val e = session.sessionState.sqlParser.parseExpression(sql)
+        require(e.foldable,
+          s"manifest stats literal does not fold: $sql")
+        e.eval(InternalRow.empty)
+      case JString(s) => org.apache.spark.unsafe.types.UTF8String
+        .fromString(s)
+      case JBool(b) => b
+      case JDouble(d) => dt match {
+        case FloatType => d.toFloat
+        case _ => d
+      }
+      case JInt(n) => decodeIntegral(n.longValue, dt)
+      case JLong(n) => decodeIntegral(n, dt)
+      case other => throw new IllegalStateException(
+        s"malformed stats value: $other")
+    }
+  }
+
+  private def decodeIntegral(n: Long, dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => n.toByte
+      case ShortType => n.toShort
+      case IntegerType | DateType => n.toInt
+      case _ => n // LongType, TimestampType, TimestampNTZType (micros)
+    }
   }
 
   private def writeManifest(session: SparkSession, d: IndexDef): Unit = {
+    import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val json =
@@ -265,28 +339,21 @@ object SkipIndex {
         ("files" -> d.files.toSeq.sortBy(_._1).map { case (p, st) =>
           ("path" -> p) ~ ("rows" -> st.rows) ~
             ("entry" -> d.entries.getOrElse(p, "")) ~
-            ("cols" -> st.cols.toSeq.sortBy(_._1).map {
+            ("cols" -> JArray(st.cols.toSeq.sortBy(_._1).map {
               case (c, (mn, mx, cnt)) =>
-                ("name" -> c) ~ ("min" -> litSql(mn, d.colTypes(c))) ~
-                  ("max" -> litSql(mx, d.colTypes(c))) ~ ("cnt" -> cnt)
-            })
+                JObject(List[(String, JValue)]("name" -> JString(c)) ++
+                  encodeStat(mn, d.colTypes(c)).map("min" -> _) ++
+                  encodeStat(mx, d.colTypes(c)).map("max" -> _) ++
+                  List[(String, JValue)]("cnt" -> JLong(cnt)))
+            }.toList))
         }) ~
         // zero-row files produce no stats group but still fence;
         // carry any entry not already serialized with its stats
         ("extraEntries" -> d.entries.toSeq.sortBy(_._1)
           .filterNot { case (p, _) => d.files.contains(p) }
           .map { case (p, e) => ("path" -> p) ~ ("entry" -> e) })
-    val body = JsonMethods.pretty(JsonMethods.render(json))
-    val storePath = new org.apache.hadoop.fs.Path(d.store)
-    val fs = storePath.getFileSystem(session.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(storePath,
-      s".$ManifestFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val target = new org.apache.hadoop.fs.Path(storePath, ManifestFile)
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target)) throw new java.io.IOException(
-      s"could not publish $target")
+    Manifests.writeBestEffort(session, d.store, manifestFileFor(d.name),
+      JsonMethods.compact(JsonMethods.render(json)))
   }
 
   /** Re-register a store's zone-map catalog from its sidecar manifest
@@ -303,58 +370,60 @@ object SkipIndex {
     import org.json4s.jackson.JsonMethods
     val storePath = new org.apache.hadoop.fs.Path(store)
     val fs = storePath.getFileSystem(session.sessionState.newHadoopConf())
-    val target = new org.apache.hadoop.fs.Path(storePath, ManifestFile)
-    if (!fs.exists(target)) throw new IllegalArgumentException(
-      s"no $ManifestFile under $store — register() the index first")
-    val body = {
-      val in = fs.open(target)
-      try {
-        val bs = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
-        bs.toString("UTF-8")
-      } finally in.close()
-    }
+    // every index blessed over this store has its own manifest file —
+    // attach re-arms ALL of them (a store can carry several column
+    // sets without one clobbering another)
+    val manifests = fs.listStatus(storePath).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(ManifestPrefix) &&
+        p.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    if (manifests.isEmpty) throw new IllegalArgumentException(
+      s"no $ManifestPrefix*.json under $store — register() the index " +
+        "first")
     implicit val fmts: Formats = DefaultFormats
-    val j = JsonMethods.parse(body)
-    val name = (j \ "name").extract[String]
-    val colTypes = (j \ "colTypes").extract[Seq[JValue]].map { c =>
-      (c \ "name").extract[String] ->
-        org.apache.spark.sql.types.DataType
-          .fromDDL((c \ "type").extract[String])
-    }.toMap
-    val files = (j \ "files").extract[Seq[JValue]].map { f =>
-      val p = (f \ "path").extract[String]
-      val cols = (f \ "cols").extract[Seq[JValue]].map { c =>
-        val cn = (c \ "name").extract[String]
-        (cn, ((c \ "min").extractOpt[String]
-            .map(litVal(session, _)).orNull,
-          (c \ "max").extractOpt[String]
-            .map(litVal(session, _)).orNull,
-          (c \ "cnt").extract[Long]))
+    manifests.foreach { target =>
+      val j = JsonMethods.parse(Manifests.readFile(fs, target))
+      val name = (j \ "name").extract[String]
+      val colTypes = (j \ "colTypes").extract[Seq[JValue]].map { c =>
+        (c \ "name").extract[String] ->
+          org.apache.spark.sql.types.DataType
+            .fromDDL((c \ "type").extract[String])
       }.toMap
-      p -> FileStats(p, (f \ "rows").extract[Long], cols)
-    }.toMap
-    val entries = (j \ "files").extract[Seq[JValue]].map { f =>
-      (f \ "path").extract[String] -> (f \ "entry").extract[String]
-    }.toMap ++ (j \ "extraEntries").extract[Seq[JValue]].map { f =>
-      (f \ "path").extract[String] -> (f \ "entry").extract[String]
-    }.toMap
-    // the fence re-arm: the live listing must BE the blessed one
-    val df = session.read.parquet(store)
-    val (roots, live, _) = listingOf(df, name)
-    if (live != entries) {
-      val changed = (live.keySet ++ entries.keySet).filter(p =>
-        live.get(p) != entries.get(p)).take(4)
-      throw new IllegalStateException(
-        s"cannot attach skip index '$name' at $store: the store's " +
-          s"listing changed since the manifest was signed (e.g. " +
-          s"${changed.mkString(", ")}) — the catalog no longer " +
-          "describes these files; re-register, or refresh() from a " +
-          "session holding the registration, then attach")
+      val files = (j \ "files").extract[Seq[JValue]].map { f =>
+        val p = (f \ "path").extract[String]
+        val cols = (f \ "cols").extract[Seq[JValue]].map { c =>
+          val cn = (c \ "name").extract[String]
+          def stat(field: String): Any = c \ field match {
+            case JNothing => null
+            case jv => decodeStat(session, jv, colTypes(cn))
+          }
+          (cn, (stat("min"), stat("max"), (c \ "cnt").extract[Long]))
+        }.toMap
+        p -> FileStats(p, (f \ "rows").extract[Long], cols)
+      }.toMap
+      val entries = (j \ "files").extract[Seq[JValue]].map { f =>
+        (f \ "path").extract[String] -> (f \ "entry").extract[String]
+      }.toMap ++ (j \ "extraEntries").extract[Seq[JValue]].map { f =>
+        (f \ "path").extract[String] -> (f \ "entry").extract[String]
+      }.toMap
+      // the fence re-arm: the live listing must BE the blessed one
+      val df = session.read.parquet(store)
+      val (roots, live, _) = listingOf(df, name)
+      if (live != entries) {
+        val changed = (live.keySet ++ entries.keySet).filter(p =>
+          live.get(p) != entries.get(p)).take(4)
+        throw new IllegalStateException(
+          s"cannot attach skip index '$name' at $store: the store's " +
+            s"listing changed since the manifest was signed (e.g. " +
+            s"${changed.mkString(", ")}) — the catalog no longer " +
+            "describes these files; re-register, or refresh() from a " +
+            "session holding the registration, then attach")
+      }
+      putDef(session,
+        IndexDef(name, store, roots, colTypes, files, entries),
+        persistManifest = false) // read-only replicas must attach
     }
-    putDef(session, IndexDef(name, store, roots, colTypes, files, entries))
   }
 
   def unregister(session: SparkSession, name: String): Unit =

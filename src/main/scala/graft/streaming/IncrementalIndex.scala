@@ -53,10 +53,16 @@ object IncrementalIndex {
     * deployment (v25 trains on the pre-append corpus). */
   def trainOn(em: DataFrame): Artifacts = {
     val cent = VectorOps.coarseCentroids(em)
-    val assigned = VectorOps.cellResiduals(em, cent)
+    artifactsFrom(cent, VectorOps.cellResiduals(em, cent))
+  }
+
+  /** Build the artifacts from an ALREADY-COMPUTED assignment — lets a
+    * caller that also needs the assigned frame (codebook + yardstick
+    * + code table all read it) pay the corpus assignment ONCE. */
+  private[graft] def artifactsFrom(cent: DataFrame,
+      assigned: DataFrame): Artifacts =
     Artifacts(cent, VectorOps.residualCodebook(assigned),
       meanD2(assigned))
-  }
 
   /** Drift-gated BATCH fold — the append-only maintenance path for the
     * memoized batch index ([[VectorOps.ivfpqCodes]]'s shape): encode
