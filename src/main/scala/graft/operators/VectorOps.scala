@@ -661,21 +661,23 @@ object VectorOps extends QueryModule {
       val em = embFrame(s, dir)
       val initial = em.filter(pmod(col("vec_id"), lit(10)) =!= 3)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      // ONE assignment pass serves the codebook, the drift yardstick,
-      // and the stored code table (three consumers; at the 100 TB
-      // build each extra pass is a full corpus re-assignment)
-      val cent = coarseCentroids(initial).persist(lvl)
+      // deliberately NOT sharing one persisted assignment frame
+      // across the codebook/yardstick/code-table builds: caching the
+      // intermediate assignment doubled the SERVING plan (PerfSpec
+      // caught v25 at 51 shuffle exchanges vs the committed 27 —
+      // cache-entry layering defeated the codebook/code-table
+      // substitution). The build pays one redundant assignment pass
+      // at prestage time; the serving plan stays half the size,
+      // which is the trade a standing index wants.
+      val art0 = graft.streaming.IncrementalIndex.trainOn(initial)
+      val cent = art0.centroids.persist(lvl)
       cent.count()
-      val assigned = cellResiduals(initial, cent).persist(lvl)
-      assigned.count()
-      val art0 = graft.streaming.IncrementalIndex
-        .artifactsFrom(cent, assigned)
       val cb = art0.codebook.persist(lvl)
       cb.count()
-      val art = art0.copy(codebook = cb)
-      val stored = pqEncode(assigned, cb).persist(lvl)
+      val art = art0.copy(centroids = cent, codebook = cb)
+      val stored = pqEncode(cellResiduals(initial, cent), cb)
+        .persist(lvl)
       stored.count()
-      assigned.unpersist(false) // consumers are materialized
       (art, stored)
     })
 
