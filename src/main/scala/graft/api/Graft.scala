@@ -360,6 +360,24 @@ object Graft {
   def refreshSkipIndex(session: SparkSession, name: String): Unit =
     graft.plans.SkipIndex.refresh(session, name)
 
+  /** Re-arm a materialized summary in THIS (typically brand-new)
+    * session from its store's sidecar manifest — the process-restart
+    * path: no fact re-scan, no re-materialization; navigation resumes
+    * with the same staleness-fence discipline. Refuses when the base
+    * changed since the manifest was signed (the store no longer
+    * aggregates those files — refresh from a registered session or
+    * re-materialize first). Read-only replicas can attach: attach
+    * never writes. */
+  def attachSummary(session: SparkSession, storeRoot: String): DataFrame =
+    graft.plans.AggRewrite.attach(session, storeRoot)
+
+  /** Re-arm every zone-map index blessed over `store` from its
+    * sidecar manifest in THIS session — no stats re-scan. Same fence
+    * discipline as [[attachSummary]]: a store whose listing changed
+    * since signing refuses toward refresh()/re-register. */
+  def attachSkipIndex(session: SparkSession, store: String): Unit =
+    graft.plans.SkipIndex.attach(session, store)
+
   /** Top-k rows per group by `order` descending (ties broken by the
     * tiebreak column for determinism). One shuffle on the group keys. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,

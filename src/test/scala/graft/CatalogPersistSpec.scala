@@ -235,8 +235,9 @@ class CatalogPersistSpec extends SparkSuite {
           s"${keptA.size} of ${allSummaryFiles.size}")
 
       val s2 = spark.newSession()
-      AggRewrite.attach(s2, root)
-      SkipIndex.attach(s2, s"$root/v0")
+      // through the public facade — one line per catalog
+      graft.api.Graft.attachSummary(s2, root)
+      graft.api.Graft.attachSkipIndex(s2, s"$root/v0")
       val b = served(s2)
       assert(scanPaths(b).exists(_.contains("/v0")) &&
         scanFiles(b) == keptA && planShape(b) == planShape(a),
